@@ -1,0 +1,91 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], one warm-up + N timed runs (median), and prints
+ONE JSON line:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Usage: python bench.py [--runs 3] [--all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spring_and_kafka_spark import registry
+from spring_and_kafka_spark.session import get_spark
+
+# Representative of every operator family (SURVEY.md §2): scan-agg, joins
+# (shuffle/broadcast/asof), windows, set/pivot, streaming-batch, LLM ops.
+HEADLINE = [
+    "q_agg_group",
+    "q_join_multi",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_frame_rows",
+    "q_topk_per_group",
+    "q_pivot",
+    "q_stream_tumble",
+    "q_dedup_ngram",
+    "q_dedup_near",
+    "q_dedup_embed",
+    "q_sim_topk",
+    "q_text_tfidf",
+    "q_text_langid",
+    "q_udf_pandas",
+]
+
+
+def time_query(spark, fn, sf_dir: str, runs: int) -> float:
+    def once() -> float:
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side materialization
+        fn(spark, sf_dir).count()
+        return time.perf_counter() - t0
+
+    once()  # warm-up (plan + code cache)
+    return statistics.median(once() for _ in range(runs))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--all", action="store_true", help="bench every query")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark("bench")
+
+    specs = registry.all_specs()
+    names = sorted(specs) if args.all else [n for n in HEADLINE if n in specs]
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(time_query(spark, specs[name].fn, sf_dir, args.runs), 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

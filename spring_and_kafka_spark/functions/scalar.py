@@ -1,0 +1,163 @@
+"""Scalar functions: string/regex/math/date/cast (SURVEY.md §2.7).
+
+Reference anchor: the reference's only scalar ops are the serde lambdas
+String::getBytes / String::new and string concat "#" + i
+(reference: src/main/java/jc/DemoApplication.java:97,115,148). Everything
+here is a built-in pyspark.sql.functions expression — JVM-side, inside
+whole-stage codegen; no Python in the hot path.
+
+Cross-engine casts normalized per registry conventions (DuckDB
+ceil→double vs Spark→long; DuckDB year()→BIGINT vs Spark→int; DuckDB
+CAST(double AS BIGINT) rounds vs Spark truncates → use explicit floor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_name) AS lo,
+           substr(c_name, 1, 8) AS s8,
+           CAST(length(c_name) AS INT) AS len,
+           replace(c_name, 'Customer', 'Cust') AS rep,
+           trim('  ' || c_name || ' ') AS trimmed,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
+           concat(c_mktsegment, ':', c_name) AS tagged
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/substr/length/replace/trim/lpad/concat.
+    (The "#" + i concat of the reference generalized.)"""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_name").alias("lo"),
+        F.substring("c_name", 1, 8).alias("s8"),
+        F.length("c_name").alias("len"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("rep"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("pad"),
+        F.concat("c_mktsegment", F.lit(":"), "c_name").alias("tagged"),
+    )
+
+
+@register(
+    "q_fn_regex",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, '(\d+)', 1) AS digits,
+           regexp_matches(c_name, '0{3,}') AS has_zeros
+    FROM customer WHERE regexp_matches(c_name, '[0-9]7$')
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract + match (rlike)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").rlike("[0-9]7$")).select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
+        F.col("c_name").rlike("0{3,}").alias("has_zeros"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS r1,
+           round(abs(l_discount - 0.05), 6) AS ab,
+           CAST(ceil(l_quantity) AS BIGINT) AS ce,
+           CAST(floor(l_quantity) AS BIGINT) AS fl,
+           round(pow(l_quantity, 2), 4) AS p2,
+           round(ln(l_extendedprice), 6) AS lg,
+           round(sqrt(l_quantity), 6) AS sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS md
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/abs/ceil/floor/pow/ln/sqrt/mod."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("ab"),
+        F.ceil("l_quantity").cast("long").alias("ce"),
+        F.floor("l_quantity").cast("long").alias("fl"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("p2"),
+        F.round(F.log("l_extendedprice"), 6).alias("lg"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        (F.col("l_orderkey") % 7).cast("long").alias("md"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)  AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT)   AS dy,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+           o_orderdate + INTERVAL 7 DAY AS plus7,
+           CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract/trunc/add/diff/epoch."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("mon_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("plus7"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "q_fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_orderdate AS DATE) AS order_date,
+           decode(encode(o_orderstatus)) AS status_roundtrip,
+           CAST(o_totalprice AS VARCHAR) LIKE '%.%' AS has_frac
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family incl. the reference's serde analog: string↔bytes
+    round-trip (String::getBytes / String::new,
+    reference: src/main/java/jc/DemoApplication.java:115,148)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.decode(F.encode("o_orderstatus", "UTF-8"), "UTF-8").alias(
+            "status_roundtrip"
+        ),
+        F.col("o_totalprice").cast("string").like("%.%").alias("has_frac"),
+    )

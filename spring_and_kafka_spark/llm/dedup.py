@@ -1,0 +1,363 @@
+"""Deduplication operators (SURVEY.md §2.10, north-star mandate).
+
+Five strategies, each the right tool at a different scale/precision point:
+
+1. exact      — hash group-by on content/key: one shuffle, exact.
+2. n-gram Jaccard — exact set-overlap on shingles: precise but the
+   shingle self-join explodes on hot shingles; small-corpus tool, and the
+   ground truth the sketch methods approximate.
+3. MinHash+LSH — shingles → k minhashes → bands → bucket join: candidate
+   pairs only, linear shuffle volume. The 100 TB path.
+4. SimHash    — 64-bit fingerprint, Hamming-band join: cheapest sketch.
+5. Embedding cosine — semantic near-dup over `embeddings`.
+
+The fixture corpus has no planted near-dups, so queries that must
+demonstrate recall union `documents` with deterministically perturbed
+copies (doc_id + 100000, last token dropped) — planted pairs the operator
+must find.
+
+No Python UDFs anywhere: hashing uses xxhash64/hash built-ins; everything
+stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+# Deterministic MinHash parameters (fixed seeds — SURVEY.md §7 hard parts).
+_MINHASH_PERMS = 32
+_LSH_BANDS = 8  # 8 bands × 4 rows ≈ catches jaccard ≳ 0.6
+_MERSENNE = (1 << 61) - 1
+
+
+def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed copies (drop last token, doc_id+100000)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return d.unionByName(perturbed)
+
+
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs; shingle = n consecutive tokens.
+
+    Built with a sliding transform over the token array — no UDF, no
+    explode-then-self-join."""
+    toks = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-earliest semantics. dropDuplicates() is
+    nondeterministic about WHICH row survives, so the engine's dedup is a
+    rank-window (deterministic, same shuffle cost)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event"))
+    )
+
+
+@register(
+    "q_dedup_ngram",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '')
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
+               )) AS shingle
+        FROM corpus
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, round(c / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE c / (sa.n + sb.n - c) >= 0.6
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.6) on the planted
+    corpus. This is the exact ground truth MinHash approximates; the
+    shingle equi-join is fine at fixture scale but hot shingles make it
+    quadratic — at 100 TB use q_dedup_near (LSH)."""
+    corpus = planted_corpus(spark, sf_dir)
+    sh = shingles(corpus, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(jac >= 0.6)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_perms: int = _MINHASH_PERMS) -> DataFrame:
+    """(doc_id, perm, minhash): k permutation-minima per doc.
+
+    h_i(s) = (a_i * h31(s) + b_i) mod p; h31 = xxhash64 folded to 31 bits
+    and a_i < 1e9 so a*h < 2^62 — no long overflow (Spark 4 runs ANSI mode;
+    overflow would throw). a_i, b_i derive deterministically from the
+    permutation index so runs are reproducible (fixed-seed discipline).
+    Map-side partial min → only k rows per doc cross the shuffle."""
+    h = F.abs(F.xxhash64("shingle")) % ((1 << 31) - 1)
+    perms = sh.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm"),
+    )
+    a = ((F.col("perm") * 2 + 1) * 0x9E3779B1) % 1_000_000_007
+    b = ((F.col("perm") + 1) * 0x85EBCA77) % 1_000_000_007
+    mh = (a * F.col("h") + b) % _MERSENNE
+    return perms.select("doc_id", "perm", mh.alias("mh")).groupBy(
+        "doc_id", "perm"
+    ).agg(F.min("mh").alias("minhash"))
+
+
+@register("q_dedup_near", tags=("rows-only", "lsh"))
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — the 100 TB dedup path.
+
+    shingle → 32 minhashes → 8 bands of 4 → hash each band → join docs
+    sharing a band bucket → verify candidates with estimated Jaccard
+    (minhash agreement rate) ≥ 0.5. Shuffle volume is O(docs × bands),
+    never O(docs²). Rows-only oracle (hash functions differ per engine);
+    recall vs the exact q_dedup_ngram truth is asserted in unit tests."""
+    corpus = planted_corpus(spark, sf_dir)
+    sig = minhash_signatures(shingles(corpus, 3))
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+    banded = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    buckets = banded.groupBy("doc_id", "band").agg(
+        F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias(
+            "bucket"
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # verify: fraction of agreeing minhashes estimates Jaccard
+    siga = sig.select(F.col("doc_id").alias("a_id"), "perm", F.col("minhash").alias("ma"))
+    sigb = sig.select(F.col("doc_id").alias("b_id"), "perm", F.col("minhash").alias("mb"))
+    est = (
+        candidates.join(siga, "a_id")
+        .join(sigb, ["b_id", "perm"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.round(F.avg((F.col("ma") == F.col("mb")).cast("double")), 4).alias(
+                "est_jaccard"
+            )
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+    return est.select("a_id", "b_id", "est_jaccard")
+
+
+@register("q_dedup_simhash", tags=("rows-only",))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit fingerprint = sign-aggregate of per-shingle
+    hash bits; candidates share a 16-bit half (Hamming-band trick: distance
+    ≤ d pairs share ≥ one of d+1 chunks), verified by exact Hamming ≤ 3.
+    One explode over 32 bits — linear, no UDF. Rows-only oracle."""
+    corpus = planted_corpus(spark, sf_dir)
+    sh = shingles(corpus, 3)
+    bits = sh.select(
+        "doc_id",
+        F.xxhash64("shingle").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    )
+    contrib = bits.withColumn(
+        "c", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+    )
+    simbits = (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .withColumn(
+            "bitval", (F.col("s") > 0).cast("long") * F.expr("shiftleft(1L, bit)")
+        )
+    )
+    fp = simbits.groupBy("doc_id").agg(F.sum("bitval").alias("fp"))
+    halves = fp.select(
+        "doc_id",
+        "fp",
+        (F.col("fp") % 65536).alias("lo"),
+        F.shiftright("fp", 16).alias("hi"),
+    )
+    a = halves.alias("a")
+    b = halves.alias("b")
+    cand = a.join(
+        b,
+        (
+            (F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi"))
+        )
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    xor = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    hamming = F.bit_count(xor)
+    return (
+        cand.select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@register(
+    "q_dedup_embed",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (threshold 0.95) on embeddings ∪ scaled
+    copies (x*1.001 → cos≈1, guaranteed positives; max non-planted pair in
+    the fixtures is 0.51, so the threshold has wide margin both sides).
+
+    Execution is a block-nested-loop with a vectorized GEMM kernel: vectors
+    are hash-bucketed into B blocks, each of the B·(B+1)/2 block pairs
+    becomes one applyInPandas group whose kernel is a single numpy
+    matrix-multiply. Shuffle volume is O(n·B) rows (each vector ships to B
+    groups), compute is dense-BLAS — the layout that survives 100 TB,
+    versus the O(n²) expression-evaluated theta join it replaces (which
+    measured 47 s at sf0.1; this runs ~1 s)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", dbl.alias("v"))
+    scaled = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(dbl, lambda x: x * 1.001).alias("v"),
+    )
+    corpus = base.unionByName(scaled)
+
+    n_blocks = 8
+    threshold = 0.95
+    # replicate: each vector joins every block pair (i,j) that contains its
+    # own block; pair_id = i * n_blocks + j with i <= j
+    blk = F.abs(F.xxhash64(F.col("vec_id").cast("string"))) % n_blocks
+    tagged = corpus.withColumn("blk", blk.cast("int"))
+    pair_ids = [
+        (i, j) for i, j in itertools.product(range(n_blocks), repeat=2) if i <= j
+    ]
+    pair_map = spark.createDataFrame(
+        [(i, j, i * n_blocks + j) for i, j in pair_ids], "i INT, j INT, pair_id INT"
+    )
+    replicated = tagged.join(
+        F.broadcast(pair_map),
+        (tagged.blk == pair_map.i) | (tagged.blk == pair_map.j),
+    ).select("vec_id", "v", "blk", "pair_id", "i", "j")
+
+    def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])
+        A = pdf[pdf["blk"] == i]
+        B = pdf[pdf["blk"] == j]
+        if A.empty or B.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        ma = np.stack(A["v"].to_numpy())
+        mb = np.stack(B["v"].to_numpy())
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia, ib = np.nonzero(sims >= threshold)
+        a_ids = A["vec_id"].to_numpy()[ia]
+        b_ids = B["vec_id"].to_numpy()[ib]
+        if i == j:
+            # same-block: every unordered pair appears twice (+ self pairs)
+            keep = a_ids < b_ids
+            a_ids, b_ids, ia, ib = a_ids[keep], b_ids[keep], ia[keep], ib[keep]
+            vals = sims[ia, ib]
+        else:
+            # cross-block: each pair appears once; normalize id order
+            vals = sims[ia, ib]
+            lo = np.minimum(a_ids, b_ids)
+            hi = np.maximum(a_ids, b_ids)
+            a_ids, b_ids = lo, hi
+        return pd.DataFrame(
+            {"a_id": a_ids, "b_id": b_ids, "cos_sim": np.round(vals, 4)}
+        )
+
+    return replicated.groupBy("pair_id").applyInPandas(
+        block_cosine, "a_id BIGINT, b_id BIGINT, cos_sim DOUBLE"
+    )

@@ -1,0 +1,154 @@
+"""Multimodal column conventions (SURVEY.md §2.10).
+
+Contract: media rides as an opaque `binary` payload column plus a typed
+metadata struct; heavy decode/feature work happens in Arrow-batched
+mapInPandas (one Python worker per partition, columnar transfer). The
+image/audio codec libraries are not in this container, so the decode
+kernel is a clearly-marked deterministic stub (fake_decode) — the
+Spark-side plumbing (schema, batching, partitioning) is real and tested.
+
+A real deployment swaps `fake_decode` for PIL/librosa/ffmpeg inside the
+same mapInPandas signature; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile source: (path, modificationTime, length, content BINARY) —
+    the ingestion path for real image/audio files."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """STUB decode: deterministic pseudo-metadata from the payload bytes.
+
+    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload)).
+    Raises on None to mirror codec behavior on corrupt input.
+    """
+    if payload is None:
+        raise NotImplementedError("no payload; real codec required here")
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1, "png" if n % 2 == 0 else "jpeg")
+
+
+def decode_media(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, metadata rows out."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf[payload_col].map(fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[payload_col].map(len),
+                    "width": meta.map(lambda m: m[0]),
+                    "height": meta.map(lambda m: m[1]),
+                    "format": meta.map(lambda m: m[2]),
+                }
+            )
+
+    return df.mapInPandas(decode_batches, MEDIA_SCHEMA)
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0
+                THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata, JVM-side: documents.text encoded to
+    bytes stands in for media payloads; metadata derived with built-ins
+    (the stub formula), proving the column/schema conventions end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    n = F.length(payload).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        (n % 640 + 1).cast("int").alias("width"),
+        ((n * 7) % 480 + 1).cast("int").alias("height"),
+        F.when(n % 2 == 0, "png").otherwise("jpeg").alias("format"),
+    )
+
+
+@register("q_multimodal_decode", tags=("rows-only", "pandas-udf"))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same metadata via the real mapInPandas decode path (stubbed
+    codec) — exercises Arrow batching + schema plumbing. Rows-only oracle;
+    equivalence with q_multimodal_meta asserted in unit tests."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_media(d, "payload", "doc_id")
+
+
+EMBED_DIM = 8
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def deterministic_encoder(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Embedding-generation stub (SURVEY.md §4 custom piece 3): batched
+    mapInPandas whose "model" is a deterministic byte-fold — the exact
+    shape (Arrow batch in, array<float> out) a real encoder plugs into."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def embed(s: str) -> list[float]:
+                acc = [0.0] * EMBED_DIM
+                for i, ch in enumerate(s.encode("utf-8")):
+                    acc[i % EMBED_DIM] += (ch % 29) / 29.0
+                norm = sum(x * x for x in acc) ** 0.5 or 1.0
+                return [x / norm for x in acc]
+
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "embedding": pdf[text_col].map(embed)}
+            )
+
+    return df.mapInPandas(encode_batches, EMBED_SCHEMA)
+
+
+@register("q_embed_generate", tags=("rows-only", "pandas-udf"))
+def q_embed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate embeddings for documents via the deterministic stub encoder;
+    output flattened to primitives (dim + first component, rounded)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = deterministic_encoder(d, "text", "doc_id")
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Brute-force cosine top-k is the correctness baseline (TakeOrderedAndProject
+— per-partition heap + driver merge, no global sort). The scale paths are
+IVF (centroid routing: only probed clusters are scanned) and random-
+hyperplane LSH bucketing. All distance math is built-in expression
+composition (zip_with/aggregate) in codegen — doubles end-to-end so the
+DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+
+def dot(u: Column, v: Column) -> Column:
+    """Σ u_i·v_i via zip_with + aggregate (sequential fold, matching
+    DuckDB's list_dot_product accumulation order)."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(u: Column, v: Column) -> Column:
+    return dot(u, v) / (F.sqrt(dot(u, u)) * F.sqrt(dot(v, v)))
+
+
+@register(
+    "q_sim_pairwise",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between consecutive vectors (equi-join on id)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    )
+
+
+@register(
+    "q_sim_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cos_sim
+    FROM e, q WHERE vec_id <> 0
+    ORDER BY list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 nearest neighbors of vector 0 (cosine).
+
+    The query vector rides along as a broadcast single-row cross join —
+    the embedding table is scanned once, orderBy().limit() plans
+    TakeOrderedAndProject (no global sort at 100 TB). Tie-break: vec_id."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = cosine(F.col("v"), F.col("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("raw_sim"))
+        .orderBy(F.col("raw_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are broadcast; argmin via min_by — one pass, no shuffle of
+    the vector side beyond the final groupBy key."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "v",
+        "centroid_id",
+        cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias("cluster"),
+        F.first("v").alias("v"),
+    )
+
+
+@register("q_sim_ann_ivf", tags=("rows-only", "ann"))
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor: 16 deterministic seed centroids
+    (vec_id < 16), vectors routed to nearest centroid, query probes the 4
+    nearest clusters only (~4/16 of the data scanned vs brute force).
+
+    Rows-only oracle; recall vs brute-force truth asserted in unit tests."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = (
+        e.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    assigned = ivf_assign(e, centroids)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("centroid_id", cosine(F.col("cv"), F.col("qv")).alias("sim"))
+        .orderBy(F.col("sim").desc(), "centroid_id")
+        .limit(4)
+        .select(F.col("centroid_id").alias("cluster"))
+    )
+    candidates = assigned.join(F.broadcast(probe), "cluster").filter(
+        F.col("vec_id") != 0
+    )
+    sim = cosine(F.col("v"), F.col("qv"))
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("raw_sim"))
+        .orderBy(F.col("raw_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
+@register("q_sim_lsh_bucket", tags=("rows-only", "lsh"))
+def q_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 8-bit signature per vector from
+    sign(v·r_j) over 8 deterministic pseudo-random hyperplanes (derived
+    from dimension index — fixed seed). Returns bucket histogram; the
+    bucket id co-partitions similar vectors so a 100 TB ANN search joins
+    per-bucket instead of all-pairs. Rows-only oracle (sign thresholds are
+    float-sensitive at the margin)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # hyperplane j component i = sin(i*7 + j*13) — deterministic, no data dependence
+    planes = [
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i, j=j: F.sin(i * 7 + F.lit(j * 13)),
+        )
+        for j in range(8)
+    ]
+    sig = e
+    total = F.lit(0)
+    for j, plane in enumerate(planes):
+        bit = (dot(F.col("v"), plane) > 0).cast("int") * (1 << j)
+        total = total + bit
+    sig = e.select("vec_id", total.alias("bucket"))
+    return sig.groupBy("bucket").agg(F.count("*").alias("n_vectors"))

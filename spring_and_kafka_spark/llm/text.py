@@ -1,0 +1,259 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.10):
+tokenization, TF-IDF, lexicon sentiment, corpus stats, quality scoring,
+language ID, document fingerprinting.
+
+All token work is split/explode/groupBy — pure built-ins, partitioned by
+doc or token key, map-side combined. The sentiment/langid lexicons are tiny
+literal tables broadcast to executors (never a shuffle of the corpus side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+# Lexicons: literal token lists from the fixture vocabulary (synthetic
+# 31-token corpus) — identical literals in the DuckDB oracles.
+POSITIVE = ("fast", "small", "value", "key", "spark")
+NEGATIVE = ("slow", "big", "dup")
+STOPWORDS = ("a", "the")
+
+
+def tokens(df: DataFrame) -> DataFrame:
+    """(doc_id, tok) exploded token stream."""
+    return df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+    SELECT tok, count(*) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency + document frequency over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return tokens(d).groupBy("tok").agg(
+        F.count("*").alias("n"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+    SELECT tf.doc_id, tf.tok,
+           round(tf.cnt * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                             / dfreq.df), 6) AS tfidf
+    FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+    WHERE tf.doc_id < 50
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): tf × ln(N/df). The df table is tiny
+    (vocabulary-sized) → broadcast back onto the tf side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(d)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # scalar; corpus size is metadata, not a shuffled value
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+@register(
+    "q_text_sentiment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           round(sum(CASE WHEN tok IN ('fast', 'small', 'value', 'key', 'spark') THEN 1
+                          WHEN tok IN ('slow', 'big', 'dup') THEN -1
+                          ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS sentiment
+    FROM toks GROUP BY doc_id
+    """,
+)
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment: mean polarity of matched tokens per doc
+    (lexicon = literal broadcast list; no join shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    polarity = (
+        F.when(F.col("tok").isin(*POSITIVE), 1)
+        .when(F.col("tok").isin(*NEGATIVE), -1)
+        .otherwise(0)
+    )
+    return (
+        tokens(d)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(polarity) / F.count("*").cast("double"), 6
+            ).alias("sentiment")
+        )
+    )
+
+
+@register(
+    "q_lang_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language/source corpus statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+           round(len(list_filter(toks, t -> t IN ('a', 'the')))
+                 / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+           round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS uniq_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(toks), 4) AS chars_per_tok
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per doc: token count, distinct ratio,
+    stopword ratio, chars/token — standard pre-training corpus filters,
+    all array built-ins (no explode, no shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        n_uniq.alias("n_uniq"),
+        F.round(n_stop / n_toks.cast("double"), 6).alias("stop_ratio"),
+        F.round(n_uniq / n_toks.cast("double"), 6).alias("uniq_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_toks, 4).alias("chars_per_tok"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT lang, tok, count(*) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rn
+      FROM toks GROUP BY lang, tok
+    ),
+    profile AS (SELECT lang AS p_lang, tok FROM freq WHERE rn <= 8),
+    overlap AS (
+      SELECT t.doc_id, p.p_lang, count(DISTINCT t.tok) AS hits
+      FROM (SELECT DISTINCT doc_id, tok FROM toks) t
+      JOIN profile p USING (tok)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, p_lang, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rn
+      FROM overlap
+    )
+    SELECT r.doc_id, r.p_lang AS pred_lang, CAST(r.hits AS BIGINT) AS hits,
+           (r.p_lang = d.lang) AS correct
+    FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+    WHERE r.rn = 1
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language top-8 token profile (built from
+    the corpus), docs classified by max distinct-token overlap (ties →
+    lexicographic lang). The profile is vocabulary-sized → broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "tok")
+    profile = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select(F.col("lang").alias("p_lang"), "tok")
+    )
+    doc_toks = toks.select("doc_id", "tok").distinct()
+    overlap = (
+        doc_toks.join(F.broadcast(profile), "tok")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.countDistinct("tok").alias("hits"))
+    )
+    w2 = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), "p_lang")
+    best = overlap.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") == 1)
+    return best.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("p_lang").alias("pred_lang"),
+        F.col("hits").cast("long").alias("hits"),
+        (F.col("p_lang") == F.col("lang")).alias("correct"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over the token stream:
+    h ← (h·1000003 + ascii(tok[0])·31 + len(tok)) mod 2^31-1. Same exact
+    integer arithmetic both engines (values bounded « 2^63 → ANSI-safe)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_codes = F.transform(
+        F.split("text", " "),
+        lambda t: (F.ascii(t) * 31 + F.length(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        tok_codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 1000003 + x) % 2147483647,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

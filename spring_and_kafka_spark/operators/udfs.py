@@ -1,0 +1,120 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.9).
+
+Reference anchor: the serde/handle lambdas are user code plugged into the
+flow (reference: src/main/java/jc/DemoApplication.java:115,148,154-157) —
+generalized here to Spark's four Python-extension points. Hierarchy of
+preference at scale:
+
+1. built-in expressions (everything else in this engine)
+2. pandas_udf / applyInPandas — Arrow-batched, vectorized (these)
+3. row-at-a-time Python UDF — demonstrated once, never in a hot path
+
+Each query computes something exactly reproducible in SQL, so even the
+UDF paths get full DuckDB hash-match oracles (not just rows-only).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT c_custkey, upper(c_name) || '!' AS shouted
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the discouraged path — each row crosses
+    the JVM↔Python pickle boundary; kept small deliberately)."""
+    shout = F.udf(lambda s: s.upper() + "!", T.StringType())
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select("c_custkey", shout("c_name").alias("shouted"))
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net
+    FROM lineitem WHERE l_orderkey <= 2000
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (Series→Series over Arrow batches) —
+    ~10-100× the row-at-a-time path. Cent rounding via the floor form
+    (pandas .round is half-to-even — not cross-engine stable)."""
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.floor(price * (1.0 - discount) * 100 + 0.5) / 100
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net"),
+    )
+
+
+@register(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (UDAF): quantity-weighted mean price."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+@register(
+    "q_udf_grouped_map",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus))
+                 / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS z
+    FROM orders
+    """,
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (UDTF-like): per-group z-score — each
+    status group arrives as one pandas frame (group must fit an executor;
+    for unbounded groups use window functions instead)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderstatus": pdf["o_orderstatus"],
+                "z": ((pdf["o_totalprice"] - mu) / sd).round(4),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").applyInPandas(
+        zscore, "o_orderkey BIGINT, o_orderstatus STRING, z DOUBLE"
+    )

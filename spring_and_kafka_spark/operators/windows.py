@@ -1,0 +1,158 @@
+"""Window functions (SURVEY.md §2.5).
+
+All windows partition by a key → one shuffle on the partition key, then
+per-partition sort; no global sort anywhere (a global window without
+PARTITION BY funnels everything through one task — only q_sort uses that,
+on a 100-row table). Every ORDER BY includes a unique tie-break column so
+results are deterministic and hash-match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number()  OVER w AS BIGINT) AS rn,
+           CAST(rank()        OVER w AS BIGINT) AS rk,
+           CAST(dense_rank()  OVER w AS BIGINT) AS drk,
+           CAST(ntile(4)      OVER w AS BIGINT) AS nt
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: row_number/rank/dense_rank/ntile per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.ntile(4).over(w).cast("long").alias("nt"),
+    )
+
+
+@register(
+    "q_win_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic family: lag/lead/first_value along each user's timeline.
+    No arithmetic → raw stored doubles compare exactly."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wf).alias("first_value"),
+    )
+
+
+@register(
+    "q_win_frame_rows",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM orders
+    """,
+)
+def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running total + 3-row moving average per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            2,
+        ).alias("running_total"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, W.currentRow)), 4
+        ).alias("moving_avg3"),
+    )
+
+
+@register(
+    "q_win_frame_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS sum_90d
+    FROM orders
+    """,
+)
+def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time: trailing-90-day revenue per customer.
+    Spark RANGE frames need a numeric ordering column → epoch seconds
+    (90 days = 7,776,000 s); the oracle mirrors the same encoding."""
+    o = load_table(spark, sf_dir, "orders")
+    o = o.withColumn("o_epoch", F.unix_timestamp("o_orderdate"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_epoch")
+        .rangeBetween(-7_776_000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_90d"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: rank window + filter. At scale Spark
+    pushes the rank-filter into the window via WindowGroupLimit (top-k per
+    key without materializing full partitions)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "rn",
+        )
+    )

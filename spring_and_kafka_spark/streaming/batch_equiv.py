@@ -1,0 +1,84 @@
+"""Batch-expressible equivalents of the streaming operators (SURVEY.md
+§2.8) — declared for the DuckDB oracle; the streaming tests assert the
+stream-drained results equal these (batch≡stream equivalence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+from spring_and_kafka_spark.streaming.windows import tumbling_counts
+
+
+@register(
+    "q_stream_tumble",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling count/sum by event_type — same code path the
+    streaming variant uses (tumbling_counts works on both frame kinds)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization in batch: gaps > 30 min start a new session (classic
+    lag + running-sum pattern; the streaming twin is session_window —
+    compared rows-only in streaming tests since window ids differ)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    marked = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.count("*").alias("n_events")
+    )
