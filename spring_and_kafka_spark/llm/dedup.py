@@ -145,26 +145,38 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _perm_coeffs(num_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for permutation i (fixed-seed discipline)."""
+    return [
+        (
+            ((2 * i + 1) * 0x9E3779B1) % 1_000_000_007,
+            ((i + 1) * 0x85EBCA77) % 1_000_000_007,
+        )
+        for i in range(num_perms)
+    ]
+
+
 def minhash_signatures(sh: DataFrame, num_perms: int = _MINHASH_PERMS) -> DataFrame:
-    """(doc_id, perm, minhash): k permutation-minima per doc.
+    """(doc_id, mh ARRAY<LONG>): the k-permutation minhash signature.
 
     h_i(s) = (a_i * h31(s) + b_i) mod p; h31 = xxhash64 folded to 31 bits
     and a_i < 1e9 so a*h < 2^62 — no long overflow (Spark 4 runs ANSI mode;
-    overflow would throw). a_i, b_i derive deterministically from the
-    permutation index so runs are reproducible (fixed-seed discipline).
-    Map-side partial min → only k rows per doc cross the shuffle."""
-    h = F.abs(F.xxhash64("shingle")) % ((1 << 31) - 1)
-    perms = sh.select(
-        "doc_id",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(num_perms - 1))).alias("perm"),
+    overflow would throw).
+
+    Shape matters at scale: ONE groupBy with k min-aggregates (wide form),
+    not an explode to k rows per shingle — the map-side partial min reduces
+    each doc to a single k-column row before the shuffle, so shuffle volume
+    is O(docs), independent of shingle count."""
+    h = (F.abs(F.xxhash64("shingle")) % ((1 << 31) - 1)).alias("h")
+    base = sh.select("doc_id", h)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_coeffs(num_perms))
+    ]
+    wide = base.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(num_perms)]).alias("mh")
     )
-    a = ((F.col("perm") * 2 + 1) * 0x9E3779B1) % 1_000_000_007
-    b = ((F.col("perm") + 1) * 0x85EBCA77) % 1_000_000_007
-    mh = (a * F.col("h") + b) % _MERSENNE
-    return perms.select("doc_id", "perm", mh.alias("mh")).groupBy(
-        "doc_id", "perm"
-    ).agg(F.min("mh").alias("minhash"))
 
 
 @register("q_dedup_near", tags=("rows-only", "lsh"))
@@ -179,12 +191,23 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = planted_corpus(spark, sf_dir)
     sig = minhash_signatures(shingles(corpus, 3))
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-    banded = sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-    buckets = banded.groupBy("doc_id", "band").agg(
-        F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias(
-            "bucket"
-        )
+    # band buckets: hash each 4-minhash slice; explode is 8 rows/doc (tiny)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.col("mh")[i * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(_LSH_BANDS)
+        ]
     )
+    buckets = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -197,21 +220,18 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # verify: fraction of agreeing minhashes estimates Jaccard
-    siga = sig.select(F.col("doc_id").alias("a_id"), "perm", F.col("minhash").alias("ma"))
-    sigb = sig.select(F.col("doc_id").alias("b_id"), "perm", F.col("minhash").alias("mb"))
-    est = (
+    # verify: fraction of agreeing signature positions estimates Jaccard
+    siga = sig.select(F.col("doc_id").alias("a_id"), F.col("mh").alias("ma"))
+    sigb = sig.select(F.col("doc_id").alias("b_id"), F.col("mh").alias("mb"))
+    agree = F.size(
+        F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda t: t)
+    ) / float(_MINHASH_PERMS)
+    return (
         candidates.join(siga, "a_id")
-        .join(sigb, ["b_id", "perm"])
-        .groupBy("a_id", "b_id")
-        .agg(
-            F.round(F.avg((F.col("ma") == F.col("mb")).cast("double")), 4).alias(
-                "est_jaccard"
-            )
-        )
+        .join(sigb, "b_id")
+        .select("a_id", "b_id", F.round(agree, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
     )
-    return est.select("a_id", "b_id", "est_jaccard")
 
 
 @register("q_dedup_simhash", tags=("rows-only",))
@@ -220,24 +240,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash bits; candidates share a 16-bit half (Hamming-band trick: distance
     ≤ d pairs share ≥ one of d+1 chunks), verified by exact Hamming ≤ 3.
     One explode over 32 bits — linear, no UDF. Rows-only oracle."""
+    import functools
+    import operator
+
     corpus = planted_corpus(spark, sf_dir)
     sh = shingles(corpus, 3)
-    bits = sh.select(
-        "doc_id",
-        F.xxhash64("shingle").alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    # wide form: one groupBy with 32 sum-aggregates (sign contribution per
+    # bit) instead of a 32× explode — map-side partial sums keep shuffle
+    # volume at O(docs), independent of shingle count
+    base = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(32)
+    ]
+    wide = base.groupBy("doc_id").agg(*bit_aggs)
+    fp_expr = functools.reduce(
+        operator.add,
+        [(F.col(f"s{i}") > 0).cast("long") * (1 << i) for i in range(32)],
     )
-    contrib = bits.withColumn(
-        "c", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-    )
-    simbits = (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .withColumn(
-            "bitval", (F.col("s") > 0).cast("long") * F.expr("shiftleft(1L, bit)")
-        )
-    )
-    fp = simbits.groupBy("doc_id").agg(F.sum("bitval").alias("fp"))
+    fp = wide.select("doc_id", fp_expr.alias("fp"))
     halves = fp.select(
         "doc_id",
         "fp",
@@ -246,22 +269,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = halves.alias("a")
     b = halves.alias("b")
-    cand = a.join(
-        b,
-        (
-            (F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi"))
-        )
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    xor = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
-    hamming = F.bit_count(xor)
-    return (
-        cand.select(
+
+    def band_join(col: str):
+        # equi-join on one half — hash-joinable; an OR of the two halves
+        # would force a nested loop over all doc pairs
+        return a.join(
+            b,
+            (F.col(f"a.{col}") == F.col(f"b.{col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            hamming.alias("hamming"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
         )
+
+    return (
+        band_join("lo")
+        .unionByName(band_join("hi"))
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 

@@ -1,0 +1,72 @@
+"""Physical-plan audits (the .explain('formatted') discipline): assert the
+optimizations the 100 TB design depends on are actually in the plan —
+filter pushdown, column pruning, broadcast joins, top-k without global
+sort, rank-filter pushdown into windows, no cartesian products."""
+
+from __future__ import annotations
+
+from spring_and_kafka_spark import registry
+
+from .conftest import SF_SMOKE
+
+SPECS = registry.all_specs()
+
+
+def plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_SMOKE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    p = plan(spark, "q_filter_cmp")
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(l_quantity)" in p or "GreaterThan(l_quantity" in p
+
+
+def test_column_pruning(spark):
+    p = plan(spark, "q_project")
+    # only the 5 needed columns in ReadSchema, not all 11
+    assert "l_comment" not in p
+    assert "ReadSchema" in p and "l_returnflag" not in p.split("ReadSchema")[1]
+
+
+def test_broadcast_join_is_broadcast(spark):
+    p = plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = plan(spark, "q_join_multi")
+    assert "BroadcastHashJoin" in p
+
+
+def test_limit_plans_topk_not_global_sort(spark):
+    p = plan(spark, "q_limit")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_per_group_pushes_rank_limit(spark):
+    p = plan(spark, "q_topk_per_group")
+    assert "WindowGroupLimit" in p  # rank filter pushed into the window
+
+
+def test_no_cartesian_in_equi_joins(spark):
+    for name in ["q_join_inner", "q_join_left", "q_join_semi", "q_join_anti"]:
+        assert "CartesianProduct" not in plan(spark, name), name
+
+
+def test_agg_has_partial_phase(spark):
+    p = plan(spark, "q_agg_group")
+    assert "HashAggregate" in p
+    assert "Exchange" in p  # partial → exchange → final
+
+
+def test_asof_join_is_single_window_pass(spark):
+    p = plan(spark, "q_join_asof")
+    # no join blow-up: the asof is union + one window (single Exchange of
+    # the unioned stream), not Join + rank
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Window") >= 1
