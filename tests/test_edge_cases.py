@@ -1,0 +1,84 @@
+"""Edge-case micro-fixtures (SURVEY.md §5.2): null keys, empty inputs,
+duplicate keys, top-k ties, empty arrays, malformed JSON."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from spring_and_kafka_spark.llm.similarity import cosine
+
+
+def test_join_null_keys_dont_match(spark):
+    schema = "k INT, v STRING"
+    left = spark.createDataFrame([(1, "a"), (None, "b")], schema)
+    right = spark.createDataFrame([(1, "x"), (None, "y")], schema)
+    out = left.join(right, "k").collect()
+    assert len(out) == 1  # null keys never equi-join
+
+
+def test_null_safe_join_matches_nulls(spark):
+    schema = "k INT, v STRING"
+    left = spark.createDataFrame([(1, "a"), (None, "b")], schema)
+    right = spark.createDataFrame([(1, "x"), (None, "y")], schema)
+    out = left.join(right, left.k.eqNullSafe(right.k)).collect()
+    assert len(out) == 2  # eqNullSafe pairs the nulls
+
+
+def test_agg_on_empty_input(spark):
+    empty = spark.createDataFrame([], "k STRING, v DOUBLE")
+    row = empty.agg(
+        F.count("*").alias("n"), F.sum("v").alias("s"), F.avg("v").alias("a")
+    ).collect()[0]
+    assert (row["n"], row["s"], row["a"]) == (0, None, None)
+    assert empty.groupBy("k").count().collect() == []  # no groups, no rows
+
+
+def test_topk_tie_break_deterministic(spark):
+    rows = [(1, 10.0, "a"), (1, 10.0, "b"), (1, 10.0, "c")]
+    df = spark.createDataFrame(rows, "g INT, score DOUBLE, id STRING")
+    w = W.partitionBy("g").orderBy(F.col("score").desc(), "id")
+    top2 = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    got = sorted(r["id"] for r in top2.collect())
+    assert got == ["a", "b"]  # unique tie-break key → stable winners
+
+
+def test_cosine_empty_and_zero_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0])],
+        "id INT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    )
+    out = {r["id"]: r["c"] for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert out[1] == 1.0 and out[2] == 0.0
+
+
+def test_malformed_json_yields_null(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not json"), (3, None)], "id INT, props STRING"
+    )
+    out = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", F.get_json_object("props", "$.k").cast("long").alias("k")
+        ).collect()
+    }
+    assert out == {1: 5, 2: None, 3: None}
+
+
+def test_explode_empty_array_drops_vs_outer_keeps(spark):
+    df = spark.createDataFrame([(1, ["a"]), (2, [])], "id INT, xs ARRAY<STRING>")
+    plain = df.select("id", F.explode("xs")).collect()
+    outer = df.select("id", F.explode_outer("xs")).collect()
+    assert len(plain) == 1
+    assert len(outer) == 2  # empty-array row survives with null
+
+
+def test_dedup_with_null_keys(spark):
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (1, 3)], "k INT, v INT"
+    )
+    w = W.partitionBy("k").orderBy("v")
+    out = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {(None, 1), (1, 3)}  # nulls form one dedup group

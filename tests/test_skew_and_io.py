@@ -1,0 +1,81 @@
+"""Skew utilities and file source/sink round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spring_and_kafka_spark.operators.skew import salted_group_count, salted_join
+from spring_and_kafka_spark.sources.files import (
+    read_csv,
+    read_json,
+    write_partitioned,
+)
+from spring_and_kafka_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    plain = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_name")
+    salted = salted_join(orders, customer, "o_custkey", "c_custkey").select(
+        "o_orderkey", "c_name"
+    )
+    a = {tuple(map(str, r)) for r in plain.collect()}
+    b = {tuple(map(str, r)) for r in salted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_salted_group_count_equals_plain(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    plain = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {
+        r["o_orderstatus"]: r["n"]
+        for r in salted_group_count(orders, "o_orderstatus").collect()
+    }
+    assert plain == salted
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF_SMOKE, "nation")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    df.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    df.write.mode("overwrite").json(json_dir)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back_csv = read_csv(spark, csv_dir, schema)
+    back_json = read_json(spark, json_dir, schema)
+    want = {tuple(map(str, r)) for r in df.collect()}
+    assert {tuple(map(str, r)) for r in back_csv.select(*schema.names).collect()} == want
+    assert {tuple(map(str, r)) for r in back_json.select(*schema.names).collect()} == want
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned(
+        orders,
+        path,
+        partition_by=["o_orderstatus"],
+        sort_within=["o_orderdate"],
+    )
+    back = spark.read.parquet(path)
+    sub = back.filter(F.col("o_orderstatus") == "F")
+    # partition pruning: only the o_orderstatus=F directory is scanned
+    plan = sub._sc._jvm.PythonSQLUtils.explainString(
+        sub._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    assert sub.count() == orders.filter(F.col("o_orderstatus") == "F").count()
