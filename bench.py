@@ -43,6 +43,9 @@ HEADLINE = [
     "q_text_tfidf",
     "q_text_langid",
     "q_udf_pandas",
+    "q_gapfill",
+    "q_fn_decimal",
+    "q_subquery_scalar",
 ]
 
 

@@ -134,12 +134,14 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count("*").alias("c"))
     )
+    # sizes is O(docs) — broadcast it so the (potentially huge) common-pairs
+    # stream is never reshuffled for these joins
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        common.join(sa, "a_id")
-        .join(sb, "b_id")
+        common.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
         .filter(jac >= 0.6)
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
     )

@@ -1,0 +1,134 @@
+"""Time-series operators: gap-filling/resampling and subquery shapes.
+
+Gap-fill is the canonical analytics-engine op the relational core can't
+express with a plain groupBy: missing buckets must EXIST with zero counts.
+The spine (bucket × dimension grid) is generated, not scanned — O(days ×
+types) rows broadcast against the aggregated side, never against raw
+events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+
+@register(
+    "q_gapfill",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-02-04 00:00:00',
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             count(*) AS cnt, round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.day, t.event_type,
+           coalesce(d.cnt, 0) AS n,
+           coalesce(d.total, 0.0) AS sum_value
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts per event_type with missing (day, type) buckets filled
+    with zeros over a fixed spine (2024-01-01..2024-02-04 — deliberately
+    wider than the data's Jan-01..30 span so empty buckets genuinely occur). Spine generated via sequence()
+    (no scan), aggregation first, spine joined broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-02-04 00:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(spine.crossJoin(types))
+    return grid.join(daily, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@register(
+    "q_fn_decimal",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14, 2))) AS DOUBLE) AS exact_total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14, 2))) AS VARCHAR) AS exact_str
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic via DecimalType: unlike double sums, decimal
+    summation is order-independent — the result is bit-identical no matter
+    the partitioning (SURVEY.md §1.2 'DecimalType (money, if exactness
+    needed)')."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    s = F.sum(dec)
+    return o.groupBy("o_orderstatus").agg(
+        s.cast("double").alias("exact_total"),
+        s.cast("string").alias("exact_str"),
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 50% above their customer's
+    average) — Catalyst decorrelates it into an aggregate + join
+    (SURVEY.md §4: subquery decorrelation comes free)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total
+        FROM orders_sq o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT avg(o2.o_totalprice) FROM orders_sq o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "q_subquery_in",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 4800)
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery — planned as a left-semi join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_in")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_in")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer_in
+        WHERE c_custkey IN (SELECT o_custkey FROM orders_in WHERE o_totalprice > 4800)
+        """
+    )
