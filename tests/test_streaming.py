@@ -65,6 +65,15 @@ def test_stream_tumble_equals_batch(spark, staged):
     assert _as_set(out) == _as_set(batch)
 
 
+def test_stream_slide_equals_batch(spark, staged):
+    from spring_and_kafka_spark.streaming.windows import sliding_counts
+
+    stream = sliding_counts(read_event_stream(spark, staged))
+    out = _drain(spark, stream, "complete")
+    batch = sliding_counts(load_table(spark, SF_SMOKE, "events"))
+    assert _as_set(out) == _as_set(batch)
+
+
 def test_stream_session_window_runs(spark, staged):
     stream = session_counts(read_event_stream(spark, staged))
     out = _drain(spark, stream, "complete")
