@@ -33,6 +33,7 @@ from spring_and_kafka_spark.sources.tables import load_table
 _MINHASH_PERMS = 32
 _LSH_BANDS = 8  # 8 bands × 4 rows ≈ catches jaccard ≳ 0.6
 _MERSENNE = (1 << 61) - 1
+_SIMHASH_BUCKET_CAP = 64  # LSH frequent-bucket guard (see q_dedup_simhash)
 
 
 def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,9 +240,15 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q_dedup_simhash", tags=("rows-only",))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit fingerprint = sign-aggregate of per-shingle
-    hash bits; candidates share a 16-bit half (Hamming-band trick: distance
-    ≤ d pairs share ≥ one of d+1 chunks), verified by exact Hamming ≤ 3.
-    One explode over 32 bits — linear, no UDF. Rows-only oracle."""
+    hash bits; candidates from 4 bands of 8 bits (pigeonhole: Hamming ≤ 3
+    pairs share at least one of 4 chunks — guaranteed recall), verified by
+    exact Hamming ≤ 3 (bit_count on XOR).
+
+    Hot-bucket capping: band-buckets holding > _SIMHASH_BUCKET_CAP docs are
+    non-discriminative (the tiny fixture vocabulary concentrates
+    fingerprints) and would make the candidate self-join quadratic — they
+    are dropped, the standard LSH frequent-bucket guard. A pair is missed
+    only if ALL FOUR of its chunks land in hot buckets. Rows-only oracle."""
     import functools
     import operator
 
@@ -263,34 +270,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(F.col(f"s{i}") > 0).cast("long") * (1 << i) for i in range(32)],
     )
     fp = wide.select("doc_id", fp_expr.alias("fp"))
-    halves = fp.select(
-        "doc_id",
-        "fp",
-        (F.col("fp") % 65536).alias("lo"),
-        F.shiftright("fp", 16).alias("hi"),
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright("fp", 8 * k).bitwiseAND(F.lit(255)).alias("bucket"),
+            )
+            for k in range(4)
+        ]
     )
-    a = halves.alias("a")
-    b = halves.alias("b")
-
-    def band_join(col: str):
-        # equi-join on one half — hash-joinable; an OR of the two halves
-        # would force a nested loop over all doc pairs
-        return a.join(
-            b,
-            (F.col(f"a.{col}") == F.col(f"b.{col}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
-        )
-
-    return (
-        band_join("lo")
-        .unionByName(band_join("hi"))
-        .filter(F.col("hamming") <= 3)
-        .distinct()
+    bb = fp.select("doc_id", "fp", F.explode(chunks).alias("c")).select(
+        "doc_id", "fp", F.col("c.band").alias("band"), F.col("c.bucket").alias("bucket")
     )
+    cool = (
+        bb.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= _SIMHASH_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    bb = bb.join(F.broadcast(cool), ["band", "bucket"])
+    a = bb.alias("a")
+    b = bb.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+    )
+    return cand.filter(F.col("hamming") <= 3).distinct()
 
 
 @register(
