@@ -46,6 +46,7 @@ HEADLINE = [
     "q_gapfill",
     "q_fn_decimal",
     "q_subquery_scalar",
+    "q_sim_knn_all",
 ]
 
 

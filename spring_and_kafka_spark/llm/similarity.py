@@ -147,6 +147,111 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_sim_knn_all",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, round(c, 6) AS cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT qid, nid, c,
+                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def q_sim_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest neighbors for EVERY vector (batch kNN — the corpus-
+    scale similarity-search workload, vs q_sim_topk's single query).
+
+    Execution: hash-bucket vectors into B blocks; each of the B·(B+1)/2
+    block pairs is one applyInPandas group whose kernel is a numpy GEMM
+    that emits only each row's per-pair top-k — so the all-pairs matrix is
+    never materialized: candidates are O(n·B·k), then one window pass picks
+    the global top-k. Shuffle O(n·B); compute dense-BLAS. Exactly matches
+    the DuckDB all-pairs window oracle."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    k = 3
+    n_blocks = 4
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    blk = (F.abs(F.xxhash64(F.col("vec_id").cast("string"))) % n_blocks).cast("int")
+    tagged = e.withColumn("blk", blk)
+    pair_ids = [
+        (i, j) for i, j in itertools.product(range(n_blocks), repeat=2) if i <= j
+    ]
+    pair_map = spark.createDataFrame(
+        [(i, j, i * n_blocks + j) for i, j in pair_ids], "i INT, j INT, pair_id INT"
+    )
+    replicated = tagged.join(
+        F.broadcast(pair_map),
+        (tagged.blk == pair_map.i) | (tagged.blk == pair_map.j),
+    ).select("vec_id", "v", "blk", "pair_id", "i", "j")
+
+    def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])
+        A = pdf[pdf["blk"] == i]
+        B = pdf[pdf["blk"] == j]
+        if A.empty or B.empty:
+            return pd.DataFrame({"qid": [], "nid": [], "c": []}).astype(
+                {"qid": "int64", "nid": "int64", "c": "float64"}
+            )
+        ma = np.stack(A["v"].to_numpy())
+        mb = np.stack(B["v"].to_numpy())
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        a_ids = A["vec_id"].to_numpy()
+        b_ids = B["vec_id"].to_numpy()
+        if i == j:
+            np.fill_diagonal(sims, -np.inf)  # exclude self-pairs
+        frames = []
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "qid": np.repeat(a_ids, kk),
+                    "nid": b_ids[top.ravel()],
+                    "c": np.take_along_axis(sims, top, axis=1).ravel(),
+                }
+            )
+        )
+        if i != j:  # B-side rows also need their candidates from A
+            kk2 = min(k, sims.shape[0])
+            top2 = np.argpartition(-sims.T, kth=kk2 - 1, axis=1)[:, :kk2]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.repeat(b_ids, kk2),
+                        "nid": a_ids[top2.ravel()],
+                        "c": np.take_along_axis(sims.T, top2, axis=1).ravel(),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out[np.isfinite(out["c"])]
+
+    candidates = replicated.groupBy("pair_id").applyInPandas(
+        topk_block, "qid BIGINT, nid BIGINT, c DOUBLE"
+    )
+    w = W.partitionBy("qid").orderBy(F.col("c").desc(), "nid")
+    return (
+        candidates.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", F.round("c", 6).alias("cos_sim"), "rn")
+    )
+
+
 @register("q_sim_lsh_bucket", tags=("rows-only", "lsh"))
 def q_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 8-bit signature per vector from

@@ -2,7 +2,11 @@
 
 from __future__ import annotations
 
-from spring_and_kafka_spark.llm.similarity import q_sim_ann_ivf, q_sim_topk
+from spring_and_kafka_spark.llm.similarity import (
+    q_sim_ann_ivf,
+    q_sim_knn_all,
+    q_sim_topk,
+)
 
 from .conftest import SF_SMOKE
 
@@ -14,6 +18,23 @@ def test_topk_is_sorted_and_unique(spark):
     assert sims == sorted(sims, reverse=True)
     assert len({r["vec_id"] for r in rows}) == 10
     assert all(r["vec_id"] != 0 for r in rows)
+
+
+def test_knn_all_shape_and_consistency(spark):
+    rows = q_sim_knn_all(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert len(by_q) == 500  # every vector got neighbors
+    for qid, rs in by_q.items():
+        assert sorted(r["rn"] for r in rs) == [1, 2, 3]
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rn"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["nid"] != qid for r in rs)  # no self-neighbor
+    # kNN(vec 0) must agree with the single-query brute force operator
+    single = [r["vec_id"] for r in q_sim_topk(spark, SF_SMOKE).collect()][:3]
+    batch = [r["nid"] for r in sorted(by_q[0], key=lambda r: r["rn"])]
+    assert batch == single
 
 
 def test_ivf_recall_vs_brute_force(spark):
