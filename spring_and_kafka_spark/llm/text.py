@@ -230,6 +230,89 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_bigram_ppl",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(ts) - 1, 0)),
+                                   i -> ts[i + 1] || ' ' || ts[i + 2])) AS big
+      FROM toks
+    ),
+    cb AS (SELECT big, count(*) AS n FROM bigrams GROUP BY 1),
+    cf AS (SELECT string_split(big, ' ')[1] AS first_tok, count(*) AS n
+           FROM bigrams GROUP BY 1)
+    SELECT b.doc_id,
+           round(avg(ln(CAST(cb.n AS DOUBLE) / cf.n)), 6) AS avg_logprob,
+           count(*) AS n_bigrams
+    FROM bigrams b
+    JOIN cb ON b.big = cb.big
+    JOIN cf ON string_split(b.big, ' ')[1] = cf.first_tok
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram language-model score per doc: mean
+    ln P(tok_i | tok_{i-1}) with MLE probabilities from the corpus itself
+    (count(bigram)/count(first-token-as-bigram-start)). The quality-scoring
+    signal a pre-training pipeline uses to rank documents by fluency.
+    Model tables are vocabulary²-bounded → broadcast joins."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    # guard: sequence(0, -1) would count DOWN for 1-token docs
+    bigram_arr = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ts, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = d.select("doc_id", F.explode(bigram_arr).alias("big"))
+    cb = bigrams.groupBy("big").agg(F.count("*").alias("cbn"))
+    first = F.split("big", " ")[0]
+    cf = bigrams.groupBy(first.alias("first_tok")).agg(F.count("*").alias("cfn"))
+    scored = (
+        bigrams.join(F.broadcast(cb), "big")
+        .join(F.broadcast(cf), first == F.col("first_tok"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.avg(F.log(F.col("cbn").cast("double") / F.col("cfn"))), 6
+        ).alias("avg_logprob"),
+        F.count("*").alias("n_bigrams"),
+    )
+
+
+@register(
+    "q_text_tokens_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{1,3}')) AS INT) AS sub_tokens,
+           round(CAST(len(regexp_extract_all(text, '[a-z]{1,3}')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS subs_per_word
+    FROM documents
+    """,
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish greedy
+    subword regex (≤3-letter chunks) — the cheap stand-in for a real
+    tokenizer when budgeting token counts over a corpus. Pure regex both
+    engines (greedy semantics agree)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    subs = F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,3}"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        subs.alias("sub_tokens"),
+        F.round(subs.cast("double") / ws, 4).alias("subs_per_word"),
+    )
+
+
+@register(
     "q_text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -28,6 +28,37 @@ def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rollup_hier",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+             count(*) AS n, sum(value) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
+           CAST(sum(n) AS BIGINT) AS n, round(sum(s), 2) AS sum_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def q_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: daily aggregates RE-aggregated
+    from hourly ones rather than from raw events — the continuous-aggregate
+    pattern where coarser materializations fold finer ones (count/sum are
+    re-aggregable; never avg directly). At 100 TB the hourly table is ~10⁴×
+    smaller than raw events."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    return hourly.groupBy(
+        F.date_trunc("day", "h").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("s"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "q_stream_session",
     oracle="""
     WITH marked AS (

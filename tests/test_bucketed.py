@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from spring_and_kafka_spark.plans import formatted_plan
 from spring_and_kafka_spark.sources.files import write_bucketed_table
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -13,9 +14,7 @@ from .conftest import SF_SMOKE
 
 
 def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return formatted_plan(df)
 
 
 def test_bucketed_join_has_no_shuffle(spark):

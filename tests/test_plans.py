@@ -6,6 +6,7 @@ sort, rank-filter pushdown into windows, no cartesian products."""
 from __future__ import annotations
 
 from spring_and_kafka_spark import registry
+from spring_and_kafka_spark.plans import formatted_plan
 
 from .conftest import SF_SMOKE
 
@@ -13,10 +14,7 @@ SPECS = registry.all_specs()
 
 
 def plan(spark, name: str) -> str:
-    df = SPECS[name].fn(spark, SF_SMOKE)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return formatted_plan(SPECS[name].fn(spark, SF_SMOKE))
 
 
 def test_filter_pushdown_reaches_parquet(spark):

@@ -74,8 +74,8 @@ def test_write_partitioned_prunes(spark, tmp_path):
     back = spark.read.parquet(path)
     sub = back.filter(F.col("o_orderstatus") == "F")
     # partition pruning: only the o_orderstatus=F directory is scanned
-    plan = sub._sc._jvm.PythonSQLUtils.explainString(
-        sub._jdf.queryExecution(), "formatted"
-    )
+    from spring_and_kafka_spark.plans import formatted_plan
+
+    plan = formatted_plan(sub)
     assert "PartitionFilters: [" in plan
     assert sub.count() == orders.filter(F.col("o_orderstatus") == "F").count()
