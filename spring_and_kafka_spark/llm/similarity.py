@@ -252,6 +252,75 @@ def q_sim_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_train_kmeans(
+    vectors: DataFrame, k: int = 16, iters: int = 2
+) -> DataFrame:
+    """Lloyd-refined IVF centroids: start from the k deterministic seed
+    vectors, then `iters` rounds of assign → element-wise-mean recompute.
+
+    Each iteration is one broadcast-assign plus one dims-exploded groupBy —
+    a driver-side loop over DataFrame ops (the iterative-algorithm pattern:
+    the loop is short and fixed; each step is fully distributed). Refined
+    centroids tighten clusters, so probing fewer clusters reaches the same
+    recall."""
+    centroids = vectors.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, centroids)
+        # element-wise mean per cluster: explode dims → avg → rebuild array
+        dims = assigned.select(
+            "cluster", F.posexplode("v").alias("dim", "x")
+        )
+        means = dims.groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+        centroids = (
+            means.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("centroid_id"), "cv")
+        )
+    return centroids
+
+
+@register("q_sim_ann_ivf_refined", tags=("rows-only", "ann"))
+def q_sim_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with 2 Lloyd iterations of centroid refinement before
+    routing (same probe budget as q_sim_ann_ivf). On naturally clustered
+    embeddings refinement tightens cells; on the uniform random fixtures
+    recall is comparable to seeded centroids (floor asserted in tests),
+    and training is fully deterministic. Rows-only oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = ivf_train_kmeans(e, k=16, iters=2)
+    assigned = ivf_assign(e, centroids)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("centroid_id", cosine(F.col("cv"), F.col("qv")).alias("sim"))
+        .orderBy(F.col("sim").desc(), "centroid_id")
+        .limit(4)
+        .select(F.col("centroid_id").alias("cluster"))
+    )
+    candidates = assigned.join(F.broadcast(probe), "cluster").filter(
+        F.col("vec_id") != 0
+    )
+    sim = cosine(F.col("v"), F.col("qv"))
+    return (
+        candidates.crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("raw_sim"))
+        .orderBy(F.col("raw_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
 @register("q_sim_lsh_bucket", tags=("rows-only", "lsh"))
 def q_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 8-bit signature per vector from

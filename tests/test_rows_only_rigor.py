@@ -1,0 +1,43 @@
+"""Rigor for the rows-only queries (no DuckDB oracle): every one must be
+deterministic across runs, and the approximate aggregates must sit within
+their error bounds of the exact answers."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark import registry
+from spring_and_kafka_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+ROWS_ONLY = sorted(
+    name for name, s in registry.all_specs().items() if s.oracle is None
+)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_is_deterministic(name, spark):
+    spec = registry.all_specs()[name]
+    a = {tuple(map(str, r)) for r in spec.fn(spark, SF_SMOKE).collect()}
+    b = {tuple(map(str, r)) for r in spec.fn(spark, SF_SMOKE).collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_approx_count_distinct_within_bound(spark):
+    e = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in registry.all_specs()["q_agg_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, approx[k], n)

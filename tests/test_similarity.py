@@ -42,3 +42,18 @@ def test_ivf_recall_vs_brute_force(spark):
     approx = {r["vec_id"] for r in q_sim_ann_ivf(spark, SF_SMOKE).collect()}
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.5, f"IVF recall {recall:.2f} (probing 4/16 clusters)"
+
+
+def test_ivf_refined_recall_floor_and_determinism(spark):
+    # On uniform random fixtures Lloyd refinement does not reliably beat
+    # the seeded centroids (clusters are meaningless in uniform data; at
+    # sf0.01 refined measures 9/10 vs plain 10/10) — so the contract is a
+    # recall floor plus deterministic training, not dominance.
+    from spring_and_kafka_spark.llm.similarity import q_sim_ann_ivf_refined
+
+    truth = {r["vec_id"] for r in q_sim_topk(spark, SF_SMOKE).collect()}
+    a = q_sim_ann_ivf_refined(spark, SF_SMOKE).collect()
+    b = q_sim_ann_ivf_refined(spark, SF_SMOKE).collect()
+    assert [tuple(map(str, r)) for r in a] == [tuple(map(str, r)) for r in b]
+    recall = len({r["vec_id"] for r in a} & truth) / len(truth)
+    assert recall >= 0.7, f"refined IVF recall {recall:.2f}"
