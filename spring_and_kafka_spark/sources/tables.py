@@ -31,14 +31,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as long and truncate ns→µs — the same
-        # conversion DuckDB applies, so both engines see identical values.
+        # The fixture events.ts is parquet TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read as long and truncate ns→µs — the
+        # same conversion DuckDB applies, so both engines see identical
+        # values. Derived events tables (e.g. scale-smoke copies) already
+        # carry µs timestamps and need no conversion.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

