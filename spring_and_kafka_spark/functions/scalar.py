@@ -135,6 +135,80 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_bits",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 1 AS odd,
+           xor(o_orderkey, 21845) AS x,
+           CAST(o_orderkey // 16 AS BIGINT) AS shifted,
+           CAST(bit_count(o_orderkey) AS INT) AS ones
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q_fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shift/popcount (the substrate of the
+    SimHash/LSH operators, exposed as scalar surface)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(1)).alias("odd"),
+        k.bitwiseXOR(F.lit(21845)).alias("x"),
+        F.shiftright(k, 4).alias("shifted"),
+        F.bit_count(k).alias("ones"),
+    )
+
+
+@register(
+    "q_fn_hash",
+    oracle="""
+    SELECT o_orderkey,
+           md5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+           sha256(o_orderstatus) AS status_sha
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized cryptographic digests (md5/sha256 agree across engines,
+    unlike xxhash/murmur which are engine-internal)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("key_md5"),
+        F.sha2("o_orderstatus", 256).alias("status_sha"),
+    )
+
+
+@register(
+    "q_fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_quantity / 10), 6) AS s,
+           round(cos(l_discount), 6) AS c,
+           round(atan2(l_quantity, l_extendedprice), 6) AS a2,
+           round(exp(l_discount), 6) AS e,
+           round(degrees(atan(l_tax)), 4) AS deg
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig/exponential family (rounded to 6 — libm implementations agree
+    well past that)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(F.col("l_quantity") / 10), 6).alias("s"),
+        F.round(F.cos("l_discount"), 6).alias("c"),
+        F.round(F.atan2(F.col("l_quantity"), F.col("l_extendedprice")), 6).alias("a2"),
+        F.round(F.exp("l_discount"), 6).alias("e"),
+        F.round(F.degrees(F.atan("l_tax")), 4).alias("deg"),
+    )
+
+
+@register(
     "q_fn_cast",
     oracle="""
     SELECT o_orderkey,

@@ -129,6 +129,28 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_dist",
+    oracle="""
+    SELECT s_suppkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution family: percent_rank / cume_dist (global window on the
+    100-row supplier dim — the one acceptable single-partition window)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
     "q_topk_per_group",
     oracle="""
     SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, CAST(rn AS BIGINT) AS rn
