@@ -47,6 +47,7 @@ HEADLINE = [
     "q_fn_decimal",
     "q_subquery_scalar",
     "q_sim_knn_all",
+    "q_pipeline_curate",
 ]
 
 

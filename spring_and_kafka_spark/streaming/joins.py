@@ -37,6 +37,17 @@ def stream_stream_join(
     return lw.join(rw, cond, how)
 
 
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join (the message-pipeline 'enrich',
+    reference README.md:329): each micro-batch joins against the static
+    dimension — no watermark needed, the static side is re-broadcast per
+    batch (keep it dimension-sized; snapshot semantics: updates to the
+    static table are picked up at the next batch)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def purchases_with_recent_clicks(events_stream: DataFrame) -> DataFrame:
     """Demo composition: purchases joined to same-user clicks from the
     preceding 30 minutes (both sides carved from one event stream)."""

@@ -71,6 +71,28 @@ def test_stream_stream_join_matches_batch(spark, staged):
     assert len(want) > 0
 
 
+def test_stream_static_enrich(spark, staged):
+    from spring_and_kafka_spark.streaming.joins import stream_static_enrich
+
+    # static dim: user tier derived deterministically from user_id
+    dim = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    stream = stream_static_enrich(
+        read_event_stream(spark, staged, max_files_per_trigger=2), dim, "user_id"
+    )
+    out = _drain(spark, stream, "append")
+    assert out.count() == 1000  # every event enriched, none dropped
+    bad = out.filter(
+        ((F.col("user_id") % 2 == 0) & (F.col("tier") != "even"))
+        | ((F.col("user_id") % 2 == 1) & (F.col("tier") != "odd"))
+    ).count()
+    assert bad == 0
+
+
 def test_stateful_running_totals(spark, staged):
     stream = running_user_totals(read_event_stream(spark, staged, max_files_per_trigger=16))
     out = _drain(spark, stream, "update")
