@@ -135,6 +135,31 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_condexpr",
+    oracle="""
+    SELECT s_suppkey,
+           greatest(s_acctbal, 5000.0) AS floor5k,
+           least(s_acctbal, 5000.0) AS cap5k,
+           coalesce(nullif(s_name, 'Supplier#000000003'), 'REDACTED') AS masked,
+           ifnull(nullif(s_suppkey, 7), -1) AS key_or_neg1
+    FROM supplier
+    """,
+)
+def q_fn_condexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-expression family: greatest/least/coalesce/nullif/ifnull."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.greatest("s_acctbal", F.lit(5000.0)).alias("floor5k"),
+        F.least("s_acctbal", F.lit(5000.0)).alias("cap5k"),
+        F.coalesce(
+            F.nullif("s_name", F.lit("Supplier#000000003")), F.lit("REDACTED")
+        ).alias("masked"),
+        F.ifnull(F.nullif("s_suppkey", F.lit(7)), F.lit(-1)).alias("key_or_neg1"),
+    )
+
+
+@register(
     "q_fn_bits",
     oracle="""
     SELECT o_orderkey,

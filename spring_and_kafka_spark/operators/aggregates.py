@@ -173,6 +173,26 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_big_discount,
+           bool_and(l_linestatus = 'F') AS all_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: bool_and / bool_or (every/any)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.bool_and(F.col("l_linestatus") == "F").alias("all_f"),
+    )
+
+
+@register(
     "q_agg_having",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total

@@ -142,6 +142,25 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_cross",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (tiny×tiny only — a cross join of two
+    large inputs is never the right plan; use a key or a broadcast)."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.alias("a")
+    b = r.alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.r_name").alias("from_region"),
+        F.col("b.r_name").alias("to_region"),
+    )
+
+
+@register(
     "q_join_theta",
     oracle="""
     SELECT a.s_suppkey AS s1, b.s_suppkey AS s2,
