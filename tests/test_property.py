@@ -74,6 +74,32 @@ def test_asof_matches_brute_force(spark, data):
     assert got == brute_force(left_rows, right_rows)
 
 
+salted_inputs = st.tuples(
+    st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.integers(0, 99)),
+             min_size=0, max_size=10),
+    st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.text("ab", max_size=2)),
+             min_size=0, max_size=6),
+    st.sampled_from(["inner", "left"]),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(salted_inputs)
+def test_salted_join_equals_plain_property(spark, data):
+    from spring_and_kafka_spark.operators.skew import salted_join
+
+    fact_rows, dim_rows, how = data
+    fact = spark.createDataFrame(fact_rows, "k INT, v INT")
+    dim = spark.createDataFrame(dim_rows, "dk INT, tag STRING")
+    plain = fact.join(dim, fact.k == dim.dk, how).select("k", "v", "tag")
+    salted = salted_join(fact, dim, "k", "dk", salt_buckets=4, how=how).select(
+        "k", "v", "tag"
+    )
+    a = sorted(tuple(map(str, r)) for r in plain.collect())
+    b = sorted(tuple(map(str, r)) for r in salted.collect())
+    assert a == b  # exact equivalence incl. null keys and outer semantics
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.floats(min_value=0, max_value=1e9, allow_nan=False, allow_infinity=False))
 def test_cent_rounding_identity(x):
