@@ -223,15 +223,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # verify: fraction of agreeing signature positions estimates Jaccard
+    # verify: fraction of agreeing signature positions estimates Jaccard.
+    # sig is O(docs) → broadcast, so the candidate stream never reshuffles
     siga = sig.select(F.col("doc_id").alias("a_id"), F.col("mh").alias("ma"))
     sigb = sig.select(F.col("doc_id").alias("b_id"), F.col("mh").alias("mb"))
     agree = F.size(
         F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda t: t)
     ) / float(_MINHASH_PERMS)
     return (
-        candidates.join(siga, "a_id")
-        .join(sigb, "b_id")
+        candidates.join(F.broadcast(siga), "a_id")
+        .join(F.broadcast(sigb), "b_id")
         .select("a_id", "b_id", F.round(agree, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
     )

@@ -1,0 +1,79 @@
+"""Sampling operators — the training-data subsampling surface.
+
+Three flavors, by reproducibility class:
+
+- hash-ordered sampling (q_sample_hash): order by a standardized digest of
+  the key → identical sample in ANY engine, full SQL oracle. The right
+  default for reproducible dataset curation.
+- seeded Bernoulli sampling (q_sample_seeded): Spark-deterministic (same
+  seed → same rows) but engine-specific RNG → rows-only oracle.
+- stratified sampling (sampleBy): per-stratum fractions, seeded.
+
+At 100 TB the hash-ordered variant's global sort is replaced by a
+threshold filter (keep rows whose hash < p·2^64 — no sort at all), which
+is how q_sample_hash_threshold works.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pseudo-random sample of exactly 100 docs: order by the
+    md5 of the key (uniform, engine-independent), take the first 100 —
+    TakeOrderedAndProject, no full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(100)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "q_sample_hash_threshold",
+    oracle="""
+    SELECT count(*) AS n_sampled,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+    """,
+)
+def q_sample_hash_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: ~16% Bernoulli sample with NO sort — keep rows whose
+    key-digest prefix falls under a threshold ('29' hex ≈ 41/256). Pure
+    filter → pushes down, embarrassingly parallel, same rows everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "29"
+    return d.filter(keep).agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register("q_sample_seeded", tags=("rows-only",))
+def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (Spark-deterministic; engine-specific RNG →
+    rows-only). Stratified variant: sampleBy on lang with per-stratum
+    fractions, same seed discipline."""
+    d = load_table(spark, sf_dir, "documents")
+    plain = d.sample(fraction=0.2, seed=42).select("doc_id", "lang")
+    strata = d.sampleBy(
+        "lang", {"en": 0.1, "fr": 0.5, "es": 0.5, "de": 0.5, "zh": 0.5}, seed=42
+    ).select("doc_id", "lang")
+    return plain.unionByName(strata).groupBy("lang").agg(
+        F.count("*").alias("n_rows")
+    )
