@@ -305,6 +305,122 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("hamming") <= 3).distinct()
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation connected components.
+
+    nodes: (node BIGINT); edges: (a, b) undirected pairs. Returns
+    (node, component) where component = min node id reachable.
+
+    Iterative DataFrame loop: each round joins labels across edges and
+    keeps the elementwise min; stops when no label changes (driver-side
+    convergence check — the standard iterative-algorithm shape; rounds =
+    graph diameter, which is tiny for dedup clusters). Deterministic.
+
+    Iteration discipline: edges are persisted once and labels are
+    localCheckpoint'ed each round — without this, round k's action would
+    lazily recompute the whole upstream pipeline (pair detection included)
+    k times over, and the plan lineage would grow unboundedly."""
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("component").alias("n_min"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce("n_min", F.col("component"))
+                    ).alias("component"),
+                    (
+                        F.coalesce("n_min", F.col("component")) < F.col("component")
+                    ).alias("__changed"),
+                )
+            )
+            chk = updated.localCheckpoint(eager=True)
+            changed = chk.filter(F.col("__changed")).count()
+            labels = chk.drop("__changed")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels
+
+
+@register(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '')
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
+               )) AS shingle
+        FROM corpus
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    edges AS (
+      SELECT c.a_id, c.b_id
+      FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) c
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
+      WHERE c.c / (sa.n + sb.n - c.c) >= 0.6
+    ),
+    sym AS (
+      SELECT a_id AS src, b_id AS dst FROM edges
+      UNION ALL
+      SELECT b_id, a_id FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM corpus
+      UNION
+      SELECT s.dst, r.label
+      FROM reach r JOIN sym s ON s.src = r.node
+      WHERE r.label < s.dst
+    )
+    SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: near-dup pairs (exact 3-gram Jaccard ≥0.6 on the
+    planted corpus) folded into connected components — the canonical
+    keep-one-per-cluster step after pair detection. Component id = min
+    doc_id (each planted copy clusters with its original). Oracle:
+    recursive-CTE reachability in DuckDB; Spark: iterative min-label
+    propagation (rounds = cluster diameter)."""
+    corpus = planted_corpus(spark, sf_dir)
+    pairs = q_dedup_ngram(spark, sf_dir).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    nodes = corpus.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("component"))
+
+
 @register(
     "q_dedup_embed",
     oracle="""

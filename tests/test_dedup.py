@@ -45,6 +45,25 @@ def test_simhash_finds_planted(spark):
         assert r["hamming"] <= 3
 
 
+def test_clusters_unite_planted_pairs(spark):
+    from spring_and_kafka_spark.llm.dedup import q_dedup_clusters
+
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in q_dedup_clusters(spark, SF_SMOKE).collect()
+    }
+    assert len(comp) == 1000  # every corpus doc labeled
+    for orig in range(500):
+        copy = orig + 100000
+        # each planted copy is in the same component as its original,
+        # and the representative is never the copy itself
+        assert comp[copy] == comp[orig]
+        assert comp[copy] <= orig
+    # components are canonical: every representative labels itself
+    for doc, c in comp.items():
+        assert comp[c] == c
+
+
 def test_embed_neardup_exactly_planted(spark):
     rows = q_dedup_embed(spark, SF_SMOKE).collect()
     pairs = {(r["a_id"], r["b_id"]) for r in rows}
