@@ -122,7 +122,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle equi-join is fine at fixture scale but hot shingles make it
     quadratic — at 100 TB use q_dedup_near (LSH)."""
     corpus = planted_corpus(spark, sf_dir)
-    sh = shingles(corpus, 3)
+    # sh feeds three consumers (both join sides + sizes): materialize once
+    # (localCheckpoint) so the corpus scan + shingle expansion doesn't run
+    # 3× — ~20% wall-clock at sf0.1. (On a real cluster prefer a
+    # reliable checkpoint/persist; localCheckpoint is executor-local.)
+    sh = shingles(corpus, 3).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

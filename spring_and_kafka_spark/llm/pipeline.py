@@ -102,7 +102,8 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_toks") >= 30) & (F.col("stop_ratio") <= 0.2)
     ).select("doc_id", "text", "n_toks")
 
-    sh = shingles(kept, 3)
+    # three consumers of sh → materialize once (see q_dedup_ngram)
+    sh = shingles(kept, 3).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
