@@ -135,6 +135,32 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_editdist",
+    oracle="""
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist,
+           CAST(levenshtein(a.c_mktsegment, b.c_mktsegment) AS INT) AS seg_dist
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    WHERE a.c_custkey < 200
+    """,
+)
+def q_fn_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (levenshtein) between adjacent customer records — the
+    character-level similarity primitive under fuzzy matching/dedup."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") < 200).alias("a")
+    b = c.alias("b")
+    return a.join(b, F.col("b.c_custkey") == F.col("a.c_custkey") + 1).select(
+        F.col("a.c_custkey").alias("a_key"),
+        F.col("b.c_custkey").alias("b_key"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        F.levenshtein(F.col("a.c_mktsegment"), F.col("b.c_mktsegment")).alias(
+            "seg_dist"
+        ),
+    )
+
+
+@register(
     "q_fn_condexpr",
     oracle="""
     SELECT s_suppkey,

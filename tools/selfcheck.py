@@ -4,7 +4,11 @@ Runs every registered query on Spark and its DuckDB oracle at the given
 scale factor, compares row count, column names, and an order-insensitive
 multiset of normalized values. Run before every milestone commit:
 
-    python tools/selfcheck.py [sf_dir] [query ...]
+    python tools/selfcheck.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla uses a default-config SparkSession (200 shuffle partitions, no
+tuning) — the same kind of session the driver uses — instead of the
+repo's tuned one.
 """
 
 from __future__ import annotations
@@ -47,8 +51,11 @@ def row_multiset(rows, col_order):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -56,7 +63,18 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark("selfcheck")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[4]")
+            .appName("selfcheck-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("selfcheck")
     specs = registry.all_specs()
     failures = []
     for name, spec in sorted(specs.items()):
