@@ -313,6 +313,58 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_contamination",
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_transform(
+                 range(greatest(len(string_split(text, ' ')) - 3, 1)),
+                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 4], ' ')
+               )) AS shingle
+        FROM documents WHERE doc_id < 5
+      )
+    ),
+    doc_sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(greatest(len(string_split(text, ' ')) - 3, 1)),
+                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 4], ' ')
+               )) AS shingle
+        FROM documents WHERE doc_id >= 5
+      )
+    )
+    SELECT d.doc_id, count(*) AS n_hits
+    FROM doc_sh d JOIN bench b ON d.shingle = b.shingle
+    GROUP BY d.doc_id
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: which training docs contain
+    4-gram sequences from a held-out "benchmark" set (here: docs 0-4 play
+    the benchmark)? The standard train/test-overlap scrub before
+    pre-training. The benchmark shingle set is tiny → broadcast; the
+    corpus side streams through with one hash join, no shuffle of the
+    corpus beyond the per-doc count."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ts) - 4, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ts, i + 1, 4)),
+    )
+    sh = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    bench = (
+        sh.filter(F.col("doc_id") < 5).select("shingle").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= 5)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+@register(
     "q_text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -50,6 +50,33 @@ def _as_set(df):
     return {tuple(str(v) for v in r) for r in df.collect()}
 
 
+def test_processing_time_trigger_cadence(spark, staged):
+    """The reference's poller analog: a 100 ms processing-time trigger
+    (reference: src/main/java/jc/DemoApplication.java:150) with a per-batch
+    rate cap — the stream advances in multiple bounded micro-batches."""
+    import time
+
+    stream = read_event_stream(spark, staged, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cadence")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if len(q.recentProgress) >= 3:
+                break
+            time.sleep(0.2)
+        progresses = q.recentProgress
+        assert len(progresses) >= 3  # multiple micro-batches fired
+        assert all(p["numInputRows"] <= 300 for p in progresses)  # rate-capped
+    finally:
+        q.stop()
+
+
 def test_message_generator_rate_source(spark):
     """The reference's demo producer on the streaming surface: rate source
     → "#i" messages keyed by sequence number
