@@ -80,6 +80,24 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_right",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total
+    FROM (SELECT * FROM orders WHERE o_totalprice > 4500) o
+    RIGHT JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — the mirror of q_join_left (customers preserved
+    from the right side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4500)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@register(
     "q_join_full",
     oracle="""
     SELECT f.k AS f_key, p.k AS p_key

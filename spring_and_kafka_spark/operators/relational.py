@@ -207,20 +207,40 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sort",
     oracle="""
-    SELECT s_suppkey, round(s_acctbal, 2) AS bal,
-           CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS pos
-    FROM supplier
+    WITH t AS (
+      SELECT s_suppkey, round(s_acctbal, 2) AS bal,
+             CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                  ELSE round(s_acctbal, 2) END AS bal_null
+      FROM supplier
+    )
+    SELECT s_suppkey, bal, bal_null,
+           CAST(row_number() OVER (ORDER BY bal DESC, s_suppkey) AS BIGINT) AS pos,
+           CAST(row_number() OVER (ORDER BY bal_null DESC NULLS LAST, s_suppkey)
+                AS BIGINT) AS pos_nulls_last
+    FROM t
     """,
 )
 def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort. The oracle hash is order-insensitive, so the sort is
-    witnessed by an explicit global rank column (unique tie-break key)."""
+    """Multi-key sort incl. explicit null ordering. The oracle hash is
+    order-insensitive, so sorts are witnessed by explicit rank columns
+    (unique tie-break key). Null placement is ALWAYS explicit — Spark
+    defaults nulls-first ascending, DuckDB nulls-last; relying on either
+    default diverges."""
     s = load_table(spark, sf_dir, "supplier")
-    w = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
-    return s.select(
+    bal = F.round("s_acctbal", 2)
+    t = s.select(
         "s_suppkey",
-        F.round("s_acctbal", 2).alias("bal"),
+        bal.alias("bal"),
+        F.when(F.col("s_suppkey") % 7 == 0, None).otherwise(bal).alias("bal_null"),
+    )
+    w = W.orderBy(F.col("bal").desc(), F.col("s_suppkey"))
+    wn = W.orderBy(F.col("bal_null").desc_nulls_last(), F.col("s_suppkey"))
+    return t.select(
+        "s_suppkey",
+        "bal",
+        "bal_null",
         F.row_number().over(w).cast("long").alias("pos"),
+        F.row_number().over(wn).cast("long").alias("pos_nulls_last"),
     )
 
 
