@@ -173,6 +173,28 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS best_order,
+           round(max(o_totalprice), 2) AS best_total
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax aggregation (max_by): each customer's highest-value order.
+    The comparison key folds in the unique order id (price·1e6 + key) so
+    ties are broken deterministically — bare max_by on a tied value column
+    picks an arbitrary row and would not hash-match."""
+    o = load_table(spark, sf_dir, "orders")
+    tiebroken = F.col("o_totalprice") * 1_000_000 + F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", tiebroken).alias("best_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_total"),
+    )
+
+
+@register(
     "q_agg_bool",
     oracle="""
     SELECT l_returnflag,
