@@ -67,6 +67,7 @@ def _load_all_modules() -> None:
     import spring_and_kafka_spark.operators.udfs  # noqa: F401
     import spring_and_kafka_spark.operators.timeseries  # noqa: F401
     import spring_and_kafka_spark.operators.sampling  # noqa: F401
+    import spring_and_kafka_spark.operators.analytics  # noqa: F401
     import spring_and_kafka_spark.streaming.batch_equiv  # noqa: F401
 
 
