@@ -71,6 +71,76 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ts_simsearch",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+      FROM events
+    ),
+    scored AS (
+      SELECT user_id, event_id,
+             list_dot_product(w, w)
+             - 2 * list_dot_product(w, [5.0, 10.0, 15.0, 20.0, 15.0, 10.0, 5.0, 0.0])
+             + 1100.0 AS d2
+      FROM seqs WHERE len(w) = 8
+    )
+    SELECT user_id, event_id, round(sqrt(d2), 6) AS dist,
+           CAST(row_number() OVER (ORDER BY d2, user_id, event_id) AS BIGINT) AS rnk
+    FROM scored
+    ORDER BY d2, user_id, event_id LIMIT 5
+    """,
+)
+def q_ts_simsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (cf. PAPERS.md: "Time
+    Series Similarity Search for Streaming Data in Distributed Systems",
+    EDBT 2019): find the 5 length-8 windows of each user's value series
+    closest (Euclidean) to a query pattern.
+
+    Subsequences come from a ROWS window frame (no self-join); distance
+    uses the |a|² − 2a·q + |q|² expansion so the pattern dot products are
+    the only per-window arithmetic; top-5 via TakeOrderedAndProject."""
+    pattern = [5.0, 10.0, 15.0, 20.0, 15.0, 10.0, 5.0, 0.0]
+    qq = sum(x * x for x in pattern)  # 1300.0
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, 7)
+    )
+    seqs = e.select(
+        "user_id", "event_id", F.collect_list("value").over(w).alias("w")
+    ).filter(F.size("w") == 8)
+    lit_pattern = F.array(*[F.lit(x) for x in pattern])
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    d2 = (
+        dot(F.col("w"), F.col("w"))
+        - 2 * dot(F.col("w"), lit_pattern)
+        + F.lit(qq)
+    )
+    scored = seqs.select("user_id", "event_id", d2.alias("d2"))
+    ranked = (
+        scored.orderBy("d2", "user_id", "event_id")
+        .limit(5)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sqrt("d2"), 6).alias("dist"),
+            F.row_number()
+            .over(W.orderBy("d2", "user_id", "event_id"))
+            .cast("long")
+            .alias("rnk"),
+        )
+    )
+    return ranked
+
+
+@register(
     "q_retention",
     oracle="""
     WITH weekly AS (
