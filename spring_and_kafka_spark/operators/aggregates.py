@@ -260,6 +260,36 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rollup_grouping",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) AS INT) AS g_region,
+           CAST(grouping(n_name) AS INT) AS g_nation,
+           count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with GROUPING() indicators — the only sound way to tell a
+    subtotal row's null from a genuine null grouping value (a consumer
+    filtering `n_name IS NULL` would conflate them)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count("*").alias("n_cust"),
+    )
+
+
+@register(
     "q_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
