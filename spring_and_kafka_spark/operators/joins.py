@@ -318,6 +318,19 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
+    # Collapse the right side to ONE row per (key, ts) before the union:
+    # the per-column last(ignorenulls) fills are otherwise free to draw
+    # different duplicate rows for different columns, and which duplicate
+    # wins would vary run-to-run. Ordering by the value columns themselves
+    # keeps the survivor deterministic for any input.
+    dedup_w = W.partitionBy("__key", "__ts").orderBy(
+        *[F.col(f"__r_{c}").desc_nulls_last() for c in right_cols]
+    )
+    r = (
+        r.withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     u = l.unionByName(r)
     w = (
         W.partitionBy("__key")

@@ -32,9 +32,26 @@ def salted_join(
 
     Replication cost is |dim| × salt_buckets — use for fact⋈dim shapes
     where dim is small-ish but too big (or too skew-sensitive) to
-    broadcast. Results are identical to a plain join."""
+    broadcast. Results are identical to a plain inner/left join.
+
+    Only inner and left joins are supported: under right/full outer an
+    unmatched dim row would surface once per salt replica (salt_buckets
+    duplicates), which no post-filter can repair without a second pass.
+
+    The salt is derived from the fact row's own content (xxhash64 over all
+    columns), never from monotonically_increasing_id(): a positional salt
+    changes on task retry/stage recomputation, which can drop or duplicate
+    rows mid-shuffle — the classic nondeterministic-repartition hazard.
+    Content-hashing keeps retries bit-identical; rows identical in every
+    column get the same salt, which only narrows spreading for exact
+    duplicate rows."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}"
+        )
     salted_fact = fact.withColumn(
-        "__salt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt_buckets).cast("int")
+        "__salt",
+        (F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])) % salt_buckets).cast("int"),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
     salted_dim = dim.select("*", salts)
@@ -57,7 +74,7 @@ def salted_group_count(
     without map-side partials, e.g. exact collect/distinct shapes.)"""
     salted = df.withColumn(
         "__salt",
-        (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt_buckets).cast("int"),
+        (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salt_buckets).cast("int"),
     )
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").alias("n"))

@@ -93,24 +93,31 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_grouped_map",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus))
-                 / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS z
+           floor((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus))
+                 / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus)
+                 * 10000 + 0.5) / 10000 AS z
     FROM orders
     """,
 )
 def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas (UDTF-like): per-group z-score — each
     status group arrives as one pandas frame (group must fit an executor;
-    for unbounded groups use window functions instead)."""
+    for unbounded groups use window functions instead). Rounding uses the
+    floor form in both engines (pandas .round is half-to-even, DuckDB
+    round is binary-float — neither matches the other on .00005
+    boundaries)."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         mu = pdf["o_totalprice"].mean()
         sd = pdf["o_totalprice"].std(ddof=1)
+        z = (pdf["o_totalprice"] - mu) / sd
         return pd.DataFrame(
             {
                 "o_orderkey": pdf["o_orderkey"],
                 "o_orderstatus": pdf["o_orderstatus"],
-                "z": ((pdf["o_totalprice"] - mu) / sd).round(4),
+                "z": np.floor(z * 10000 + 0.5) / 10000,
             }
         )
 

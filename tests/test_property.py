@@ -21,21 +21,22 @@ pair_lists = st.tuples(
         max_size=8,
         unique_by=lambda t: t[0],
     ),
-    st.lists(  # right: (user, minute-offset, value) — unique ts per user
+    st.lists(  # right: (user, minute-offset, value) — duplicate (user, ts)
         st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-5, 5)),
-        min_size=0,
+        min_size=0,  # allowed: asof_join must break the tie deterministically
         max_size=8,
-        unique_by=lambda t: (t[0], t[1]),
     ),
 )
 
 
 def brute_force(left, right):
+    # Tie-break mirrors asof_join's documented rule: at equal timestamps
+    # the row with the greatest value columns survives.
     out = {}
     for lid, lu, lt in left:
         best = None
         for ru, rt, rv in right:
-            if ru == lu and rt <= lt and (best is None or rt > best[0]):
+            if ru == lu and rt <= lt and (best is None or (rt, rv) > best):
                 best = (rt, rv)
         out[lid] = float(best[1]) if best else None
     return out

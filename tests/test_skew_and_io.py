@@ -30,6 +30,18 @@ def test_salted_join_equals_plain_join(spark):
     assert a == b and len(a) > 0
 
 
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    # right/full outer would emit one row per salt replica for unmatched
+    # dim rows — the operator must refuse rather than silently duplicate
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(orders, customer, "o_custkey", "c_custkey", how=how)
+
+
 def test_salted_group_count_equals_plain(spark):
     orders = load_table(spark, SF_SMOKE, "orders")
     plain = {
