@@ -1,0 +1,34 @@
+"""Execution utilities shared across operators.
+
+`materialize` is the engine's one sanctioned way to cut lineage and force
+a DataFrame to compute exactly once (iterative algorithms, multi-consumer
+subplans). It picks the mechanism by deployment:
+
+- local master → ``localCheckpoint(eager=True)``: blocks live in the one
+  local JVM, which is also the driver — nothing can lose them.
+- cluster with a checkpoint dir configured → reliable ``checkpoint``:
+  executor-local blocks do NOT survive executor loss, and for an
+  iterative job losing round k's state means recomputing k rounds; the
+  reliable checkpoint writes to the fault-tolerant FS instead.
+- cluster without a checkpoint dir → ``persist(MEMORY_AND_DISK)`` + a
+  forcing count: keeps lineage (recompute on executor loss is slow but
+  correct) rather than risking irrecoverable localCheckpoint blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Compute `df` once and return a lineage-cut (or at least pinned)
+    DataFrame, safe for the current deployment mode. See module doc."""
+    sc = df.sparkSession.sparkContext
+    if sc.master.startswith("local"):
+        return df.localCheckpoint(eager=True)
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    return pinned

@@ -26,14 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import materialize
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
 # Deterministic MinHash parameters (fixed seeds — SURVEY.md §7 hard parts).
 _MINHASH_PERMS = 32
 _LSH_BANDS = 8  # 8 bands × 4 rows ≈ catches jaccard ≳ 0.6
-_MERSENNE = (1 << 61) - 1
 _SIMHASH_BUCKET_CAP = 64  # LSH frequent-bucket guard (see q_dedup_simhash)
+
+# Exact-path guard: shingles appearing in more docs than this are excluded
+# from pair-generation self-joins (one shingle shared by d docs emits d²
+# join rows, and such shingles are non-discriminative anyway). Far above
+# any fixture doc-frequency (max 50 at sf0.1) so it never fires at test
+# scale; at 100 TB it is what keeps the exact tool from going quadratic on
+# a stopword shingle. Mirrored verbatim in every oracle that self-joins
+# shingles — a capped shingle can only lower a pair's common count, so the
+# reported Jaccard is a lower bound when the cap fires.
+_SHINGLE_DF_CAP = 5000
 
 
 def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,9 +114,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shj AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 5000
+      )
+    ),
     common AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT a_id, b_id, round(c / (sa.n + sb.n - c), 4) AS jaccard
@@ -120,16 +136,39 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.6) on the planted
     corpus. This is the exact ground truth MinHash approximates; the
     shingle equi-join is fine at fixture scale but hot shingles make it
-    quadratic — at 100 TB use q_dedup_near (LSH)."""
+    quadratic — at 100 TB use q_dedup_near (LSH). The _SHINGLE_DF_CAP
+    guard (mirrored in the oracle's shj CTE) bounds the join's worst case
+    even here."""
     corpus = planted_corpus(spark, sf_dir)
-    # sh feeds three consumers (both join sides + sizes): materialize once
-    # (localCheckpoint) so the corpus scan + shingle expansion doesn't run
-    # 3× — ~20% wall-clock at sf0.1. (On a real cluster prefer a
-    # reliable checkpoint/persist; localCheckpoint is executor-local.)
-    sh = shingles(corpus, 3).localCheckpoint(eager=True)
+    return ngram_jaccard_pairs(corpus, n=3, threshold=0.6)
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    df_cap: int = _SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold: (a_id, b_id, jaccard).
+
+    Pair generation self-joins shingles whose doc-frequency is ≤ df_cap
+    (hot shingles would emit df² join rows and carry no signal); Jaccard
+    denominators use the FULL shingle sets, so a fired cap can only
+    under-report similarity, never invent a pair."""
+    # sh feeds four consumers (join sides + sizes + the df filter):
+    # materialize once so the corpus scan + shingle expansion doesn't rerun
+    # per consumer — ~20% wall-clock at sf0.1.
+    sh = materialize(shingles(corpus, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    shj = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = shj.alias("a")
+    b = shj.alias("b")
     common = (
         a.join(
             b,
@@ -147,42 +186,104 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(F.broadcast(sa), "a_id")
         .join(F.broadcast(sb), "b_id")
-        .filter(jac >= 0.6)
+        .filter(jac >= threshold)
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
     )
-
-
-def _perm_coeffs(num_perms: int) -> list[tuple[int, int]]:
-    """Deterministic (a_i, b_i) for permutation i (fixed-seed discipline)."""
-    return [
-        (
-            ((2 * i + 1) * 0x9E3779B1) % 1_000_000_007,
-            ((i + 1) * 0x85EBCA77) % 1_000_000_007,
-        )
-        for i in range(num_perms)
-    ]
 
 
 def minhash_signatures(sh: DataFrame, num_perms: int = _MINHASH_PERMS) -> DataFrame:
     """(doc_id, mh ARRAY<LONG>): the k-permutation minhash signature.
 
-    h_i(s) = (a_i * h31(s) + b_i) mod p; h31 = xxhash64 folded to 31 bits
-    and a_i < 1e9 so a*h < 2^62 — no long overflow (Spark 4 runs ANSI mode;
-    overflow would throw).
+    Permutation i is an independently seeded hash: h_i(s) =
+    xxhash64(i, s). Seeding per permutation is essential — an affine
+    rehash of ONE base hash ((a_i·h+b_i) mod p with a_i·h below p) is
+    monotonic in h, so all k "permutations" would pick the same
+    min-shingle and the signature would degenerate to agreement
+    all-or-nothing (a real bug caught by measuring per-pair agreement:
+    J≈0.99 pairs showed 0/32 agreeing positions).
 
     Shape matters at scale: ONE groupBy with k min-aggregates (wide form),
     not an explode to k rows per shingle — the map-side partial min reduces
     each doc to a single k-column row before the shuffle, so shuffle volume
     is O(docs), independent of shingle count."""
-    h = (F.abs(F.xxhash64("shingle")) % ((1 << 31) - 1)).alias("h")
-    base = sh.select("doc_id", h)
+    base = sh.select("doc_id", "shingle")
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_perm_coeffs(num_perms))
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        for i in range(num_perms)
     ]
     wide = base.groupBy("doc_id").agg(*aggs)
     return wide.select(
         "doc_id", F.array(*[f"mh{i}" for i in range(num_perms)]).alias("mh")
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    bucket_cap: int = 100_000,
+) -> DataFrame:
+    """(a_id, b_id) doc pairs sharing at least one LSH band bucket.
+
+    Each signature is sliced into `bands` bands of `rows_per_band`
+    minhashes; a band's bucket id is the hash of its slice; docs meet when
+    any band bucket matches. Shuffle volume is O(docs × bands) — never
+    O(docs²) — and the equi-join on (band, bucket) is the bucketed shape
+    the 100 TB path requires.
+
+    bucket_cap is the standard frequent-bucket guard: a bucket holding
+    > cap docs contributes cap² candidate pairs while carrying almost no
+    signal (it means the band hash stopped discriminating). Capped buckets
+    are dropped; a true pair is lost only if EVERY band it agrees on is
+    hot. The default is far above any fixture bucket size, so the guard is
+    inert at test scale and bites only at the corpus sizes it exists for."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("mh")[i * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cool = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= bucket_cap)
+        .select("band", "bucket")
+    )
+    buckets = buckets.join(F.broadcast(cool), ["band", "bucket"])
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def shingle_hash_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, hs ARRAY<LONG>): each doc's shingle set as sorted 64-bit
+    hashes — the compact form for exact-Jaccard verification of candidate
+    pairs (array_intersect on two sorted long arrays, no string shuffle)."""
+    return sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("hs")
     )
 
 
@@ -197,35 +298,8 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact q_dedup_ngram truth is asserted in unit tests."""
     corpus = planted_corpus(spark, sf_dir)
     sig = minhash_signatures(shingles(corpus, 3))
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-    # band buckets: hash each 4-minhash slice; explode is 8 rows/doc (tiny)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.col("mh")[i * rows_per_band + r] for r in range(rows_per_band)]
-                    )
-                ).alias("bucket"),
-            )
-            for i in range(_LSH_BANDS)
-        ]
-    )
-    buckets = sig.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
+    candidates = lsh_candidate_pairs(
+        sig, _LSH_BANDS, _MINHASH_PERMS // _LSH_BANDS
     )
     # verify: fraction of agreeing signature positions estimates Jaccard.
     # sig is O(docs) → broadcast, so the candidate stream never reshuffles
@@ -323,16 +397,18 @@ def connected_components(
     graph diameter, which is tiny for dedup clusters). Deterministic.
 
     Iteration discipline: edges are persisted once and labels are
-    localCheckpoint'ed each round — without this, round k's action would
-    lazily recompute the whole upstream pipeline (pair detection included)
-    k times over, and the plan lineage would grow unboundedly."""
+    materialized each round (exec_utils.materialize — localCheckpoint on
+    local mode, reliable checkpoint/persist on a cluster) — without this,
+    round k's action would lazily recompute the whole upstream pipeline
+    (pair detection included) k times over, and the plan lineage would
+    grow unboundedly."""
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .persist()
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = materialize(labels)
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -352,7 +428,7 @@ def connected_components(
                     ).alias("__changed"),
                 )
             )
-            chk = updated.localCheckpoint(eager=True)
+            chk = materialize(updated)
             changed = chk.filter(F.col("__changed")).count()
             labels = chk.drop("__changed")
             if changed == 0:
@@ -382,11 +458,17 @@ def connected_components(
       )
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shj AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 5000
+      )
+    ),
     edges AS (
       SELECT c.a_id, c.b_id
       FROM (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       ) c
       JOIN sizes sa ON sa.doc_id = c.a_id

@@ -2,10 +2,14 @@
 the flagship composition showing the LLM-data operators working together —
 quality filtering → near-duplicate removal → per-language corpus budget.
 
-Every stage is the declarative form of an operator that exists standalone
-elsewhere in llm/ (quality features, n-gram Jaccard dedup, corpus stats),
-so the whole pipeline stays SQL-expressible and gets a full DuckDB
-hash-match oracle — an integration check, not just unit parity.
+The dedup stage runs the 100 TB path: MinHash-LSH candidate generation
+(shuffle O(docs × bands)) followed by exact-Jaccard verification on the
+candidate pairs only — never an all-pairs shingle self-join. The DuckDB
+oracle states the SEMANTICS (exact Jaccard ≥ threshold over all pairs);
+the two agree because the banding is tuned so candidate recall is 1.0 at
+the fixture similarity profile (min true-pair Jaccard 0.7; 16 bands × 2
+rows miss a J=0.7 pair with p≈2e-5), and tests/test_pipeline.py asserts
+LSH-candidates ⊇ exact-pairs at multiple scale factors.
 """
 
 from __future__ import annotations
@@ -13,9 +17,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spring_and_kafka_spark.llm.dedup import planted_corpus, shingles
+from spring_and_kafka_spark.exec_utils import materialize
+from spring_and_kafka_spark.llm.dedup import (
+    lsh_candidate_pairs,
+    planted_corpus,
+    shingles,
+)
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
+
+# 16 bands × 2 rows: high-recall banding for the verify-after design —
+# false positives cost one cheap exact check, false negatives cost
+# correctness, so trade candidate volume for recall.
+_PIPE_BANDS = 16
+_PIPE_ROWS_PER_BAND = 2
+_PIPE_JACCARD = 0.6
 
 
 @register(
@@ -49,11 +65,17 @@ from spring_and_kafka_spark.sources.tables import load_table
       )
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shj AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 5000
+      )
+    ),
     dup AS (
       SELECT c.a_id, c.b_id
       FROM (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       ) c
       JOIN sizes sa ON sa.doc_id = c.a_id
@@ -79,14 +101,16 @@ from spring_and_kafka_spark.sources.tables import load_table
 )
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curate a corpus end-to-end: (1) quality-filter (≥30 tokens, stopword
-    ratio ≤0.2), (2) remove near-duplicates (exact 3-gram Jaccard ≥0.6,
-    keep the lower doc_id — drops the planted perturbed copies), (3) report
-    the surviving token budget per language.
+    ratio ≤0.2), (2) remove near-duplicates (3-gram Jaccard ≥0.6, keep the
+    lower doc_id — drops the planted perturbed copies), (3) report the
+    surviving token budget per language.
 
-    Stage shapes at 100 TB: quality is a scan-only projection; dedup is the
-    documented exact path (swap in MinHash-LSH from llm/dedup.py at scale);
-    the final stats are one small groupBy. The dedup removal is an
-    anti-join on the higher-id side of each duplicate pair."""
+    Stage shapes at 100 TB: quality is a scan-only projection; dedup is
+    MinHash-LSH candidate generation (shuffle O(docs × bands)) + exact
+    Jaccard verify on candidates only (module doc explains why this still
+    hash-matches the oracle's all-pairs formulation); the final stats are
+    one small groupBy. The dedup removal is an anti-join on the higher-id
+    side of each verified duplicate pair."""
     corpus = planted_corpus(spark, sf_dir)
     toks = F.split("text", " ")
     quality = corpus.select(
@@ -102,27 +126,62 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_toks") >= 30) & (F.col("stop_ratio") <= 0.2)
     ).select("doc_id", "text", "n_toks")
 
-    # three consumers of sh → materialize once (see q_dedup_ngram)
-    sh = shingles(kept, 3).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("c"))
+    # shingles feed the df-cap filter and the fused per-doc aggregate →
+    # materialize once
+    sh = materialize(shingles(kept, 3))
+
+    # df-cap guard (inert at fixture scale, mirrored in the oracle's shj
+    # CTE): flag hot shingles so the verify arrays exclude them while the
+    # full set size is still counted
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 5000)
+        .select("shingle", F.lit(True).alias("__hot"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    shx = sh.join(F.broadcast(hot), "shingle", "left")
+
+    # ONE wide groupBy builds everything per doc: the 32-permutation
+    # minhash signature (full shingle set), the exact full-set size, and
+    # the df-capped shingle-hash array for verification (collect_set skips
+    # the NULLs that the when() assigns to hot shingles). Fusing these
+    # avoids three separate shuffles over the corpus-sized shingle table.
+    docfeat = shx.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(32)
+        ],
+        F.count("*").alias("n"),
+        F.sort_array(
+            F.collect_set(
+                F.when(F.col("__hot").isNull(), F.xxhash64("shingle"))
+            )
+        ).alias("hs"),
+    )
+    docfeat = docfeat.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(32)]).alias("mh"), "n", "hs"
+    )
+
+    # candidate generation: MinHash-LSH band buckets — the scale path
+    candidates = lsh_candidate_pairs(
+        docfeat.select("doc_id", "mh"), _PIPE_BANDS, _PIPE_ROWS_PER_BAND
+    )
+
+    # exact verify on candidates only. Mirrors ngram_jaccard_pairs/oracle
+    # semantics exactly: intersections count df-capped shingles,
+    # denominators use the full set sizes.
+    ha = docfeat.select(
+        F.col("doc_id").alias("a_id"), F.col("hs").alias("ha"), F.col("n").alias("na")
+    )
+    hb = docfeat.select(
+        F.col("doc_id").alias("b_id"), F.col("hs").alias("hb"), F.col("n").alias("nb")
+    )
+    c = F.size(F.array_intersect("ha", "hb"))
+    jac = c / (F.col("na") + F.col("nb") - c)
     dup_victims = (
-        common.join(F.broadcast(sa), "a_id")
-        .join(F.broadcast(sb), "b_id")
-        .filter(jac >= 0.6)
+        candidates.join(ha, "a_id")
+        .join(hb, "b_id")
+        .filter(jac >= _PIPE_JACCARD)
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )

