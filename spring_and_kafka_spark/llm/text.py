@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import materialize
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -61,19 +62,23 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (doc, term): tf × ln(N/df). The df table is tiny
-    (vocabulary-sized) → broadcast back onto the tf side."""
+    (vocabulary-sized) → broadcast back onto the tf side. Corpus size N is
+    a 1-row aggregate cross-joined in (broadcast), keeping the whole query
+    ONE Spark job — a driver-side d.count() would scan the table in a
+    separate job before the real one starts."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(d)
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()  # scalar; corpus size is metadata, not a shuffled value
+    n_df = d.agg(F.count("*").cast("double").alias("__n"))
     return (
         tf.join(F.broadcast(df), "tok")
         .filter(F.col("doc_id") < 50)
+        .crossJoin(F.broadcast(n_df))
         .select(
             "doc_id",
             "tok",
-            F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias(
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6).alias(
                 "tfidf"
             ),
         )
@@ -205,7 +210,11 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus), docs classified by max distinct-token overlap (ties →
     lexicographic lang). The profile is vocabulary-sized → broadcast."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    # toks feeds BOTH the profile build and the per-doc overlap — without
+    # materializing, the scan + explode runs twice (it was 14 exchanges)
+    toks = materialize(
+        d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    )
     freq = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
     w = W.partitionBy("lang").orderBy(F.col("n").desc(), "tok")
     profile = (

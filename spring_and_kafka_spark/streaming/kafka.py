@@ -55,14 +55,21 @@ def read_stream(
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     raw = reader.load()
-    return raw.select(
+    cols = [
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
-        "topic",
-        "partition",
-        "offset",
-        "timestamp",
-    )
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp"),
+    ]
+    if include_headers:
+        # headers ARRAY<STRUCT<key STRING, value BINARY>> — the reference's
+        # consumer reads the envelope's SEQUENCE_NUMBER header
+        # (/root/reference/src/main/java/jc/DemoApplication.java:119), so
+        # the adapter must surface them, not project them away.
+        cols.append(F.col("headers"))
+    return raw.select(*cols)
 
 
 def write_stream(
@@ -78,11 +85,15 @@ def write_stream(
     """Kafka outbound adapter analog: async batched keyed produce.
     df must carry `key`/`value` string columns (encoder = UTF-8 bytes,
     String::getBytes); the Kafka client hashes key → partition, exactly the
-    reference's messageKey routing."""
+    reference's messageKey routing. A `headers` column
+    (ARRAY<STRUCT<key STRING, value BINARY>>), if present, is produced
+    onto the record envelope — the reference's producer stamps
+    SEQUENCE_NUMBER there (DemoApplication.java:119)."""
+    out_cols = [F.col("key").cast("string"), F.col("value").cast("string")]
+    if "headers" in df.columns:
+        out_cols.append(F.col("headers"))
     return (
-        df.select(
-            F.col("key").cast("string"), F.col("value").cast("string")
-        )
+        df.select(*out_cols)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

@@ -141,3 +141,76 @@ def test_stream_dedup_drops_late_out_of_order(spark, staged):
     stream = stream_dedup(read_event_stream(spark, staged, max_files_per_trigger=2))
     out = _drain(spark, stream, "append")
     assert 0 < out.count() <= 1000
+
+
+def _broker_reachable(host="localhost", port=9092, timeout=0.5):
+    import socket
+
+    try:
+        with socket.create_connection((host, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def test_kafka_headers_surface_in_read_schema(spark):
+    """read_stream must expose the headers column when asked — the
+    reference's consumer reads SEQUENCE_NUMBER off the envelope
+    (reference: src/main/java/jc/DemoApplication.java:119). Runs only when
+    the Kafka connector jar is on the classpath (schema resolution needs
+    it); no broker required — .load() is lazy."""
+    from spring_and_kafka_spark.streaming.kafka import kafka_available, read_stream
+
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka connector not on classpath")
+    with_headers = read_stream(spark, include_headers=True)
+    assert "headers" in with_headers.columns
+    without = read_stream(spark, include_headers=False)
+    assert "headers" not in without.columns
+
+
+def test_kafka_real_broker_roundtrip(spark, tmp_path):
+    """The reference's end-to-end demo: produce 1000 '#i' messages keyed by
+    sequence number, consume them back, count 1000
+    (reference: src/main/java/jc/DemoApplication.java:94-159). Skips unless
+    both the connector jar and a broker at localhost:9092 exist — in that
+    environment this exercises streaming/kafka.py's real produce/consume
+    path instead of the file-source replay."""
+    from spring_and_kafka_spark.streaming.kafka import (
+        kafka_available,
+        read_stream,
+        write_stream,
+    )
+
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka connector not on classpath")
+    if not _broker_reachable():
+        pytest.skip("no Kafka broker at localhost:9092")
+
+    topic = f"event-stream-test-{uuid.uuid4().hex[:8]}"
+    n = 1000
+    batch = spark.range(n).select(
+        F.col("id").cast("string").alias("key"),
+        F.concat(F.lit("#"), F.col("id").cast("string")).alias("value"),
+    )
+    (
+        batch.write.format("kafka")
+        .option("kafka.bootstrap.servers", "localhost:9092")
+        .option("topic", topic)
+        .save()
+    )
+    consumed = read_stream(spark, topic=topic, max_offsets_per_trigger=None)
+    name = f"kafka_rt_{uuid.uuid4().hex[:8]}"
+    q = (
+        consumed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    assert got.count() == n
+    assert got.filter(~F.col("value").startswith("#")).count() == 0
+    assert "headers" in got.columns
