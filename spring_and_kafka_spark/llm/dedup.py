@@ -297,7 +297,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     never O(docs²). Rows-only oracle (hash functions differ per engine);
     recall vs the exact q_dedup_ngram truth is asserted in unit tests."""
     corpus = planted_corpus(spark, sf_dir)
-    sig = minhash_signatures(shingles(corpus, 3))
+    # sig feeds the band buckets AND both sides of the verify join —
+    # materialize so the shingle scan + 32-way min-agg runs once, not 3×
+    sig = materialize(minhash_signatures(shingles(corpus, 3)))
     candidates = lsh_candidate_pairs(
         sig, _LSH_BANDS, _MINHASH_PERMS // _LSH_BANDS
     )
