@@ -287,6 +287,76 @@ def shingle_hash_sets(sh: DataFrame) -> DataFrame:
     )
 
 
+def lsh_verified_pairs(
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    df_cap: int = _SHINGLE_DF_CAP,
+) -> DataFrame:
+    """The 100 TB near-dup pair detector: MinHash-LSH candidate generation
+    followed by exact-Jaccard verification on candidates only. Returns
+    (a_id, b_id, jaccard) for pairs with verified Jaccard ≥ threshold.
+
+    Semantics are IDENTICAL to ngram_jaccard_pairs (exact Jaccard, with
+    the same df-cap convention: capped intersection counts over full-set
+    denominators) whenever banding recall covers every ≥-threshold pair —
+    the default 16 bands × 2 rows misses a J=0.7 pair with p≈2e-5 and is
+    recall-1.0 on all fixture scale factors (asserted in tests). Cost is
+    O(docs × bands) shuffle + one cheap array-intersect per candidate,
+    never an all-pairs join.
+
+    ONE wide groupBy builds everything per doc — the 32-permutation
+    signature over the full shingle set, the exact full-set size, and the
+    df-capped shingle-hash array for verification (collect_set skips the
+    NULLs the when() assigns to hot shingles) — instead of three separate
+    shuffles over the corpus-sized shingle table."""
+    sh = materialize(shingles(corpus, n))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle", F.lit(True).alias("__hot"))
+    )
+    shx = sh.join(F.broadcast(hot), "shingle", "left")
+    docfeat = shx.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(_MINHASH_PERMS)
+        ],
+        F.count("*").alias("n"),
+        F.sort_array(
+            F.collect_set(
+                F.when(F.col("__hot").isNull(), F.xxhash64("shingle"))
+            )
+        ).alias("hs"),
+    )
+    docfeat = docfeat.select(
+        "doc_id",
+        F.array(*[f"mh{i}" for i in range(_MINHASH_PERMS)]).alias("mh"),
+        "n",
+        "hs",
+    )
+    candidates = lsh_candidate_pairs(
+        docfeat.select("doc_id", "mh"), bands, rows_per_band
+    )
+    ha = docfeat.select(
+        F.col("doc_id").alias("a_id"), F.col("hs").alias("ha"), F.col("n").alias("na")
+    )
+    hb = docfeat.select(
+        F.col("doc_id").alias("b_id"), F.col("hs").alias("hb"), F.col("n").alias("nb")
+    )
+    c = F.size(F.array_intersect("ha", "hb"))
+    jac = c / (F.col("na") + F.col("nb") - c)
+    return (
+        candidates.join(ha, "a_id")
+        .join(hb, "b_id")
+        .filter(jac >= threshold)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 @register("q_dedup_near", tags=("rows-only", "lsh"))
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — the 100 TB dedup path.
@@ -440,9 +510,11 @@ def connected_components(
     return labels
 
 
-@register(
-    "q_dedup_clusters",
-    oracle="""
+# Shared by q_dedup_clusters (exact pair detection) and
+# q_dedup_clusters_lsh (LSH-candidates + exact verify): both compute the
+# same clustering because the LSH banding is recall-1.0 over ≥0.6 pairs at
+# fixture scale (tests/test_pipeline.py asserts candidates ⊇ exact pairs).
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -491,17 +563,39 @@ def connected_components(
     )
     SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
     FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@register("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: near-dup pairs (exact 3-gram Jaccard ≥0.6 on the
     planted corpus) folded into connected components — the canonical
     keep-one-per-cluster step after pair detection. Component id = min
     doc_id (each planted copy clusters with its original). Oracle:
     recursive-CTE reachability in DuckDB; Spark: iterative min-label
-    propagation (rounds = cluster diameter)."""
+    propagation (rounds = cluster diameter). Pair detection here is the
+    exact ground-truth tool; q_dedup_clusters_lsh is the same clustering
+    on the 100 TB candidate path."""
     corpus = planted_corpus(spark, sf_dir)
     pairs = q_dedup_ngram(spark, sf_dir).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    nodes = corpus.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("component"))
+
+
+@register("q_dedup_clusters_lsh", oracle=_CLUSTERS_ORACLE, tags=("lsh",))
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path dedup clustering: pair detection via MinHash-LSH
+    candidates + exact-Jaccard verify (lsh_verified_pairs — shuffle
+    O(docs × bands), no all-pairs join), then the same min-label
+    connected components. Produces the identical clustering to
+    q_dedup_clusters (same oracle) while replacing the one quadratic
+    stage with the bucketed path — this is the composition a 100 TB
+    corpus dedup actually runs end-to-end."""
+    corpus = planted_corpus(spark, sf_dir)
+    pairs = lsh_verified_pairs(corpus, n=3, threshold=0.6).select(
         F.col("a_id").alias("a"), F.col("b_id").alias("b")
     )
     nodes = corpus.select(F.col("doc_id").alias("node"))

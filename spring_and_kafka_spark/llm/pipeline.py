@@ -17,11 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spring_and_kafka_spark.exec_utils import materialize
 from spring_and_kafka_spark.llm.dedup import (
-    lsh_candidate_pairs,
+    lsh_verified_pairs,
     planted_corpus,
-    shingles,
 )
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -126,65 +124,17 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_toks") >= 30) & (F.col("stop_ratio") <= 0.2)
     ).select("doc_id", "text", "n_toks")
 
-    # shingles feed the df-cap filter and the fused per-doc aggregate →
-    # materialize once
-    sh = materialize(shingles(kept, 3))
-
-    # df-cap guard (inert at fixture scale, mirrored in the oracle's shj
-    # CTE): flag hot shingles so the verify arrays exclude them while the
-    # full set size is still counted
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > 5000)
-        .select("shingle", F.lit(True).alias("__hot"))
+    # dedup: LSH candidates + exact verify on candidates (the 100 TB
+    # path, shared with q_dedup_clusters_lsh); remove the higher-id side
+    # of each verified pair
+    pairs = lsh_verified_pairs(
+        kept.select("doc_id", "text"),
+        n=3,
+        threshold=_PIPE_JACCARD,
+        bands=_PIPE_BANDS,
+        rows_per_band=_PIPE_ROWS_PER_BAND,
     )
-    shx = sh.join(F.broadcast(hot), "shingle", "left")
-
-    # ONE wide groupBy builds everything per doc: the 32-permutation
-    # minhash signature (full shingle set), the exact full-set size, and
-    # the df-capped shingle-hash array for verification (collect_set skips
-    # the NULLs that the when() assigns to hot shingles). Fusing these
-    # avoids three separate shuffles over the corpus-sized shingle table.
-    docfeat = shx.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-            for i in range(32)
-        ],
-        F.count("*").alias("n"),
-        F.sort_array(
-            F.collect_set(
-                F.when(F.col("__hot").isNull(), F.xxhash64("shingle"))
-            )
-        ).alias("hs"),
-    )
-    docfeat = docfeat.select(
-        "doc_id", F.array(*[f"mh{i}" for i in range(32)]).alias("mh"), "n", "hs"
-    )
-
-    # candidate generation: MinHash-LSH band buckets — the scale path
-    candidates = lsh_candidate_pairs(
-        docfeat.select("doc_id", "mh"), _PIPE_BANDS, _PIPE_ROWS_PER_BAND
-    )
-
-    # exact verify on candidates only. Mirrors ngram_jaccard_pairs/oracle
-    # semantics exactly: intersections count df-capped shingles,
-    # denominators use the full set sizes.
-    ha = docfeat.select(
-        F.col("doc_id").alias("a_id"), F.col("hs").alias("ha"), F.col("n").alias("na")
-    )
-    hb = docfeat.select(
-        F.col("doc_id").alias("b_id"), F.col("hs").alias("hb"), F.col("n").alias("nb")
-    )
-    c = F.size(F.array_intersect("ha", "hb"))
-    jac = c / (F.col("na") + F.col("nb") - c)
-    dup_victims = (
-        candidates.join(ha, "a_id")
-        .join(hb, "b_id")
-        .filter(jac >= _PIPE_JACCARD)
-        .select(F.col("b_id").alias("doc_id"))
-        .distinct()
-    )
+    dup_victims = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     survivors = kept.join(dup_victims, "doc_id", "left_anti")
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")

@@ -374,6 +374,57 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ts,
+             list_transform(range(greatest(len(ts) - 1, 0)),
+                            i -> ts[i + 1] || ' ' || ts[i + 2]) AS bigs
+      FROM t
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(ts)) / CAST(greatest(len(ts), 1) AS DOUBLE), 4)
+             AS dup_token_ratio,
+           round(1.0 - len(list_distinct(bigs)) / CAST(greatest(len(bigs), 1) AS DOUBLE), 4)
+             AS dup_bigram_ratio,
+           (1.0 - len(list_distinct(bigs)) / CAST(greatest(len(bigs), 1) AS DOUBLE)) > 0.5
+             AS is_repetitive
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal (the classic pre-training filter:
+    boilerplate and spam repeat themselves): fraction of duplicate tokens
+    and duplicate bigrams per doc, plus a threshold flag. Computed entirely
+    with array expressions on the token array — no explode, no shuffle;
+    the whole query is a projection over the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    bigs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ts) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ts, i + 1, 2)),
+    )
+    # DuckDB's range(greatest(len-1,0)) yields len-1 elements (0 for a
+    # 1-token doc); trim the sequence's inclusive upper bound to match
+    bigs = F.slice(bigs, 1, F.greatest(F.size(ts) - 1, F.lit(0)))
+    dup_tok = 1.0 - F.size(F.array_distinct(ts)) / F.greatest(
+        F.size(ts), F.lit(1)
+    ).cast("double")
+    dup_big = 1.0 - F.size(F.array_distinct(bigs)) / F.greatest(
+        F.size(bigs), F.lit(1)
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(dup_tok, 4).alias("dup_token_ratio"),
+        F.round(dup_big, 4).alias("dup_bigram_ratio"),
+        (dup_big > 0.5).alias("is_repetitive"),
+    )
+
+
+@register(
     "q_text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -58,10 +58,11 @@ def _load_all_modules() -> None:
     prefix of the registry each round, so modules whose queries still lack
     a driver-green CORRECTNESS row register first. Round 1 verified the
     relational/join/window/aggregate families; round 2 rotates the LLM-data
-    operators, semistructured/UDF/timeseries/sampling/analytics queries and
-    streaming batch-twins to the front, followed by the two reshaped
-    aggregates (q_agg_approx / q_agg_collect, first in their module). The
-    scalar-function tail rotates into the window next round."""
+    operators, semistructured/UDF/timeseries/sampling/analytics queries to
+    the front, followed by the two reshaped aggregates (q_agg_approx /
+    q_agg_collect, first in their module, landing at window slots 48-49).
+    The streaming batch-twins and scalar-function tail rotate into the
+    window next round."""
     import spring_and_kafka_spark.llm.dedup  # noqa: F401
     import spring_and_kafka_spark.llm.similarity  # noqa: F401
     import spring_and_kafka_spark.llm.text  # noqa: F401
@@ -72,8 +73,8 @@ def _load_all_modules() -> None:
     import spring_and_kafka_spark.operators.timeseries  # noqa: F401
     import spring_and_kafka_spark.operators.sampling  # noqa: F401
     import spring_and_kafka_spark.operators.analytics  # noqa: F401
-    import spring_and_kafka_spark.streaming.batch_equiv  # noqa: F401
     import spring_and_kafka_spark.operators.aggregates  # noqa: F401
+    import spring_and_kafka_spark.streaming.batch_equiv  # noqa: F401
     import spring_and_kafka_spark.functions.scalar  # noqa: F401
     import spring_and_kafka_spark.operators.relational  # noqa: F401
     import spring_and_kafka_spark.operators.joins  # noqa: F401

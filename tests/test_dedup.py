@@ -135,3 +135,40 @@ def test_embed_neardup_exactly_planted(spark):
     # the result must be exactly the 500 planted pairs
     assert pairs == {(i, i + 100000) for i in range(500)}
     assert all(r["cos_sim"] >= 0.999 for r in rows)
+
+
+def test_clusters_lsh_equals_exact_clusters(spark):
+    from spring_and_kafka_spark.llm.dedup import (
+        q_dedup_clusters,
+        q_dedup_clusters_lsh,
+    )
+
+    exact = {
+        (r["doc_id"], r["component"])
+        for r in q_dedup_clusters(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r["doc_id"], r["component"])
+        for r in q_dedup_clusters_lsh(spark, SF_SMOKE).collect()
+    }
+    # the scale path must reproduce the ground-truth clustering exactly
+    # (recall-1.0 banding + exact verify)
+    assert lsh == exact
+
+
+def test_lsh_verified_pairs_match_exact_pairs(spark):
+    from spring_and_kafka_spark.llm.dedup import (
+        lsh_verified_pairs,
+        planted_corpus,
+        q_dedup_ngram,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in q_dedup_ngram(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in lsh_verified_pairs(planted_corpus(spark, SF_SMOKE)).collect()
+    }
+    assert lsh == exact  # pairs AND exact-Jaccard values agree
