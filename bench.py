@@ -48,6 +48,9 @@ HEADLINE = [
     "q_subquery_scalar",
     "q_sim_knn_all",
     "q_pipeline_curate",
+    # added round 2 (BASELINE.md §2 notes the headline-set change)
+    "q_dedup_clusters_lsh",
+    "q_text_repetition",
 ]
 
 

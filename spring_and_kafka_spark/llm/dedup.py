@@ -332,11 +332,15 @@ def lsh_verified_pairs(
             )
         ).alias("hs"),
     )
-    docfeat = docfeat.select(
-        "doc_id",
-        F.array(*[f"mh{i}" for i in range(_MINHASH_PERMS)]).alias("mh"),
-        "n",
-        "hs",
+    # docfeat feeds candidate generation AND both verify-join sides —
+    # materialize so the 32-way min-agg groupBy runs once, not three times
+    docfeat = materialize(
+        docfeat.select(
+            "doc_id",
+            F.array(*[f"mh{i}" for i in range(_MINHASH_PERMS)]).alias("mh"),
+            "n",
+            "hs",
+        )
     )
     candidates = lsh_candidate_pairs(
         docfeat.select("doc_id", "mh"), bands, rows_per_band
