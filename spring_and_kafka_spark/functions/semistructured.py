@@ -20,7 +20,9 @@ from spring_and_kafka_spark.sources.tables import load_table
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS n_dims,
-           list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4)) AS head4,
+           array_to_string(list_transform(embedding[1:4],
+                                          x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))),
+                           ',') AS head4,
            round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS vsum,
            round(list_max(CAST(embedding AS DOUBLE[])), 4) AS vmax,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
@@ -29,14 +31,22 @@ from spring_and_kafka_spark.sources.tables import load_table
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family: size/slice/transform/filter/aggregate over the
-    64-dim embedding column."""
+    64-dim embedding column. The transformed slice is serialized to a CSV
+    string: the driver's value hasher cannot factorize list cells (same
+    constraint as q_agg_collect). Elements are rendered with %.4f on both
+    engines — a bare float→string cast is NOT cross-engine stable (Java
+    switches to scientific notation below 1e-3; DuckDB never does)."""
     e = load_table(spark, sf_dir, "embeddings")
     dbl = F.col("embedding").cast("array<double>")
     return e.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
-        F.transform(
-            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 4)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.format_string("%.4f", F.round(x.cast("double"), 4)),
+            ),
         ).alias("head4"),
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
@@ -78,7 +88,7 @@ def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            map_extract(mp, 'status')[1] AS status_v,
            map_extract(mp, 'priority')[1] AS priority_v,
-           list_sort(map_keys(mp)) AS ks,
+           array_to_string(list_sort(map_keys(mp)), ',') AS ks,
            CAST(cardinality(mp) AS INT) AS n_entries
     FROM m
     """,
@@ -96,7 +106,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.element_at(mp, "status").alias("status_v"),
         F.element_at(mp, "priority").alias("priority_v"),
-        F.sort_array(F.map_keys(mp)).alias("ks"),
+        F.concat_ws(",", F.sort_array(F.map_keys(mp))).alias("ks"),
         F.size(mp).alias("n_entries"),
     )
 
