@@ -74,6 +74,7 @@ def _load_all_modules() -> None:
     import spring_and_kafka_spark.operators.sampling  # noqa: F401
     import spring_and_kafka_spark.operators.analytics  # noqa: F401
     import spring_and_kafka_spark.operators.aggregates  # noqa: F401
+    import spring_and_kafka_spark.llm.corpus_ops  # noqa: F401
     import spring_and_kafka_spark.streaming.batch_equiv  # noqa: F401
     import spring_and_kafka_spark.functions.scalar  # noqa: F401
     import spring_and_kafka_spark.operators.relational  # noqa: F401

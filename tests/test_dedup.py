@@ -172,3 +172,18 @@ def test_lsh_verified_pairs_match_exact_pairs(spark):
         for r in lsh_verified_pairs(planted_corpus(spark, SF_SMOKE)).collect()
     }
     assert lsh == exact  # pairs AND exact-Jaccard values agree
+
+
+def test_survivors_are_original_cluster_representatives(spark):
+    from spring_and_kafka_spark.llm.dedup import q_dedup_clusters_lsh
+    from spring_and_kafka_spark.llm.corpus_ops import q_dedup_survivors
+
+    rows = q_dedup_survivors(spark, SF_SMOKE).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert all(r["is_original"] for r in rows)  # no perturbed copy survives
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in q_dedup_clusters_lsh(spark, SF_SMOKE).collect()
+    }
+    assert ids == {d for d, c in comp.items() if d == c}
+    assert len(ids) == len(set(comp.values()))  # exactly one per cluster
