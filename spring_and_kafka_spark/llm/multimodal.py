@@ -72,9 +72,10 @@ def decode_media(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     return df.mapInPandas(decode_batches, MEDIA_SCHEMA)
 
 
-@register(
-    "q_multimodal_meta",
-    oracle="""
+# Shared by q_multimodal_meta (JVM built-ins) and q_multimodal_decode
+# (mapInPandas stub codec): both produce the same metadata by design, so
+# the decode path earns a full hash oracle, not just a row count.
+_META_ORACLE = """
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
@@ -82,8 +83,10 @@ def decode_media(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
            CASE WHEN octet_length(encode(text)) % 2 = 0
                 THEN 'png' ELSE 'jpeg' END AS format
     FROM documents
-    """,
-)
+    """
+
+
+@register("q_multimodal_meta", oracle=_META_ORACLE)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + typed metadata, JVM-side: documents.text encoded to
     bytes stands in for media payloads; metadata derived with built-ins
@@ -100,11 +103,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_decode", tags=("rows-only", "pandas-udf"))
+@register("q_multimodal_decode", oracle=_META_ORACLE, tags=("pandas-udf",))
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same metadata via the real mapInPandas decode path (stubbed
-    codec) — exercises Arrow batching + schema plumbing. Rows-only oracle;
-    equivalence with q_multimodal_meta asserted in unit tests."""
+    codec) — exercises Arrow batching + schema plumbing. Carries the same
+    hash oracle as q_multimodal_meta (the stub formula is deterministic
+    and SQL-expressible); equivalence also asserted in unit tests."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
@@ -141,10 +145,40 @@ def deterministic_encoder(df: DataFrame, text_col: str, id_col: str) -> DataFram
     return df.mapInPandas(encode_batches, EMBED_SCHEMA)
 
 
-@register("q_embed_generate", tags=("rows-only", "pandas-udf"))
+@register(
+    "q_embed_generate",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents
+    ),
+    vals AS (
+      SELECT doc_id, CAST(i AS INT) % 8 AS j,
+             (ascii(substring(text, CAST(i AS INT) + 1, 1)) % 29) / 29.0 AS v
+      FROM chars
+    ),
+    acc AS (SELECT doc_id, j, sum(v) AS a FROM vals GROUP BY doc_id, j),
+    norms AS (
+      SELECT doc_id,
+             sqrt(sum(a * a)) AS nrm,
+             sum(CASE WHEN j = 0 THEN a ELSE 0 END) AS a0
+      FROM acc GROUP BY doc_id
+    )
+    SELECT doc_id, 8 AS dim,
+           round(CAST(CAST(a0 / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+                           AS REAL) AS DOUBLE), 4) AS e0
+    FROM norms
+    """,
+    tags=("pandas-udf",),
+)
 def q_embed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generate embeddings for documents via the deterministic stub encoder;
-    output flattened to primitives (dim + first component, rounded)."""
+    output flattened to primitives (dim + first component, rounded).
+
+    The oracle replays the byte-fold in SQL (fixture text is pure ASCII,
+    so ascii(substring()) == the UTF-8 byte). The float32 cast in the
+    oracle mirrors the encoder's ArrayType(FloatType()) schema — the
+    quantization step (~6e-8) dwarfs cross-engine summation-order noise
+    (~1e-15), which makes round(·, 4) stable."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = deterministic_encoder(d, "text", "doc_id")
     return emb.select(

@@ -111,13 +111,54 @@ def ivf_assign(
     )
 
 
-@register("q_sim_ann_ivf", tags=("rows-only", "ann"))
+@register(
+    "q_sim_ann_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+    scored AS (
+      SELECT e.vec_id, e.v, c.centroid_id,
+             list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, v, centroid_id AS cluster FROM (
+        SELECT vec_id, v, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT centroid_id AS cluster FROM cents CROSS JOIN q
+      ORDER BY list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+               centroid_id
+      LIMIT 4
+    )
+    SELECT vec_id, round(raw_sim, 6) AS cos_sim FROM (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS raw_sim
+      FROM assigned a JOIN probe p ON a.cluster = p.cluster
+      CROSS JOIN q
+      WHERE a.vec_id <> 0
+    ) ORDER BY raw_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("ann",),
+)
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor: 16 deterministic seed centroids
     (vec_id < 16), vectors routed to nearest centroid, query probes the 4
     nearest clusters only (~4/16 of the data scanned vs brute force).
 
-    Rows-only oracle; recall vs brute-force truth asserted in unit tests."""
+    Fully hash-oracled: IVF involves no hash functions — assignment,
+    probing and the final top-10 are pure relational logic over cosines,
+    so DuckDB replays the identical algorithm (argmax via rank window;
+    ties broken by centroid/vec id on both sides). Recall vs brute-force
+    truth additionally asserted in unit tests."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -288,13 +329,87 @@ def ivf_train_kmeans(
     return centroids
 
 
-@register("q_sim_ann_ivf_refined", tags=("rows-only", "ann"))
+@register(
+    "q_sim_ann_ivf_refined",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT unnest(range(64)) AS i),
+    c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+    a1 AS (
+      SELECT vec_id, v, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                 DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cluster, i, avg(v[CAST(i AS INT) + 1]) AS m
+      FROM a1 CROSS JOIN dims GROUP BY cluster, i
+    ),
+    c1 AS (
+      SELECT cluster AS centroid_id, list(m ORDER BY i) AS cv
+      FROM m1 GROUP BY cluster
+    ),
+    a2 AS (
+      SELECT vec_id, v, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                 DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN c1 c
+      ) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT cluster, i, avg(v[CAST(i AS INT) + 1]) AS m
+      FROM a2 CROSS JOIN dims GROUP BY cluster, i
+    ),
+    c2 AS (
+      SELECT cluster AS centroid_id, list(m ORDER BY i) AS cv
+      FROM m2 GROUP BY cluster
+    ),
+    a3 AS (
+      SELECT vec_id, v, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                 DESC, c.centroid_id) AS rn
+        FROM e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT centroid_id AS cluster FROM c2 CROSS JOIN q
+      ORDER BY list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+               centroid_id
+      LIMIT 4
+    )
+    SELECT vec_id, round(raw_sim, 6) AS cos_sim FROM (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS raw_sim
+      FROM a3 a JOIN probe p ON a.cluster = p.cluster
+      CROSS JOIN q
+      WHERE a.vec_id <> 0
+    ) ORDER BY raw_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("ann",),
+)
 def q_sim_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with 2 Lloyd iterations of centroid refinement before
     routing (same probe budget as q_sim_ann_ivf). On naturally clustered
     embeddings refinement tightens cells; on the uniform random fixtures
     recall is comparable to seeded centroids (floor asserted in tests),
-    and training is fully deterministic. Rows-only oracle."""
+    and training is fully deterministic — so the oracle replays the whole
+    algorithm in SQL, Lloyd rounds unrolled as CTE stages (assign via
+    rank window, element-wise means via a dims cross join + ordered
+    list()). Cross-engine float risk is summation order inside avg();
+    cluster-assignment margins (≫1e-12) dwarf it."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
