@@ -58,15 +58,23 @@ def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs; shingle = n consecutive tokens.
+    Docs shorter than n tokens contribute their whole text as one shingle.
 
     Built with a sliding transform over the token array — no UDF, no
-    explode-then-self-join."""
+    explode-then-self-join.
+
+    Null/empty text is excluded up front: without the filter, concat_ws's
+    null-swallowing plus greatest(size-n, 0) would fabricate one empty-
+    string shingle per degenerate doc — an artificial hot shingle that
+    equi-joins every null/empty doc against every other (quadratic on
+    exactly the rows that carry no content)."""
+    clean = df.filter(F.col("text").isNotNull() & (F.length("text") > 0))
     toks = F.split("text", " ")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return clean.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 @register(

@@ -82,3 +82,37 @@ def test_dedup_with_null_keys(spark):
     out = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     got = {(r["k"], r["v"]) for r in out.collect()}
     assert got == {(None, 1), (1, 3)}  # nulls form one dedup group
+
+
+def test_dedup_path_tolerates_null_and_empty_text(spark):
+    """A 100 TB corpus has null/empty text rows; the dedup path must drop
+    them from pair generation without crashing (split(NULL) -> NULL array,
+    explode(NULL) -> no rows, in both engines)."""
+    from spring_and_kafka_spark.llm.dedup import (
+        lsh_verified_pairs,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h i"),  # near-dup of 1
+            (3, None),
+            (4, ""),
+            (5, "x"),  # single token -> one degenerate shingle
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sh_ids = {r["doc_id"] for r in shingles(corpus, 3).collect()}
+    assert 3 not in sh_ids  # null text contributes no shingles
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(corpus, 3, 0.5).collect()
+    }
+    assert exact == {(1, 2)}
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_verified_pairs(corpus, 3, 0.5).collect()
+    }
+    assert lsh == {(1, 2)}
