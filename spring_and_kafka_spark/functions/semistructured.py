@@ -21,7 +21,7 @@ from spring_and_kafka_spark.sources.tables import load_table
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS n_dims,
            array_to_string(list_transform(embedding[1:4],
-                                          x -> printf('%.4f', round(CAST(x AS DOUBLE), 4))),
+                                          x -> printf('%.4f', round(CAST(x AS DOUBLE), 4) + 0.0)),
                            ',') AS head4,
            round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS vsum,
            round(list_max(CAST(embedding AS DOUBLE[])), 4) AS vmax,
@@ -35,7 +35,9 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     string: the driver's value hasher cannot factorize list cells (same
     constraint as q_agg_collect). Elements are rendered with %.4f on both
     engines — a bare float→string cast is NOT cross-engine stable (Java
-    switches to scientific notation below 1e-3; DuckDB never does)."""
+    switches to scientific notation below 1e-3; DuckDB never does), and
+    +0.0 is added after rounding because the engines disagree on whether
+    a tiny negative rounds to -0.0 or +0.0 (printf renders the sign)."""
     e = load_table(spark, sf_dir, "embeddings")
     dbl = F.col("embedding").cast("array<double>")
     return e.select(
@@ -45,7 +47,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
             F.transform(
                 F.slice("embedding", 1, 4),
-                lambda x: F.format_string("%.4f", F.round(x.cast("double"), 4)),
+                lambda x: F.format_string("%.4f", F.round(x.cast("double"), 4) + 0.0),
             ),
         ).alias("head4"),
         F.round(

@@ -10,9 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from spring_and_kafka_spark.llm.dedup import q_dedup_clusters_lsh
 from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
 
 
 @register(
@@ -84,4 +86,77 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = q_dedup_clusters_lsh(spark, sf_dir)
     return cc.filter(F.col("doc_id") == F.col("component")).select(
         "doc_id", (F.col("doc_id") < 100000).alias("is_original")
+    )
+
+
+@register(
+    "q_corpus_budget",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_toks
+      FROM toks
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS budget_used
+    FROM cum WHERE cum_toks <= 2000 GROUP BY lang
+    """,
+)
+def q_corpus_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget capping per language — the standard corpus-mixing step
+    (each language/source gets a token allowance; docs admitted in a
+    deterministic order until the budget fills). One cumulative-sum window
+    per language partition, then a small aggregate; no join, no second
+    scan. At 100 TB the per-partition running sum shuffles each language
+    once — the same shape as any windowed aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return (
+        cum.filter(F.col("cum_toks") <= 2000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("budget_used"),
+        )
+    )
+
+
+@register(
+    "q_sample_stratified_hash",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < (CASE WHEN lang = 'en' THEN '1999' ELSE '8000' END)
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with per-stratum rates and NO
+    engine RNG: keep a doc when its key-digest prefix falls below the
+    stratum's hex threshold ('1999'/2^16 ≈ 10% for the over-represented
+    language, '8000' = 50% elsewhere). Same rows in any engine, pure
+    filter (pushes down, no shuffle before the final count) — the
+    reproducible down-sampling a corpus-mixing pipeline needs."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.when(F.col("lang") == "en", "1999").otherwise("8000")
+    return (
+        d.filter(prefix < thresh)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
     )

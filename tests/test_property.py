@@ -108,3 +108,42 @@ def test_cent_rounding_identity(x):
     # IEEE-arithmetic function — reproducible everywhere
     assert math.floor(x * 100 + 0.5) / 100 == math.floor(x * 100 + 0.5) / 100
     assert abs(math.floor(x * 100 + 0.5) / 100 - x) <= 0.005 + 1e-9 * x
+
+
+corpus_strategy = st.lists(
+    # docs over a 6-token vocabulary, 4-12 tokens long → shingle overlap is
+    # common, so exact pairs at many Jaccard levels arise
+    st.lists(st.sampled_from("abcdef"), min_size=4, max_size=12),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus_strategy)
+def test_lsh_verified_pairs_subset_of_exact_and_finds_planted(spark, data):
+    """Precision property: lsh_verified_pairs ⊆ exact pairs ALWAYS (exact
+    verification guarantees it regardless of banding luck). Recall
+    property: a planted J≈0.9 duplicate is always found (16×2 banding
+    miss probability at J≥0.9 is ~1e-10 — effectively deterministic)."""
+    from spring_and_kafka_spark.llm.dedup import (
+        lsh_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(data)]
+    # plant one high-J duplicate of doc 0: append one token
+    planted_id = 1000
+    docs.append((planted_id, docs[0][1] + " z"))
+    corpus = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    exact = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in ngram_jaccard_pairs(corpus, 3, 0.6).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in lsh_verified_pairs(corpus, 3, 0.6).collect()
+    }
+    assert lsh <= exact  # precision 1.0, including identical jaccard values
+    planted = {(a, b) for a, b, _ in exact if b == planted_id}
+    assert {(a, b) for a, b, _ in lsh if b == planted_id} >= planted
