@@ -12,68 +12,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from spring_and_kafka_spark.llm.dedup import q_dedup_clusters_lsh
+from spring_and_kafka_spark.llm.dedup import (
+    _CLUSTERS_PREFIX,
+    q_dedup_clusters_lsh,
+)
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
-
-@register(
-    "q_dedup_survivors",
-    oracle="""
-    WITH RECURSIVE corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '')
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 range(greatest(len(string_split(text, ' ')) - 2, 1)),
-                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
-               )) AS shingle
-        FROM corpus
-      )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    shj AS (
-      SELECT doc_id, shingle FROM sh
-      WHERE shingle NOT IN (
-        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 5000
-      )
-    ),
-    edges AS (
-      SELECT c.a_id, c.b_id
-      FROM (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      ) c
-      JOIN sizes sa ON sa.doc_id = c.a_id
-      JOIN sizes sb ON sb.doc_id = c.b_id
-      WHERE c.c / (sa.n + sb.n - c.c) >= 0.6
-    ),
-    sym AS (
-      SELECT a_id AS src, b_id AS dst FROM edges
-      UNION ALL
-      SELECT b_id, a_id FROM edges
-    ),
-    reach AS (
-      SELECT doc_id AS node, doc_id AS label FROM corpus
-      UNION
-      SELECT s.dst, r.label
-      FROM reach r JOIN sym s ON s.src = r.node
-      WHERE r.label < s.dst
-    ),
+# Same clustering CTEs as q_dedup_clusters{,_lsh} (single source of truth
+# in llm/dedup.py), with a representative-selection tail instead of the
+# full labeling.
+_SURVIVORS_ORACLE = (
+    _CLUSTERS_PREFIX
+    + """,
     comp AS (
       SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
       FROM reach GROUP BY node
     )
     SELECT doc_id, doc_id < 100000 AS is_original
     FROM comp WHERE doc_id = component
-    """,
+    """
 )
+
+
+@register("q_dedup_survivors", oracle=_SURVIVORS_ORACLE)
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduped corpus itself: one representative (min doc_id) per
     near-dup cluster — what a training run actually consumes after dedup.

@@ -40,10 +40,64 @@ _SIMHASH_BUCKET_CAP = 64  # LSH frequent-bucket guard (see q_dedup_simhash)
 # join rows, and such shingles are non-discriminative anyway). Far above
 # any fixture doc-frequency (max 50 at sf0.1) so it never fires at test
 # scale; at 100 TB it is what keeps the exact tool from going quadratic on
-# a stopword shingle. Mirrored verbatim in every oracle that self-joins
-# shingles — a capped shingle can only lower a pair's common count, so the
-# reported Jaccard is a lower bound when the cap fires.
+# a stopword shingle. Interpolated into every oracle that self-joins
+# shingles (single source of truth — see shingle_ctes_sql) — a capped
+# shingle can only lower a pair's common count, so the reported Jaccard is
+# a lower bound when the cap fires.
 _SHINGLE_DF_CAP = 5000
+_NGRAM_JACCARD = 0.6
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments. The cap/threshold constants and the
+# degenerate-text guard are load-bearing for Spark↔oracle hash equality, so
+# every oracle that shingles text composes these fragments instead of
+# hand-copying them.
+
+_PLANTED_CORPUS_SQL = """corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '')
+      FROM documents
+    )"""
+
+
+def shingle_ctes_sql(src: str = "corpus") -> str:
+    """CTEs mirroring shingles() + sizes + the df-cap filter over `src`.
+
+    The WHERE guard mirrors shingles()'s null/empty-text exclusion —
+    without it DuckDB fabricates one ''-shingle per empty doc (DuckDB
+    string_split('') is ['']) and would pair degenerate docs the Spark
+    side correctly ignores."""
+    return f"""sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
+               )) AS shingle
+        FROM {src} WHERE text IS NOT NULL AND text <> ''
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shj AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_SHINGLE_DF_CAP}
+      )
+    )"""
+
+
+_EDGES_SQL = f"""edges AS (
+      SELECT c.a_id, c.b_id
+      FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) c
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
+      WHERE c.c / (sa.n + sb.n - c.c) >= {_NGRAM_JACCARD}
+    )"""
 
 
 def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,30 +158,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_ngram",
-    oracle="""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '')
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 range(greatest(len(string_split(text, ' ')) - 2, 1)),
-                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
-               )) AS shingle
-        FROM corpus
-      )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    shj AS (
-      SELECT doc_id, shingle FROM sh
-      WHERE shingle NOT IN (
-        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 5000
-      )
-    ),
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_SQL},
+    {shingle_ctes_sql()},
     common AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
       FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -137,7 +170,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common
     JOIN sizes sa ON sa.doc_id = a_id
     JOIN sizes sb ON sb.doc_id = b_id
-    WHERE c / (sa.n + sb.n - c) >= 0.6
+    WHERE c / (sa.n + sb.n - c) >= {_NGRAM_JACCARD}
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +181,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard (mirrored in the oracle's shj CTE) bounds the join's worst case
     even here."""
     corpus = planted_corpus(spark, sf_dir)
-    return ngram_jaccard_pairs(corpus, n=3, threshold=0.6)
+    return ngram_jaccard_pairs(corpus, n=3, threshold=_NGRAM_JACCARD)
 
 
 def ngram_jaccard_pairs(
@@ -493,6 +526,7 @@ def connected_components(
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
     labels = materialize(labels)
+    prev = labels
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -514,6 +548,11 @@ def connected_components(
             )
             chk = materialize(updated)
             changed = chk.filter(F.col("__changed")).count()
+            # previous round's blocks are dead once chk is computed; on
+            # materialize's persist fallback (cluster without checkpoint
+            # dir) skipping this would stack one cached copy per round
+            prev.unpersist()
+            prev = chk
             labels = chk.drop("__changed")
             if changed == 0:
                 break
@@ -522,45 +561,17 @@ def connected_components(
     return labels
 
 
-# Shared by q_dedup_clusters (exact pair detection) and
-# q_dedup_clusters_lsh (LSH-candidates + exact verify): both compute the
+# Shared by q_dedup_clusters (exact pair detection), q_dedup_clusters_lsh
+# (LSH-candidates + exact verify) and q_dedup_survivors: all compute the
 # same clustering because the LSH banding is recall-1.0 over ≥0.6 pairs at
-# fixture scale (tests/test_pipeline.py asserts candidates ⊇ exact pairs).
-_CLUSTERS_ORACLE = """
-    WITH RECURSIVE corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '')
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 range(greatest(len(string_split(text, ' ')) - 2, 1)),
-                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
-               )) AS shingle
-        FROM corpus
-      )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    shj AS (
-      SELECT doc_id, shingle FROM sh
-      WHERE shingle NOT IN (
-        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 5000
-      )
-    ),
-    edges AS (
-      SELECT c.a_id, c.b_id
-      FROM (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-        FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      ) c
-      JOIN sizes sa ON sa.doc_id = c.a_id
-      JOIN sizes sb ON sb.doc_id = c.b_id
-      WHERE c.c / (sa.n + sb.n - c.c) >= 0.6
-    ),
+# fixture scale (tests assert candidates ⊇ exact pairs at sf0.001 AND the
+# driver's sf0.01). Note: reach seeds from the UNFILTERED corpus — docs
+# with null/empty text are singleton components on both engines (Spark's
+# nodes frame is also unfiltered; only shingling excludes them).
+_CLUSTERS_PREFIX = f"""
+    WITH RECURSIVE {_PLANTED_CORPUS_SQL},
+    {shingle_ctes_sql()},
+    {_EDGES_SQL},
     sym AS (
       SELECT a_id AS src, b_id AS dst FROM edges
       UNION ALL
@@ -572,10 +583,15 @@ _CLUSTERS_ORACLE = """
       SELECT s.dst, r.label
       FROM reach r JOIN sym s ON s.src = r.node
       WHERE r.label < s.dst
-    )
+    )"""
+
+_CLUSTERS_ORACLE = (
+    _CLUSTERS_PREFIX
+    + """
     SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
     FROM reach GROUP BY node
     """
+)
 
 
 @register("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)

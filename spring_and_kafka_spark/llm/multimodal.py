@@ -150,6 +150,7 @@ def deterministic_encoder(df: DataFrame, text_col: str, id_col: str) -> DataFram
     oracle="""
     WITH chars AS (
       SELECT doc_id, text, unnest(range(length(text))) AS i FROM documents
+      WHERE text IS NOT NULL AND text <> ''
     ),
     vals AS (
       SELECT doc_id, CAST(i AS INT) % 8 AS j,
@@ -178,8 +179,15 @@ def q_embed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so ascii(substring()) == the UTF-8 byte). The float32 cast in the
     oracle mirrors the encoder's ArrayType(FloatType()) schema — the
     quantization step (~6e-8) dwarfs cross-engine summation-order noise
-    (~1e-15), which makes round(·, 4) stable."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (~1e-15), which makes round(·, 4) stable. Null/empty text is excluded
+    on both sides: the Python encoder would crash on None (as a real
+    model's tokenizer would), and the oracle's range(length) would
+    silently emit no rows — filtering keeps the two in lockstep."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
     emb = deterministic_encoder(d, "text", "doc_id")
     return emb.select(
         "doc_id",

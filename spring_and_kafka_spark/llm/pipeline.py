@@ -18,8 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spring_and_kafka_spark.llm.dedup import (
+    _PLANTED_CORPUS_SQL,
     lsh_verified_pairs,
     planted_corpus,
+    shingle_ctes_sql,
 )
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -34,13 +36,8 @@ _PIPE_JACCARD = 0.6
 
 @register(
     "q_pipeline_curate",
-    oracle="""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '')
-      FROM documents
-    ),
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_SQL},
     quality AS (
       SELECT doc_id, text,
              len(string_split(text, ' ')) AS n_toks,
@@ -52,23 +49,7 @@ _PIPE_JACCARD = 0.6
       SELECT doc_id, text, n_toks FROM quality
       WHERE n_toks >= 30 AND stop_ratio <= 0.2
     ),
-    sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 range(greatest(len(string_split(text, ' ')) - 2, 1)),
-                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
-               )) AS shingle
-        FROM kept
-      )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    shj AS (
-      SELECT doc_id, shingle FROM sh
-      WHERE shingle NOT IN (
-        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 5000
-      )
-    ),
+    {shingle_ctes_sql("kept")},
     dup AS (
       SELECT c.a_id, c.b_id
       FROM (
@@ -78,7 +59,7 @@ _PIPE_JACCARD = 0.6
       ) c
       JOIN sizes sa ON sa.doc_id = c.a_id
       JOIN sizes sb ON sb.doc_id = c.b_id
-      WHERE c.c / (sa.n + sb.n - c.c) >= 0.6
+      WHERE c.c / (sa.n + sb.n - c.c) >= {_PIPE_JACCARD}
     ),
     survivors AS (
       SELECT k.doc_id, k.n_toks FROM kept k

@@ -355,13 +355,24 @@ def asof_join(
     oracle="""
     SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      -- one click per (user, ts): DuckDB's ASOF picks an unspecified row
+      -- among ties, so pin the same max-value survivor asof_join keeps
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY value DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase paired with the user's latest prior click
-    (oracled against DuckDB's native ASOF LEFT JOIN)."""
+    (oracled against DuckDB's native ASOF LEFT JOIN; the oracle pre-picks
+    the max-value click per (user, ts) to mirror asof_join's deterministic
+    duplicate-timestamp rule — native ASOF leaves ties unspecified)."""
     e = load_table(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"

@@ -49,9 +49,20 @@ def salted_join(
         raise ValueError(
             f"salted_join supports inner/left joins only, got how={how!r}"
         )
+    # hash only hashable column types (xxhash64 rejects MapType); exact
+    # duplicate rows still collapse onto one salt — if the hot key's rows
+    # are all identical the join is also trivially reducible upstream
+    # (aggregate the duplicates first), which is the right fix there
+    from pyspark.sql import types as T
+
+    hashable = [
+        f.name for f in fact.schema.fields if not isinstance(f.dataType, T.MapType)
+    ]
+    if not hashable:
+        raise ValueError("salted_join needs at least one non-map fact column")
     salted_fact = fact.withColumn(
         "__salt",
-        (F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])) % salt_buckets).cast("int"),
+        (F.abs(F.xxhash64(*[F.col(c) for c in hashable])) % salt_buckets).cast("int"),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
     salted_dim = dim.select("*", salts)

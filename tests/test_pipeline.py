@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from spring_and_kafka_spark.llm.pipeline import q_pipeline_curate
 from spring_and_kafka_spark.sources.tables import load_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_pipeline_removes_planted_keeps_originals(spark):
@@ -41,10 +41,15 @@ def test_pipeline_removes_planted_keeps_originals(spark):
     assert {r["lang"] for r in out} <= {"de", "en", "es", "fr", "zh"}
 
 
-def test_pipeline_lsh_candidates_cover_exact_pairs(spark):
+import pytest
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
+def test_pipeline_lsh_candidates_cover_exact_pairs(spark, sf_dir):
     """The hash-match argument for q_pipeline_curate rests on LSH candidate
     recall being 1.0 over the exact J≥0.6 pairs of the quality-filtered
-    corpus — assert exactly that (the 16×2 banding's job)."""
+    corpus — assert exactly that (the 16×2 banding's job) at BOTH the
+    smoke SF and the driver's verification SF (sf0.01)."""
     from spring_and_kafka_spark.llm.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -58,7 +63,7 @@ def test_pipeline_lsh_candidates_cover_exact_pairs(spark):
         _PIPE_ROWS_PER_BAND,
     )
 
-    corpus = planted_corpus(spark, SF_SMOKE)
+    corpus = planted_corpus(spark, sf_dir)
     toks = F.split("text", " ")
     kept = (
         corpus.select(
