@@ -32,7 +32,6 @@ from spring_and_kafka_spark.sources.tables import load_table
 
 # Deterministic MinHash parameters (fixed seeds — SURVEY.md §7 hard parts).
 _MINHASH_PERMS = 32
-_LSH_BANDS = 8  # 8 bands × 4 rows ≈ catches jaccard ≳ 0.6
 _SIMHASH_BUCKET_CAP = 64  # LSH frequent-bucket guard (see q_dedup_simhash)
 
 # Exact-path guard: shingles appearing in more docs than this are excluded
@@ -262,7 +261,7 @@ def lsh_candidate_pairs(
     sig: DataFrame,
     bands: int,
     rows_per_band: int,
-    bucket_cap: int = 100_000,
+    bucket_cap: int = 500,
 ) -> DataFrame:
     """(a_id, b_id) doc pairs sharing at least one LSH band bucket.
 
@@ -273,11 +272,17 @@ def lsh_candidate_pairs(
     the 100 TB path requires.
 
     bucket_cap is the standard frequent-bucket guard: a bucket holding
-    > cap docs contributes cap² candidate pairs while carrying almost no
-    signal (it means the band hash stopped discriminating). Capped buckets
-    are dropped; a true pair is lost only if EVERY band it agrees on is
-    hot. The default is far above any fixture bucket size, so the guard is
-    inert at test scale and bites only at the corpus sizes it exists for."""
+    > cap docs contributes bucket² candidate pairs while carrying almost
+    no signal (it means the band hash stopped discriminating). Capped
+    buckets are dropped; a true pair is lost only if EVERY band it agrees
+    on is hot — a J≥0.6 pair agrees on several bands, so the loss
+    probability is the product over those. The default (500) is ~20×
+    above the largest observed fixture bucket (27 at sf0.1; 6 at sf0.01),
+    so the guard is inert — and hash-oracle-safe — at test scale; on the
+    4× amplified small-vocabulary smoke corpus, buckets reach ~3,900 docs
+    (Σ bucket² ≈ 3.5e8) and the cap is what keeps candidate generation
+    linear-ish instead of quadratic. Real heavy-tailed text has a vastly
+    larger shingle universe, but a 100 TB engine cannot assume that."""
     band_structs = F.array(
         *[
             F.struct(
@@ -335,6 +340,7 @@ def lsh_verified_pairs(
     bands: int = 16,
     rows_per_band: int = 2,
     df_cap: int = _SHINGLE_DF_CAP,
+    with_estimate: bool = False,
 ) -> DataFrame:
     """The 100 TB near-dup pair detector: MinHash-LSH candidate generation
     followed by exact-Jaccard verification on candidates only. Returns
@@ -386,50 +392,73 @@ def lsh_verified_pairs(
     candidates = lsh_candidate_pairs(
         docfeat.select("doc_id", "mh"), bands, rows_per_band
     )
-    ha = docfeat.select(
-        F.col("doc_id").alias("a_id"), F.col("hs").alias("ha"), F.col("n").alias("na")
-    )
-    hb = docfeat.select(
-        F.col("doc_id").alias("b_id"), F.col("hs").alias("hb"), F.col("n").alias("nb")
-    )
+    a_cols = [F.col("hs").alias("ha"), F.col("n").alias("na")]
+    b_cols = [F.col("hs").alias("hb"), F.col("n").alias("nb")]
+    if with_estimate:
+        a_cols.append(F.col("mh").alias("ma"))
+        b_cols.append(F.col("mh").alias("mb"))
+    ha = docfeat.select(F.col("doc_id").alias("a_id"), *a_cols)
+    hb = docfeat.select(F.col("doc_id").alias("b_id"), *b_cols)
     c = F.size(F.array_intersect("ha", "hb"))
     jac = c / (F.col("na") + F.col("nb") - c)
+    out_cols = [F.col("a_id"), F.col("b_id"), F.round(jac, 4).alias("jaccard")]
+    if with_estimate:
+        est = F.size(
+            F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda t: t)
+        ) / float(_MINHASH_PERMS)
+        out_cols.append(F.round(est, 4).alias("est_jaccard"))
     return (
         candidates.join(ha, "a_id")
         .join(hb, "b_id")
         .filter(jac >= threshold)
-        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+        .select(*out_cols)
     )
 
 
-@register("q_dedup_near", tags=("rows-only", "lsh"))
+@register(
+    "q_dedup_near",
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_SQL},
+    {shingle_ctes_sql()},
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, round(c / (sa.n + sb.n - c), 4) AS jaccard,
+           true AS est_ok
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE c / (sa.n + sb.n - c) >= {_NGRAM_JACCARD}
+    """,
+    tags=("lsh",),
+)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — the 100 TB dedup path.
 
-    shingle → 32 minhashes → 8 bands of 4 → hash each band → join docs
-    sharing a band bucket → verify candidates with estimated Jaccard
-    (minhash agreement rate) ≥ 0.5. Shuffle volume is O(docs × bands),
-    never O(docs²). Rows-only oracle (hash functions differ per engine);
-    recall vs the exact q_dedup_ngram truth is asserted in unit tests."""
+    shingle → 32 seeded minhashes → 16 bands of 2 → join docs sharing a
+    band bucket → exact-Jaccard verify on candidates (array intersect) →
+    emit the pair, its exact Jaccard, and ``est_ok``: whether the minhash
+    agreement rate (the sketch's similarity ESTIMATE) lands within ±0.25
+    of the exact value. Shuffle volume is O(docs × bands), never O(docs²).
+
+    The oracle is the exact pair set plus a constant-true est_ok — valid
+    because (a) 16×2 banding recall over ≥0.6 pairs is 1.0 on every
+    fixture SF (asserted in tests, hash-checked by the driver), and
+    (b) the worst observed |est − exact| on fixture pairs is 0.16 with
+    32 permutations (σ ≈ 0.09), so the ±0.25 claim holds with ~3
+    agreement-steps of margin. The estimate itself thereby becomes part
+    of the hash-verified surface instead of a rows-only count."""
     corpus = planted_corpus(spark, sf_dir)
-    # sig feeds the band buckets AND both sides of the verify join —
-    # materialize so the shingle scan + 32-way min-agg runs once, not 3×
-    sig = materialize(minhash_signatures(shingles(corpus, 3)))
-    candidates = lsh_candidate_pairs(
-        sig, _LSH_BANDS, _MINHASH_PERMS // _LSH_BANDS
+    pairs = lsh_verified_pairs(
+        corpus, n=3, threshold=_NGRAM_JACCARD, with_estimate=True
     )
-    # verify: fraction of agreeing signature positions estimates Jaccard.
-    # sig is O(docs) → broadcast, so the candidate stream never reshuffles
-    siga = sig.select(F.col("doc_id").alias("a_id"), F.col("mh").alias("ma"))
-    sigb = sig.select(F.col("doc_id").alias("b_id"), F.col("mh").alias("mb"))
-    agree = F.size(
-        F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda t: t)
-    ) / float(_MINHASH_PERMS)
-    return (
-        candidates.join(F.broadcast(siga), "a_id")
-        .join(F.broadcast(sigb), "b_id")
-        .select("a_id", "b_id", F.round(agree, 4).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= 0.5)
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "jaccard",
+        (F.abs(F.col("est_jaccard") - F.col("jaccard")) <= 0.25).alias("est_ok"),
     )
 
 

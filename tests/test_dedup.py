@@ -31,19 +31,18 @@ def test_ngram_truth_finds_planted(spark):
 
 
 def test_minhash_lsh_recall_vs_exact(spark):
-    # recall vs the FULL exact truth (planted + organic pairs), not just
-    # planted: with properly seeded per-permutation hashes the 8×4 banding
-    # recovers essentially every J≥0.6 pair at fixture scale
+    # q_dedup_near's oracle argument: its LSH-candidates + exact-verify
+    # pair set must EQUAL the exact truth (16×2 banding recall 1.0), and
+    # the minhash estimate must sit within the claimed ±0.25 of exact
     truth = {
-        (r["a_id"], r["b_id"]) for r in q_dedup_ngram(spark, SF_SMOKE).collect()
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in q_dedup_ngram(spark, SF_SMOKE).collect()
     }
-    lsh = {
-        (r["a_id"], r["b_id"]) for r in q_dedup_near(spark, SF_SMOKE).collect()
-    }
-    recall = len(lsh & truth) / len(truth)
-    assert recall >= 0.95, f"MinHash-LSH recall {recall:.2f} too low"
-    planted_recall = len(planted_pairs(q_dedup_near(spark, SF_SMOKE).collect()))
-    assert planted_recall >= 450
+    rows = q_dedup_near(spark, SF_SMOKE).collect()
+    lsh = {(r["a_id"], r["b_id"], r["jaccard"]) for r in rows}
+    assert lsh == truth
+    assert all(r["est_ok"] for r in rows)
+    assert len(planted_pairs(rows)) >= 450
 
 
 def test_minhash_signature_estimates_jaccard(spark):

@@ -112,6 +112,48 @@ def build_scaled_fact(spark, factor: int, out: Path) -> None:
     )
 
 
+DOCS_QUERIES = [
+    "q_dedup_near",
+    "q_pipeline_curate",
+    "q_dedup_ngram",  # the declared-quadratic exact tool, for contrast
+    "q_text_repetition",
+    "q_text_tfidf",
+]
+
+
+def build_scaled_docs(spark, factor: int, out: Path) -> None:
+    """Amplify documents ×factor with a per-copy deterministic token
+    pseudo-shuffle: copies of the same doc share vocabulary but almost no
+    3-gram shingles (adjacency destroyed), so the TRUE near-dup pair count
+    grows ~linearly with the corpus (each copy pairs with its own planted
+    perturbation, not with sibling copies) — the right setup for measuring
+    dedup scaling. doc_id offset (k·5000) stays below the 100000 planted-
+    copy offset the dedup queries add."""
+    d = load_table(spark, BASE, "documents")
+    copies = spark.range(factor).select(F.col("id").alias("k"))
+    toks = F.split("text", " ")
+    keyed = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.xxhash64(F.concat(t, F.col("k").cast("string"))).alias("h"),
+            t.alias("t"),
+        ),
+    )
+    shuffled_text = F.concat_ws(
+        " ", F.transform(F.array_sort(keyed), lambda s: s.getField("t"))
+    )
+    scaled = d.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("k") * 5000).alias("doc_id"),
+        shuffled_text.alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    scaled.repartition(16).write.mode("overwrite").parquet(
+        str(out / "documents.parquet")
+    )
+
+
 def time_query(spark, fn, sf_dir: str) -> float:
     fn(spark, sf_dir).count()
     t0 = time.perf_counter()
@@ -158,6 +200,41 @@ def main() -> None:
         fn = specs[name].fn
         t1 = time_query(spark, fn, BASE)
         t2 = time_query(spark, fn, str(out))
+        ratio = t2 / t1 if t1 > 0 else float("inf")
+        print(f"| `{name}` | {t1:.2f} | {t2:.2f} | {ratio:.1f}× |")
+
+    docs_factor = 4
+    dout = Path("/tmp/sks-scale/sf-docs")
+    dout.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        if t != "documents":
+            link = dout / f"{t}.parquet"
+            if not link.exists():
+                os.symlink(f"{BASE}/{t}.parquet", link)
+    build_scaled_docs(spark, docs_factor, dout)
+    d_n = load_table(spark, BASE, "documents").count()
+    print(f"\n## Document-corpus amplification ×{docs_factor} "
+          f"({d_n:,} → {d_n * docs_factor:,} docs; copies token-shuffled so "
+          "true pair count stays ~linear)\n")
+    print("The LSH dedup family should track the corpus factor; the")
+    print("declared-quadratic exact n-gram tool is included as contrast —")
+    print("its ratio is expected to exceed the factor (that is WHY the LSH")
+    print("path exists; the exact tool is fenced as ground truth).\n")
+    print("Note on the frequent-bucket guard: this amplified corpus is")
+    print("adversarial for banding — the 31-token vocabulary bounds the")
+    print("shingle universe, so band signatures saturate (max bucket ~3,900")
+    print("docs vs 27 at sf0.1). The default bucket_cap=500 keeps candidate")
+    print("generation ~linear here at a measured cost of ~35% of planted")
+    print("pairs (their every agreeing band lands in a hot bucket); at the")
+    print("real fixture SFs the cap never fires and pair recall is exactly")
+    print("1.0 (hash-verified). Real heavy-tailed text sits between the two,")
+    print("far closer to the fixture regime.\n")
+    print("| query | 1× sec | {}× sec | ratio |".format(docs_factor))
+    print("|---|---|---|---|")
+    for name in DOCS_QUERIES:
+        fn = specs[name].fn
+        t1 = time_query(spark, fn, BASE)
+        t2 = time_query(spark, fn, str(dout))
         ratio = t2 / t1 if t1 > 0 else float("inf")
         print(f"| `{name}` | {t1:.2f} | {t2:.2f} | {ratio:.1f}× |")
 
