@@ -122,3 +122,59 @@ def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@register(
+    "q_text_redact",
+    oracle="""
+    WITH contact AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+                  || source || '.example.com or 555-'
+                  || CAST(doc_id % 10000 AS VARCHAR) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+')) AS INT)
+             + CAST(len(regexp_extract_all(raw, '555-[0-9]+')) AS INT) AS n_pii,
+           substring(regexp_replace(regexp_replace(raw,
+                       '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                       '555-[0-9]+', '<PHONE>', 'g'),
+                     greatest(length(regexp_replace(regexp_replace(raw,
+                       '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                       '555-[0-9]+', '<PHONE>', 'g')) - 39, 1), 40) AS tail
+    FROM contact
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every published training corpus
+    runs. The fixture text carries no PII, so a deterministic contact line
+    (synthetic email + phone derived from doc attributes) is appended
+    first; the operator then counts and redacts email/phone patterns with
+    plain regexes. Everything is a projection over the scan — no shuffle,
+    no UDF — and the redacted tail is emitted so the oracle verifies the
+    replacement text itself, not just the counts. (DuckDB regexp_replace
+    needs the 'g' flag to match Spark's replace-all default.)"""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or 555-"),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    email = r"[a-z0-9]+@[a-z0-9.]+"
+    phone = r"555-[0-9]+"
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all(raw, F.lit(email), F.lit(0)))
+        + F.size(F.regexp_extract_all(raw, F.lit(phone), F.lit(0)))
+    ).cast("int")
+    tail = F.substring(
+        clean, F.greatest(F.length(clean) - 39, F.lit(1)), F.lit(40)
+    )
+    return d.select("doc_id", n_pii.alias("n_pii"), tail.alias("tail"))
