@@ -68,3 +68,21 @@ def test_asof_join_is_single_window_pass(spark):
     # the unioned stream), not Join + rank
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert p.count("Window") >= 1
+
+
+def test_scan_only_text_ops_have_zero_exchanges(spark):
+    # q_text_repetition and q_text_redact claim to be pure projections
+    # over the scan — any Exchange in their plan means a regression
+    for name in ("q_text_repetition", "q_text_redact"):
+        p = plan(spark, name)
+        assert "Exchange" not in p, f"{name} plans a shuffle"
+
+
+def test_stratified_hash_sample_is_filter_plus_single_agg(spark):
+    # one partial/final agg pair (single shuffle), no join, no sort
+    from spring_and_kafka_spark.plans import count_shuffles
+
+    df = SPECS["q_sample_stratified_hash"].fn(spark, SF_SMOKE)
+    assert count_shuffles(df) <= 1
+    p = plan(spark, "q_sample_stratified_hash")
+    assert "Join" not in p and "Sort" not in p
