@@ -86,6 +86,21 @@ def shingle_ctes_sql(src: str = "corpus") -> str:
     )"""
 
 
+# The exact-pair tail shared verbatim by q_dedup_ngram and q_dedup_near
+# (near adds only the constant est_ok column via `extra_cols`).
+def pairs_select_sql(extra_cols: str = "") -> str:
+    return f"""common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, round(c / (sa.n + sb.n - c), 4) AS jaccard{extra_cols}
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE c / (sa.n + sb.n - c) >= {_NGRAM_JACCARD}"""
+
+
 _EDGES_SQL = f"""edges AS (
       SELECT c.a_id, c.b_id
       FROM (
@@ -160,16 +175,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PLANTED_CORPUS_SQL},
     {shingle_ctes_sql()},
-    common AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT a_id, b_id, round(c / (sa.n + sb.n - c), 4) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = a_id
-    JOIN sizes sb ON sb.doc_id = b_id
-    WHERE c / (sa.n + sb.n - c) >= {_NGRAM_JACCARD}
+    {pairs_select_sql()}
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,17 +426,7 @@ def lsh_verified_pairs(
     oracle=f"""
     WITH {_PLANTED_CORPUS_SQL},
     {shingle_ctes_sql()},
-    common AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-      FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT a_id, b_id, round(c / (sa.n + sb.n - c), 4) AS jaccard,
-           true AS est_ok
-    FROM common
-    JOIN sizes sa ON sa.doc_id = a_id
-    JOIN sizes sb ON sb.doc_id = b_id
-    WHERE c / (sa.n + sb.n - c) >= {_NGRAM_JACCARD}
+    {pairs_select_sql(extra_cols=", true AS est_ok")}
     """,
     tags=("lsh",),
 )

@@ -130,6 +130,11 @@ def build_scaled_docs(spark, factor: int, out: Path) -> None:
     dedup scaling. doc_id offset (k·5000) stays below the 100000 planted-
     copy offset the dedup queries add."""
     d = load_table(spark, BASE, "documents")
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    assert max_id < 5000 and factor * 5000 <= 100000, (
+        f"doc_id stride exhausted: max_id={max_id}, factor={factor} — ids "
+        "would collide with sibling copies or the +100000 planted offset"
+    )
     copies = spark.range(factor).select(F.col("id").alias("k"))
     toks = F.split("text", " ")
     keyed = F.transform(
