@@ -442,13 +442,18 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     h ← (h·1000003 + ascii(tok[0])·31 + len(tok)) mod 2^31-1. Same exact
     integer arithmetic both engines (values bounded « 2^63 → ANSI-safe)."""
     d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr().alias("fingerprint"))
+
+
+def fingerprint_expr(text_col: str = "text"):
+    """The rolling-hash fingerprint as a reusable Column (shared by
+    q_text_fingerprint and the streaming ingest dedup)."""
     tok_codes = F.transform(
-        F.split("text", " "),
+        F.split(text_col, " "),
         lambda t: (F.ascii(t) * 31 + F.length(t)).cast("long"),
     )
-    fp = F.aggregate(
+    return F.aggregate(
         tok_codes,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 1000003 + x) % 2147483647,
     )
-    return d.select("doc_id", fp.alias("fingerprint"))

@@ -214,3 +214,26 @@ def test_kafka_real_broker_roundtrip(spark, tmp_path):
     assert got.count() == n
     assert got.filter(~F.col("value").startswith("#")).count() == 0
     assert "headers" in got.columns
+
+
+def test_stream_curation_equals_batch(spark, tmp_path):
+    """Ingest-time curation: quality gate + stateful exact-content dedup
+    over a replayed document stream must match the batch run — surviving
+    fingerprint set and per-language counts identical, and every planted
+    exact duplicate (same text, doc_id+200000) collapses to one survivor."""
+    from spring_and_kafka_spark.streaming.curation import (
+        curate_stream,
+        read_document_stream,
+        stage_document_chunks,
+    )
+
+    stage = stage_document_chunks(spark, SF_SMOKE, str(tmp_path / "docs"))
+    stream = curate_stream(read_document_stream(spark, stage))
+    out = _drain(spark, stream, "append")
+    batch = curate_stream(spark.read.parquet(stage))
+    assert out.count() == batch.count()
+    s_fps = {r["fp"] for r in out.select("fp").collect()}
+    b_fps = {r["fp"] for r in batch.select("fp").collect()}
+    assert s_fps == b_fps
+    # each planted duplicate pair shares a fingerprint → one survivor per fp
+    assert out.groupBy("fp").count().filter(F.col("count") > 1).count() == 0
