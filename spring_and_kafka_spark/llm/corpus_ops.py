@@ -178,3 +178,82 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean, F.greatest(F.length(clean) - 39, F.lit(1)), F.lit(40)
     )
     return d.select("doc_id", n_pii.alias("n_pii"), tail.alias("tail"))
+
+
+@register(
+    "q_corpus_pack",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT lang, rn, n_toks, 0 AS bin, n_toks AS fill
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.rn, d.n_toks,
+             CASE WHEN p.fill + d.n_toks <= 1024 THEN p.bin ELSE p.bin + 1 END,
+             CASE WHEN p.fill + d.n_toks <= 1024 THEN p.fill + d.n_toks
+                  ELSE d.n_toks END
+      FROM pack p JOIN docs d ON d.lang = p.lang AND d.rn = p.rn + 1
+    )
+    SELECT lang,
+           CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_toks,
+           floor(sum(n_toks) / CAST((max(bin) + 1) * 1024 AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS fill_ratio
+    FROM pack GROUP BY lang
+    """,
+)
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: greedy next-fit of whole documents into
+    1024-token bins per language, in deterministic doc_id order — the
+    how-many-sequences / padding-waste accounting every pretraining run
+    needs. Packing is inherently sequential (each bin decision depends on
+    the previous fill), so the kernel is applyInPandas per language; the
+    oracle replays it as a DuckDB recursive CTE. At 100 TB a language
+    does not fit one executor — shard to (lang, hash-bucket) and pack per
+    shard (each shard's sequences are independent); the per-group kernel
+    is unchanged."""
+    import math
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        n_bins, fill = 0, None
+        for n in pdf["n_toks"]:
+            if fill is None:
+                n_bins, fill = 1, int(n)
+            elif fill + n <= 1024:
+                fill += int(n)
+            else:
+                n_bins += 1
+                fill = int(n)
+        total = int(pdf["n_toks"].sum())
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_bins": [n_bins],
+                "n_docs": [len(pdf)],
+                "total_toks": [total],
+                # floor-form rounding: Python round() is half-to-even and
+                # not cross-engine stable (registry docstring discipline)
+                "fill_ratio": [
+                    math.floor(total / (n_bins * 1024.0) * 10000 + 0.5) / 10000
+                ],
+            }
+        )
+
+    return toks.groupBy("lang").applyInPandas(
+        pack,
+        "lang STRING, n_bins BIGINT, n_docs BIGINT, total_toks BIGINT, "
+        "fill_ratio DOUBLE",
+    )
