@@ -257,3 +257,44 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang STRING, n_bins BIGINT, n_docs BIGINT, total_toks BIGINT, "
         "fill_ratio DOUBLE",
     )
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+             END AS scale
+      FROM e
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           round(scale, 6) AS q_scale,
+           CAST(list_sum(list_transform(v, x -> floor(x / scale + 0.5)))
+                AS BIGINT) AS q_sum
+    FROM scaled
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization — the 4× storage cut applied before an
+    embedding column ships to an ANN index at 100 TB: per-vector max-abs
+    scale, values mapped to [-127, 127]. The emitted q_sum is the exact
+    integer sum of all quantized components, so the oracle verifies every
+    quantized value, not just the scale. Rounding uses floor(x+0.5) (not
+    round()) — deterministic and identical in both engines for negatives.
+    Pure array expressions over the scan: no shuffle, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs == 0, F.lit(1.0)).otherwise(maxabs / 127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("long"))
+    q_sum = F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        F.round(scale, 6).alias("q_scale"),
+        q_sum.alias("q_sum"),
+    )
