@@ -217,45 +217,47 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not fit one executor — shard to (lang, hash-bucket) and pack per
     shard (each shard's sequences are independent); the per-group kernel
     is unchanged."""
-    import math
-
-    import pandas as pd
-
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        n_bins, fill = 0, None
-        for n in pdf["n_toks"]:
-            if fill is None:
-                n_bins, fill = 1, int(n)
-            elif fill + n <= 1024:
-                fill += int(n)
-            else:
-                n_bins += 1
-                fill = int(n)
-        total = int(pdf["n_toks"].sum())
-        return pd.DataFrame(
-            {
-                "lang": [pdf["lang"].iloc[0]],
-                "n_bins": [n_bins],
-                "n_docs": [len(pdf)],
-                "total_toks": [total],
-                # floor-form rounding: Python round() is half-to-even and
-                # not cross-engine stable (registry docstring discipline)
-                "fill_ratio": [
-                    math.floor(total / (n_bins * 1024.0) * 10000 + 0.5) / 10000
-                ],
-            }
-        )
-
     return toks.groupBy("lang").applyInPandas(
-        pack,
+        pack_kernel,
         "lang STRING, n_bins BIGINT, n_docs BIGINT, total_toks BIGINT, "
         "fill_ratio DOUBLE",
+    )
+
+
+def pack_kernel(pdf):
+    """Greedy next-fit packing over one group (module-level so tests can
+    property-check the exact production kernel against a brute force)."""
+    import math
+
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    n_bins, fill = 0, None
+    for n in pdf["n_toks"]:
+        if fill is None:
+            n_bins, fill = 1, int(n)
+        elif fill + n <= 1024:
+            fill += int(n)
+        else:
+            n_bins += 1
+            fill = int(n)
+    total = int(pdf["n_toks"].sum())
+    return pd.DataFrame(
+        {
+            "lang": [pdf["lang"].iloc[0]],
+            "n_bins": [n_bins],
+            "n_docs": [len(pdf)],
+            "total_toks": [total],
+            # floor-form rounding: Python round() is half-to-even and
+            # not cross-engine stable (registry docstring discipline)
+            "fill_ratio": [
+                math.floor(total / (n_bins * 1024.0) * 10000 + 0.5) / 10000
+            ],
+        }
     )
 
 

@@ -147,3 +147,53 @@ def test_lsh_verified_pairs_subset_of_exact_and_finds_planted(spark, data):
     assert lsh <= exact  # precision 1.0, including identical jaccard values
     planted = {(a, b) for a, b, _ in exact if b == planted_id}
     assert {(a, b) for a, b, _ in lsh if b == planted_id} >= planted
+
+
+pack_inputs = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(1, 1500)),  # (lang-id, n_toks)
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(pack_inputs)
+def test_corpus_pack_kernel_matches_brute_force(spark, data):
+    """q_corpus_pack's PRODUCTION kernel (imported, not copied) vs an
+    independent sequential reference: same bin counts per language for
+    arbitrary doc lengths, including docs longer than the 1024-token bin
+    (they occupy a bin alone)."""
+    from pyspark.sql import functions as F2
+
+    from spring_and_kafka_spark.llm.corpus_ops import pack_kernel
+
+    # brute force: greedy next-fit in doc_id order per lang
+    expect = {}
+    for lang in sorted({l for l, _ in data}):
+        sizes = [n for l, n in data if l == lang]
+        bins, fill = 0, None
+        for n in sizes:
+            if fill is None or fill + n > 1024:
+                bins, fill = bins + 1, n
+            else:
+                fill += n
+        expect[f"l{lang}"] = (bins, len(sizes), sum(sizes))
+
+    rows = [
+        (i, f"l{lang}", " ".join(["w"] * n)) for i, (lang, n) in enumerate(data)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    toks = docs.select(
+        "doc_id", "lang", F2.size(F2.split("text", " ")).alias("n_toks")
+    )
+    got = {
+        r["lang"]: (r["n_bins"], r["n_docs"], r["total_toks"])
+        for r in toks.groupBy("lang")
+        .applyInPandas(
+            pack_kernel,
+            "lang STRING, n_bins BIGINT, n_docs BIGINT, total_toks BIGINT, "
+            "fill_ratio DOUBLE",
+        )
+        .collect()
+    }
+    assert got == expect
