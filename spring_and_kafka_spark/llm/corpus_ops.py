@@ -211,52 +211,81 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: greedy next-fit of whole documents into
     1024-token bins per language, in deterministic doc_id order — the
     how-many-sequences / padding-waste accounting every pretraining run
-    needs. Packing is inherently sequential (each bin decision depends on
-    the previous fill), so the kernel is applyInPandas per language; the
-    oracle replays it as a DuckDB recursive CTE. At 100 TB a language
-    does not fit one executor — shard to (lang, hash-bucket) and pack per
-    shard (each shard's sequences are independent); the per-group kernel
-    is unchanged."""
+    needs. Packing is inherently sequential within a shard (each bin
+    decision depends on the previous fill), so the kernel is
+    applyInPandas per (lang, shard) — see :func:`corpus_pack` for the
+    100 TB decomposition. The oracle replays the packing as a DuckDB
+    recursive CTE; it stays exact because fixture doc_ids all fall in
+    shard 0, where sharded packing ≡ pure sequential packing."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
     )
-    return toks.groupBy("lang").applyInPandas(
+    return corpus_pack(toks)
+
+
+# Contiguous doc_id span per (lang, shard) packing group. Bins never span a
+# shard boundary, so each group packs independently and a group holds at
+# most _PACK_SHARD_DOCS rows — bounded executor memory regardless of how
+# many documents a language has.
+_PACK_SHARD_DOCS = 100_000
+
+
+def corpus_pack(toks: DataFrame, shard_docs: int = _PACK_SHARD_DOCS) -> DataFrame:
+    """Sharded next-fit packing over (doc_id, lang, n_toks) rows.
+
+    100 TB design: a whole language cannot sit in one executor's memory,
+    so documents are range-sharded by ``doc_id div shard_docs`` and packed
+    per (lang, shard) with the sequence-never-spans-a-shard rule. Shard
+    results are independent under next-fit, so the per-language totals are
+    plain sums — one applyInPandas over bounded groups plus one small
+    aggregate. Deterministic: shard assignment is pure arithmetic on
+    doc_id and packing order within a shard is doc_id order. fill_ratio is
+    computed from the aggregated sums JVM-side with the repo's floor-form
+    rounding (cross-engine stable, unlike Python round())."""
+    sharded = toks.withColumn("shard", F.expr(f"doc_id div {int(shard_docs)}"))
+    per_shard = sharded.groupBy("lang", "shard").applyInPandas(
         pack_kernel,
-        "lang STRING, n_bins BIGINT, n_docs BIGINT, total_toks BIGINT, "
-        "fill_ratio DOUBLE",
+        "lang STRING, shard BIGINT, n_bins BIGINT, n_docs BIGINT, "
+        "total_toks BIGINT",
+    )
+    agg = per_shard.groupBy("lang").agg(
+        F.sum("n_bins").alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_toks").alias("total_toks"),
+    )
+    fill_ratio = (
+        F.floor(
+            F.col("total_toks") / (F.col("n_bins") * 1024.0) * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return agg.select(
+        "lang", "n_bins", "n_docs", "total_toks", fill_ratio.alias("fill_ratio")
     )
 
 
 def pack_kernel(pdf):
-    """Greedy next-fit packing over one group (module-level so tests can
-    property-check the exact production kernel against a brute force)."""
-    import math
-
+    """Greedy next-fit packing over one (lang, shard) group (module-level
+    so tests can property-check the exact production kernel against a
+    brute force). Emits per-shard partials only; merging is a sum."""
     import pandas as pd
 
     pdf = pdf.sort_values("doc_id")
     n_bins, fill = 0, None
     for n in pdf["n_toks"]:
-        if fill is None:
-            n_bins, fill = 1, int(n)
-        elif fill + n <= 1024:
-            fill += int(n)
+        if fill is None or fill + int(n) > 1024:
+            n_bins, fill = n_bins + 1, int(n)
         else:
-            n_bins += 1
-            fill = int(n)
-    total = int(pdf["n_toks"].sum())
+            fill += int(n)
     return pd.DataFrame(
         {
             "lang": [pdf["lang"].iloc[0]],
+            "shard": [int(pdf["shard"].iloc[0])],
             "n_bins": [n_bins],
             "n_docs": [len(pdf)],
-            "total_toks": [total],
-            # floor-form rounding: Python round() is half-to-even and
-            # not cross-engine stable (registry docstring discipline)
-            "fill_ratio": [
-                math.floor(total / (n_bins * 1024.0) * 10000 + 0.5) / 10000
-            ],
+            "total_toks": [int(pdf["n_toks"].sum())],
         }
     )
 
@@ -274,7 +303,7 @@ def pack_kernel(pdf):
     )
     SELECT vec_id,
            CAST(len(v) AS INT) AS n_dims,
-           round(scale, 6) AS q_scale,
+           floor(scale * 1e6 + 0.5) / 1e6 AS q_scale,
            CAST(list_sum(list_transform(v, x -> floor(x / scale + 0.5)))
                 AS BIGINT) AS q_sum
     FROM scaled
@@ -297,6 +326,6 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(v).alias("n_dims"),
-        F.round(scale, 6).alias("q_scale"),
+        (F.floor(scale * 1e6 + F.lit(0.5)) / 1e6).alias("q_scale"),
         q_sum.alias("q_sum"),
     )

@@ -156,28 +156,33 @@ pack_inputs = st.lists(
 )
 
 
+def _next_fit(sizes):
+    """Independent sequential next-fit reference (bin count only)."""
+    bins, fill = 0, None
+    for n in sizes:
+        if fill is None or fill + n > 1024:
+            bins, fill = bins + 1, n
+        else:
+            fill += n
+    return bins
+
+
 @settings(max_examples=10, deadline=None)
 @given(pack_inputs)
-def test_corpus_pack_kernel_matches_brute_force(spark, data):
-    """q_corpus_pack's PRODUCTION kernel (imported, not copied) vs an
-    independent sequential reference: same bin counts per language for
-    arbitrary doc lengths, including docs longer than the 1024-token bin
-    (they occupy a bin alone)."""
+def test_corpus_pack_matches_brute_force(spark, data):
+    """q_corpus_pack's PRODUCTION path (corpus_pack, imported not copied)
+    vs an independent sequential reference: with every doc in one shard
+    (the fixture regime), sharded packing ≡ pure sequential next-fit per
+    language, for arbitrary doc lengths including docs longer than the
+    1024-token bin (they occupy a bin alone)."""
     from pyspark.sql import functions as F2
 
-    from spring_and_kafka_spark.llm.corpus_ops import pack_kernel
+    from spring_and_kafka_spark.llm.corpus_ops import corpus_pack
 
-    # brute force: greedy next-fit in doc_id order per lang
     expect = {}
     for lang in sorted({l for l, _ in data}):
         sizes = [n for l, n in data if l == lang]
-        bins, fill = 0, None
-        for n in sizes:
-            if fill is None or fill + n > 1024:
-                bins, fill = bins + 1, n
-            else:
-                fill += n
-        expect[f"l{lang}"] = (bins, len(sizes), sum(sizes))
+        expect[f"l{lang}"] = (_next_fit(sizes), len(sizes), sum(sizes))
 
     rows = [
         (i, f"l{lang}", " ".join(["w"] * n)) for i, (lang, n) in enumerate(data)
@@ -188,12 +193,44 @@ def test_corpus_pack_kernel_matches_brute_force(spark, data):
     )
     got = {
         r["lang"]: (r["n_bins"], r["n_docs"], r["total_toks"])
-        for r in toks.groupBy("lang")
-        .applyInPandas(
-            pack_kernel,
-            "lang STRING, n_bins BIGINT, n_docs BIGINT, total_toks BIGINT, "
-            "fill_ratio DOUBLE",
-        )
-        .collect()
+        for r in corpus_pack(toks).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(pack_inputs)
+def test_corpus_pack_shard_merge_equals_per_shard_sequential(spark, data):
+    """The sharded decomposition itself: with a tiny shard span (4 docs),
+    corpus_pack's per-language bin count equals the sum over contiguous
+    shards of sequential next-fit applied to that shard alone — i.e.
+    shard-merge ≡ per-shard sequential packing, and the sharded total
+    never undercounts the unsharded sequential packing."""
+    from pyspark.sql import functions as F2
+
+    from spring_and_kafka_spark.llm.corpus_ops import corpus_pack
+
+    shard_docs = 4
+    expect = {}
+    for lang in sorted({l for l, _ in data}):
+        pairs = [(i, n) for i, (l, n) in enumerate(data) if l == lang]
+        by_shard = {}
+        for i, n in pairs:
+            by_shard.setdefault(i // shard_docs, []).append(n)
+        bins = sum(_next_fit(sizes) for sizes in by_shard.values())
+        expect[f"l{lang}"] = bins
+        # sanity on the decomposition: forced breaks can only add bins
+        assert bins >= _next_fit([n for _, n in pairs])
+
+    rows = [
+        (i, f"l{lang}", " ".join(["w"] * n)) for i, (lang, n) in enumerate(data)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    toks = docs.select(
+        "doc_id", "lang", F2.size(F2.split("text", " ")).alias("n_toks")
+    )
+    got = {
+        r["lang"]: r["n_bins"]
+        for r in corpus_pack(toks, shard_docs=shard_docs).collect()
     }
     assert got == expect
