@@ -32,3 +32,21 @@ def materialize(df: DataFrame) -> DataFrame:
     pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
     pinned.count()
     return pinned
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Raise a starved plan to the session's default parallelism before
+    CPU-heavy per-row work (shingling, hashing, wide aggregation).
+
+    Small inputs scan into one or two splits (a 10k-doc fixture parquet
+    is a single file well under maxPartitionBytes), so everything
+    downstream of the scan runs on 1-2 of the session's cores. At real
+    scale the scan already yields ≥ cores splits and this is a no-op —
+    the repartition only fires when the current partition count is below
+    defaultParallelism, so it never ADDS a shuffle on a 100 TB input.
+    Row order changes; callers must be order-insensitive (per-key
+    aggregation, joins) — every caller here is."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from spring_and_kafka_spark.exec_utils import materialize
+from spring_and_kafka_spark.exec_utils import materialize, spread
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -204,7 +204,7 @@ def ngram_jaccard_pairs(
     # sh feeds four consumers (join sides + sizes + the df filter):
     # materialize once so the corpus scan + shingle expansion doesn't rerun
     # per consumer — ~20% wall-clock at sf0.1.
-    sh = materialize(shingles(corpus, n))
+    sh = materialize(shingles(spread(corpus), n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = (
         sh.groupBy("shingle")
@@ -268,6 +268,7 @@ def lsh_candidate_pairs(
     bands: int,
     rows_per_band: int,
     bucket_cap: int = 500,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(a_id, b_id) doc pairs sharing at least one LSH band bucket.
 
@@ -288,7 +289,16 @@ def lsh_candidate_pairs(
     4× amplified small-vocabulary smoke corpus, buckets reach ~3,900 docs
     (Σ bucket² ≈ 3.5e8) and the cap is what keeps candidate generation
     linear-ish instead of quadratic. Real heavy-tailed text has a vastly
-    larger shingle universe, but a 100 TB engine cannot assume that."""
+    larger shingle universe, but a 100 TB engine cannot assume that.
+
+    Pass ``stats`` (a dict) to get cap observability: it is filled with
+    ``hot_buckets`` (band-buckets dropped by the cap) and
+    ``docs_in_hot_buckets`` (Σ bucket sizes over those). Oracle-verified
+    callers use this to assert the cap was inert (hot_buckets == 0) on
+    the data they ran — without it, drift into the saturated regime would
+    surface only as an opaque hash mismatch (ADVICE r2). Cheap: bucket
+    memberships are materialized here anyway so the candidate self-join
+    doesn't recompute the signature subtree per side."""
     band_structs = F.array(
         *[
             F.struct(
@@ -306,15 +316,25 @@ def lsh_candidate_pairs(
             for i in range(bands)
         ]
     )
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # materialize bucket memberships: the candidate generation self-joins
+    # this table against itself, and without the cut the whole signature
+    # subtree (corpus scan → shingles → wide min-agg) would execute once
+    # per join side
+    buckets = materialize(
+        sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
     )
-    cool = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") <= bucket_cap)
-        .select("band", "bucket")
-    )
+    counts = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    cool = counts.filter(F.col("n") <= bucket_cap).select("band", "bucket")
+    if stats is not None:
+        hot = counts.filter(F.col("n") > bucket_cap).agg(
+            F.count("*").alias("k"), F.sum("n").alias("d")
+        ).first()
+        stats["hot_buckets"] = int(hot["k"] or 0)
+        stats["docs_in_hot_buckets"] = int(hot["d"] or 0)
     buckets = buckets.join(F.broadcast(cool), ["band", "bucket"])
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -347,6 +367,8 @@ def lsh_verified_pairs(
     rows_per_band: int = 2,
     df_cap: int = _SHINGLE_DF_CAP,
     with_estimate: bool = False,
+    bucket_cap: int = 500,
+    stats: dict | None = None,
 ) -> DataFrame:
     """The 100 TB near-dup pair detector: MinHash-LSH candidate generation
     followed by exact-Jaccard verification on candidates only. Returns
@@ -364,25 +386,41 @@ def lsh_verified_pairs(
     signature over the full shingle set, the exact full-set size, and the
     df-capped shingle-hash array for verification (collect_set skips the
     NULLs the when() assigns to hot shingles) — instead of three separate
-    shuffles over the corpus-sized shingle table."""
-    sh = materialize(shingles(corpus, n))
+    shuffles over the corpus-sized shingle table.
+
+    Shingle strings are hashed to 64-bit ``s64`` immediately after the
+    explode, so everything downstream — the materialized shingle table,
+    the hot-shingle groupBy, the 32 permutation hashes (xxhash64 over an
+    8-byte long instead of a variable-length string, ×32 per row), and
+    the verification sets — moves fixed-width longs, not text. Hash
+    collisions between distinct shingles are the only semantic delta vs
+    string identity (P ≈ (#distinct shingles)²/2⁶⁵; ~1e-10 at sf0.1) and
+    would only perturb one candidate's Jaccard by one count; the string
+    formulation stays the oracle's ground truth.
+
+    ``bucket_cap``/``stats`` pass through to lsh_candidate_pairs — see
+    its docstring; oracle-backed callers assert stats['hot_buckets'] == 0
+    so a fired cap is an explicit signal, not a silent recall loss."""
+    sh = materialize(
+        shingles(spread(corpus), n).select(
+            "doc_id", F.xxhash64("shingle").alias("s64")
+        )
+    )
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy("s64")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > df_cap)
-        .select("shingle", F.lit(True).alias("__hot"))
+        .select("s64", F.lit(True).alias("__hot"))
     )
-    shx = sh.join(F.broadcast(hot), "shingle", "left")
+    shx = sh.join(F.broadcast(hot), "s64", "left")
     docfeat = shx.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("s64"))).alias(f"mh{i}")
             for i in range(_MINHASH_PERMS)
         ],
         F.count("*").alias("n"),
         F.sort_array(
-            F.collect_set(
-                F.when(F.col("__hot").isNull(), F.xxhash64("shingle"))
-            )
+            F.collect_set(F.when(F.col("__hot").isNull(), F.col("s64")))
         ).alias("hs"),
     )
     # docfeat feeds candidate generation AND both verify-join sides —
@@ -396,7 +434,11 @@ def lsh_verified_pairs(
         )
     )
     candidates = lsh_candidate_pairs(
-        docfeat.select("doc_id", "mh"), bands, rows_per_band
+        docfeat.select("doc_id", "mh"),
+        bands,
+        rows_per_band,
+        bucket_cap=bucket_cap,
+        stats=stats,
     )
     a_cols = [F.col("hs").alias("ha"), F.col("n").alias("na")]
     b_cols = [F.col("hs").alias("hb"), F.col("n").alias("nb")]
@@ -458,7 +500,73 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_simhash", tags=("rows-only",))
+# The 32 per-bit sign contributions of a shingle's hash, derived from the
+# first 8 hex chars of md5(shingle): bit i = bit (i mod 4) of hex digit
+# (i div 4). md5 is byte-identical in Spark and DuckDB and digit→int via
+# position-in-'0123456789abcdef' uses only 1-based instr/strpos and integer
+# div/mod — every step replays exactly in both engines, which is what turns
+# the simhash from a rows-only check into a full hash oracle (xxhash64 has
+# no DuckDB counterpart).
+_HEX = "0123456789abcdef"
+
+
+def _simhash_bit_spark(i: int) -> str:
+    return (
+        f"(((instr('{_HEX}', substring(m, {i // 4 + 1}, 1)) - 1)"
+        f" div {2 ** (i % 4)}) % 2)"
+    )
+
+
+def _simhash_bit_duck(i: int) -> str:
+    return (
+        f"(((strpos('{_HEX}', substring(m, {i // 4 + 1}, 1)) - 1)"
+        f" // {2 ** (i % 4)}) % 2)"
+    )
+
+
+_SIMHASH_ORACLE = f"""
+    WITH {_PLANTED_CORPUS_SQL},
+    {shingle_ctes_sql()},
+    hx AS (SELECT doc_id, md5(shingle) AS m FROM sh),
+    s AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN {_simhash_bit_duck(i)} = 1 THEN 1 ELSE -1 END)"
+                 f" AS s{i}"
+                 for i in range(32)
+             )}
+      FROM hx GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             {" + ".join(
+                 f"(CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END)"
+                 for i in range(32)
+             )} AS fp
+      FROM s
+    ),
+    bb AS (
+      SELECT doc_id, fp, band, (fp >> (8 * band)) & 255 AS bucket
+      FROM (SELECT doc_id, fp, unnest([0, 1, 2, 3]) AS band FROM fp)
+    ),
+    cool AS (
+      SELECT band, bucket FROM bb
+      GROUP BY band, bucket HAVING count(*) <= {_SIMHASH_BUCKET_CAP}
+    ),
+    bbc AS (
+      SELECT bb.doc_id, bb.fp, bb.band, bb.bucket
+      FROM bb JOIN cool USING (band, bucket)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM bbc a
+    JOIN bbc b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+
+@register("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit fingerprint = sign-aggregate of per-shingle
     hash bits; candidates from 4 bands of 8 bits (pigeonhole: Hamming ≤ 3
@@ -469,19 +577,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-discriminative (the tiny fixture vocabulary concentrates
     fingerprints) and would make the candidate self-join quadratic — they
     are dropped, the standard LSH frequent-bucket guard. A pair is missed
-    only if ALL FOUR of its chunks land in hot buckets. Rows-only oracle."""
+    only if ALL FOUR of its chunks land in hot buckets.
+
+    Fully hash-oracled (was rows-only through round 2): the per-shingle
+    hash is md5-hex-digit arithmetic — see _simhash_bit_spark/_duck —
+    instead of xxhash64, so DuckDB replays fingerprinting, banding,
+    capping, and Hamming verification bit-for-bit."""
     import functools
     import operator
 
     corpus = planted_corpus(spark, sf_dir)
-    sh = shingles(corpus, 3)
+    sh = shingles(spread(corpus), 3)
     # wide form: one groupBy with 32 sum-aggregates (sign contribution per
     # bit) instead of a 32× explode — map-side partial sums keep shuffle
     # volume at O(docs), independent of shingle count
-    base = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    base = sh.select("doc_id", F.md5("shingle").alias("m"))
     bit_aggs = [
         F.sum(
-            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            F.when(F.expr(_simhash_bit_spark(i)) == 1, 1).otherwise(-1)
         ).alias(f"s{i}")
         for i in range(32)
     ]
@@ -500,8 +613,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(4)
         ]
     )
-    bb = fp.select("doc_id", "fp", F.explode(chunks).alias("c")).select(
-        "doc_id", "fp", F.col("c.band").alias("band"), F.col("c.bucket").alias("bucket")
+    # materialized: feeds the cap census AND both sides of the candidate
+    # self-join — without the cut the 32-agg fingerprint subtree would
+    # execute three times
+    bb = materialize(
+        fp.select("doc_id", "fp", F.explode(chunks).alias("c")).select(
+            "doc_id",
+            "fp",
+            F.col("c.band").alias("band"),
+            F.col("c.bucket").alias("bucket"),
+        )
     )
     cool = (
         bb.groupBy("band", "bucket")

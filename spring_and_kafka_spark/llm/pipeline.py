@@ -78,11 +78,24 @@ _PIPE_JACCARD = 0.6
     FROM tagged GROUP BY lang
     """,
 )
-def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pipeline_curate(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int = 500,
+    lsh_stats: dict | None = None,
+) -> DataFrame:
     """Curate a corpus end-to-end: (1) quality-filter (≥30 tokens, stopword
     ratio ≤0.2), (2) remove near-duplicates (3-gram Jaccard ≥0.6, keep the
     lower doc_id — drops the planted perturbed copies), (3) report the
     surviving token budget per language.
+
+    ``bucket_cap``/``lsh_stats`` expose the dedup stage's frequent-bucket
+    guard at the pipeline entry point (ADVICE r2 / VERDICT r2 #8): the cap
+    trades candidate-generation cost for recall once buckets saturate
+    (inert on every fixture SF — asserted via lsh_stats in tests; ~35%
+    planted-pair loss only on the adversarial small-vocab smoke corpus,
+    SCALE_SMOKE.md). Callers tuning a real corpus pass lsh_stats={} and
+    alert on hot_buckets > 0 rather than discovering recall loss later.
 
     Stage shapes at 100 TB: quality is a scan-only projection; dedup is
     MinHash-LSH candidate generation (shuffle O(docs × bands)) + exact
@@ -114,6 +127,8 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_PIPE_JACCARD,
         bands=_PIPE_BANDS,
         rows_per_band=_PIPE_ROWS_PER_BAND,
+        bucket_cap=bucket_cap,
+        stats=lsh_stats,
     )
     dup_victims = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     survivors = kept.join(dup_victims, "doc_id", "left_anti")

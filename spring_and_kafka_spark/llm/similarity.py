@@ -436,29 +436,71 @@ def q_sim_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_lsh_bucket", tags=("rows-only", "lsh"))
+# Integer hyperplane component for (plane j, dimension i), both 0-based:
+# a small fixed pseudo-random pattern in [-8, 8]. Integers on purpose —
+# the quantized dot product below is exact integer arithmetic, so the
+# sign (the LSH bit) is identical in any engine regardless of float
+# summation order. DuckDB's list_transform index is 1-BASED, hence (i-1)
+# on the SQL side.
+_LSH_PLANE_DUCK = "((((i - 1) * 7 + {j} * 13) % 17) - 8)"
+
+_SIM_LSH_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id,
+             {" + ".join(
+                 "(CASE WHEN list_sum(list_transform(qv, (x, i) -> x * "
+                 + _LSH_PLANE_DUCK.format(j=j)
+                 + f")) > 0 THEN {1 << j} ELSE 0 END)"
+                 for j in range(8)
+             )} AS bucket
+      FROM e
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_vectors
+    FROM sig GROUP BY bucket
+    """
+
+
+@register("q_sim_lsh_bucket", oracle=_SIM_LSH_ORACLE, tags=("lsh",))
 def q_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 8-bit signature per vector from
-    sign(v·r_j) over 8 deterministic pseudo-random hyperplanes (derived
-    from dimension index — fixed seed). Returns bucket histogram; the
-    bucket id co-partitions similar vectors so a 100 TB ANN search joins
-    per-bucket instead of all-pairs. Rows-only oracle (sign thresholds are
-    float-sensitive at the margin)."""
+    sign(qv·r_j) over 8 deterministic pseudo-random integer hyperplanes.
+    Returns the bucket histogram; the bucket id co-partitions similar
+    vectors so a 100 TB ANN search joins per-bucket instead of all-pairs.
+
+    Fully hash-oracled (was rows-only through round 2): vectors are
+    quantized to integers (floor(x·1000 + 0.5) — exact and identical in
+    both engines) and the hyperplanes are integer-valued, so every dot
+    product is exact integer arithmetic and the sign bits cannot drift
+    with float summation order — the only reason the original
+    sin-hyperplane formulation was unverifiable. Quantization at 3
+    decimals moves a bit only for |v·r| < 1e-2·‖r‖₁ relative noise,
+    irrelevant for bucketing quality."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # hyperplane j component i = sin(i*7 + j*13) — deterministic, no data dependence
-    planes = [
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda i, j=j: F.sin(i * 7 + F.lit(j * 13)),
-        )
-        for j in range(8)
-    ]
-    sig = e
+    qv = F.transform(
+        F.col("v"), lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long")
+    )
+
+    def plane_term(j: int):
+        # Spark's transform index is 0-based; mirrors _LSH_PLANE_DUCK's
+        # (i-1) on the 1-based DuckDB side. (A closure, not a default
+        # arg — PySpark derives lambda arity from the parameter count.)
+        return lambda x, i: x * (((i * 7 + F.lit(j * 13)) % 17) - 8)
+
     total = F.lit(0)
-    for j, plane in enumerate(planes):
-        bit = (dot(F.col("v"), plane) > 0).cast("int") * (1 << j)
-        total = total + bit
-    sig = e.select("vec_id", total.alias("bucket"))
+    for j in range(8):
+        dot_j = F.aggregate(
+            F.transform(qv, plane_term(j)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        total = total + (dot_j > 0).cast("int") * (1 << j)
+    sig = e.select("vec_id", total.cast("long").alias("bucket"))
     return sig.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
