@@ -13,8 +13,33 @@ Two layers of defense at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _content_salt(df: DataFrame, salt_buckets: int, salt_on: Column | None) -> Column:
+    """Deterministic salt in [0, salt_buckets).
+
+    Derived from ``salt_on`` when the caller supplies a distinguishing
+    column (a unique id, an event timestamp — anything that varies WITHIN
+    a hot key), else from a content hash of all hashable columns. The
+    content fallback degrades when a hot key's rows are byte-identical:
+    they all map to one salt and the spread silently collapses back to a
+    hot-key join — which is why callers with any unique-ish column should
+    pass it, and why salted_join exposes ``stats`` to detect exactly this
+    (ADVICE r2 #5)."""
+    if salt_on is not None:
+        return (F.abs(F.xxhash64(salt_on)) % salt_buckets).cast("int")
+    from pyspark.sql import types as T
+
+    hashable = [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, T.MapType)
+    ]
+    if not hashable:
+        raise ValueError("salting needs at least one non-map column")
+    return (
+        F.abs(F.xxhash64(*[F.col(c) for c in hashable])) % salt_buckets
+    ).cast("int")
 
 
 def salted_join(
@@ -24,6 +49,8 @@ def salted_join(
     dim_key: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_on: Column | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Equi-join with salted keys: fact rows get a deterministic salt in
     [0, salt_buckets); dim rows are replicated across every salt value, so
@@ -38,32 +65,46 @@ def salted_join(
     unmatched dim row would surface once per salt replica (salt_buckets
     duplicates), which no post-filter can repair without a second pass.
 
-    The salt is derived from the fact row's own content (xxhash64 over all
-    columns), never from monotonically_increasing_id(): a positional salt
-    changes on task retry/stage recomputation, which can drop or duplicate
-    rows mid-shuffle — the classic nondeterministic-repartition hazard.
-    Content-hashing keeps retries bit-identical; rows identical in every
-    column get the same salt, which only narrows spreading for exact
-    duplicate rows."""
+    The salt is derived from the fact row's own content (or the
+    caller-supplied ``salt_on`` column — prefer that whenever any column
+    varies within the hot key), never from monotonically_increasing_id():
+    a positional salt changes on task retry/stage recomputation, which can
+    drop or duplicate rows mid-shuffle — the classic nondeterministic-
+    repartition hazard. Content-hashing keeps retries bit-identical; rows
+    identical in every column get the same salt, which only narrows
+    spreading for exact duplicate rows.
+
+    Pass ``stats`` (a dict) to measure whether the spread actually
+    happened: it is filled with ``hottest_key_rows`` (row count of the
+    largest fact key) and ``hottest_key_salts`` (how many distinct salts
+    that key landed on). hottest_key_rows ≫ hottest_key_salts·(rows/task
+    budget) — or salts stuck at 1 — means the salt column is degenerate
+    for the hot key and a better ``salt_on`` is needed. Costs one extra
+    aggregation job over the fact side; leave None in production paths."""
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
             f"salted_join supports inner/left joins only, got how={how!r}"
         )
-    # hash only hashable column types (xxhash64 rejects MapType); exact
-    # duplicate rows still collapse onto one salt — if the hot key's rows
-    # are all identical the join is also trivially reducible upstream
-    # (aggregate the duplicates first), which is the right fix there
-    from pyspark.sql import types as T
-
-    hashable = [
-        f.name for f in fact.schema.fields if not isinstance(f.dataType, T.MapType)
-    ]
-    if not hashable:
-        raise ValueError("salted_join needs at least one non-map fact column")
+    # exact duplicate rows still collapse onto one salt under the content
+    # fallback — if the hot key's rows are all identical the join is also
+    # trivially reducible upstream (aggregate the duplicates first), which
+    # is the right fix there
     salted_fact = fact.withColumn(
-        "__salt",
-        (F.abs(F.xxhash64(*[F.col(c) for c in hashable])) % salt_buckets).cast("int"),
+        "__salt", _content_salt(fact, salt_buckets, salt_on)
     )
+    if stats is not None:
+        hot = (
+            salted_fact.groupBy(fact_key)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("__salt").alias("n_salts"),
+            )
+            .orderBy(F.desc("n_rows"), fact_key)
+            .limit(1)
+            .collect()
+        )
+        stats["hottest_key_rows"] = int(hot[0]["n_rows"]) if hot else 0
+        stats["hottest_key_salts"] = int(hot[0]["n_salts"]) if hot else 0
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
     salted_dim = dim.select("*", salts)
     joined = salted_fact.join(
@@ -76,16 +117,16 @@ def salted_join(
 
 
 def salted_group_count(
-    df: DataFrame, key: str, salt_buckets: int = 16
+    df: DataFrame, key: str, salt_buckets: int = 16, salt_on: Column | None = None
 ) -> DataFrame:
     """Two-phase aggregation for a skewed group key: count per
     (key, salt) first — spreading the hot key across partitions — then
     re-aggregate per key. (Spark's partial aggregation already does this
     for algebraic aggregates; the explicit form matters for aggregates
-    without map-side partials, e.g. exact collect/distinct shapes.)"""
-    salted = df.withColumn(
-        "__salt",
-        (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salt_buckets).cast("int"),
-    )
+    without map-side partials, e.g. exact collect/distinct shapes.)
+    ``salt_on``: same contract as salted_join — pass any column that
+    varies within the hot key to keep the spread effective when rows are
+    otherwise byte-identical."""
+    salted = df.withColumn("__salt", _content_salt(df, salt_buckets, salt_on))
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").alias("n"))

@@ -42,6 +42,42 @@ def test_salted_join_rejects_outer(spark):
             salted_join(orders, customer, "o_custkey", "c_custkey", how=how)
 
 
+def test_salted_join_salt_on_and_stats_detect_degeneracy(spark):
+    """Byte-identical hot-key rows collapse to ONE salt under the content
+    fallback (the degradation ADVICE r2 flagged); stats must expose it,
+    and a caller-supplied salt_on column must restore the spread — with
+    results identical in all cases."""
+    # hot key 1: 200 byte-identical rows + a distinguishing id column
+    rows = [(1, "same") for _ in range(200)] + [(k, f"v{k}") for k in range(2, 12)]
+    fact = (
+        spark.createDataFrame(rows, "k INT, payload STRING")
+        .withColumn("row_id", F.monotonically_increasing_id())
+    )
+    # freeze row_id so the salt derived from it is retry-stable for the test
+    fact = fact.localCheckpoint(eager=True)
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 12)], "dk INT, d STRING")
+
+    # content fallback: payload identical → hottest key lands on 1 salt
+    s1: dict = {}
+    r1 = salted_join(
+        fact.select("k", "payload"), dim, "k", "dk", salt_buckets=8, stats=s1
+    )
+    assert s1["hottest_key_rows"] == 200
+    assert s1["hottest_key_salts"] == 1  # degraded — exactly the hazard
+
+    # salt_on a distinguishing column: the hot key spreads
+    s2: dict = {}
+    r2 = salted_join(
+        fact, dim, "k", "dk", salt_buckets=8, salt_on=F.col("row_id"), stats=s2
+    )
+    assert s2["hottest_key_rows"] == 200
+    assert s2["hottest_key_salts"] > 4  # 200 rows over 8 buckets
+
+    plain = fact.join(dim, fact.k == dim.dk)
+    for r in (r1, r2):
+        assert r.count() == plain.count() == 210
+
+
 def test_salted_group_count_equals_plain(spark):
     orders = load_table(spark, SF_SMOKE, "orders")
     plain = {
