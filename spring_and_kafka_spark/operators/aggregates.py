@@ -90,6 +90,44 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered third in this module (definition order = registration order)
+# so it sits inside the round-3 driver window: its struct-key max_by and
+# rewritten row_number oracle landed in the round-2 diff AFTER that
+# round's window was fixed, so the new oracle had no driver validation
+# (ADVICE r2 #1).
+@register(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS best_order,
+           round(o_totalprice, 2) AS best_total
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax aggregation (max_by): each customer's highest-value order.
+
+    The ordering key is a (price, key) struct — exact lexicographic
+    comparison at any scale. (An arithmetic fold like price*1e6+key is
+    order-preserving only while keys stay below the price granularity;
+    beyond ~10k orderkeys a big key could outvote a higher price.) DuckDB's
+    arg_max has no composite-key overload, so the oracle states the same
+    semantics as a row_number window over (price DESC, key DESC)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("best_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_total"),
+    )
+
+
 @register(
     "q_agg_global",
     oracle="""
@@ -209,39 +247,6 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_linestatus").agg(
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-    )
-
-
-@register(
-    "q_agg_argmax",
-    oracle="""
-    SELECT o_custkey, o_orderkey AS best_order,
-           round(o_totalprice, 2) AS best_total
-    FROM (
-        SELECT o_custkey, o_orderkey, o_totalprice,
-               row_number() OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY o_totalprice DESC, o_orderkey DESC
-               ) AS rn
-        FROM orders
-    ) WHERE rn = 1
-    """,
-)
-def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """argmax aggregation (max_by): each customer's highest-value order.
-
-    The ordering key is a (price, key) struct — exact lexicographic
-    comparison at any scale. (An arithmetic fold like price*1e6+key is
-    order-preserving only while keys stay below the price granularity;
-    beyond ~10k orderkeys a big key could outvote a higher price.) DuckDB's
-    arg_max has no composite-key overload, so the oracle states the same
-    semantics as a row_number window over (price DESC, key DESC)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_custkey").agg(
-        F.max_by(
-            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
-        ).alias("best_order"),
-        F.round(F.max("o_totalprice"), 2).alias("best_total"),
     )
 
 

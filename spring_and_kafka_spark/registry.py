@@ -56,29 +56,35 @@ def _load_all_modules() -> None:
 
     Registration order is deliberate: the driver verifies a fixed-size
     prefix of the registry each round, so modules whose queries still lack
-    a driver-green CORRECTNESS row register first. Round 1 verified the
-    relational/join/window/aggregate families; round 2 rotates the LLM-data
-    operators, semistructured/UDF/timeseries/sampling/analytics queries to
-    the front, followed by the two reshaped aggregates (q_agg_approx /
-    q_agg_collect, first in their module, landing at window slots 48-49).
-    The streaming batch-twins and scalar-function tail rotate into the
-    window next round."""
-    import spring_and_kafka_spark.llm.dedup  # noqa: F401
+    a driver-green CORRECTNESS row register first. Rounds 1-2 greened the
+    relational/join/window/aggregate families and the LLM-data/
+    semistructured/UDF/timeseries/sampling/analytics set. Round 3 rotates
+    the last never-verified entries to the front — llm.corpus_ops (6),
+    streaming.batch_equiv (3), functions.scalar tail (9) — together with
+    the three queries converted this round from rows-only to full SQL
+    oracles (q_dedup_simhash, q_sim_lsh_bucket, q_sample_seeded) and the
+    two whose oracles were rewritten in the round-2 diff after that
+    round's window froze (q_join_asof at slot 47, q_agg_argmax at 50).
+    NOTE: llm.corpus_ops imports llm.dedup, so dedup's 7 queries register
+    first (slots 1-7) regardless of this list's textual order; the window
+    is exactly slots 1-50 = dedup 7 + corpus_ops 6 + batch_equiv 3 +
+    scalar 10 + similarity 6 + sampling 3 + joins 12 + aggregates'
+    first 3."""
+    import spring_and_kafka_spark.llm.corpus_ops  # noqa: F401  (pulls llm.dedup first)
+    import spring_and_kafka_spark.streaming.batch_equiv  # noqa: F401
+    import spring_and_kafka_spark.functions.scalar  # noqa: F401
     import spring_and_kafka_spark.llm.similarity  # noqa: F401
+    import spring_and_kafka_spark.operators.sampling  # noqa: F401
+    import spring_and_kafka_spark.operators.joins  # noqa: F401
+    import spring_and_kafka_spark.operators.aggregates  # noqa: F401
     import spring_and_kafka_spark.llm.text  # noqa: F401
     import spring_and_kafka_spark.llm.multimodal  # noqa: F401
     import spring_and_kafka_spark.llm.pipeline  # noqa: F401
     import spring_and_kafka_spark.functions.semistructured  # noqa: F401
     import spring_and_kafka_spark.operators.udfs  # noqa: F401
     import spring_and_kafka_spark.operators.timeseries  # noqa: F401
-    import spring_and_kafka_spark.operators.sampling  # noqa: F401
     import spring_and_kafka_spark.operators.analytics  # noqa: F401
-    import spring_and_kafka_spark.operators.aggregates  # noqa: F401
-    import spring_and_kafka_spark.llm.corpus_ops  # noqa: F401
-    import spring_and_kafka_spark.streaming.batch_equiv  # noqa: F401
-    import spring_and_kafka_spark.functions.scalar  # noqa: F401
     import spring_and_kafka_spark.operators.relational  # noqa: F401
-    import spring_and_kafka_spark.operators.joins  # noqa: F401
     import spring_and_kafka_spark.operators.windows  # noqa: F401
 
 

@@ -4,7 +4,11 @@ Runs every registered query on Spark and its DuckDB oracle at the given
 scale factor, compares row count, column names, and an order-insensitive
 multiset of normalized values. Run before every milestone commit:
 
-    python tools/selfcheck.py [--vanilla] [sf_dir] [query ...]
+    python tools/selfcheck.py [--vanilla] [--json out.json] [sf_dir] [query ...]
+
+--json writes a per-query result artifact (the full-registry sweep is
+committed each round as SELFCHECK_r{N}.json so oracle changes are provably
+validated beyond the driver's 50-slot window — ADVICE r2 #1).
 
 --vanilla uses a default-config SparkSession (200 shuffle partitions, no
 tuning) — the same kind of session the driver uses — instead of the
@@ -54,6 +58,11 @@ def main() -> int:
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
     args = [a for a in args if a != "--vanilla"]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -77,6 +86,16 @@ def main() -> int:
         spark = get_spark("selfcheck")
     specs = registry.all_specs()
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows=None, secs=None, detail=None):
+        results[name] = {
+            "status": status,
+            "rows": rows,
+            "secs": round(secs, 2) if secs is not None else None,
+            "detail": detail,
+        }
+
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
@@ -87,9 +106,11 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            record(name, "spark_error", detail=str(exc)[:300])
             print(f"FAIL {name}: spark error: {exc}")
             continue
         if spec.oracle is None:
+            record(name, "rows_only", rows=len(srows), secs=time.time() - t0)
             print(f"ok   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
@@ -98,14 +119,17 @@ def main() -> int:
             orows = ores.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            record(name, "duckdb_error", detail=str(exc)[:300])
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
         if sorted(scols) != sorted(ocols):
             failures.append(name)
+            record(name, "schema_mismatch", detail=f"{sorted(scols)} vs {sorted(ocols)}")
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
             continue
         if len(srows) != len(orows):
             failures.append(name)
+            record(name, "rowcount_mismatch", detail=f"{len(srows)} vs {len(orows)}")
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(orows)}")
             continue
         order = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -115,11 +139,29 @@ def main() -> int:
         if sset != oset:
             failures.append(name)
             diff = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
+            record(name, "value_mismatch", rows=len(srows), detail=str(diff)[:300])
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             continue
+        record(name, "hash_match", rows=len(srows), secs=time.time() - t0)
         print(f"ok   {name}: {len(srows)} rows hash-match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "vanilla": vanilla,
+                    "n_queries": len(results),
+                    "n_failures": len(failures),
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
