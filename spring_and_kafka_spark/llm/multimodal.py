@@ -194,3 +194,53 @@ def q_embed_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
     )
+
+
+@register(
+    "q_multimodal_framesample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(octet_length(encode(text)) % 60 + 1 AS INT) AS duration_s,
+             CAST((octet_length(encode(text)) * 3) % 30 + 1 AS INT) AS fps
+      FROM documents
+    )
+    SELECT doc_id, duration_s, fps,
+           CAST(duration_s AS BIGINT) AS n_frames_sampled,
+           CAST(list_sum(list_transform(
+                  generate_series(0, duration_s - 1), i -> i * fps
+                )) AS BIGINT) AS idx_checksum
+    FROM meta
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: from each payload's stub metadata
+    (duration seconds, frames/sec), pick one frame per second of video —
+    frame index i*fps for i in [0, duration) — and emit the sample-plan
+    accounting (count + index checksum). The real decoder slots into the
+    same mapInPandas seam as q_multimodal_decode; the PLAN is pure column
+    arithmetic and stays JVM-side.
+
+    Shape at 100 TB: a projection — no shuffle at all. The index list is
+    built per-row with sequence/transform and reduced immediately
+    (aggregate), so nothing wider than one row's frame plan ever
+    materializes; output stays scalar for the driver hasher."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length(F.encode("text", "UTF-8")).cast("long")
+    duration = (n % 60 + 1).cast("int")
+    fps = ((n * 3) % 30 + 1).cast("int")
+    idx = F.transform(
+        F.sequence(F.lit(0), duration.cast("long") - 1),
+        lambda i: i * fps.cast("long"),
+    )
+    checksum = F.aggregate(
+        idx, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        duration.alias("duration_s"),
+        fps.alias("fps"),
+        duration.cast("long").alias("n_frames_sampled"),
+        checksum.alias("idx_checksum"),
+    )

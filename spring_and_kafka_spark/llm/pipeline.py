@@ -142,3 +142,61 @@ def q_pipeline_curate(
         F.sum("n_toks").alias("total_tokens"),
         F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
     )
+
+
+# Target mixture for training-corpus assembly: (lang, weight). Literal on
+# both engines; weights sum to 1.
+_MIX_WEIGHTS = (("en", 0.5), ("fr", 0.15), ("es", 0.15), ("de", 0.1), ("zh", 0.1))
+
+
+@register(
+    "q_corpus_mix",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+      FROM documents GROUP BY lang
+    ),
+    w(lang, weight) AS (
+      VALUES {", ".join(f"('{l}', CAST({w} AS DOUBLE))" for l, w in _MIX_WEIGHTS)}
+    ),
+    total AS (SELECT sum(n_toks) AS t FROM avail)
+    SELECT a.lang, a.n_toks, w.weight,
+           CAST(floor(total.t * w.weight) AS BIGINT) AS target_toks,
+           floor(floor(total.t * w.weight) * 1.0 / a.n_toks * 10000 + 0.5)
+             / 10000 AS epochs
+    FROM avail a JOIN w ON a.lang = w.lang CROSS JOIN total
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture accounting: given target language weights and the
+    tokens actually available per language, how many tokens each language
+    contributes to a corpus-sized budget and how many passes (epochs) over
+    that language's data it takes — >1 means upsampling/repeats, <1 means
+    subsampling. The budget is the corpus's own total token count, so the
+    query is self-contained on the fixtures.
+
+    Shape at 100 TB: one groupBy(lang) over the corpus (map-side combined,
+    ~5 result rows), a scalar total, and a broadcast join against the
+    literal weight table — the corpus is scanned once, everything after is
+    driver-trivial. All ratios floor-form rounded (cross-engine stable)."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_toks")
+    )
+    w = d.sparkSession.createDataFrame(
+        list(_MIX_WEIGHTS), "lang STRING, weight DOUBLE"
+    )
+    total = avail.agg(F.sum("n_toks").alias("t"))
+    target = F.floor(F.col("t") * F.col("weight")).cast("long")
+    out = (
+        avail.join(F.broadcast(w), "lang")
+        .crossJoin(F.broadcast(total))
+        .withColumn("target_toks", target)
+    )
+    epochs = (
+        F.floor(F.col("target_toks") / F.col("n_toks") * 10000 + F.lit(0.5))
+        / 10000
+    )
+    return out.select(
+        "lang", "n_toks", "weight", "target_toks", epochs.alias("epochs")
+    )

@@ -457,3 +457,60 @@ def fingerprint_expr(text_col: str = "text"):
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 1000003 + x) % 2147483647,
     )
+
+
+@register(
+    "q_text_dup_fraction",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                 i -> array_to_string(string_split(text, ' ')[i + 1 : i + 3], ' ')
+               )) AS shingle
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+      )
+    ),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           floor(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*) * 10000 + 0.5) / 10000 AS dup_frac
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def q_text_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a doc's distinct
+    3-gram shingles that occur in at least one OTHER document — the
+    Gopher/RefinedWeb-style corpus-overlap quality signal (docs made of
+    boilerplate score near 1, unique prose near 0).
+
+    Shape at 100 TB: shingle explode → one groupBy(shingle) for document
+    frequency (map-side combined; the df table is shuffled once on the
+    shingle key, where the explode already hash-partitions) → join back →
+    per-doc aggregate. No self-join, no pair enumeration — cost is
+    O(total shingles), unlike the dedup family's candidate generation.
+    Shingles stay strings here (not s64-hashed) so the DuckDB oracle
+    replays the grouping exactly; the hot path q_dedup_* family is where
+    the fixed-width optimization pays."""
+    from spring_and_kafka_spark.llm.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingles(d, 3)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    dup_frac = F.floor(
+        F.sum((F.col("df") >= 2).cast("int"))
+        / F.count("*")
+        * 10000
+        + F.lit(0.5)
+    ) / 10000
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            dup_frac.alias("dup_frac"),
+        )
+    )

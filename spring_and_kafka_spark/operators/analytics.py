@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -174,4 +175,86 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("week") - F.col("cohort_week")).cast("int").alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, event_id,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_id
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id, count(*) AS n_events
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a user's events belong to one session
+    until a >30-minute silence; report per-user session count, event
+    count, and largest session.
+
+    Timestamps compare as exact integer microseconds (unix_micros /
+    epoch_us) on both engines — no float epoch seconds, no truncation
+    ambiguity. One shuffle on user_id; the lag window, the running
+    session-id sum, and both aggregations all reuse that partitioning
+    (the (user_id, sess_id) groupBy is a prefix-compatible re-agg, and
+    partial aggregation keeps the final per-user rollup map-side). At
+    100 TB this is the canonical sessionize shape: no self-join, state
+    bounded by one user's events per partition, AQE free to coalesce."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w)
+    marked = e.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(prev.isNull() | (us - prev > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    # the running sum numbers sessions in the SAME total order the
+    # boundaries were computed in — (us, event_id) is unique, so the
+    # cumulative sum is deterministic and groups rows to the session
+    # opened by the boundary immediately before them
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    numbered = marked.select(
+        "user_id", "event_id", F.sum("new_sess").over(w2).alias("sess_id")
+    )
+    per_sess = numbered.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
     )

@@ -13,8 +13,10 @@ Two layers of defense at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.registry import register
 
 
 def _content_salt(df: DataFrame, salt_buckets: int, salt_on: Column | None) -> Column:
@@ -130,3 +132,48 @@ def salted_group_count(
     salted = df.withColumn("__salt", _content_salt(df, salt_buckets, salt_on))
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").alias("n"))
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join, driver-verified: salted_join must produce
+    EXACTLY the plain join's result — the oracle is the unsalted SQL join,
+    so the salt/replicate/strip machinery is hash-checked end-to-end on
+    real fixture data, not just unit-tested.
+
+    o_orderkey is the salt_on column (unique per fact row → maximal
+    spread even for byte-identical payloads). At 100 TB this is the shape
+    for a hot-key fact-to-dim join AQE's skew handling can't fix (e.g. a
+    single key above the partition-size ceiling): dim replicated
+    salt_buckets×, fact spread across (key, salt) sub-partitions, one
+    shuffle each side, result identical to the plain join by
+    construction."""
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        orders,
+        customer,
+        "o_custkey",
+        "c_custkey",
+        salt_buckets=8,
+        salt_on=F.col("o_orderkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+            "revenue"
+        ),
+    )

@@ -178,3 +178,36 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+           floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles, percent_rank, cume_dist over
+    order value WITHIN each priority class. Partitioned by a bounded key on
+    purpose — a single global ntile is a one-partition sort at 100 TB; the
+    scalable form computes distribution stats per partition key (or uses
+    approx percentiles for global cuts). Ties broken by o_orderkey so the
+    frame order is total; both rank ratios are exact rationals of row
+    counts, floor-form rounded at 1e-6 on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        (F.floor(F.percent_rank().over(w) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5)) / 1e6).alias("cume"),
+    )

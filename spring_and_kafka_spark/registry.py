@@ -86,6 +86,10 @@ def _load_all_modules() -> None:
     import spring_and_kafka_spark.operators.analytics  # noqa: F401
     import spring_and_kafka_spark.operators.relational  # noqa: F401
     import spring_and_kafka_spark.operators.windows  # noqa: F401
+    # round-3 additions register strictly AFTER the 50-slot window prefix
+    import spring_and_kafka_spark.operators.skew  # noqa: F401
+    import spring_and_kafka_spark.streaming.slide  # noqa: F401
+    import spring_and_kafka_spark.operators.sketches  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -25,6 +25,7 @@ from .conftest import SF_CORRECT, SF_SMOKE
 # Queries whose oracle embeds a constant-true claim column.
 CLAIM_QUERIES = {
     "q_agg_approx": "within_tol",
+    "q_agg_hll_rollup": "within_tol",
     "q_dedup_near": "est_ok",
     "q_sample_seeded": "within_ci",
 }

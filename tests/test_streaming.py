@@ -162,7 +162,7 @@ def test_kafka_headers_surface_in_read_schema(spark):
     from spring_and_kafka_spark.streaming.kafka import kafka_available, read_stream
 
     if not kafka_available(spark):
-        pytest.skip("spark-sql-kafka connector not on classpath")
+        pytest.skip("connector jar missing: org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>")
     with_headers = read_stream(spark, include_headers=True)
     assert "headers" in with_headers.columns
     without = read_stream(spark, include_headers=False)
@@ -183,7 +183,7 @@ def test_kafka_real_broker_roundtrip(spark, tmp_path):
     )
 
     if not kafka_available(spark):
-        pytest.skip("spark-sql-kafka connector not on classpath")
+        pytest.skip("connector jar missing: org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>")
     if not _broker_reachable():
         pytest.skip("no Kafka broker at localhost:9092")
 
@@ -237,3 +237,22 @@ def test_stream_curation_equals_batch(spark, tmp_path):
     assert s_fps == b_fps
     # each planted duplicate pair shares a fingerprint → one survivor per fp
     assert out.groupBy("fp").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_sessionize_summary_consistent_with_session_rows(spark):
+    """q_sessionize (per-user summary) must agree with q_stream_session
+    (per-session rows) — same gap rule, two independent formulations."""
+    from spring_and_kafka_spark.operators.analytics import q_sessionize
+    from spring_and_kafka_spark.streaming.batch_equiv import q_stream_session
+
+    summary = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+        for r in q_sessionize(spark, SF_SMOKE).collect()
+    }
+    per_user: dict = {}
+    for r in q_stream_session(spark, SF_SMOKE).collect():
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    rebuilt = {
+        u: (len(v), sum(v), max(v)) for u, v in per_user.items()
+    }
+    assert summary == rebuilt

@@ -29,6 +29,7 @@ SECTIONS = {
         "q_join_full",
         "q_join_semi", "q_join_anti", "q_join_theta", "q_join_cross", "q_join_range",
         "q_join_multi", "q_join_asof", "q_subquery_scalar", "q_subquery_in",
+        "q_join_salted",
     ],
     "§2.4 aggregations": [
         "q_agg_global", "q_agg_group", "q_agg_distinct", "q_agg_approx",
@@ -36,10 +37,11 @@ SECTIONS = {
         "q_agg_bool",
         "q_agg_having",
         "q_rollup", "q_rollup_grouping", "q_cube", "q_grouping_sets", "q_pivot", "q_fn_decimal",
+        "q_agg_hll_rollup",
     ],
     "§2.5 windows": [
         "q_win_rank", "q_win_lag", "q_win_dist", "q_win_frame_rows",
-        "q_win_frame_range", "q_topk_per_group", "q_gapfill",
+        "q_win_frame_range", "q_topk_per_group", "q_gapfill", "q_win_ntile",
     ],
     "§2.6 sorts/limits/set ops": [
         "q_sort", "q_limit", "q_union", "q_intersect", "q_except",
@@ -51,9 +53,10 @@ SECTIONS = {
     ],
     "§2.8 streaming (batch twins)": [
         "q_stream_tumble", "q_stream_session", "q_rollup_hier",
+        "q_stream_slide",
     ],
     "event analytics composites": [
-        "q_funnel", "q_retention", "q_ts_simsearch",
+        "q_funnel", "q_retention", "q_ts_simsearch", "q_sessionize",
     ],
     "§2.9 UDF surface": [
         "q_udf_scalar", "q_udf_pandas", "q_udf_grouped_agg", "q_udf_grouped_map",
@@ -71,6 +74,9 @@ SECTIONS = {
     "§2.10 extensions (round 2): scale-path dedup + corpus curation": [
         "q_dedup_clusters_lsh", "q_dedup_survivors", "q_text_repetition",
         "q_corpus_budget", "q_sample_stratified_hash", "q_text_redact", "q_corpus_pack", "q_embed_quantize",
+    ],
+    "§2.10 extensions (round 3): corpus analysis + mixture + media plans": [
+        "q_text_dup_fraction", "q_corpus_mix", "q_multimodal_framesample",
     ],
 }
 
@@ -140,6 +146,7 @@ seeded RNG) or probabilistic (LSH banding recall):
 | `q_dedup_near.est_ok` | minhash estimate within ±0.25 of exact Jaccard | worst observed 0.16 (σ≈0.09) |
 | `q_dedup_near` + `q_dedup_clusters_lsh` + `q_dedup_survivors` + `q_pipeline_curate` | 16×2 LSH banding recall = 1.0 vs exact pairs | per-pair miss p≈2e-5 at J≥0.6 |
 | `q_sample_seeded.within_ci` | seeded sample count within 4σ+1 of n·p | false-fail p≈6e-5 per stratum |
+| `q_agg_hll_rollup.within_tol` | Datasketches HLL daily rollup within ±5% of exact | ~1.6% RSE at lgConfigK=12 (>3σ margin) |
 
 These are EMPIRICAL FIXTURE PROPERTIES, not guarantees. They are pinned in
 `tests/test_rows_only_rigor.py` and `tests/test_dedup.py` at every SF the
