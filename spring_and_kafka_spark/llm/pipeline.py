@@ -200,3 +200,51 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lang", "n_toks", "weight", "target_toks", epochs.alias("epochs")
     )
+
+
+@register(
+    "q_corpus_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) from the md5 digest
+    of the document key — the same doc lands in the same split in any
+    engine, any run, any cluster size, with no shuffle and no RNG state
+    (the q_sample_hash_threshold recipe extended to disjoint buckets:
+    hex prefixes < 'cd' (205/256), < 'e6' (230/256), rest).
+
+    Shape at 100 TB: the split tag is a pure projection that pushes down
+    with the scan; the per-(lang, split) accounting is one map-side-
+    combined groupBy with ~15 result rows. Assigning the split at read
+    time — rather than materializing three copies — is the curation-
+    pipeline default; writers that need physical separation partition by
+    the tag column (sources/files.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(pfx < "cd", "train").when(pfx < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_toks"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_toks"))
+    )

@@ -132,3 +132,71 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey IN (SELECT o_custkey FROM orders_in WHERE o_totalprice > 4800)
         """
     )
+
+
+_EWMA_ALPHA = 0.2
+
+
+@register(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, value, rn,
+             CAST(value AS DOUBLE) AS ewma
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             {_EWMA_ALPHA} * s.value + {1 - _EWMA_ALPHA} * r.ewma
+      FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value,
+           floor(ewma * 1e6 + 0.5) / 1e6 AS ewma
+    FROM r
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event value (α=0.2) — the
+    classic sequential-state smoothing operator SQL windows cannot express
+    (each row depends on the previous OUTPUT, not a frame of inputs).
+
+    Kernel: applyInPandas per user, recurrence y_i = αx_i + (1-α)y_{i-1}
+    in IEEE double — the DuckDB oracle replays the identical recurrence as
+    a recursive CTE, so the doubles agree bit-for-bit before the floor-form
+    rounding. Shape at 100 TB: one shuffle on user_id, per-group state is
+    one float; a key whose history exceeds a task decomposes by time-range
+    shards whose partials compose associatively — shard result =
+    (local ewma, (1-α)^len decay factor), folded left-to-right — the same
+    partial-merge discipline as corpus_pack's (lang, shard) split."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = np.empty(len(pdf), dtype=np.float64)
+        y = 0.0
+        for i, x in enumerate(pdf["value"].to_numpy(dtype=np.float64)):
+            y = x if i == 0 else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * y
+            out[i] = y
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "ewma": np.floor(out * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        kernel, "user_id LONG, event_id LONG, value DOUBLE, ewma DOUBLE"
+    )

@@ -19,11 +19,19 @@ def formatted_plan(df: DataFrame) -> str:
 
 def count_shuffles(df: DataFrame) -> int:
     """Number of shuffle exchanges (hash/range repartitions; broadcast
-    exchanges excluded — they ship a small table, not the data)."""
+    exchanges excluded — they ship a small table, not the data).
+
+    Counts formatted-mode operator headers ``(n) Exchange`` — the node
+    name is exactly ``Exchange`` for shuffles and ``BroadcastExchange``
+    for broadcasts, so the word-bounded match excludes the latter. (The
+    previous implementation grepped the simple-mode rendering ``Exchange
+    hashpartitioning(...)``, which never occurs in formatted output — it
+    returned 0 for every plan and made the shuffle-count assertions
+    vacuous.)"""
+    import re
+
     plan = formatted_plan(df)
-    return plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange rangepartitioning"
-    )
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def has_node(df: DataFrame, node_name: str) -> bool:

@@ -86,3 +86,29 @@ def test_stratified_hash_sample_is_filter_plus_single_agg(spark):
     assert count_shuffles(df) <= 1
     p = plan(spark, "q_sample_stratified_hash")
     assert "Join" not in p and "Sort" not in p
+
+
+def test_sessionize_single_shuffle(spark):
+    # lag window, running-sum window, (user, sess) agg and per-user agg all
+    # reuse ONE hash partitioning on user_id — HashPartitioning(user_id)
+    # satisfies ClusteredDistribution(user_id, sess_id), so EnsureRequirements
+    # inserts exactly one Exchange for the whole pipeline
+    from spring_and_kafka_spark.plans import count_shuffles
+
+    df = SPECS["q_sessionize"].fn(spark, SF_SMOKE)
+    assert count_shuffles(df) == 1
+
+
+def test_corpus_split_is_scan_plus_single_agg(spark):
+    # split tag is a projection over the scan; one shuffle for the final agg
+    from spring_and_kafka_spark.plans import count_shuffles
+
+    df = SPECS["q_corpus_split"].fn(spark, SF_SMOKE)
+    assert count_shuffles(df) <= 1
+
+
+def test_framesample_plan_has_no_shuffle(spark):
+    from spring_and_kafka_spark.plans import count_shuffles
+
+    df = SPECS["q_multimodal_framesample"].fn(spark, SF_SMOKE)
+    assert count_shuffles(df) == 0

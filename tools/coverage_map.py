@@ -57,6 +57,7 @@ SECTIONS = {
     ],
     "event analytics composites": [
         "q_funnel", "q_retention", "q_ts_simsearch", "q_sessionize",
+        "q_ts_ewma",
     ],
     "§2.9 UDF surface": [
         "q_udf_scalar", "q_udf_pandas", "q_udf_grouped_agg", "q_udf_grouped_map",
@@ -77,6 +78,7 @@ SECTIONS = {
     ],
     "§2.10 extensions (round 3): corpus analysis + mixture + media plans": [
         "q_text_dup_fraction", "q_corpus_mix", "q_multimodal_framesample",
+        "q_corpus_split",
     ],
 }
 
