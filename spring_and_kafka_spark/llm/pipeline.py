@@ -248,3 +248,161 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_toks"))
     )
+
+
+# 24-bit uniform from the md5 of the doc key: u = int(hex[0:6], 16) in
+# [0, 2^24). md5 is byte-identical in both engines; Spark parses the hex
+# via conv(…, 16, 10), DuckDB via CAST('0x'||… AS INTEGER) — both exact
+# integer paths, no float in the uniform itself.
+_U24 = 16_777_216
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n,
+             sqrt((SELECT min(n) FROM counts) / CAST(n AS DOUBLE)) AS accept
+      FROM counts
+    ),
+    tagged AS (
+      SELECT d.lang, d.doc_id, r.n, r.accept,
+             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+                  AS INTEGER) AS u
+      FROM documents d JOIN rates r ON d.lang = r.lang
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN u < floor(accept * {_U24}) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           floor(max(accept) * 1e6 + 0.5) / 1e6 AS accept_rate,
+           CAST(sum(CASE WHEN u < floor(accept * {_U24}) THEN doc_id
+                    ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM tagged GROUP BY lang
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling across languages (alpha = 0.5): accept each
+    doc of language l with rate sqrt(n_min / n_l), so rare languages keep
+    everything and dominant ones are downsampled toward the flattened
+    p_l^alpha mixture — the multilingual-pretraining rebalance.
+
+    Determinism: the accept rate is derived ONLY from exact integer
+    counts (min / division / sqrt are all correctly-rounded IEEE ops, so
+    both engines compute the identical double — no float-sum ordering
+    anywhere), and the per-doc coin is a 24-bit integer from md5. The
+    per-lang claim columns (counts + doc_id checksum) are exact BIGINTs.
+
+    Shape at 100 TB: one map-side-combined groupBy(lang) for counts (~5
+    rows), a broadcast join of the rate table back onto the scan, a
+    pushed-down filter, and one final tiny aggregation. The corpus is
+    read once; the accept decision is a projection, so the sample never
+    materializes unless a writer asks for it."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    nmin = counts.agg(F.min("n").alias("nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang", "n", F.sqrt(F.col("nmin") / F.col("n")).alias("accept")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    tagged = d.join(F.broadcast(rates), "lang").select(
+        "lang", "doc_id", "n", "accept", u.alias("u")
+    )
+    kept = F.col("u") < F.floor(F.col("accept") * _U24)
+    return tagged.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        (F.floor(F.max("accept") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "accept_rate"
+        ),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("kept_checksum"),
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pfx
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, pfx, unnest(list_distinct(list_transform(
+               range(greatest(len(string_split(text, ' ')) - 3, 1)),
+               i -> array_to_string(string_split(text, ' ')[i + 1 : i + 4], ' ')
+             ))) AS shingle
+      FROM tagged
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM grams WHERE pfx >= 'e6'
+    ),
+    flagged AS (
+      SELECT g.doc_id, g.lang,
+             max(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM grams g LEFT JOIN bench b ON g.shingle = b.shingle
+      WHERE g.pfx < 'cd'
+      GROUP BY g.doc_id, g.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(hit) AS BIGINT) AS n_contaminated,
+           CAST(sum(1 - hit) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN hit = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_checksum
+    FROM flagged GROUP BY lang
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination over the q_corpus_split partitions: drop
+    every train-split document that shares a 4-gram with any test-split
+    document (the scrub that keeps held-out benchmarks honest). Emits
+    per-language train size, contaminated count, survivor count, and an
+    exact doc_id checksum of the survivors.
+
+    Shape at 100 TB: the test split is ~10% and its DISTINCT 4-gram set
+    is the only thing that crosses the cluster — broadcast to every
+    executor; the train side streams through one broadcast hash join (no
+    corpus shuffle), then aggregates by (doc_id) and (lang), both
+    map-side combined. If the test-gram set ever outgrows broadcast,
+    the same plan degrades gracefully to a shuffled semi-join on the
+    gram key — the code path is identical DataFrame ops either way."""
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    ts = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ts) - 4, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ts, i + 1, 4)),
+    )
+    sh = d.select(
+        "doc_id",
+        "lang",
+        pfx.alias("pfx"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+    bench = sh.filter(F.col("pfx") >= "e6").select("shingle").distinct()
+    flagged = (
+        sh.filter(F.col("pfx") < "cd")
+        .join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.max(F.coalesce("hit", F.lit(0))).alias("hit"))
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.sum("hit").cast("long").alias("n_contaminated"),
+        F.sum(1 - F.col("hit")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("hit") == 0, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("kept_checksum"),
+    )

@@ -514,3 +514,69 @@ def q_text_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_frac.alias("dup_frac"),
         )
     )
+
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@register(
+    "q_text_chunk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ts, n,
+             unnest(generate_series(0, greatest(n - 1, 0), {_STRIDE}))
+               AS start_tok
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start_tok // {_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(start_tok AS INTEGER) AS start_tok,
+           CAST(least({_CHUNK}, n - start_tok) AS INTEGER) AS n_toks,
+           ts[start_tok + 1] AS first_tok,
+           ts[start_tok + least({_CHUNK}, n - start_tok)] AS last_tok
+    FROM s
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for context-length-bounded training: split
+    each document into 32-token chunks on a 24-token stride (8-token
+    overlap), the standard pack-into-context preprocessing step. Emits
+    per chunk its index, start offset, length, and first/last token —
+    scalar claim columns that pin the exact chunk boundaries without
+    shipping token arrays through the driver's hasher.
+
+    Shape at 100 TB: pure narrow work — tokenize, generate the start
+    offsets, explode — no shuffle, no UDF; the explode fan-out is
+    len/stride per doc and stays inside whole-stage codegen. Writers
+    partition the chunk stream straight to parquet."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    s = t.select(
+        "doc_id",
+        "ts",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(_STRIDE)
+            )
+        ).alias("start_tok"),
+    )
+    n_toks = F.least(F.lit(_CHUNK), F.col("n") - F.col("start_tok"))
+    return s.select(
+        "doc_id",
+        (F.col("start_tok") / _STRIDE).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        n_toks.cast("int").alias("n_toks"),
+        F.element_at("ts", F.col("start_tok") + 1).alias("first_tok"),
+        F.element_at("ts", F.col("start_tok") + n_toks).alias("last_tok"),
+    )

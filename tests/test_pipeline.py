@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 from spring_and_kafka_spark.llm.pipeline import q_pipeline_curate
 from spring_and_kafka_spark.sources.tables import load_table
 
+from spring_and_kafka_spark import registry
+
 from .conftest import SF_CORRECT, SF_SMOKE
+
+SPECS = registry.all_specs()
 
 
 def test_pipeline_removes_planted_keeps_originals(spark):
@@ -91,3 +95,59 @@ def test_pipeline_lsh_candidates_cover_exact_pairs(spark, sf_dir):
     assert exact, "fixture must contain true pairs"
     missed = exact - cand
     assert not missed, f"LSH candidates missed {len(missed)} exact pairs"
+
+
+def test_temperature_sampling_invariants(spark):
+    """Rarest language keeps everything (rate exactly 1.0); every rate in
+    (0, 1]; kept <= total per language — at BOTH driver scale factors."""
+    for sf in (SF_SMOKE, SF_CORRECT):
+        rows = SPECS["q_sample_temperature"].fn(spark, sf).collect()
+        rarest = min(rows, key=lambda r: r["n_docs"])
+        assert rarest["accept_rate"] == 1.0
+        assert rarest["n_kept"] == rarest["n_docs"]
+        for r in rows:
+            assert 0.0 < r["accept_rate"] <= 1.0
+            assert 0 <= r["n_kept"] <= r["n_docs"]
+
+
+def test_chunking_tiles_every_document(spark):
+    """Chunks start at 0, advance by exactly one stride, stay within
+    [1, CHUNK] tokens, and the final chunk ends at the document's last
+    token — full coverage, no over-run."""
+    from collections import defaultdict
+
+    from spring_and_kafka_spark.llm.text import _CHUNK, _STRIDE
+
+    rows = SPECS["q_text_chunk"].fn(spark, SF_SMOKE).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+        .collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start_tok"] == 0
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["start_tok"] == i * _STRIDE
+            assert 1 <= c["n_toks"] <= _CHUNK
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_toks"] == n_toks[doc_id]
+
+
+def test_decontaminate_consistent_with_corpus_split(spark):
+    """Per-language train counts agree with q_corpus_split's train rows,
+    and contaminated + kept partition the train set exactly."""
+    decon = {r["lang"]: r for r in SPECS["q_decontaminate"].fn(spark, SF_SMOKE).collect()}
+    split = {
+        (r["lang"], r["split"]): r["n_docs"]
+        for r in SPECS["q_corpus_split"].fn(spark, SF_SMOKE).collect()
+    }
+    for lang, r in decon.items():
+        assert r["n_train"] == split[(lang, "train")]
+        assert r["n_contaminated"] + r["n_kept"] == r["n_train"]
+        assert r["n_kept"] > 0

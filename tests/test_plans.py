@@ -112,3 +112,21 @@ def test_framesample_plan_has_no_shuffle(spark):
 
     df = SPECS["q_multimodal_framesample"].fn(spark, SF_SMOKE)
     assert count_shuffles(df) == 0
+
+
+def test_text_chunk_is_pure_narrow_work(spark):
+    # tokenize → sequence → explode: no shuffle, no UDF, no join
+    from spring_and_kafka_spark.plans import count_shuffles
+
+    df = SPECS["q_text_chunk"].fn(spark, SF_SMOKE)
+    assert count_shuffles(df) == 0
+    p = plan(spark, "q_text_chunk")
+    assert "Join" not in p
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    # the test-split gram set must reach the train side as a broadcast,
+    # never a shuffled join of the corpus
+    p = plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
