@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -199,4 +200,171 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return e.groupBy("user_id").applyInPandas(
         kernel, "user_id LONG, event_id LONG, value DOUBLE, ewma DOUBLE"
+    )
+
+
+_ANOM_WIN = 20
+_ANOM_Z = 2.5
+
+
+@register(
+    "q_ts_anomaly",
+    oracle=f"""
+    WITH scaled AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id, value, vi,
+             count(*) OVER w AS cnt,
+             sum(vi) OVER w AS s1,
+             sum(vi * vi) OVER w AS s2
+      FROM scaled
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_ANOM_WIN - 1} PRECEDING AND CURRENT ROW)
+    ),
+    stats AS (
+      SELECT user_id, event_id, value,
+             CAST(vi AS DOUBLE) AS vd,
+             CAST(s1 AS DOUBLE) / {_ANOM_WIN} AS mean,
+             (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / {_ANOM_WIN})
+               / {_ANOM_WIN - 1} AS var
+      FROM framed WHERE cnt = {_ANOM_WIN}
+    )
+    SELECT user_id, event_id, value,
+           floor((vd - mean) / sqrt(var) * 1e4 + 0.5) / 1e4 AS z
+    FROM stats
+    WHERE var > 0 AND abs((vd - mean) / sqrt(var)) > {_ANOM_Z}
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection: flag events whose value
+    sits more than 2.5 sigma from the mean of the user's last 20 events.
+    The monitoring primitive for metric streams.
+
+    Cross-engine determinism by construction: the frame aggregates run on
+    exact scaled BIGINTs (vi = floor(value*1e6+0.5); sum(vi) and
+    sum(vi*vi) stay under 2^63 at the fixture value range, ANSI-safe), so
+    both engines hold identical integers no matter what order — or what
+    sliding-window algorithm (incremental vs segment tree) — produced
+    them; mean/var/z then follow identical IEEE paths. A double-typed
+    frame sum would NOT be stable across engines.
+
+    Shape at 100 TB: one shuffle on user_id; the frame is computed in a
+    single sorted pass per partition, state is two running integers. The
+    full-frame gate (cnt = 20) suppresses warm-up noise."""
+    e = load_table(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    scaled = e.select("user_id", "event_id", "ts", "value", vi.alias("vi"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ANOM_WIN - 1), 0)
+    )
+    framed = scaled.select(
+        "user_id",
+        "event_id",
+        "value",
+        "vi",
+        F.count("*").over(w).alias("cnt"),
+        F.sum("vi").over(w).alias("s1"),
+        F.sum(F.col("vi") * F.col("vi")).over(w).alias("s2"),
+    ).filter(F.col("cnt") == _ANOM_WIN)
+    vd = F.col("vi").cast("double")
+    mean = F.col("s1").cast("double") / _ANOM_WIN
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / _ANOM_WIN
+    ) / (_ANOM_WIN - 1)
+    z = (vd - mean) / F.sqrt(var)
+    return (
+        framed.select("user_id", "event_id", "value", var.alias("var"), z.alias("zr"))
+        .filter((F.col("var") > 0) & (F.abs(F.col("zr")) > _ANOM_Z))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.floor(F.col("zr") * 1e4 + F.lit(0.5)) / 1e4).alias("z"),
+        )
+    )
+
+
+_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour resample buckets
+
+
+@register(
+    "q_ts_resample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) // {_BUCKET_US} AS bucket,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi,
+             row_number() OVER (
+               PARTITION BY user_id, epoch_us(ts) // {_BUCKET_US}
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY user_id, epoch_us(ts) // {_BUCKET_US}
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           floor(CAST(sum(vi) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4
+             AS avg_value
+    FROM keyed GROUP BY user_id, bucket
+    """,
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: 6-hour buckets per user with open (first value
+    by time), high, low, close (last value), count, and mean — the
+    time-series resample that turns raw event streams into fixed-cadence
+    features.
+
+    Spark computes open/close with ONE aggregation pass — min/max over a
+    (ts, event_id, value) struct compares lexicographically, so no window
+    sort and no second shuffle; the oracle states the same semantics via
+    row_number. The mean is derived from the exact scaled-integer sum
+    (order-free), not a double sum. Bucket = epoch_us div 6h on both
+    engines (the µs recipe that survives the nanos fixture).
+
+    Shape at 100 TB: a single map-side-combined groupBy(user_id, bucket);
+    struct min/max partials are constant-size. This beats the
+    window-function formulation, which would add a per-partition sort and
+    carry every row to the reducer."""
+    e = load_table(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    bucket = (F.unix_micros("ts") / _BUCKET_US).cast("long")
+    keyed = e.select(
+        "user_id",
+        bucket.alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+        vi.alias("vi"),
+    )
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return keyed.groupBy("user_id", "bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        first_s.getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        last_s.getField("value").alias("close"),
+        (
+            F.floor(
+                F.sum("vi").cast("double")
+                / F.count("*")
+                / 1e6
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("avg_value"),
     )

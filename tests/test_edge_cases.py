@@ -9,6 +9,8 @@ from pyspark.sql import Window as W
 
 from spring_and_kafka_spark.llm.similarity import cosine
 
+from .conftest import SF_SMOKE
+
 
 def test_join_null_keys_dont_match(spark):
     schema = "k INT, v STRING"
@@ -116,3 +118,54 @@ def test_dedup_path_tolerates_null_and_empty_text(spark):
         for r in lsh_verified_pairs(corpus, 3, 0.5).collect()
     }
     assert lsh == {(1, 2)}
+
+
+def test_ts_anomaly_integer_frame_headroom(spark):
+    """q_ts_anomaly's determinism rests on exact BIGINT frame sums; assert
+    the worst-case sum(vi*vi) over a 20-row frame stays inside int64 at
+    the LARGEST fixture scale (ANSI Spark would throw loudly past it, but
+    the margin itself is the claim worth pinning)."""
+    from spring_and_kafka_spark.operators.timeseries import _ANOM_WIN
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    vmax = (
+        load_table(spark, "/root/testdata/sf0.1", "events")
+        .agg(F.max("value"))
+        .first()[0]
+    )
+    vi_max = int(vmax * 1e6 + 0.5)
+    assert vi_max * vi_max * _ANOM_WIN < 2**63 * 0.9
+
+
+def test_ts_resample_open_close_respect_time_order(spark):
+    """Per (user, bucket): open is the value of the earliest event and
+    close the latest (event_id tie-break), verified against a window
+    formulation on the raw table."""
+    from spring_and_kafka_spark import registry
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    out = {
+        (r["user_id"], r["bucket"]): r
+        for r in registry.all_specs()["q_ts_resample"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    e = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "user_id",
+        "CAST(unix_micros(ts) / 21600000000 AS LONG) AS bucket",
+        "ts",
+        "event_id",
+        "value",
+    )
+    rows = e.collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r["user_id"], r["bucket"])].append(r)
+    assert set(groups) == set(out)
+    for k, g in groups.items():
+        g.sort(key=lambda r: (r["ts"], r["event_id"]))
+        assert out[k]["open"] == g[0]["value"]
+        assert out[k]["close"] == g[-1]["value"]
+        assert out[k]["n"] == len(g)
