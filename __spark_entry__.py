@@ -23,10 +23,17 @@ from spring_and_kafka_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
-    from spring_and_kafka_spark.operators.aggregates import q_agg_group
+    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001.
 
-    return q_agg_group(spark, "/root/testdata/sf0.001")
+    Resolved through the registry (NOT a direct module import): a direct
+    ``from …aggregates import q_agg_group`` would register aggregates'
+    queries ahead of ``registry._load_all_modules``'s deliberate order
+    whenever entry() runs before queries() in the same process — and the
+    driver's verification window is the first 50 entries of that order.
+    Going through the registry makes the order canonical regardless of
+    which contract function is called first (pinned by
+    tests/test_entry.py::test_verification_window_prefix_is_frozen)."""
+    return registry.queries()["q_agg_group"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -402,3 +402,39 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .agg(F.round(F.sum("value"), 2))
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id DESC) AS rn
+      FROM c
+    )
+    SELECT event_type, user_id AS mode_user, cnt AS n_events
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most active user per event type, ties
+    broken toward the larger user_id (a raw mode() is nondeterministic
+    under ties, so no engine pair could hash-agree on it). Spark takes
+    max over a (count, user_id) struct — two map-side-combined
+    aggregations, no window sort; the oracle states the tie-break with
+    row_number.
+
+    Shape at 100 TB: groupBy(event_type, user_id) then groupBy(event_type)
+    — both partial-aggregated, the second over one row per (type, user)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    best = F.max(F.struct("cnt", "user_id"))
+    return c.groupBy("event_type").agg(
+        best.getField("user_id").alias("mode_user"),
+        best.getField("cnt").alias("n_events"),
+    )

@@ -211,3 +211,39 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5)) / 1e6).alias("cume"),
     )
+
+
+@register(
+    "q_win_running_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INTEGER) AS n_types_seen
+    FROM events
+    """,
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT event types each user has produced so
+    far — the growing-engagement-breadth signal. SQL windows have no
+    incremental distinct aggregate in Spark, so the implementation keeps
+    a collect_set over the frame and takes its size; the count (unlike
+    the set's order) is deterministic. DuckDB states it directly as a
+    windowed COUNT(DISTINCT).
+
+    Shape at 100 TB: one shuffle on user_id, one sorted pass; frame state
+    is the per-user type set, bounded by the type-vocabulary size (5
+    here; small by construction for categorical columns — for unbounded
+    value domains use the approx_count_distinct sketch instead)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    )
