@@ -32,9 +32,44 @@ class QuerySpec:
     oracle: str | None = None  # DuckDB SQL; None → rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    module: str = ""  # defining module (ordering key, see _MODULE_ORDER)
+    seq: int = 0  # def order within the module (ordering tie-break)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
+_MODULE_SEQ: dict[str, int] = {}
+
+# Canonical module order for the driver's fixed-size verification window.
+# all_specs() SORTS by (this ranking, def order within module), so the
+# exposed order is immune to import order — a test or caller importing an
+# operator module directly before the first all_specs() call can no
+# longer shift queries in or out of the driver's 50-slot window prefix.
+# Modules not listed rank last (alphabetically) — the safe place for
+# additions until the next rotation.
+_MODULE_ORDER = [
+    "spring_and_kafka_spark.llm.dedup",
+    "spring_and_kafka_spark.llm.corpus_ops",
+    "spring_and_kafka_spark.streaming.batch_equiv",
+    "spring_and_kafka_spark.functions.scalar",
+    "spring_and_kafka_spark.llm.similarity",
+    "spring_and_kafka_spark.operators.sampling",
+    "spring_and_kafka_spark.operators.joins",
+    "spring_and_kafka_spark.operators.aggregates",
+    "spring_and_kafka_spark.llm.text",
+    "spring_and_kafka_spark.llm.multimodal",
+    "spring_and_kafka_spark.llm.pipeline",
+    "spring_and_kafka_spark.functions.semistructured",
+    "spring_and_kafka_spark.operators.udfs",
+    "spring_and_kafka_spark.operators.timeseries",
+    "spring_and_kafka_spark.operators.analytics",
+    "spring_and_kafka_spark.operators.relational",
+    "spring_and_kafka_spark.operators.windows",
+    "spring_and_kafka_spark.operators.skew",
+    "spring_and_kafka_spark.streaming.slide",
+    "spring_and_kafka_spark.operators.sketches",
+    "spring_and_kafka_spark.operators.graph",
+]
+_MODULE_RANK = {m: i for i, m in enumerate(_MODULE_ORDER)}
 
 
 def register(
@@ -43,33 +78,44 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
+        mod = fn.__module__
+        seq = _MODULE_SEQ.get(mod, 0)
+        _MODULE_SEQ[mod] = seq + 1
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "")
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tags=tags,
+            doc=(fn.__doc__ or ""),
+            module=mod,
+            seq=seq,
         )
         return fn
 
     return deco
 
 
+def _order_key(spec: QuerySpec) -> tuple[int, str, int]:
+    rank = _MODULE_RANK.get(spec.module, len(_MODULE_ORDER))
+    return (rank, spec.module, spec.seq)
+
+
 def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent).
 
-    Registration order is deliberate: the driver verifies a fixed-size
-    prefix of the registry each round, so modules whose queries still lack
-    a driver-green CORRECTNESS row register first. Rounds 1-2 greened the
-    relational/join/window/aggregate families and the LLM-data/
-    semistructured/UDF/timeseries/sampling/analytics set. Round 3 rotates
-    the last never-verified entries to the front — llm.corpus_ops (6),
-    streaming.batch_equiv (3), functions.scalar tail (9) — together with
-    the three queries converted this round from rows-only to full SQL
-    oracles (q_dedup_simhash, q_sim_lsh_bucket, q_sample_seeded) and the
-    two whose oracles were rewritten in the round-2 diff after that
-    round's window froze (q_join_asof at slot 47, q_agg_argmax at 50).
-    NOTE: llm.corpus_ops imports llm.dedup, so dedup's 7 queries register
-    first (slots 1-7) regardless of this list's textual order; the window
-    is exactly slots 1-50 = dedup 7 + corpus_ops 6 + batch_equiv 3 +
-    scalar 10 + similarity 6 + sampling 3 + joins 12 + aggregates'
-    first 3."""
+    Exposure order is decided by _MODULE_ORDER + within-module def order
+    (see all_specs), NOT by this import list — imports here only ensure
+    every module is loaded. The driver verifies a fixed-size prefix of
+    the exposed order each round; round 3's rotation puts the 18
+    never-verified entries — llm.corpus_ops (6), streaming.batch_equiv
+    (3), functions.scalar tail (9) — plus the three queries converted
+    from rows-only to full SQL oracles (q_dedup_simhash,
+    q_sim_lsh_bucket, q_sample_seeded) and the two whose oracles were
+    rewritten after round-2's window froze (q_join_asof at slot 47,
+    q_agg_argmax at 50) inside the 50-slot window: slots 1-50 = dedup 7
+    + corpus_ops 6 + batch_equiv 3 + scalar 10 + similarity 6 +
+    sampling 3 + joins 12 + aggregates' first 3 (pinned by
+    tests/test_entry.py)."""
     import spring_and_kafka_spark.llm.corpus_ops  # noqa: F401  (pulls llm.dedup first)
     import spring_and_kafka_spark.streaming.batch_equiv  # noqa: F401
     import spring_and_kafka_spark.functions.scalar  # noqa: F401
@@ -90,11 +136,15 @@ def _load_all_modules() -> None:
     import spring_and_kafka_spark.operators.skew  # noqa: F401
     import spring_and_kafka_spark.streaming.slide  # noqa: F401
     import spring_and_kafka_spark.operators.sketches  # noqa: F401
+    import spring_and_kafka_spark.operators.graph  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all_modules()
-    return dict(_REGISTRY)
+    return {
+        spec.name: spec
+        for spec in sorted(_REGISTRY.values(), key=_order_key)
+    }
 
 
 def queries() -> dict[str, QueryFn]:

@@ -169,3 +169,18 @@ def test_ts_resample_open_close_respect_time_order(spark):
         assert out[k]["open"] == g[0]["value"]
         assert out[k]["close"] == g[-1]["value"]
         assert out[k]["n"] == len(g)
+
+
+def test_pagerank_mass_and_spread(spark):
+    """Integer PageRank sanity: every rank >= the damping base, the
+    distribution is non-degenerate (co-purchase hubs rise), and total
+    mass stays below the initial total (integer div only leaks mass
+    downward, never creates it)."""
+    from spring_and_kafka_spark import registry
+    from spring_and_kafka_spark.operators.graph import _PR_BASE, _PR_SCALE
+
+    rows = registry.all_specs()["q_graph_pagerank"].fn(spark, SF_SMOKE).collect()
+    prs = [r["pr"] for r in rows]
+    assert min(prs) >= _PR_BASE
+    assert max(prs) > min(prs)
+    assert sum(prs) <= _PR_SCALE * len(prs)
