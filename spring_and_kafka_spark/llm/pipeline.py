@@ -406,3 +406,112 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_checksum"),
     )
+
+
+@register(
+    "q_corpus_repeat",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    avail AS (
+      SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_toks FROM toks GROUP BY lang
+    ),
+    w(lang, weight) AS (
+      VALUES {", ".join(f"('{l}', CAST({w} AS DOUBLE))" for l, w in _MIX_WEIGHTS)}
+    ),
+    total AS (SELECT sum(n_toks) AS t FROM avail),
+    plan AS (
+      SELECT a.lang,
+             CAST(floor(total.t * w.weight) AS BIGINT) AS target_toks,
+             CAST(floor(total.t * w.weight) AS DOUBLE)
+               / CAST(a.n_toks AS DOUBLE) AS epochs
+      FROM avail a JOIN w ON a.lang = w.lang CROSS JOIN total
+    ),
+    percopy AS (
+      SELECT t.doc_id, t.lang, t.n_tok,
+             CAST(floor(p.epochs) AS BIGINT)
+             + CASE WHEN CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 7, 6)
+                         AS INTEGER)
+                    < floor((p.epochs - floor(p.epochs)) * {_U24})
+                    THEN 1 ELSE 0 END AS copies
+      FROM toks t JOIN plan p ON t.lang = p.lang
+    )
+    SELECT lang,
+           CAST(sum(CASE WHEN copies >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_emitted,
+           CAST(sum(copies) AS BIGINT) AS n_rows_out,
+           CAST(sum(copies * n_tok) AS BIGINT) AS n_toks_out,
+           CAST(sum(copies * doc_id) AS BIGINT) AS out_checksum
+    FROM percopy GROUP BY lang
+    HAVING sum(copies) > 0
+    """,
+)
+def q_corpus_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the q_corpus_mix plan: repeat each document
+    floor(epochs) times plus one more with probability frac(epochs) via a
+    deterministic md5 coin (digit window 7-12 — independent of the
+    split/temperature coins at 1-6), so the emitted corpus hits each
+    language's token target in expectation with zero RNG state. Epochs <1
+    become hash-thresholded subsampling through the same formula.
+
+    The operator genuinely explodes the repeat sequence (the plan carries
+    the fan-out), then folds to per-language accounting claims — row,
+    token, and doc_id·copies checksums, all exact BIGINTs.
+
+    Shape at 100 TB: the plan table is ~5 rows (broadcast); repetition is
+    a projection + explode with no shuffle — upsampled epochs interleave
+    naturally across partitions; the only shuffle is the final tiny
+    accounting groupBy (a real deployment writes the exploded stream
+    straight to the sink, so even that disappears)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    avail = toks.groupBy("lang").agg(F.sum("n_tok").alias("n_toks"))
+    w = d.sparkSession.createDataFrame(
+        list(_MIX_WEIGHTS), "lang STRING, weight DOUBLE"
+    )
+    total = avail.agg(F.sum("n_toks").alias("t"))
+    plan = (
+        avail.join(F.broadcast(w), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.floor(F.col("t") * F.col("weight"))
+            .cast("long")
+            .alias("target_toks"),
+            (
+                F.floor(F.col("t") * F.col("weight")).cast("double")
+                / F.col("n_toks").cast("double")
+            ).alias("epochs"),
+        )
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 7, 6), 16, 10
+    ).cast("long")
+    base = F.floor("epochs").cast("long")
+    extra = (
+        u < F.floor((F.col("epochs") - F.floor("epochs")) * _U24)
+    ).cast("long")
+    percopy = toks.join(F.broadcast(plan), "lang").select(
+        "doc_id", "lang", "n_tok", (base + extra).alias("copies")
+    )
+    exploded = percopy.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.explode(
+            F.when(
+                F.col("copies") >= 1,
+                F.sequence(F.lit(1), F.col("copies")),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("copy_idx"),
+    )
+    return exploded.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs_emitted"),
+        F.count("*").cast("long").alias("n_rows_out"),
+        F.sum("n_tok").cast("long").alias("n_toks_out"),
+        F.sum("doc_id").cast("long").alias("out_checksum"),
+    )

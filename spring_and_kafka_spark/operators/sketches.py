@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -64,4 +65,108 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_est") - F.col("n_exact"))
             <= F.col("n_exact") * 0.05
         ).alias("within_tol"),
+    )
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256  # one md5 hex-digit pair per row → buckets 0..255
+
+
+@register(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH bi AS (
+      SELECT doc_id, ts[i + 1] || ' ' || ts[i + 2] AS bigram
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS ts,
+               unnest(range(greatest(len(string_split(text, ' ')) - 1, 0)))
+                 AS i
+        FROM documents
+      )
+    ),
+    counts AS (SELECT bigram, count(*) AS n FROM bi GROUP BY bigram),
+    keyed AS (
+      SELECT bigram, n,
+             {", ".join(
+                 f"CAST('0x' || substr(md5(bigram), {2 * d + 1}, 2) AS INTEGER)"
+                 f" AS b{d}"
+                 for d in range(_CM_DEPTH)
+             )}
+      FROM counts
+    ),
+    est AS (
+      SELECT bigram, n,
+             least({", ".join(
+                 f"sum(n) OVER (PARTITION BY b{d})" for d in range(_CM_DEPTH)
+             )}) AS cm_est
+      FROM keyed
+    ),
+    ranked AS (
+      SELECT bigram, n, CAST(cm_est AS BIGINT) AS cm_est,
+             row_number() OVER (ORDER BY n DESC, bigram) AS rn
+      FROM est
+    )
+    SELECT bigram, n, cm_est, cm_est >= n AS no_undercount
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: top-20 corpus bigrams by true frequency,
+    each with its Count-Min estimate (depth 4 × width 256) and the
+    sketch's one-sided guarantee (estimates never undercount). The
+    streaming-friendly frequency sketch: counters are pure sums, so
+    partial sketches from any partitioning merge by addition.
+
+    Fully hash-oracled — unlike typical CM implementations there is no
+    RNG: row d's hash is md5 hex-digit pair d of the key (the
+    q_dedup_simhash recipe), so Spark and DuckDB build bit-identical
+    counter arrays and the ESTIMATE ITSELF is verified, not just claimed.
+
+    Shape at 100 TB: bigram counts are one map-side-combined groupBy; the
+    4 counter rows are window sums over the COUNTS table (vocabulary-
+    sized, not corpus-sized). A true streaming deployment keeps the 4×256
+    integer grid as an accumulator instead — this query demonstrates the
+    estimate/guarantee semantics on the same arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    # guard: sequence(0, -1) would count DOWN for 1-token docs
+    bigram_arr = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ts, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = d.select(F.explode(bigram_arr).alias("bigram"))
+    counts = bi.groupBy("bigram").agg(F.count("*").alias("n"))
+    keyed = counts.select(
+        "bigram",
+        "n",
+        *[
+            F.conv(F.substring(F.md5("bigram"), 2 * dd + 1, 2), 16, 10)
+            .cast("int")
+            .alias(f"b{dd}")
+            for dd in range(_CM_DEPTH)
+        ],
+    )
+    est = keyed.select(
+        "bigram",
+        "n",
+        F.least(
+            *[
+                F.sum("n").over(W.partitionBy(f"b{dd}"))
+                for dd in range(_CM_DEPTH)
+            ]
+        ).alias("cm_est"),
+    )
+    ranked = est.select(
+        "bigram",
+        "n",
+        F.col("cm_est").cast("long").alias("cm_est"),
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("n").desc(), "bigram"))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= 20).select(
+        "bigram", "n", "cm_est", (F.col("cm_est") >= F.col("n")).alias("no_undercount")
     )

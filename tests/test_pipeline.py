@@ -151,3 +151,26 @@ def test_decontaminate_consistent_with_corpus_split(spark):
         assert r["n_train"] == split[(lang, "train")]
         assert r["n_contaminated"] + r["n_kept"] == r["n_train"]
         assert r["n_kept"] > 0
+
+
+def test_corpus_repeat_bounded_by_epoch_floor_ceil(spark):
+    """Per language: emitted rows lie between floor(epochs)*n_docs and
+    ceil(epochs)*n_docs, and token output follows the same bound — the
+    fractional coin only ever adds 0 or 1 extra copy per doc."""
+    import math
+
+    mix = {r["lang"]: r for r in SPECS["q_corpus_mix"].fn(spark, SF_SMOKE).collect()}
+    docs = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    out = {r["lang"]: r for r in SPECS["q_corpus_repeat"].fn(spark, SF_SMOKE).collect()}
+    for lang, r in out.items():
+        epochs = mix[lang]["target_toks"] / mix[lang]["n_toks"]
+        lo = math.floor(epochs) * docs[lang]
+        hi = math.ceil(epochs) * docs[lang]
+        assert lo <= r["n_rows_out"] <= hi
+        assert r["n_docs_emitted"] <= docs[lang]
