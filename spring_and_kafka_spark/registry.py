@@ -68,6 +68,7 @@ _MODULE_ORDER = [
     "spring_and_kafka_spark.streaming.slide",
     "spring_and_kafka_spark.operators.sketches",
     "spring_and_kafka_spark.operators.graph",
+    "spring_and_kafka_spark.llm.retrieval",
 ]
 _MODULE_RANK = {m: i for i, m in enumerate(_MODULE_ORDER)}
 
@@ -137,6 +138,7 @@ def _load_all_modules() -> None:
     import spring_and_kafka_spark.streaming.slide  # noqa: F401
     import spring_and_kafka_spark.operators.sketches  # noqa: F401
     import spring_and_kafka_spark.operators.graph  # noqa: F401
+    import spring_and_kafka_spark.llm.retrieval  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:
