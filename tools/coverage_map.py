@@ -37,11 +37,12 @@ SECTIONS = {
         "q_agg_bool",
         "q_agg_having",
         "q_rollup", "q_rollup_grouping", "q_cube", "q_grouping_sets", "q_pivot", "q_fn_decimal",
-        "q_agg_hll_rollup",
+        "q_agg_hll_rollup", "q_agg_mode", "q_agg_countmin",
     ],
     "§2.5 windows": [
         "q_win_rank", "q_win_lag", "q_win_dist", "q_win_frame_rows",
         "q_win_frame_range", "q_topk_per_group", "q_gapfill", "q_win_ntile",
+        "q_win_running_distinct",
     ],
     "§2.6 sorts/limits/set ops": [
         "q_sort", "q_limit", "q_union", "q_intersect", "q_except",
@@ -57,7 +58,10 @@ SECTIONS = {
     ],
     "event analytics composites": [
         "q_funnel", "q_retention", "q_ts_simsearch", "q_sessionize",
-        "q_ts_ewma",
+        "q_ts_ewma", "q_ts_anomaly", "q_ts_resample",
+    ],
+    "graph analytics": [
+        "q_graph_pagerank", "q_dedup_clusters", "q_dedup_clusters_lsh",
     ],
     "§2.9 UDF surface": [
         "q_udf_scalar", "q_udf_pandas", "q_udf_grouped_agg", "q_udf_grouped_map",
@@ -78,7 +82,8 @@ SECTIONS = {
     ],
     "§2.10 extensions (round 3): corpus analysis + mixture + media plans": [
         "q_text_dup_fraction", "q_corpus_mix", "q_multimodal_framesample",
-        "q_corpus_split",
+        "q_corpus_split", "q_sample_temperature", "q_decontaminate",
+        "q_text_chunk", "q_corpus_repeat", "q_sim_topk_per_label",
     ],
 }
 

@@ -38,6 +38,9 @@ QUERIES = [
     "q_join_range",
     "q_rollup_hier",
     "q_gapfill",
+    "q_ts_anomaly",
+    "q_ts_resample",
+    "q_win_running_distinct",
 ]
 
 
@@ -75,6 +78,7 @@ FACT_QUERIES = [
     "q_win_frame_rows",
     "q_agg_percentile",
     "q_agg_argmax",
+    "q_graph_pagerank",
 ]
 
 
@@ -118,6 +122,8 @@ DOCS_QUERIES = [
     "q_dedup_ngram",  # the declared-quadratic exact tool, for contrast
     "q_text_repetition",
     "q_text_tfidf",
+    "q_decontaminate",
+    "q_text_chunk",
 ]
 
 
