@@ -17,8 +17,24 @@ subplans). It picks the mechanism by deployment:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+
+def ts_micros(col: Column | str) -> Column:
+    """Epoch microseconds from a timestamp column, safe for BOTH
+    ``TIMESTAMP`` (LTZ) and ``TIMESTAMP_NTZ`` inputs.
+
+    ``F.unix_micros`` rejects NTZ outright — and the fixture parquet's
+    ``TIMESTAMP(NANOS)`` column reads as NTZ on stock sessions (the
+    round-3 driver crash on q_stream_session). ``to_utc_timestamp(c,
+    'UTC')`` interprets an NTZ wall-time as UTC — exactly the stored
+    parquet value, independent of the session timezone — and is a no-op
+    for LTZ under the UTC sessions this engine always builds
+    (session.py). The result is the raw integer DuckDB's ``epoch_us``
+    sees, so oracle comparisons stay exact."""
+    return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
 
 
 def materialize(df: DataFrame) -> DataFrame:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -228,7 +229,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by one user's events per partition, AQE free to coalesce."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    us = ts_micros("ts")
     prev = F.lag(us).over(w)
     marked = e.select(
         "user_id",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -340,7 +341,7 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry every row to the reducer."""
     e = load_table(spark, sf_dir, "events")
     vi = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
-    bucket = (F.unix_micros("ts") / _BUCKET_US).cast("long")
+    bucket = (ts_micros("ts") / _BUCKET_US).cast("long")
     keyed = e.select(
         "user_id",
         bucket.alias("bucket"),

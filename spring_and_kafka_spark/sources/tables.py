@@ -31,18 +31,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # The fixture events.ts is parquet TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read as long and truncate ns→µs — the
-        # same conversion DuckDB applies, so both engines see identical
-        # values. Derived events tables (e.g. scale-smoke copies) already
-        # carry µs timestamps and need no conversion.
+        # The fixture events.ts is parquet TIMESTAMP(NANOS); Spark reads it
+        # natively as TIMESTAMP_NTZ with ns truncated to µs — the identical
+        # values DuckDB's ns→µs read produces. Read it PLAIN so the type the
+        # driver's session sees (NTZ) is the type local tests see; every
+        # µs-arithmetic call site uses exec_utils.ts_micros, which accepts
+        # both NTZ and LTZ. A session that still carries the legacy
+        # nanosAsLong conf yields LongType instead — convert that to the
+        # same NTZ wall-time (exact under the engine's UTC sessions).
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

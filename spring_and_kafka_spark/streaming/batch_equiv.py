@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spring_and_kafka_spark.exec_utils import ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 from spring_and_kafka_spark.streaming.windows import tumbling_counts
@@ -94,7 +95,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                ts_micros("ts") - ts_micros(F.lag("ts").over(w))
                 > 30 * 60 * 1_000_000
             ),
             1,

@@ -9,6 +9,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ltz(df: DataFrame, col: str) -> DataFrame:
+    """Watermark columns must be TIMESTAMP (LTZ); cast a TIMESTAMP_NTZ
+    event time in place (value-exact under the engine's UTC sessions)."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def stream_stream_join(
@@ -24,8 +33,8 @@ def stream_stream_join(
     """Join two event streams on `key` where the right event happened within
     [left_ts - max_lag, left_ts]. State on both sides is purged once the
     watermark passes the range bound."""
-    lw = left.withWatermark(left_ts, watermark).alias("l")
-    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lw = _ltz(left, left_ts).withWatermark(left_ts, watermark).alias("l")
+    rw = _ltz(right, right_ts).withWatermark(right_ts, watermark).alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
@@ -61,8 +70,8 @@ def purchases_with_recent_clicks(events_stream: DataFrame) -> DataFrame:
         F.col("user_id").alias("c_user_id"),
         F.col("ts").alias("c_ts"),
     )
-    lw = purchases.withWatermark("p_ts", "1 hour")
-    rw = clicks.withWatermark("c_ts", "1 hour")
+    lw = _ltz(purchases, "p_ts").withWatermark("p_ts", "1 hour")
+    rw = _ltz(clicks, "c_ts").withWatermark("c_ts", "1 hour")
     cond = (
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("c_ts") <= F.col("p_ts"))

@@ -9,6 +9,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); the fixture parquet reads as
+    TIMESTAMP_NTZ. Cast NTZ event time to LTZ — value-exact under the
+    UTC sessions this engine builds (session.py) — so the same pipeline
+    accepts either type. No-op for LTZ inputs."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def tumbling_counts(
@@ -21,7 +32,7 @@ def tumbling_counts(
     batch-stream equivalence — tested against q_stream_tumble)."""
     df = events
     if events.isStreaming:
-        df = events.withWatermark("ts", watermark)
+        df = _event_time(events).withWatermark("ts", watermark)
     return (
         df.groupBy(F.window("ts", window_size).alias("win"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -41,7 +52,11 @@ def sliding_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Sliding-window aggregation (overlapping windows)."""
-    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    df = (
+        _event_time(events).withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
     return (
         df.groupBy(F.window("ts", window_size, slide).alias("win"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -54,7 +69,11 @@ def session_counts(
 ) -> DataFrame:
     """Session windows per user (gap-based) — state closes when the
     watermark passes the gap, so state stays bounded."""
-    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    df = (
+        _event_time(events).withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
     return (
         df.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -72,7 +91,9 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     dropped once late data can no longer arrive
     (dropDuplicatesWithinWatermark on streams)."""
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-            ["event_id"]
+        return (
+            _event_time(events)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"])
         )
     return events.dropDuplicates(["event_id"])

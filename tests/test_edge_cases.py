@@ -152,7 +152,7 @@ def test_ts_resample_open_close_respect_time_order(spark):
     }
     e = load_table(spark, SF_SMOKE, "events").selectExpr(
         "user_id",
-        "CAST(unix_micros(ts) / 21600000000 AS LONG) AS bucket",
+        "CAST(unix_micros(to_utc_timestamp(ts, 'UTC')) / 21600000000 AS LONG) AS bucket",
         "ts",
         "event_id",
         "value",
