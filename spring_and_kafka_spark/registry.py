@@ -39,13 +39,77 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 _MODULE_SEQ: dict[str, int] = {}
 
-# Canonical module order for the driver's fixed-size verification window.
-# all_specs() SORTS by (this ranking, def order within module), so the
-# exposed order is immune to import order — a test or caller importing an
-# operator module directly before the first all_specs() call can no
-# longer shift queries in or out of the driver's 50-slot window prefix.
-# Modules not listed rank last (alphabetically) — the safe place for
-# additions until the next rotation.
+# The driver hash-verifies EXACTLY the first 50 exposed entries each
+# round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
+# every query eventually owns a green CORRECTNESS row. Round-4 window:
+# slots 1-22 = the 21 never-driver-verified queries (round-3 additions
+# registered past the window) + q_stream_session (round-3 driver FAIL,
+# TIMESTAMP_NTZ crash, now fixed); 23-24 = queries whose implementations
+# change this round; 25-50 = re-verification backfill, events-table
+# (NTZ-path) queries first. Queries not named here rank after the
+# prefix by (module rank, def order) — the safe place for additions
+# until they are rotated in.
+_WINDOW_PREFIX = [
+    # never driver-verified (round-3 additions) + the round-3 FAIL
+    "q_agg_mode",
+    "q_text_dup_fraction",
+    "q_text_chunk",
+    "q_multimodal_framesample",
+    "q_corpus_mix",
+    "q_corpus_split",
+    "q_sample_temperature",
+    "q_decontaminate",
+    "q_corpus_repeat",
+    "q_ts_ewma",
+    "q_ts_anomaly",
+    "q_ts_resample",
+    "q_sessionize",
+    "q_win_ntile",
+    "q_win_running_distinct",
+    "q_join_salted",
+    "q_stream_slide",
+    "q_agg_hll_rollup",
+    "q_agg_countmin",
+    "q_graph_pagerank",
+    "q_sim_topk_per_label",
+    "q_stream_session",
+    # implementations touched in round 4 — must re-verify
+    "q_dedup_near",
+    "q_pipeline_curate",
+    # re-verification backfill (events/NTZ-path first)
+    "q_stream_tumble",
+    "q_rollup_hier",
+    "q_gapfill",
+    "q_fn_decimal",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_join_asof",
+    "q_join_range",
+    "q_win_lag",
+    "q_win_frame_range",
+    "q_agg_group",
+    "q_join_multi",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_sim_lsh_bucket",
+    "q_sample_seeded",
+    "q_corpus_pack",
+    "q_dedup_clusters_lsh",
+    "q_text_langid",
+    "q_text_tokens",
+    "q_agg_argmax",
+    "q_join_broadcast",
+    "q_topk_per_group",
+    "q_pivot",
+    "q_udf_pandas",
+    "q_fn_string",
+]
+_WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
+
+# Fallback ordering for everything past the window prefix — stable and
+# immune to import order (a test importing an operator module directly
+# before the first all_specs() call cannot shift queries in or out of
+# the driver's verification window).
 _MODULE_ORDER = [
     "spring_and_kafka_spark.llm.dedup",
     "spring_and_kafka_spark.llm.corpus_ops",
@@ -96,27 +160,19 @@ def register(
     return deco
 
 
-def _order_key(spec: QuerySpec) -> tuple[int, str, int]:
+def _order_key(spec: QuerySpec) -> tuple[int, int, str, int]:
+    if spec.name in _WINDOW_RANK:
+        return (0, _WINDOW_RANK[spec.name], "", 0)
     rank = _MODULE_RANK.get(spec.module, len(_MODULE_ORDER))
-    return (rank, spec.module, spec.seq)
+    return (1, rank, spec.module, spec.seq)
 
 
 def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent).
 
-    Exposure order is decided by _MODULE_ORDER + within-module def order
-    (see all_specs), NOT by this import list — imports here only ensure
-    every module is loaded. The driver verifies a fixed-size prefix of
-    the exposed order each round; round 3's rotation puts the 18
-    never-verified entries — llm.corpus_ops (6), streaming.batch_equiv
-    (3), functions.scalar tail (9) — plus the three queries converted
-    from rows-only to full SQL oracles (q_dedup_simhash,
-    q_sim_lsh_bucket, q_sample_seeded) and the two whose oracles were
-    rewritten after round-2's window froze (q_join_asof at slot 47,
-    q_agg_argmax at 50) inside the 50-slot window: slots 1-50 = dedup 7
-    + corpus_ops 6 + batch_equiv 3 + scalar 10 + similarity 6 +
-    sampling 3 + joins 12 + aggregates' first 3 (pinned by
-    tests/test_entry.py)."""
+    Exposure order is decided by _WINDOW_PREFIX then _MODULE_ORDER +
+    within-module def order (see all_specs), NOT by this import list —
+    imports here only ensure every module is loaded."""
     import spring_and_kafka_spark.llm.corpus_ops  # noqa: F401  (pulls llm.dedup first)
     import spring_and_kafka_spark.streaming.batch_equiv  # noqa: F401
     import spring_and_kafka_spark.functions.scalar  # noqa: F401
