@@ -73,9 +73,25 @@ _WINDOW_PREFIX = [
     "q_graph_pagerank",
     "q_sim_topk_per_label",
     "q_stream_session",
-    # implementations touched in round 4 — must re-verify
-    "q_dedup_near",
-    "q_pipeline_curate",
+    # new in round 4 — the TPC-H suite
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
     # re-verification backfill (events/NTZ-path first)
     "q_stream_tumble",
     "q_rollup_hier",
@@ -85,24 +101,8 @@ _WINDOW_PREFIX = [
     "q_subquery_in",
     "q_join_asof",
     "q_join_range",
-    "q_win_lag",
-    "q_win_frame_range",
     "q_agg_group",
     "q_join_multi",
-    "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_sim_lsh_bucket",
-    "q_sample_seeded",
-    "q_corpus_pack",
-    "q_dedup_clusters_lsh",
-    "q_text_langid",
-    "q_text_tokens",
-    "q_agg_argmax",
-    "q_join_broadcast",
-    "q_topk_per_group",
-    "q_pivot",
-    "q_udf_pandas",
-    "q_fn_string",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 
@@ -133,6 +133,7 @@ _MODULE_ORDER = [
     "spring_and_kafka_spark.operators.sketches",
     "spring_and_kafka_spark.operators.graph",
     "spring_and_kafka_spark.llm.retrieval",
+    "spring_and_kafka_spark.operators.tpch",
 ]
 _MODULE_RANK = {m: i for i, m in enumerate(_MODULE_ORDER)}
 
@@ -195,6 +196,7 @@ def _load_all_modules() -> None:
     import spring_and_kafka_spark.operators.sketches  # noqa: F401
     import spring_and_kafka_spark.operators.graph  # noqa: F401
     import spring_and_kafka_spark.llm.retrieval  # noqa: F401
+    import spring_and_kafka_spark.operators.tpch  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:
