@@ -286,3 +286,39 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_totalprice").cast("string").like("%.%").alias("has_frac"),
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=1' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]+)', 1) AS lang_param
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL synthesis + structured parse-back (host / path / query param)
+    with regexp_extract — the crawl-processing scalar surface. The three
+    patterns stay in the RE2 ∩ Java-regex common subset so both engines
+    extract identical groups; everything is a pure projection (no
+    shuffle, full pushdown of the two source columns)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"), F.lit("&v=1"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, r"://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"lang=([^&]+)", 1).alias("lang_param"),
+    )

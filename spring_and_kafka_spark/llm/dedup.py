@@ -873,3 +873,69 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replicated.groupBy("pair_id").applyInPandas(
         block_cosine, "a_id BIGINT, b_id BIGINT, cos_sim DOUBLE"
     )
+
+
+_CONTAINMENT_T = 0.8
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_SQL},
+    {shingle_ctes_sql()},
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      FROM shj a JOIN shj b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           round(CAST(c AS DOUBLE) / sa.n, 4) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a_id
+    WHERE CAST(c AS DOUBLE) / sa.n >= {_CONTAINMENT_T}
+    """,
+    tags=("dedup",),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment C(A→B) = |A∩B| / |A| ≥ 0.8 — the
+    asymmetric near-dup measure Jaccard misses: a short document wholly
+    embedded in a longer one scores high containment but low Jaccard
+    (the union dominates), so boilerplate-in-page and quote-of-article
+    duplication only shows up here.
+
+    Same machinery as ngram_jaccard_pairs — one materialized shingle
+    table, df-capped equi-join, broadcast sizes — but ordered pairs (both
+    directions kept; containment is not symmetric) and an |A|-only
+    denominator. Shuffle cost identical to the Jaccard tool; at 100 TB
+    the LSH candidate generator bounds the pair stream the same way
+    (minhash agreement estimates Jaccard, and C ≥ J always, so LSH
+    candidates at a lower band threshold cover the containment search)."""
+    corpus = planted_corpus(spark, sf_dir)
+    sh = materialize(shingles(spread(corpus), 3))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    shj = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = shj.alias("a")
+    b = shj.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cont = F.col("c").cast("double") / F.col("na")
+    return (
+        common.join(F.broadcast(sa), "a_id")
+        .filter(cont >= _CONTAINMENT_T)
+        .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
+    )

@@ -504,3 +504,58 @@ def q_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = total + (dot_j > 0).cast("int") * (1 << j)
     sig = e.select("vec_id", total.cast("long").alias("bucket"))
     return sig.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+
+
+@register(
+    "q_embed_centroid",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    idx AS (SELECT unnest(range(64)) AS i),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS cv FROM (
+        SELECT label, i, avg(v[i + 1]) AS c FROM e, idx GROUP BY label, i
+      ) GROUP BY label
+    )
+    SELECT vec_id, label,
+           round(list_dot_product(v, cv)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(cv, cv))), 6) AS cos_centroid
+    FROM e JOIN cent USING (label)
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, then every vector's cosine to its own
+    label's centroid — the cluster-coherence / outlier score used to
+    prune mislabeled or off-distribution training vectors.
+
+    Centroids via posexplode → avg per (label, dim) → re-assembled in
+    dim order with array_sort(collect_list(struct)): two shuffles over
+    the EXPLODED stream but output is labels×64 rows — tiny — and the
+    centroid table broadcasts back onto the unexploded vectors, where
+    the cosine runs in codegen (same sequential-fold dot as the other
+    similarity ops). At 100 TB the explode shuffle is the cost; a
+    TreeAggregate-style partial (per-partition vector sums via
+    VectorizedAgg) would cut it, but avg-per-dim is already map-side
+    combined so the reduce stream is labels×64×partitions, not rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    return e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos_centroid"),
+    )

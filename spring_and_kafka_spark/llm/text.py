@@ -580,3 +580,80 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ts", F.col("start_tok") + 1).alias("first_tok"),
         F.element_at("ts", F.col("start_tok") + n_toks).alias("last_tok"),
     )
+
+
+_BM25_TERMS = ("spark", "merge", "sort")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE tok IN ('spark', 'merge', 'sort')
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id, tf.term,
+           round(
+             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({_BM25_K1} + 1))
+             / (tf.tf + {_BM25_K1}
+                * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)),
+             4) AS bm25
+    FROM tf
+    JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) relevance of every document against a fixed
+    keyword set — the lexical-retrieval scorer a RAG/data-curation stack
+    runs next to embedding search.
+
+    One explode produces the token stream; doc lengths, per-term tf, and
+    corpus df/avgdl are all groupBys over it with map-side partials. The
+    corpus-level scalars (N, avgdl) and the tiny per-term df table ride
+    broadcast joins, so the only shuffle is the (doc, term) tf groupBy.
+    The scoring formula is built from the same integer counts in both
+    engines with identical association order, so the doubles agree
+    bit-for-bit before rounding. At 100 TB the shape is unchanged — the
+    term filter prunes the exploded stream before its shuffle, and a
+    real inverted-index build is this same query grouped by term."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.round(score, 4).alias("bm25"))
+    )
