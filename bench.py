@@ -51,6 +51,13 @@ HEADLINE = [
     # added round 2 (BASELINE.md §2 notes the headline-set change)
     "q_dedup_clusters_lsh",
     "q_text_repetition",
+    # added round 4: TPC-H representatives (scan-agg, 6-table broadcast
+    # star, pre-agg join, semi join) + BM25
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q18",
+    "q_tpch_q21",
+    "q_text_bm25",
 ]
 
 
