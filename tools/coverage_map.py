@@ -85,6 +85,16 @@ SECTIONS = {
         "q_corpus_split", "q_sample_temperature", "q_decontaminate",
         "q_text_chunk", "q_corpus_repeat", "q_sim_topk_per_label",
     ],
+    "§2.11 decision-support suite (TPC-H, round 4)": [
+        "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+        "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14",
+        "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
+        "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    ],
+    "round-4 additions: retrieval scoring + dedup + windows + scalars": [
+        "q_text_bm25", "q_dedup_containment", "q_embed_centroid",
+        "q_win_first_last", "q_fn_url",
+    ],
 }
 
 STREAMING_ONLY = [
