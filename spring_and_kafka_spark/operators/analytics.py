@@ -259,3 +259,61 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM changes
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id
+           ) AS valid_to,
+           CAST(lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM starts
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each user's event_type stream
+    into validity intervals [valid_from, valid_to) with an is_current
+    flag — the warehouse dimension-versioning operator (MERGE-free: the
+    whole history derives from one window pass over the change log).
+
+    Consecutive same-type events collapse into one interval (lag-compare
+    keeps only change rows); lead() closes each interval with the next
+    change's start. One shuffle on user_id; both window passes and the
+    filter reuse that partitioning. At 100 TB this is the standard
+    changelog→dimension compaction and stays a single exchange."""
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    starts = changes.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
