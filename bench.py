@@ -58,6 +58,10 @@ HEADLINE = [
     "q_tpch_q18",
     "q_tpch_q21",
     "q_text_bm25",
+    # added round 5: never-benched families — iterative graph + SCD-2
+    # two-window pass (BASELINE.md §2 notes the headline-set change)
+    "q_graph_pagerank",
+    "q_scd2",
 ]
 
 

@@ -188,43 +188,40 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_sim_knn_all",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS qid, b.vec_id AS nid,
-             list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    )
-    SELECT qid, nid, round(c, 6) AS cos_sim, CAST(rn AS BIGINT) AS rn
-    FROM (SELECT qid, nid, c,
-                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
-          FROM pairs)
-    WHERE rn <= 3
-    """,
-)
-def q_sim_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 nearest neighbors for EVERY vector (batch kNN — the corpus-
-    scale similarity-search workload, vs q_sim_topk's single query).
+def auto_block_count(n_vectors: int, rows_per_block: int = 2000) -> int:
+    """Block count for the blocked-GEMM kNN: one hash block holds
+    ~``rows_per_block`` vectors, so per-group pandas memory stays bounded
+    (two blocks of ~2k × dim doubles) no matter how large the corpus
+    grows, and parallelism B·(B+1)/2 grows with the input instead of
+    being pinned at a constant. Exact all-pairs kNN is still O(n²)
+    compute by definition — q_sim_ann_ivf / q_sim_lsh_bucket are the
+    sub-quadratic scale paths; this bound just keeps the exact path from
+    hitting a single-executor memory cliff."""
+    import math
 
-    Execution: hash-bucket vectors into B blocks; each of the B·(B+1)/2
-    block pairs is one applyInPandas group whose kernel is a numpy GEMM
-    that emits only each row's per-pair top-k — so the all-pairs matrix is
-    never materialized: candidates are O(n·B·k), then one window pass picks
-    the global top-k. Shuffle O(n·B); compute dense-BLAS. Exactly matches
-    the DuckDB all-pairs window oracle."""
+    return max(2, math.ceil(n_vectors / rows_per_block))
+
+
+def knn_all_topk(
+    spark: SparkSession, e: DataFrame, k: int = 3, n_blocks: int | None = None
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector in ``e`` (columns
+    ``vec_id``, ``v: array<double>``) via blocked GEMM.
+
+    Hash-bucket vectors into B blocks; each of the B·(B+1)/2 block pairs
+    is one applyInPandas group whose kernel is a numpy GEMM that emits
+    only each row's per-pair top-k — the all-pairs matrix is never
+    materialized: candidates are O(n·B·k), then one window pass picks
+    the global top-k. Shuffle O(n·B); compute dense-BLAS.
+    ``n_blocks=None`` derives B from a count so block size (and thus
+    per-group memory) is constant as n grows."""
     import itertools
 
     import numpy as np
     import pandas as pd
 
-    k = 3
-    n_blocks = 4
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    if n_blocks is None:
+        n_blocks = auto_block_count(e.count())
     blk = (F.abs(F.xxhash64(F.col("vec_id").cast("string"))) % n_blocks).cast("int")
     tagged = e.withColumn("blk", blk)
     pair_ids = [
@@ -291,6 +288,34 @@ def q_sim_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("qid", "nid", F.round("c", 6).alias("cos_sim"), "rn")
     )
+
+
+@register(
+    "q_sim_knn_all",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT qid, nid, round(c, 6) AS cos_sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT qid, nid, c,
+                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+          FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def q_sim_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest neighbors for EVERY vector (batch kNN — the corpus-
+    scale similarity-search workload, vs q_sim_topk's single query).
+    Thin wrapper over :func:`knn_all_topk` with the auto-derived block
+    count (bounded per-group GEMM memory at any corpus size)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return knn_all_topk(spark, e, k=3, n_blocks=None)
 
 
 def ivf_train_kmeans(
@@ -521,7 +546,7 @@ def q_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label,
            round(list_dot_product(v, cv)
                  / (sqrt(list_dot_product(v, v))
-                    * sqrt(list_dot_product(cv, cv))), 6) AS cos_centroid
+                    * sqrt(list_dot_product(cv, cv))), 4) AS cos_centroid
     FROM e JOIN cent USING (label)
     """,
 )
@@ -557,5 +582,8 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos_centroid"),
+        # 4 dp, not 6: the centroid is an avg of doubles whose partial-sum
+        # order differs between Spark and DuckDB, so a 1e-6 boundary can
+        # flip at 6 dp (ratio-column discipline, registry docstring).
+        F.round(cosine(F.col("v"), F.col("cv")), 4).alias("cos_centroid"),
     )

@@ -41,68 +41,70 @@ _MODULE_SEQ: dict[str, int] = {}
 
 # The driver hash-verifies EXACTLY the first 50 exposed entries each
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
-# every query eventually owns a green CORRECTNESS row. Round-4 window:
-# slots 1-22 = the 21 never-driver-verified queries (round-3 additions
-# registered past the window) + q_stream_session (round-3 driver FAIL,
-# TIMESTAMP_NTZ crash, now fixed); 23-24 = queries whose implementations
-# change this round; 25-50 = re-verification backfill, events-table
-# (NTZ-path) queries first. Queries not named here rank after the
-# prefix by (module rank, def order) — the safe place for additions
-# until they are rotated in.
+# every query eventually owns a green CORRECTNESS row. Round-5 window:
+# slots 1-6 = the six round-4 additions that registered past the round-4
+# window and have never been driver-verified (the only queries without a
+# CORRECTNESS row anywhere in r1..r4); slots 7-38 = the 32 queries whose
+# latest green row is round 1 (stalest re-verification backfill);
+# slots 39-50 = the 12 round-2 greens that rank earliest in exposure
+# order. After round 5 every registry entry's latest driver row is
+# ≤3 rounds old. Queries not named here rank after the prefix by
+# (module rank, def order) — the safe place for additions until they
+# are rotated in.
 _WINDOW_PREFIX = [
-    # never driver-verified (round-3 additions) + the round-3 FAIL
-    "q_agg_mode",
-    "q_text_dup_fraction",
-    "q_text_chunk",
-    "q_multimodal_framesample",
-    "q_corpus_mix",
-    "q_corpus_split",
-    "q_sample_temperature",
-    "q_decontaminate",
-    "q_corpus_repeat",
-    "q_ts_ewma",
-    "q_ts_anomaly",
-    "q_ts_resample",
-    "q_sessionize",
-    "q_win_ntile",
-    "q_win_running_distinct",
-    "q_join_salted",
-    "q_stream_slide",
-    "q_agg_hll_rollup",
-    "q_agg_countmin",
-    "q_graph_pagerank",
-    "q_sim_topk_per_label",
-    "q_stream_session",
-    # new in round 4 — the TPC-H suite
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # re-verification backfill (events/NTZ-path first)
-    "q_stream_tumble",
-    "q_rollup_hier",
-    "q_gapfill",
-    "q_fn_decimal",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_join_asof",
-    "q_join_range",
-    "q_agg_group",
-    "q_join_multi",
+    # never driver-verified (round-4 additions past the r4 window)
+    "q_text_bm25",
+    "q_dedup_containment",
+    "q_embed_centroid",
+    "q_fn_url",
+    "q_win_first_last",
+    "q_scd2",
+    # re-verification backfill: latest green row is round 1
+    "q_scan",
+    "q_project",
+    "q_filter_cmp",
+    "q_filter_bool",
+    "q_filter_in",
+    "q_filter_between",
+    "q_filter_like",
+    "q_filter_null",
+    "q_case_when",
+    "q_distinct",
+    "q_sort",
+    "q_limit",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_generate",
+    "q_agg_distinct",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_agg_bool",
+    "q_agg_having",
+    "q_rollup",
+    "q_rollup_grouping",
+    "q_cube",
+    "q_grouping_sets",
+    "q_pivot",
+    "q_win_rank",
+    "q_win_lag",
+    "q_win_dist",
+    "q_win_frame_rows",
+    "q_win_frame_range",
+    "q_topk_per_group",
+    # re-verification backfill: earliest-exposed round-2 greens
+    "q_agg_global",
+    "q_text_tokens",
+    "q_text_tfidf",
+    "q_text_sentiment",
+    "q_lang_stats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_bigram_ppl",
+    "q_text_tokens_bpe",
+    "q_text_contamination",
+    "q_text_repetition",
+    "q_text_fingerprint",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

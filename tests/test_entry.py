@@ -33,12 +33,13 @@ def test_queries_are_callables():
 
 def test_verification_window_prefix_is_frozen():
     """The driver hash-verifies EXACTLY the first 50 exposed registry
-    entries. The round-4 window is named explicitly in
-    registry._WINDOW_PREFIX (22 never-verified / round-3-FAIL entries,
-    2 round-4 reworks, 26 re-verification backfill). Every prefix name
-    must actually be registered — a typo there would silently eject a
-    query from verification — and the exposed order must start with
-    exactly that prefix."""
+    entries. The round-5 window is named explicitly in
+    registry._WINDOW_PREFIX (6 never-driver-verified round-4 additions,
+    32 round-1-stale re-verifications, 12 earliest-exposed round-2
+    re-verifications — see the registry comment for the derivation).
+    Every prefix name must actually be registered — a typo there would
+    silently eject a query from verification — and the exposed order
+    must start with exactly that prefix."""
     from spring_and_kafka_spark import registry
 
     specs = registry.all_specs()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from spring_and_kafka_spark.llm.similarity import (
+    auto_block_count,
     q_sim_ann_ivf,
     q_sim_knn_all,
     q_sim_topk,
@@ -18,6 +19,16 @@ def test_topk_is_sorted_and_unique(spark):
     assert sims == sorted(sims, reverse=True)
     assert len({r["vec_id"] for r in rows}) == 10
     assert all(r["vec_id"] != 0 for r in rows)
+
+
+def test_auto_block_count_scales_with_input():
+    """B is derived from the corpus size (bounded per-block memory), not
+    pinned: bigger inputs must pick more blocks, and block size stays
+    ~rows_per_block so the per-group GEMM never grows with n."""
+    small, large = auto_block_count(1_000), auto_block_count(1_000_000)
+    assert small < large
+    assert auto_block_count(500) == 2  # floor: need >=2 for a pair split
+    assert 1_000_000 / auto_block_count(1_000_000) <= 2000  # bounded block
 
 
 def test_knn_all_shape_and_consistency(spark):

@@ -93,7 +93,7 @@ SECTIONS = {
     ],
     "round-4 additions: retrieval scoring + dedup + windows + scalars": [
         "q_text_bm25", "q_dedup_containment", "q_embed_centroid",
-        "q_win_first_last", "q_fn_url",
+        "q_win_first_last", "q_fn_url", "q_scd2",
     ],
 }
 

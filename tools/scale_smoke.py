@@ -118,6 +118,7 @@ def build_scaled_fact(spark, factor: int, out: Path) -> None:
 
 DOCS_QUERIES = [
     "q_dedup_near",
+    "q_dedup_clusters_lsh",
     "q_pipeline_curate",
     "q_dedup_ngram",  # the declared-quadratic exact tool, for contrast
     "q_text_repetition",
