@@ -244,3 +244,64 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         duration.cast("long").alias("n_frames_sampled"),
         checksum.alias("idx_checksum"),
     )
+
+
+@register(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH corpus AS (   -- fixture docs + planted exact re-uploads
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    h AS (
+      SELECT doc_id, sha256(text) AS content_hash,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM corpus
+    )
+    SELECT content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(n_bytes) AS BIGINT) AS n_bytes
+    FROM h
+    GROUP BY content_hash HAVING count(*) >= 2
+    ORDER BY content_hash
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-identical media dedup: SHA-256 over the binary payload
+    (the stub corpus's encoded text stands in for image/audio bytes),
+    keep the lowest id per digest, report duplicate groups — the first
+    pass of any multimodal ingest (identical re-crawls/re-uploads are
+    the bulk of media duplication and need no decode at all). Every 20th
+    doc is planted as an exact copy (id+200000, the dedup-family
+    planting convention) so the duplicate-group path is exercised — the
+    raw fixture has no byte-identical rows.
+
+    The digest is computed map-side next to the scan (content never
+    shuffles — only the 32-byte hash + id move), then one groupBy on the
+    digest. At 100 TB this is THE pattern: hash at ingest, shuffle
+    digests, fetch winning payloads by id afterward. DuckDB's sha256
+    over VARCHAR hashes its UTF-8 bytes — bit-identical to Spark's
+    sha2(encode(text)), as the parity suite proves."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    h = d.select(
+        "doc_id",
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("content_hash"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("content_hash")
+    )

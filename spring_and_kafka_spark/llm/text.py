@@ -657,3 +657,57 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", F.round(score, 4).alias("bm25"))
     )
+
+
+@register(
+    "q_text_zipf",
+    oracle="""
+    WITH tf AS (
+      SELECT t.tok, CAST(count(*) AS BIGINT) AS freq
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+      GROUP BY t.tok
+    ),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE))
+               AS lr,
+             ln(CAST(freq AS DOUBLE)) AS lf
+      FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(lf, lr), 4) AS zipf_slope,
+           round(corr(lf, lr) * corr(lf, lr), 4) AS zipf_r2
+    FROM ranked
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: log-log OLS slope of term
+    frequency against frequency rank (natural text ≈ −1; a synthetic or
+    templated corpus shows up immediately in the slope/R²) — a cheap
+    corpus-health check before training.
+
+    Term counting is explode + one groupBy (map-side combined); the
+    rank window and the regression run over one row per VOCABULARY term,
+    which is dwarfed by the corpus (even web-scale vocab is ~10⁸ rows ≈
+    one executor). regr_slope = covar_pop/var_pop, matching DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.select(
+        F.log(
+            F.row_number()
+            .over(W.orderBy(F.col("freq").desc(), "tok"))
+            .cast("double")
+        ).alias("lr"),
+        F.log(F.col("freq").cast("double")).alias("lf"),
+    )
+    slope = F.covar_pop("lf", "lr") / F.var_pop("lr")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(F.corr("lf", "lr") * F.corr("lf", "lr"), 4).alias("zipf_r2"),
+    )

@@ -438,3 +438,89 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("user_id").alias("mode_user"),
         best.getField("cnt").alias("n_events"),
     )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           round(covar_pop(l_extendedprice, l_quantity), 4) AS price_qty_covar_pop,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample and
+    population covariance, and the OLS slope of price on quantity — the
+    regression-in-SQL surface (regr_slope expressed as covar_pop /
+    var_pop, identical to DuckDB's definition).
+
+    All four are single-pass algebraic aggregates (sum/sum-sq/cross-sum
+    moments) with map-side partial combine — one shuffle of 3 groups ×
+    5 moments regardless of row count; the canonical 100 TB shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    slope = F.covar_pop("l_extendedprice", "l_quantity") / F.var_pop("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias(
+                "price_qty_corr"
+            ),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+                "price_qty_covar"
+            ),
+            F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias(
+                "price_qty_covar_pop"
+            ),
+            F.round(slope, 4).alias("price_per_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_hist_equiwidth",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) AS bucket
+      FROM orders
+    ),
+    h AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket
+    )
+    SELECT bucket,
+           bucket * 50000 AS lo,
+           (bucket + 1) * 50000 AS hi,
+           n,
+           round(n / CAST(sum(n) OVER () AS DOUBLE), 4) AS share
+    FROM h ORDER BY bucket
+    """,
+)
+def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: fixed $50k buckets with an
+    overflow cap, counts and shares — the profiling / data-quality
+    primitive (bounds derive from the bucket index, so no second pass
+    for min/max and the bucket count is fixed up front).
+
+    Bucketing is a map-side expression; the groupBy reduces to ≤12 rows
+    before the window computes shares, so the unpartitioned window sees
+    a dozen rows, not the table. Scan → 12-row shuffle at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000), F.lit(11)
+    ).cast("long")
+    h = o.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n").over(W.partitionBy())
+    return h.select(
+        "bucket",
+        (F.col("bucket") * 50000).alias("lo"),
+        ((F.col("bucket") + 1) * 50000).alias("hi"),
+        "n",
+        F.round(F.col("n") / total.cast("double"), 4).alias("share"),
+    ).orderBy("bucket")

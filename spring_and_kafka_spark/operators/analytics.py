@@ -317,3 +317,272 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY p1, p2
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together —
+    the association-mining primitive behind "frequently bought with".
+
+    Pair expansion happens per order AFTER a distinct, so fan-out is
+    bounded by order size k (k·(k-1)/2 pairs per order, k ≤ ~7 here) —
+    O(orders·k²) rows total, never a part×part blow-up. One shuffle on
+    l_orderkey for the self-join co-location, one on the (p1, p2) pair
+    key for the count; the final top-k plans TakeOrderedAndProject (no
+    global sort). At 100 TB the same plan holds; a hot mega-order would
+    be the one skew risk (cap k or salt the orderkey)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH g AS (  -- one row per distinct price: the best size at that price
+      SELECT p_retailprice, max(p_size) AS gmax FROM part GROUP BY 1
+    ),
+    c AS (       -- best size among STRICTLY cheaper prices
+      SELECT p_retailprice, gmax,
+             max(gmax) OVER (ORDER BY p_retailprice
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS cheaper_max
+      FROM g
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN c ON p.p_retailprice = c.p_retailprice
+    WHERE (c.cheaper_max IS NULL OR c.cheaper_max < p.p_size)
+      AND c.gmax <= p.p_size
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query: parts not dominated on
+    (minimize p_retailprice, maximize p_size) — a dominates b when it is
+    no worse on both dimensions and strictly better on one.
+
+    Two-phase distributed plan: phase 1 computes LOCAL frontiers inside
+    fixed-width price buckets (window partitioned by bucket — fully
+    parallel; the global skyline is a subset of the union of local
+    skylines because in-bucket domination is global domination); phase 2
+    runs the exact frontier pass on the surviving candidates only, whose
+    count is ≤ buckets × bucket-frontier size — small enough for the
+    single-partition window. The oracle states the same frontier
+    directly; the result set is orientation-independent."""
+    p = load_table(spark, sf_dir, "part")
+    # phase 1: local frontier per price bucket (parallel prune). The
+    # bucket is a function of price, so a whole price group lands in one
+    # bucket and the per-price max is exact; the prune drops only rows
+    # strictly dominated WITHIN their bucket (a safe subset of global
+    # domination), keeping equal-(price,size) ties the oracle keeps.
+    bucketed = p.withColumn(
+        "bkt", F.floor(F.col("p_retailprice") / F.lit(100.0)).cast("long")
+    )
+    gloc = bucketed.groupBy("bkt", "p_retailprice").agg(
+        F.max("p_size").alias("lgmax")
+    )
+    wloc = (
+        W.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cloc = gloc.withColumn("lcheaper_max", F.max("lgmax").over(wloc))
+    local = bucketed.join(cloc, ["bkt", "p_retailprice"]).filter(
+        (
+            F.col("lcheaper_max").isNull()
+            | (F.col("lcheaper_max") < F.col("p_size"))
+        )
+        & (F.col("lgmax") <= F.col("p_size"))
+    )
+    # phase 2: exact frontier over the pruned candidates (the cheapest
+    # row achieving each running max always survives phase 1, so the
+    # survivor-derived running max equals the full-table one)
+    g = local.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    wg = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    c = g.withColumn("cheaper_max", F.max("gmax").over(wg))
+    return (
+        local.join(F.broadcast(c), "p_retailprice")
+        .filter(
+            (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("p_size")))
+            & (F.col("gmax") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+@register(
+    "q_rfm",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY recency, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS m_score,
+             monetary_cents
+      FROM m
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           -- explicit sum/count + floor-half-up: avg(BIGINT) internals
+           -- differ between engines at the last double bit
+           floor(CAST(sum(monetary_cents) AS DOUBLE) / count(*) + 0.5)
+             / 100.0 AS avg_monetary
+    FROM s GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores on Recency (latest
+    order), Frequency (order count), Monetary (lifetime spend), then
+    segment sizes — the marketing-analytics workhorse.
+
+    Monetary is summed in integer cents (per-row half-up at ingest) so
+    the quartile ORDERING is exact and engine-independent — a raw
+    double sum could reorder two near-tied customers across engines and
+    flip an ntile boundary. The per-customer reduce is one shuffle;
+    ntile needs a global sort of one row per CUSTOMER (not per order) —
+    at 100 TB replace with approx-percentile cut points (the scores
+    tolerate estimated quartiles; documented trade)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    s = m.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy("monetary_cents", "o_custkey")).alias("m_score"),
+    )
+    return (
+        s.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.floor(
+                    F.sum("monetary_cents").cast("double")
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH delta AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS delta_cents
+      FROM orders GROUP BY 1
+    ),
+    src AS (     -- updates for existing keys + inserts for new keys
+      SELECT o_custkey AS k, delta_cents, 'U' AS op FROM delta
+      UNION ALL
+      SELECT o_custkey + 1000000, delta_cents, 'I'
+      FROM (SELECT * FROM delta
+            ORDER BY delta_cents DESC, o_custkey LIMIT 10)
+    )
+    SELECT coalesce(c.c_custkey, s.k) AS c_custkey,
+           CASE WHEN s.k IS NULL THEN 'unchanged'
+                WHEN c.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS status,
+           round((CASE WHEN c.c_custkey IS NULL THEN 0
+                       ELSE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                  END + coalesce(s.delta_cents, 0)) / 100.0, 2) AS new_acctbal
+    FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+    ORDER BY c_custkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a batch operator: apply a changeset (per-
+    customer spend deltas = updates; 10 synthetic new keys = inserts)
+    onto the customer snapshot — matched rows update, unmatched source
+    rows insert, unmatched target rows pass through unchanged. The
+    lakehouse upsert primitive, expressed engine-agnostically as one
+    full-outer join (Delta/Iceberg MERGE compiles to the same shape).
+
+    Money moves through integer cents (half-up per row) so update
+    arithmetic is exact in both engines. One shuffle for the delta
+    reduce, one for the full-outer join; at 100 TB the join would be
+    bucketed on the merge key so repeated MERGEs reuse partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    delta = o.groupBy("o_custkey").agg(F.sum(cents).alias("delta_cents"))
+    inserts = (
+        delta.orderBy(F.col("delta_cents").desc(), "o_custkey")
+        .limit(10)
+        .select(
+            (F.col("o_custkey") + 1000000).alias("k"),
+            "delta_cents",
+            F.lit("I").alias("op"),
+        )
+    )
+    updates = delta.select(
+        F.col("o_custkey").alias("k"), "delta_cents", F.lit("U").alias("op")
+    )
+    src = updates.unionByName(inserts)
+    joined = c.join(src, c.c_custkey == src.k, "full_outer")
+    bal_cents = F.when(
+        F.col("c_custkey").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long"))
+    return joined.select(
+        F.coalesce("c_custkey", "k").alias("c_custkey"),
+        F.when(F.col("k").isNull(), "unchanged")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("status"),
+        F.round(
+            (bal_cents + F.coalesce("delta_cents", F.lit(0).cast("long"))) / 100.0, 2
+        ).alias("new_acctbal"),
+    ).orderBy("c_custkey")

@@ -127,3 +127,95 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (   -- co-order graph, thinned to repeat co-occurrences
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-order graph (parts ordered together
+    ≥2 times) — the clustering-coefficient / community-density
+    primitive, and the classic test of join-order discipline at scale.
+
+    Spark path uses DEGREE orientation: every edge points from its
+    lower-degree endpoint (ties by id), so each triangle is counted
+    exactly once and the wedge join fans out by the SMALLER degree —
+    sum(min_deg²) wedges instead of sum(deg²), the standard mitigation
+    for power-law hubs (a hub only originates wedges toward
+    higher-degree nodes, of which there are few). The oracle orients by
+    id instead — the triangle COUNT is orientation-invariant, so both
+    agree while the physical fan-out differs. Two shuffles (wedge build,
+    closing-edge semi join) over the thinned edge set."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    und = materialize(und)
+    n_edges = und.count()
+    # degree per node over the undirected edge set
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    directed = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    e1 = directed.alias("e1")
+    e2 = directed.alias("e2")
+    wedges = e1.join(e2, F.col("e2.s") == F.col("e1.t")).select(
+        F.col("e1.s").alias("x"), F.col("e1.t").alias("y"), F.col("e2.t").alias("z")
+    )
+    # the orientation is a total (degree, id) order, so a triangle's
+    # closing edge is always oriented x→z — no reverse lookup needed
+    closing = directed.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    tri = wedges.join(closing, ["x", "z"], "left_semi")
+    return tri.agg(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )

@@ -369,3 +369,62 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("avg_value"),
     )
+
+
+@register(
+    "q_join_pit",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_purchase_value,
+             last_value(CASE WHEN event_type = 'view' THEN value END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_value
+      FROM events
+    )
+    SELECT event_id, user_id, ts, last_purchase_value, last_view_value
+    FROM tagged WHERE event_type = 'click'
+    """,
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (multi-feature as-of) join: every click enriched
+    with the user's latest strictly-prior purchase value AND latest
+    strictly-prior view value — the feature-store training-set build,
+    where each label row must see only features known before its
+    timestamp (no leakage).
+
+    Instead of N separate as-of range joins (one per feature table —
+    N shuffles and N state scans), all streams ride ONE user-partitioned
+    ordered window: last(ignorenulls) over a strict-past frame per
+    feature. One shuffle total regardless of feature count; adding a
+    feature adds a column, not a join — the same union-merge trick the
+    oracle states with IGNORE NULLS window functions."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+
+    def last_prior(ev_type: str):
+        feat = F.when(F.col("event_type") == ev_type, F.col("value"))
+        return F.last(feat, ignorenulls=True).over(w)
+
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            last_prior("purchase").alias("last_purchase_value"),
+            last_prior("view").alias("last_view_value"),
+        )
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )

@@ -1,0 +1,171 @@
+"""Semantic property tests for the round-5 operators — invariants the
+oracle diff can't see (dominance, leakage, brute-force agreement)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.operators.analytics import (
+    q_basket_pairs,
+    q_merge_upsert,
+    q_rfm,
+    q_skyline,
+)
+from spring_and_kafka_spark.operators.aggregates import (
+    q_agg_corr,
+    q_hist_equiwidth,
+)
+from spring_and_kafka_spark.operators.graph import q_graph_triangles
+from spring_and_kafka_spark.operators.timeseries import q_join_pit
+from spring_and_kafka_spark.llm.multimodal import q_multimodal_dedup
+from spring_and_kafka_spark.llm.text import q_text_zipf
+from spring_and_kafka_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _dominates(a, b):
+    """(price, size): a no worse on both, strictly better on one."""
+    return (
+        a.p_retailprice <= b.p_retailprice
+        and a.p_size >= b.p_size
+        and (a.p_retailprice < b.p_retailprice or a.p_size > b.p_size)
+    )
+
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    parts = load_table(spark, SF_SMOKE, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    sky = q_skyline(spark, SF_SMOKE).collect()
+    sky_keys = {r.p_partkey for r in sky}
+    # soundness: no skyline member is dominated by anyone
+    for s in sky:
+        assert not any(_dominates(p, s) for p in parts if p.p_partkey != s.p_partkey)
+    # completeness: every excluded part is dominated by a skyline member
+    for p in parts:
+        if p.p_partkey not in sky_keys:
+            assert any(_dominates(s, p) for s in sky)
+
+
+def test_triangles_match_bruteforce(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_orders = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_orders[(ps[i], ps[j])] += 1
+    edges = {p for p, n in pair_orders.items() if n >= 2}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)  # oriented by id: u < v
+    brute = sum(
+        1
+        for u, v in edges
+        for w in adj[v]
+        if w in adj[u]
+    )
+    row = q_graph_triangles(spark, SF_SMOKE).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == brute
+
+
+def test_pit_join_has_no_feature_leakage(spark):
+    """Every enriched click must carry the value of the max-(ts, event_id)
+    purchase/view STRICTLY before it — never a concurrent or later one."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    expected = {}
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        last = {"purchase": None, "view": None}
+        for r in rows:
+            if r.event_type == "click":
+                expected[r.event_id] = (last["purchase"], last["view"])
+            if r.event_type in last:
+                last[r.event_type] = r.value
+    out = q_join_pit(spark, SF_SMOKE).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        assert (r.last_purchase_value, r.last_view_value) == expected[r.event_id]
+
+
+def test_rfm_scores_partition_customers(spark):
+    rows = q_rfm(spark, SF_SMOKE).collect()
+    n_cust = (
+        load_table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+
+
+def test_merge_upsert_statuses(spark):
+    rows = q_merge_upsert(spark, SF_SMOKE).collect()
+    by_status = defaultdict(int)
+    for r in rows:
+        by_status[r.status] += 1
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    n_with_orders = (
+        load_table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    )
+    assert by_status["inserted"] == 10
+    assert by_status["updated"] == n_with_orders
+    assert by_status["unchanged"] == n_cust - n_with_orders
+    assert len({r.c_custkey for r in rows}) == len(rows)  # key is unique
+
+
+def test_basket_pairs_are_ordered_and_repeated(spark):
+    rows = q_basket_pairs(spark, SF_SMOKE).collect()
+    assert len(rows) <= 20
+    for r in rows:
+        assert r.p1 < r.p2
+        assert r.n_orders >= 2
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_histogram_shares_sum_to_one(spark):
+    rows = q_hist_equiwidth(spark, SF_SMOKE).collect()
+    assert all(0 <= r.bucket <= 11 for r in rows)
+    assert all(r.hi - r.lo == 50000 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01  # 4-dp rounding slack
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+
+
+def test_zipf_slope_is_negative(spark):
+    row = q_text_zipf(spark, SF_SMOKE).collect()[0]
+    assert row.n_terms > 0
+    assert row.zipf_slope < 0  # frequency falls with rank, always
+    assert 0.0 <= row.zipf_r2 <= 1.0
+
+
+def test_corr_bounded(spark):
+    rows = q_agg_corr(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert -1.0 <= r.price_qty_corr <= 1.0
+
+
+def test_multimodal_dedup_groups(spark):
+    rows = q_multimodal_dedup(spark, SF_SMOKE).collect()
+    assert rows, "planted copies must produce duplicate groups"
+    docs = load_table(spark, SF_SMOKE, "documents")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).count()
+    # every planted copy collapses into a group with its original
+    assert sum(r.n_copies - 1 for r in rows) >= planted
+    for r in rows:
+        assert r.n_copies >= 2
+        assert len(r.content_hash) == 64

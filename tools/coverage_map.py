@@ -95,6 +95,11 @@ SECTIONS = {
         "q_text_bm25", "q_dedup_containment", "q_embed_centroid",
         "q_win_first_last", "q_fn_url", "q_scd2",
     ],
+    "round-5 additions: warehouse + association + feature-store ops": [
+        "q_basket_pairs", "q_graph_triangles", "q_skyline", "q_rfm",
+        "q_merge_upsert", "q_join_pit", "q_agg_corr", "q_hist_equiwidth",
+        "q_text_zipf", "q_multimodal_dedup",
+    ],
 }
 
 STREAMING_ONLY = [
