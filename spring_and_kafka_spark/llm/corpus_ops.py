@@ -329,3 +329,73 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(scale * 1e6 + F.lit(0.5)) / 1e6).alias("q_scale"),
         q_sum.alias("q_sum"),
     )
+
+
+@register(
+    "q_corpus_provenance",
+    oracle="""
+    WITH dup AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS dup_docs
+      FROM (
+        SELECT source, text, count(*) AS c FROM documents
+        GROUP BY source, text HAVING count(*) >= 2
+      ) GROUP BY source
+    ),
+    base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.total_chars, b.n_langs,
+           CAST(floor(CAST(b.total_chars AS DOUBLE) / b.n_docs + 0.5)
+                AS BIGINT) AS avg_chars,
+           round(coalesce(d.dup_docs, 0) / CAST(b.n_docs AS DOUBLE), 4)
+             AS dup_rate
+    FROM base b LEFT JOIN dup d USING (source)
+    ORDER BY b.source
+    """,
+)
+def q_corpus_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source provenance rollup: doc/char/language counts plus the
+    within-source exact-duplicate rate — the data-governance dashboard
+    row every corpus snapshot ships with (which crawls are bloated,
+    which are mono-lingual, which re-serve the same pages).
+
+    Two passes over documents, both reducing to |sources| rows: the
+    main profile groupBy, and the duplicate probe which groups on
+    (source, text) — at 100 TB that key should be (source,
+    sha2(text)) so the shuffle moves 32-byte digests, not bodies; the
+    count semantics are identical (modulo astronomically-unlikely
+    collisions), kept as raw text here so the oracle is exactly
+    co-expressible."""
+    d = load_table(spark, sf_dir, "documents")
+    dup = (
+        d.groupBy("source", "text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy("source")
+        .agg(F.sum("c").alias("dup_docs"))
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return base.join(dup, "source", "left").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        F.floor(
+            F.col("total_chars").cast("double") / F.col("n_docs") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_chars"),
+        F.round(
+            F.coalesce("dup_docs", F.lit(0).cast("long"))
+            / F.col("n_docs").cast("double"),
+            4,
+        ).alias("dup_rate"),
+    ).orderBy("source")

@@ -939,3 +939,181 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= _CONTAINMENT_T)
         .select("a_id", "b_id", F.round(cont, 4).alias("containment"))
     )
+
+
+def incremental_near_matches(
+    corpus: DataFrame,
+    is_new,
+    n: int = 3,
+    threshold: float = _NGRAM_JACCARD,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    df_cap: int = _SHINGLE_DF_CAP,
+    bucket_cap: int = 500,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Asymmetric (batch-vs-corpus) near-dup matching: for every NEW doc,
+    its best existing match with verified Jaccard ≥ threshold, or NULL.
+
+    The daily-ingest shape of q_dedup_near: candidate generation joins
+    the new docs' band buckets against the EXISTING docs' buckets — an
+    old×new equi-join, never old×old — so a small batch against a huge
+    corpus costs O(batch × bands) join probes, not a corpus self-join.
+    (In production the corpus side's signatures/buckets are precomputed
+    and stored; here both sides derive in one pipeline, which is the
+    first-ingest cost.) Shingle df-cap and frequent-bucket guards are
+    computed over the UNION, matching what a maintained corpus index
+    would hold. Returns one row per new doc: (new_id, match_id, jaccard,
+    rejected)."""
+    sh = materialize(
+        shingles(spread(corpus), n).select(
+            "doc_id", F.xxhash64("shingle").alias("s64")
+        )
+    )
+    hot = (
+        sh.groupBy("s64")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s64", F.lit(True).alias("__hot"))
+    )
+    shx = sh.join(F.broadcast(hot), "s64", "left")
+    docfeat = shx.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s64"))).alias(f"mh{i}")
+            for i in range(_MINHASH_PERMS)
+        ],
+        F.count("*").alias("n"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("__hot").isNull(), F.col("s64")))
+        ).alias("hs"),
+    )
+    docfeat = materialize(
+        docfeat.select(
+            "doc_id",
+            F.array(*[f"mh{i}" for i in range(_MINHASH_PERMS)]).alias("mh"),
+            "n",
+            "hs",
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("mh")[i * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = materialize(
+        docfeat.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+    counts = buckets.groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
+    cool = counts.filter(F.col("cnt") <= bucket_cap).select("band", "bucket")
+    if stats is not None:
+        hotb = counts.filter(F.col("cnt") > bucket_cap).agg(
+            F.count("*").alias("k"), F.sum("cnt").alias("d")
+        ).first()
+        stats["hot_buckets"] = int(hotb["k"] or 0)
+        stats["docs_in_hot_buckets"] = int(hotb["d"] or 0)
+    buckets = buckets.join(F.broadcast(cool), ["band", "bucket"])
+    old_b = buckets.filter(~is_new(F.col("doc_id"))).select(
+        F.col("doc_id").alias("old_id"), "band", "bucket"
+    )
+    new_b = buckets.filter(is_new(F.col("doc_id"))).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    candidates = (
+        old_b.join(new_b, ["band", "bucket"]).select("old_id", "new_id").distinct()
+    )
+    ha = docfeat.select(
+        F.col("doc_id").alias("old_id"),
+        F.col("hs").alias("ha"),
+        F.col("n").alias("na"),
+    )
+    hb = docfeat.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("hs").alias("hb"),
+        F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect("ha", "hb"))
+    jac = c / (F.col("na") + F.col("nb") - c)
+    matches = (
+        candidates.join(ha, "old_id")
+        .join(hb, "new_id")
+        .filter(jac >= threshold)
+        .select("new_id", F.col("old_id").alias("match_id"), jac.alias("j"))
+    )
+    w = W.partitionBy("new_id").orderBy(F.col("j").desc(), "match_id")
+    best = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "match_id", F.round("j", 4).alias("jaccard"))
+    )
+    all_new = corpus.filter(is_new(F.col("doc_id"))).select(
+        F.col("doc_id").alias("new_id")
+    )
+    return all_new.join(best, "new_id", "left").select(
+        "new_id",
+        "match_id",
+        "jaccard",
+        F.col("match_id").isNotNull().alias("rejected"),
+    )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_SQL},
+    {shingle_ctes_sql()},
+    common AS (
+      SELECT a.doc_id AS old_id, b.doc_id AS new_id, count(*) AS c
+      FROM shj a JOIN shj b
+        ON a.shingle = b.shingle
+       AND a.doc_id < 100000 AND b.doc_id >= 100000
+      GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT new_id, old_id, c / (sa.n + sb.n - c) AS j
+      FROM common
+      JOIN sizes sa ON sa.doc_id = old_id
+      JOIN sizes sb ON sb.doc_id = new_id
+      WHERE c / (sa.n + sb.n - c) >= {_NGRAM_JACCARD}
+    ),
+    best AS (
+      SELECT new_id, old_id AS match_id, round(j, 4) AS jaccard,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY j DESC, old_id) AS rn
+      FROM matches
+    )
+    SELECT nw.doc_id AS new_id, b.match_id, b.jaccard,
+           CAST(b.match_id IS NOT NULL AS BOOLEAN) AS rejected
+    FROM (SELECT doc_id FROM corpus WHERE doc_id >= 100000) nw
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = nw.doc_id
+    """,
+    tags=("lsh",),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup admission: the planted perturbed copies
+    (doc_id+100000) arrive as a NEW batch against the existing fixture
+    corpus; each new doc is admitted or rejected by its best verified
+    near-dup match among EXISTING docs only (J ≥ 0.6). New-vs-new pairs
+    are deliberately out of scope — that's q_dedup_near run on the
+    batch. The oracle states the same cross-only exact-Jaccard semantics
+    the LSH path accelerates (banding recall 1.0 at fixture scale, same
+    argument as q_dedup_near)."""
+    corpus = planted_corpus(spark, sf_dir)
+    return incremental_near_matches(
+        corpus, is_new=lambda doc_id: doc_id >= 100000
+    )

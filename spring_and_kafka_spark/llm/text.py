@@ -711,3 +711,71 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round(F.corr("lf", "lr") * F.corr("lf", "lr"), 4).alias("zipf_r2"),
     )
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, tk.tok FROM documents,
+             unnest(string_split(lower(text), ' ')) AS tk(tok)
+      WHERE tk.tok <> ''
+    ),
+    v AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM t GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 20
+      )
+    ),
+    p AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(v.tok) AS BIGINT) AS n_iv
+      FROM t LEFT JOIN v ON t.tok = v.tok
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           round((p.n_tokens - p.n_iv) / CAST(p.n_tokens AS DOUBLE), 4)
+             AS oov_rate
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own top-20
+    token vocabulary — the tokenizer-fit / domain-shift screen run before
+    training (a doc whose tokens mostly miss the vocabulary inflates
+    sequence length and degrades the token budget).
+
+    The vocabulary is a 20-row broadcast (top-k by frequency with a
+    total tie order), so the per-occurrence membership test is a
+    broadcast-hash join — no shuffle touches the exploded token stream
+    except the per-doc reduce. Docs with no tokens surface with
+    n_tokens=0 and NULL rate via the outer join, not silently dropped."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(20)
+        .select("tok", F.lit(True).alias("iv"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("iv").alias("n_iv"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.round(
+            (F.col("n_tokens") - F.col("n_iv"))
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("oov_rate"),
+    )

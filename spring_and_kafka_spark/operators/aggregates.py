@@ -524,3 +524,58 @@ def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / total.cast("double"), 4).alias("share"),
     ).orderBy("bucket")
+
+
+@register(
+    "q_agg_weighted",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT) AS wprice_cents,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           floor(CAST(sum(wprice_cents) AS DOUBLE) / sum(qty) + 0.5) / 100.0
+             AS wavg_price
+    FROM j GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per brand — the weighted-mean
+    aggregate SQL lacks as a built-in (sum(w·x)/sum(w) composed from two
+    algebraic sums, never a two-pass or a UDAF).
+
+    The weighted numerator accumulates in integer cents×quantity, so the
+    sum is exact and engine-order-independent (a double product sum
+    would drift in the last bit across partition orders); one final
+    IEEE division + half-up keeps the hash stable. Dimension broadcast,
+    map-side partial aggregation, one 25-row shuffle. At petabyte row
+    counts the BIGINT numerator would near 2^63 — the same sum over
+    DECIMAL(38,2) is the headroom upgrade, same plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        (cents * F.col("l_quantity").cast("long")).alias("wprice_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("total_qty"),
+            (
+                F.floor(
+                    F.sum("wprice_cents").cast("double") / F.sum("qty")
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("wavg_price"),
+        )
+        .orderBy("p_brand")
+    )

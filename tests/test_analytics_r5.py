@@ -169,3 +169,69 @@ def test_multimodal_dedup_groups(spark):
     for r in rows:
         assert r.n_copies >= 2
         assert len(r.content_hash) == 64
+
+
+def test_incremental_dedup_rejects_planted_copies(spark):
+    """Each planted perturbation (doc_id+100000, last token dropped) must
+    be rejected against ITS OWN original when their Jaccard clears the
+    threshold — and every match the operator reports must be an
+    old-corpus doc (no new-vs-new leakage into the decision)."""
+    from spring_and_kafka_spark.llm.dedup import q_dedup_incremental
+
+    rows = q_dedup_incremental(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == docs  # one admission row per new doc
+    rejected = [r for r in rows if r.rejected]
+    assert rejected, "planted near-copies must be caught"
+    for r in rejected:
+        assert r.match_id < 100000  # matches point at the existing corpus
+        assert r.jaccard >= 0.6
+    # most perturbed docs match their own source (dropping one token
+    # keeps J >= 0.6 except for very short docs)
+    own = sum(1 for r in rejected if r.match_id == r.new_id - 100000)
+    assert own / len(rejected) > 0.9
+
+
+def test_vocab_coverage_bounds(spark):
+    from spring_and_kafka_spark.llm.text import q_text_vocab_coverage
+
+    rows = q_text_vocab_coverage(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == docs
+    for r in rows:
+        if r.n_tokens > 0:
+            assert 0.0 <= r.oov_rate <= 1.0
+        else:
+            assert r.oov_rate is None
+
+
+def test_weighted_avg_within_brand_price_range(spark):
+    from spring_and_kafka_spark.operators.aggregates import q_agg_weighted
+
+    rows = q_agg_weighted(spark, SF_SMOKE).collect()
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    p = load_table(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    bounds = {
+        r.p_brand: (r.lo, r.hi)
+        for r in li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r.p_brand]
+        assert lo - 0.01 <= r.wavg_price <= hi + 0.01
+
+
+def test_provenance_accounts_for_every_doc(spark):
+    from spring_and_kafka_spark.llm.corpus_ops import q_corpus_provenance
+
+    rows = q_corpus_provenance(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == docs
+    for r in rows:
+        assert 0.0 <= r.dup_rate <= 1.0
+        assert r.n_langs >= 1

@@ -98,7 +98,8 @@ SECTIONS = {
     "round-5 additions: warehouse + association + feature-store ops": [
         "q_basket_pairs", "q_graph_triangles", "q_skyline", "q_rfm",
         "q_merge_upsert", "q_join_pit", "q_agg_corr", "q_hist_equiwidth",
-        "q_text_zipf", "q_multimodal_dedup",
+        "q_text_zipf", "q_multimodal_dedup", "q_dedup_incremental",
+        "q_text_vocab_coverage", "q_agg_weighted", "q_corpus_provenance",
     ],
 }
 

@@ -24,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from spring_and_kafka_spark import registry
+from spring_and_kafka_spark.exec_utils import ts_micros
 from spring_and_kafka_spark.session import get_spark
 from spring_and_kafka_spark.sources.tables import TABLES, load_table
 
@@ -57,8 +58,12 @@ def build_scaled(spark, factor: int) -> str:
     scaled = e.crossJoin(copies).select(
         (F.col("event_id") + F.col("k") * n).alias("event_id"),
         # shift each copy by k seconds: preserves intra-copy ordering and
-        # spreads duplicates across windows deterministically
-        F.timestamp_micros(F.unix_micros("ts") + F.col("k") * 1_000_000).alias("ts"),
+        # spreads duplicates across windows deterministically. ts_micros
+        # handles the NTZ read; cast back to NTZ so the scaled parquet
+        # presents the same type the fixture does (UTC session → no-op).
+        F.timestamp_micros(ts_micros("ts") + F.col("k") * 1_000_000)
+        .cast("timestamp_ntz")
+        .alias("ts"),
         (F.col("user_id") + F.col("k") * 1000).alias("user_id"),
         "event_type",
         "value",
@@ -79,6 +84,10 @@ FACT_QUERIES = [
     "q_agg_percentile",
     "q_agg_argmax",
     "q_graph_pagerank",
+    "q_basket_pairs",
+    "q_graph_triangles",
+    "q_rfm",
+    "q_merge_upsert",
 ]
 
 
