@@ -579,3 +579,79 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_agg_string",
+    oracle="""
+    SELECT c.c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations,
+           CAST(count(DISTINCT n.n_name) AS BIGINT) AS n_nations,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG / string_agg surface): the sorted
+    distinct nation roster per market segment as one delimited string —
+    the report-building aggregate. Deterministic by construction:
+    collect_set → array_sort → concat_ws fixes the element order that
+    bare listagg leaves unspecified (same reason dedup uses rank windows
+    over dropDuplicates).
+
+    collect_set is fine HERE because the per-group distinct-value count
+    is bounded by |nation| (25); an unbounded-cardinality string agg at
+    100 TB would instead cap or top-k the set before concatenation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias(
+                "nations"
+            ),
+            F.countDistinct("n_name").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_lines', n_lines FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_orders', n_orders FROM wide
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-flag metric table turned into long
+    (flag, metric, value) rows — the inverse of q_pivot and the shape
+    BI/metric stores ingest. Uses the native DataFrame unpivot (Spark's
+    internal Expand node: each input row fans to k output rows in the
+    SAME task — no shuffle, no join, exactly how the oracle's UNION ALL
+    arms read but in one pass over a 3-row aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "n_lines", "n_orders"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

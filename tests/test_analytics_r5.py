@@ -235,3 +235,27 @@ def test_provenance_accounts_for_every_doc(spark):
     for r in rows:
         assert 0.0 <= r.dup_rate <= 1.0
         assert r.n_langs >= 1
+
+
+def test_agg_string_roster_is_sorted(spark):
+    from spring_and_kafka_spark.operators.aggregates import q_agg_string
+
+    rows = q_agg_string(spark, SF_SMOKE).collect()
+    for r in rows:
+        names = r.nations.split(",")
+        assert names == sorted(names)
+        assert len(names) == r.n_nations
+
+
+def test_unpivot_roundtrips_the_wide_table(spark):
+    from spring_and_kafka_spark.operators.aggregates import q_unpivot
+
+    rows = q_unpivot(spark, SF_SMOKE).collect()
+    flags = {r.l_returnflag for r in rows}
+    assert len(rows) == 3 * len(flags)  # every flag carries all 3 metrics
+    by_flag = defaultdict(dict)
+    for r in rows:
+        by_flag[r.l_returnflag][r.metric] = r.value
+    for flag, m in by_flag.items():
+        assert set(m) == {"sum_qty", "n_lines", "n_orders"}
+        assert m["n_lines"] >= m["n_orders"]  # >=1 line per order
