@@ -403,44 +403,61 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window. The oracle states the same frontier
     directly; the result set is orientation-independent."""
     p = load_table(spark, sf_dir, "part")
-    # phase 1: local frontier per price bucket (parallel prune). The
-    # bucket is a function of price, so a whole price group lands in one
-    # bucket and the per-price max is exact; the prune drops only rows
-    # strictly dominated WITHIN their bucket (a safe subset of global
-    # domination), keeping equal-(price,size) ties the oracle keeps.
-    bucketed = p.withColumn(
-        "bkt", F.floor(F.col("p_retailprice") / F.lit(100.0)).cast("long")
+    return pareto_frontier(
+        p, key="p_partkey", minimize="p_retailprice", maximize="p_size"
+    ).orderBy("p_retailprice", "p_partkey")
+
+
+def pareto_frontier(
+    df: DataFrame,
+    key: str,
+    minimize: str,
+    maximize: str,
+    bucket_width: float = 100.0,
+) -> DataFrame:
+    """2-D skyline: rows not dominated on (minimize `minimize`,
+    maximize `maximize`); equal-on-both ties are all kept (neither
+    dominates). Two-phase: a parallel per-bucket prune, then the exact
+    frontier over survivors only — see q_skyline's docstring.
+
+    Both phases compare against the per-value group max rather than a
+    rows-frame running max: a rows frame ordered (min asc, max desc)
+    would see an equal-(min,max) twin in its preceding frame and
+    wrongly drop BOTH copies of a tied frontier point (caught by
+    tests/test_analytics_r5.py::test_skyline_keeps_equal_ties)."""
+    mn, mx = F.col(minimize), F.col(maximize)
+    # phase 1: local frontier per bucket (parallel prune). The bucket is
+    # a function of the minimized value, so a whole value group lands in
+    # one bucket and the per-value max is exact; the prune drops only
+    # rows strictly dominated WITHIN their bucket (a safe subset of
+    # global domination).
+    bucketed = df.withColumn(
+        "bkt", F.floor(mn / F.lit(bucket_width)).cast("long")
     )
-    gloc = bucketed.groupBy("bkt", "p_retailprice").agg(
-        F.max("p_size").alias("lgmax")
-    )
+    gloc = bucketed.groupBy("bkt", minimize).agg(F.max(mx).alias("lgmax"))
     wloc = (
         W.partitionBy("bkt")
-        .orderBy("p_retailprice")
+        .orderBy(minimize)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     cloc = gloc.withColumn("lcheaper_max", F.max("lgmax").over(wloc))
-    local = bucketed.join(cloc, ["bkt", "p_retailprice"]).filter(
-        (
-            F.col("lcheaper_max").isNull()
-            | (F.col("lcheaper_max") < F.col("p_size"))
-        )
-        & (F.col("lgmax") <= F.col("p_size"))
+    local = bucketed.join(cloc, ["bkt", minimize]).filter(
+        (F.col("lcheaper_max").isNull() | (F.col("lcheaper_max") < mx))
+        & (F.col("lgmax") <= mx)
     )
     # phase 2: exact frontier over the pruned candidates (the cheapest
     # row achieving each running max always survives phase 1, so the
     # survivor-derived running max equals the full-table one)
-    g = local.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
-    wg = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    g = local.groupBy(minimize).agg(F.max(mx).alias("gmax"))
+    wg = W.orderBy(minimize).rowsBetween(W.unboundedPreceding, -1)
     c = g.withColumn("cheaper_max", F.max("gmax").over(wg))
     return (
-        local.join(F.broadcast(c), "p_retailprice")
+        local.join(F.broadcast(c), minimize)
         .filter(
-            (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("p_size")))
-            & (F.col("gmax") <= F.col("p_size"))
+            (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < mx))
+            & (F.col("gmax") <= mx)
         )
-        .select("p_partkey", "p_retailprice", "p_size")
-        .orderBy("p_retailprice", "p_partkey")
+        .select(key, minimize, maximize)
     )
 
 

@@ -259,3 +259,41 @@ def test_unpivot_roundtrips_the_wide_table(spark):
     for flag, m in by_flag.items():
         assert set(m) == {"sum_qty", "n_lines", "n_orders"}
         assert m["n_lines"] >= m["n_orders"]  # >=1 line per order
+
+
+def test_skyline_keeps_equal_ties_and_handles_degenerate_inputs(spark):
+    """Synthetic corners the fixture can't hit: exact (price, size) twins
+    on the frontier must BOTH survive (equal-on-both never dominates);
+    same-price different-size keeps only the max; a single row is its
+    own frontier; bucket boundaries don't split a price group."""
+    from spring_and_kafka_spark.operators.analytics import pareto_frontier
+
+    rows = [
+        # frontier twins: identical (10.0, 50) — both must survive
+        (1, 10.0, 50),
+        (2, 10.0, 50),
+        # same price, smaller size: dominated by the twins
+        (3, 10.0, 40),
+        # cheaper but much smaller: on the frontier
+        (4, 5.0, 30),
+        # pricier and bigger: on the frontier
+        (5, 250.0, 60),
+        # pricier and not bigger: dominated (across bucket boundary)
+        (6, 250.0, 50),
+        # dominated on both by row 4
+        (7, 6.0, 20),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, price DOUBLE, size INT")
+    sky = sorted(
+        (r.k for r in pareto_frontier(
+            df, key="k", minimize="price", maximize="size"
+        ).collect())
+    )
+    assert sky == [1, 2, 4, 5]
+    single = spark.createDataFrame([(9, 1.0, 1)], "k LONG, price DOUBLE, size INT")
+    assert [
+        r.k
+        for r in pareto_frontier(
+            single, key="k", minimize="price", maximize="size"
+        ).collect()
+    ] == [9]
