@@ -263,6 +263,57 @@ def minhash_signatures(sh: DataFrame, num_perms: int = _MINHASH_PERMS) -> DataFr
     )
 
 
+def _band_bucket_rows(
+    sig: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    bucket_cap: int = 500,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Materialized cap-filtered LSH bucket memberships (doc_id, band,
+    bucket) from a (doc_id, mh) signature frame — the shared half of
+    symmetric (lsh_candidate_pairs) and asymmetric
+    (incremental_near_matches) candidate generation. See
+    lsh_candidate_pairs for the banding and bucket_cap semantics."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("mh")[i * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    # materialize bucket memberships: candidate generation joins this
+    # table against itself (or its old/new halves), and without the cut
+    # the whole signature subtree (corpus scan → shingles → wide
+    # min-agg) would execute once per join side
+    buckets = materialize(
+        sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+            "doc_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+    counts = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    cool = counts.filter(F.col("n") <= bucket_cap).select("band", "bucket")
+    if stats is not None:
+        hot = counts.filter(F.col("n") > bucket_cap).agg(
+            F.count("*").alias("k"), F.sum("n").alias("d")
+        ).first()
+        stats["hot_buckets"] = int(hot["k"] or 0)
+        stats["docs_in_hot_buckets"] = int(hot["d"] or 0)
+    return buckets.join(F.broadcast(cool), ["band", "bucket"])
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     bands: int,
@@ -299,43 +350,7 @@ def lsh_candidate_pairs(
     surface only as an opaque hash mismatch (ADVICE r2). Cheap: bucket
     memberships are materialized here anyway so the candidate self-join
     doesn't recompute the signature subtree per side."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("mh")[i * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-    )
-    # materialize bucket memberships: the candidate generation self-joins
-    # this table against itself, and without the cut the whole signature
-    # subtree (corpus scan → shingles → wide min-agg) would execute once
-    # per join side
-    buckets = materialize(
-        sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
-        )
-    )
-    counts = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    cool = counts.filter(F.col("n") <= bucket_cap).select("band", "bucket")
-    if stats is not None:
-        hot = counts.filter(F.col("n") > bucket_cap).agg(
-            F.count("*").alias("k"), F.sum("n").alias("d")
-        ).first()
-        stats["hot_buckets"] = int(hot["k"] or 0)
-        stats["docs_in_hot_buckets"] = int(hot["d"] or 0)
-    buckets = buckets.join(F.broadcast(cool), ["band", "bucket"])
+    buckets = _band_bucket_rows(sig, bands, rows_per_band, bucket_cap, stats)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -347,6 +362,50 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
+    )
+
+
+def _doc_features(corpus: DataFrame, n: int, df_cap: int) -> DataFrame:
+    """Materialized per-doc LSH features (doc_id, mh ARRAY<LONG>,
+    n BIGINT, hs ARRAY<LONG>): the 32-permutation minhash signature over
+    the full shingle set, the exact full-set size, and the df-capped
+    shingle-hash array for exact-Jaccard verification. ONE wide groupBy
+    builds all three (see lsh_verified_pairs' docstring for why), and
+    the materialize is load-bearing: the frame feeds candidate
+    generation AND both verify-join sides, so without the cut the
+    shingle pipeline would execute once per consumer. Shared by the
+    symmetric (lsh_verified_pairs) and asymmetric
+    (incremental_near_matches) detectors so their documented-identical
+    semantics cannot drift apart."""
+    sh = materialize(
+        shingles(spread(corpus), n).select(
+            "doc_id", F.xxhash64("shingle").alias("s64")
+        )
+    )
+    hot = (
+        sh.groupBy("s64")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s64", F.lit(True).alias("__hot"))
+    )
+    shx = sh.join(F.broadcast(hot), "s64", "left")
+    docfeat = shx.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s64"))).alias(f"mh{i}")
+            for i in range(_MINHASH_PERMS)
+        ],
+        F.count("*").alias("n"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("__hot").isNull(), F.col("s64")))
+        ).alias("hs"),
+    )
+    return materialize(
+        docfeat.select(
+            "doc_id",
+            F.array(*[f"mh{i}" for i in range(_MINHASH_PERMS)]).alias("mh"),
+            "n",
+            "hs",
+        )
     )
 
 
@@ -401,38 +460,7 @@ def lsh_verified_pairs(
     ``bucket_cap``/``stats`` pass through to lsh_candidate_pairs — see
     its docstring; oracle-backed callers assert stats['hot_buckets'] == 0
     so a fired cap is an explicit signal, not a silent recall loss."""
-    sh = materialize(
-        shingles(spread(corpus), n).select(
-            "doc_id", F.xxhash64("shingle").alias("s64")
-        )
-    )
-    hot = (
-        sh.groupBy("s64")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("s64", F.lit(True).alias("__hot"))
-    )
-    shx = sh.join(F.broadcast(hot), "s64", "left")
-    docfeat = shx.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("s64"))).alias(f"mh{i}")
-            for i in range(_MINHASH_PERMS)
-        ],
-        F.count("*").alias("n"),
-        F.sort_array(
-            F.collect_set(F.when(F.col("__hot").isNull(), F.col("s64")))
-        ).alias("hs"),
-    )
-    # docfeat feeds candidate generation AND both verify-join sides —
-    # materialize so the 32-way min-agg groupBy runs once, not three times
-    docfeat = materialize(
-        docfeat.select(
-            "doc_id",
-            F.array(*[f"mh{i}" for i in range(_MINHASH_PERMS)]).alias("mh"),
-            "n",
-            "hs",
-        )
-    )
+    docfeat = _doc_features(corpus, n, df_cap)
     candidates = lsh_candidate_pairs(
         docfeat.select("doc_id", "mh"),
         bands,
@@ -965,69 +993,10 @@ def incremental_near_matches(
     computed over the UNION, matching what a maintained corpus index
     would hold. Returns one row per new doc: (new_id, match_id, jaccard,
     rejected)."""
-    sh = materialize(
-        shingles(spread(corpus), n).select(
-            "doc_id", F.xxhash64("shingle").alias("s64")
-        )
+    docfeat = _doc_features(corpus, n, df_cap)
+    buckets = _band_bucket_rows(
+        docfeat.select("doc_id", "mh"), bands, rows_per_band, bucket_cap, stats
     )
-    hot = (
-        sh.groupBy("s64")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("s64", F.lit(True).alias("__hot"))
-    )
-    shx = sh.join(F.broadcast(hot), "s64", "left")
-    docfeat = shx.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("s64"))).alias(f"mh{i}")
-            for i in range(_MINHASH_PERMS)
-        ],
-        F.count("*").alias("n"),
-        F.sort_array(
-            F.collect_set(F.when(F.col("__hot").isNull(), F.col("s64")))
-        ).alias("hs"),
-    )
-    docfeat = materialize(
-        docfeat.select(
-            "doc_id",
-            F.array(*[f"mh{i}" for i in range(_MINHASH_PERMS)]).alias("mh"),
-            "n",
-            "hs",
-        )
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("mh")[i * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-    )
-    buckets = materialize(
-        docfeat.select("doc_id", F.explode(band_structs).alias("bb")).select(
-            "doc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
-        )
-    )
-    counts = buckets.groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
-    cool = counts.filter(F.col("cnt") <= bucket_cap).select("band", "bucket")
-    if stats is not None:
-        hotb = counts.filter(F.col("cnt") > bucket_cap).agg(
-            F.count("*").alias("k"), F.sum("cnt").alias("d")
-        ).first()
-        stats["hot_buckets"] = int(hotb["k"] or 0)
-        stats["docs_in_hot_buckets"] = int(hotb["d"] or 0)
-    buckets = buckets.join(F.broadcast(cool), ["band", "bucket"])
     old_b = buckets.filter(~is_new(F.col("doc_id"))).select(
         F.col("doc_id").alias("old_id"), "band", "bucket"
     )

@@ -214,9 +214,14 @@ def knn_all_topk(
     materialized: candidates are O(n·B·k), then one window pass picks
     the global top-k. Shuffle O(n·B); compute dense-BLAS.
     ``n_blocks=None`` derives B from a count so block size (and thus
-    per-group memory) is constant as n grows."""
-    import itertools
+    per-group memory) is constant as n grows.
 
+    Replication is MAP-SIDE: each row explodes a sequence of its B
+    partner blocks and computes pair_id = least·B + greatest in place —
+    O(n·B) rows with no join. (The previous broadcast pair-table with an
+    OR-of-equalities predicate planned a BroadcastNestedLoopJoin over
+    B(B+1)/2 pair rows — fine at the old fixed B=4, quadratic once B
+    scales with the corpus.)"""
     import numpy as np
     import pandas as pd
 
@@ -224,16 +229,18 @@ def knn_all_topk(
         n_blocks = auto_block_count(e.count())
     blk = (F.abs(F.xxhash64(F.col("vec_id").cast("string"))) % n_blocks).cast("int")
     tagged = e.withColumn("blk", blk)
-    pair_ids = [
-        (i, j) for i, j in itertools.product(range(n_blocks), repeat=2) if i <= j
-    ]
-    pair_map = spark.createDataFrame(
-        [(i, j, i * n_blocks + j) for i, j in pair_ids], "i INT, j INT, pair_id INT"
+    partner = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("pb")
+    replicated = tagged.select("vec_id", "v", "blk", partner).select(
+        "vec_id",
+        "v",
+        "blk",
+        (
+            F.least("blk", "pb").cast("long") * n_blocks
+            + F.greatest("blk", "pb")
+        ).alias("pair_id"),
+        F.least("blk", "pb").alias("i"),
+        F.greatest("blk", "pb").alias("j"),
     )
-    replicated = tagged.join(
-        F.broadcast(pair_map),
-        (tagged.blk == pair_map.i) | (tagged.blk == pair_map.j),
-    ).select("vec_id", "v", "blk", "pair_id", "i", "j")
 
     def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])

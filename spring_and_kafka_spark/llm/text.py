@@ -29,6 +29,14 @@ def tokens(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
 
 
+def tokens_lower(df: DataFrame) -> DataFrame:
+    """(doc_id, tok) lower-cased token stream, empty tokens dropped — the
+    shared normalization for vocabulary-level stats (zipf, OOV)."""
+    return df.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
 @register(
     "q_text_tokens",
     oracle="""
@@ -692,8 +700,7 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one executor). regr_slope = covar_pop/var_pop, matching DuckDB."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
+        tokens_lower(d)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -752,9 +759,7 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the per-doc reduce. Docs with no tokens surface with
     n_tokens=0 and NULL rate via the outer join, not silently dropped."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    ).filter(F.col("tok") != "")
+    toks = tokens_lower(d)
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -514,8 +515,6 @@ def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = o.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
-    from pyspark.sql import Window as W
-
     total = F.sum("n").over(W.partitionBy())
     return h.select(
         "bucket",

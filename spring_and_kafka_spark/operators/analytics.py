@@ -543,9 +543,9 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     ),
     src AS (     -- updates for existing keys + inserts for new keys
-      SELECT o_custkey AS k, delta_cents, 'U' AS op FROM delta
+      SELECT o_custkey AS k, delta_cents FROM delta
       UNION ALL
-      SELECT o_custkey + 1000000, delta_cents, 'I'
+      SELECT o_custkey + 1000000, delta_cents
       FROM (SELECT * FROM delta
             ORDER BY delta_cents DESC, o_custkey LIMIT 10)
     )
@@ -579,15 +579,9 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = (
         delta.orderBy(F.col("delta_cents").desc(), "o_custkey")
         .limit(10)
-        .select(
-            (F.col("o_custkey") + 1000000).alias("k"),
-            "delta_cents",
-            F.lit("I").alias("op"),
-        )
+        .select((F.col("o_custkey") + 1000000).alias("k"), "delta_cents")
     )
-    updates = delta.select(
-        F.col("o_custkey").alias("k"), "delta_cents", F.lit("U").alias("op")
-    )
+    updates = delta.select(F.col("o_custkey").alias("k"), "delta_cents")
     src = updates.unionByName(inserts)
     joined = c.join(src, c.c_custkey == src.k, "full_outer")
     bal_cents = F.when(

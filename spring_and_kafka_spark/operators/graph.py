@@ -210,6 +210,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.s", "e.t")
     )
+    # directed feeds three differently-partitioned join sides (wedge e1,
+    # wedge e2, closing) — ReuseExchange can't dedup them, so cut here or
+    # the degree joins recompute per side
+    directed = materialize(directed)
     e1 = directed.alias("e1")
     e2 = directed.alias("e2")
     wedges = e1.join(e2, F.col("e2.s") == F.col("e1.t")).select(
