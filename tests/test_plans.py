@@ -130,3 +130,35 @@ def test_decontaminate_bench_side_broadcasts(spark):
     p = plan(spark, "q_decontaminate")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_weighted_agg_broadcasts_dim_and_prunes(spark):
+    p = plan(spark, "q_agg_weighted")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # lineitem scan reads only the 3 needed columns
+    assert "l_shipdate" not in p
+
+
+def test_pit_join_is_one_window_pass(spark):
+    """The multi-feature PIT join must NOT plan as N range joins — one
+    user-partitioned window, no join operator at all."""
+    p = plan(spark, "q_join_pit")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2  # one hash partition (+AQE read)
+
+
+def test_basket_pairs_topk_no_global_sort(spark):
+    p = plan(spark, "q_basket_pairs")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    p = plan(spark, "q_text_vocab_coverage")
+    assert "BroadcastHashJoin" in p
+
+
+def test_unpivot_uses_expand_not_union(spark):
+    p = plan(spark, "q_unpivot")
+    assert "Expand" in p
+    assert "Union" not in p

@@ -234,3 +234,72 @@ def test_corpus_pack_shard_merge_equals_per_shard_sequential(spark, data):
         for r in corpus_pack(toks, shard_docs=shard_docs).collect()
     }
     assert got == expect
+
+
+points_strategy = st.lists(
+    st.tuples(
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False, width=32),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(points_strategy)
+def test_pareto_frontier_matches_brute_force(spark, pts):
+    """pareto_frontier == brute-force dominance filter for arbitrary
+    point sets, including duplicate points and bucket-boundary values."""
+    from spring_and_kafka_spark.operators.analytics import pareto_frontier
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "k LONG, price DOUBLE, size INT")
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] <= a[1]
+            and b[2] >= a[2]
+            and (b[1] < a[1] or b[2] > a[2])
+        )
+
+    expected = sorted(
+        r[0]
+        for r in rows
+        if not any(dominated(r, o) for o in rows if o[0] != r[0])
+    )
+    got = sorted(
+        r.k
+        for r in pareto_frontier(
+            df, key="k", minimize="price", maximize="size"
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_incremental_matches_are_symmetric_cross_pairs(spark):
+    """q_dedup_incremental's best match per new doc must agree with the
+    symmetric detector restricted to old×new pairs — the asymmetric
+    candidate path may skip old×old work but must not change semantics."""
+    from spring_and_kafka_spark.llm.dedup import (
+        lsh_verified_pairs,
+        planted_corpus,
+        q_dedup_incremental,
+    )
+    from .conftest import SF_SMOKE
+
+    corpus = planted_corpus(spark, SF_SMOKE)
+    sym = lsh_verified_pairs(corpus, n=3, threshold=0.6).collect()
+    best = {}
+    for r in sym:
+        a, b = r.a_id, r.b_id  # a < b always; cross pairs have b planted
+        if a < 100000 <= b:
+            cur = best.get(b)
+            cand = (-r.jaccard, a)
+            if cur is None or cand < cur:
+                best[b] = cand
+    inc = q_dedup_incremental(spark, SF_SMOKE).collect()
+    got = {
+        r.new_id: (-r.jaccard, r.match_id) for r in inc if r.rejected
+    }
+    assert got == best
