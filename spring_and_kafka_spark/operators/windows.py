@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -282,4 +283,144 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_ok"),
         F.last("o_orderkey").over(w).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+@register(
+    "q_win_trend",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+               // 1000000 AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ),
+    frames AS (
+      SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round((n * sxy - sx * sy)
+                 / (100.0 * (n * sxx - sx * sx)), 6) + 0.0 AS slope
+    FROM frames WHERE n = 8 AND n * sxx - sx * sx <> 0
+    """,
+)
+def q_win_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend: the regression slope of value against time over
+    each user's trailing 8 events — the streaming trend-detection
+    operator (alert when a metric's local slope flips sign).
+
+    The slope is assembled from four integer frame sums (Σx, Σy, Σxy,
+    Σx²) — frame aggregation order differs between engines, so summing
+    DOUBLES here would flake the hash; integers commute exactly. x is
+    seconds since the fixture epoch (rebasing keeps n·Σx² below 2^63;
+    raw epoch-micros squared would overflow), y is cents; the closed
+    form (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is shift-invariant so the rebase
+    does not change the slope. One user_id shuffle, all four sums share
+    one window frame. Degenerate frames (all events in the same second)
+    are excluded rather than divided by zero."""
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        (ts_micros("ts") - F.lit(1704067200000000)) / F.lit(1000000)
+    ).cast("long")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = e.select(
+        "user_id", "event_id", x.alias("x"), y.alias("y")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("x", "event_id")
+        .rowsBetween(-7, W.currentRow)
+    )
+    frames = base.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return frames.filter((F.col("n") == 8) & (det != 0)).select(
+        "user_id",
+        "event_id",
+        # + 0.0 collapses IEEE -0.0 to 0.0 (semistructured.py convention)
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (100.0 * det),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("slope"),
+    )
+
+
+@register(
+    "q_win_streak",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS streak_len
+      FROM numbered GROUP BY user_id, event_type, rn - rn_t
+    )
+    SELECT user_id, event_type AS top_type, streak_len AS longest_streak
+    FROM (
+      SELECT user_id, event_type, streak_len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC,
+                                         length(event_type), event_type) AS rk
+      FROM islands
+    ) WHERE rk = 1
+    """,
+)
+def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-type streak per user (gaps-and-islands):
+    the classic 'rn − rn_per_type' island grouping — consecutive rows of
+    one type share the difference of the two row_numbers, so islands
+    fall out of a groupBy with no self-join or loop. The
+    engagement-streak / anomaly-burst primitive.
+
+    Ties between equally-long streaks of different types resolve by a
+    total order (len desc, shorter type name, lexical) stated as the
+    same rank-window in BOTH engines — DuckDB's max_by has no composite
+    key form, and an unordered argmax would be nondeterministic. Two
+    window passes and two groupBys, all partitioned on user_id — one
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    numbered = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(wu) - F.row_number().over(wt)).alias("grp"),
+    )
+    islands = numbered.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    wk = W.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.length("event_type"), "event_type"
+    )
+    return (
+        islands.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_type"),
+            F.col("streak_len").alias("longest_streak"),
+        )
     )

@@ -297,3 +297,56 @@ def test_skyline_keeps_equal_ties_and_handles_degenerate_inputs(spark):
             single, key="k", minimize="price", maximize="size"
         ).collect()
     ] == [9]
+
+
+def test_streak_matches_bruteforce(spark):
+    from spring_and_kafka_spark.operators.windows import q_win_streak
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    expected = {}
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        best, cur, cur_type = {}, 0, None
+        for r in rows:
+            cur = cur + 1 if r.event_type == cur_type else 1
+            cur_type = r.event_type
+            best[cur_type] = max(best.get(cur_type, 0), cur)
+        top = min(
+            best.items(), key=lambda kv: (-kv[1], len(kv[0]), kv[0])
+        )
+        expected[user] = (top[0], top[1])
+    got = {
+        r.user_id: (r.top_type, r.longest_streak)
+        for r in q_win_streak(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_trend_slope_sign_on_monotone_series(spark):
+    """Every returned slope is finite; manually verify one user's first
+    full frame against numpy's lstsq on the same integer encoding."""
+    import numpy as np
+    from spring_and_kafka_spark.operators.windows import q_win_trend
+
+    rows = q_win_trend(spark, SF_SMOKE).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    r0 = min(rows, key=lambda r: (r.user_id, r.event_id))
+    series = sorted(by_user[r0.user_id], key=lambda r: (r.ts, r.event_id))
+    frame = series[:8]
+    assert frame[-1].event_id == r0.event_id  # first full frame ends here
+    epoch = 1704067200
+    x = np.array([int(r.ts.timestamp()) - epoch for r in frame], dtype=float)
+    y = np.array([np.floor(r.value * 100 + 0.5) / 100.0 for r in frame])
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(slope - r0.slope) < 1e-4

@@ -100,7 +100,7 @@ SECTIONS = {
         "q_merge_upsert", "q_join_pit", "q_agg_corr", "q_hist_equiwidth",
         "q_text_zipf", "q_multimodal_dedup", "q_dedup_incremental",
         "q_text_vocab_coverage", "q_agg_weighted", "q_corpus_provenance",
-        "q_agg_string", "q_unpivot",
+        "q_agg_string", "q_unpivot", "q_win_trend", "q_win_streak",
     ],
 }
 
