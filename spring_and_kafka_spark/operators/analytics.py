@@ -597,3 +597,97 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (bal_cents + F.coalesce("delta_cents", F.lit(0).cast("long"))) / 100.0, 2
         ).alias("new_acctbal"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q_seq_pattern",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_clicks,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN ts END IGNORE NULLS)
+               OVER w_fwd AS p_ts,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN event_id END IGNORE NULLS)
+               OVER w_fwd AS p_eid
+      FROM events
+      WINDOW w_fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    with_pcum AS (
+      SELECT *,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN cum_clicks END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS p_cum_clicks
+      FROM base
+    )
+    SELECT user_id, event_id AS signup_event, p_eid AS purchase_event,
+           CAST(coalesce(p_cum_clicks - cum_clicks, 0) AS BIGINT)
+             AS clicks_between,
+           CAST(p_ts IS NOT NULL
+                AND p_ts <= ts + INTERVAL 7 DAY
+                AND p_cum_clicks - cum_clicks >= 2 AS BOOLEAN) AS matched
+    FROM with_pcum WHERE event_type = 'signup'
+    """,
+)
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): for every
+    signup, does the pattern `signup → click{2,} → purchase` complete
+    within 7 days? Emits the matched purchase and the click count in
+    between — the behavioral-cohort / conversion-pattern operator SQL
+    engines expose as MATCH_RECOGNIZE and Spark does not have natively.
+
+    Compiled entirely to ONE user-partitioned window pass (three
+    forward/backward frame lookups over the same sort): a running click
+    counter, plus first-following-purchase (ts, event_id, counter
+    snapshot) via first(ignorenulls) over a strictly-future frame.
+    Clicks-between = counter at the purchase minus counter at the
+    signup — no self-join, no per-user UDF loop, one shuffle; the same
+    plan shape as q_join_pit and it scales identically. The oracle
+    states the identical windows with DuckDB's IGNORE NULLS syntax."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = w.rowsBetween(1, W.unboundedFollowing)
+    is_purchase = F.col("event_type") == "purchase"
+    base = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("cum_clicks"),
+        F.first(F.when(is_purchase, F.col("ts")), ignorenulls=True)
+        .over(w_fwd)
+        .alias("p_ts"),
+        F.first(F.when(is_purchase, F.col("event_id")), ignorenulls=True)
+        .over(w_fwd)
+        .alias("p_eid"),
+    )
+    with_pcum = base.withColumn(
+        "p_cum_clicks",
+        F.first(F.when(is_purchase, F.col("cum_clicks")), ignorenulls=True).over(
+            w_fwd
+        ),
+    )
+    clicks_between = F.col("p_cum_clicks") - F.col("cum_clicks")
+    return with_pcum.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event"),
+        F.col("p_eid").alias("purchase_event"),
+        F.coalesce(clicks_between, F.lit(0)).cast("long").alias("clicks_between"),
+        (
+            F.col("p_ts").isNotNull()
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 7 DAYS"))
+            & (clicks_between >= 2)
+        ).alias("matched"),
+    )

@@ -350,3 +350,43 @@ def test_trend_slope_sign_on_monotone_series(spark):
     y = np.array([np.floor(r.value * 100 + 0.5) / 100.0 for r in frame])
     slope = np.polyfit(x, y, 1)[0]
     assert abs(slope - r0.slope) < 1e-4
+
+
+def test_seq_pattern_matches_bruteforce(spark):
+    from spring_and_kafka_spark.operators.analytics import q_seq_pattern
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    expected = {}
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for i, r in enumerate(rows):
+            if r.event_type != "signup":
+                continue
+            clicks, p = 0, None
+            for nxt in rows[i + 1:]:
+                if nxt.event_type == "purchase":
+                    p = nxt
+                    break
+                if nxt.event_type == "click":
+                    clicks += 1
+            matched = (
+                p is not None
+                and (p.ts - r.ts).total_seconds() <= 7 * 86400
+                and clicks >= 2
+            )
+            expected[r.event_id] = (
+                p.event_id if p else None,
+                clicks if p else 0,
+                matched,
+            )
+    got = {
+        r.signup_event: (r.purchase_event, r.clicks_between, r.matched)
+        for r in q_seq_pattern(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert any(v[2] for v in expected.values())  # pattern completes somewhere

@@ -101,6 +101,7 @@ SECTIONS = {
         "q_text_zipf", "q_multimodal_dedup", "q_dedup_incremental",
         "q_text_vocab_coverage", "q_agg_weighted", "q_corpus_provenance",
         "q_agg_string", "q_unpivot", "q_win_trend", "q_win_streak",
+        "q_seq_pattern",
     ],
 }
 
