@@ -65,3 +65,58 @@ def curate_stream(docs: DataFrame) -> DataFrame:
         ).alias("stop_ratio"),
     ).filter((F.col("n_toks") >= 30) & (F.col("stop_ratio") <= 0.2))
     return quality.withColumn("fp", fingerprint_expr()).dropDuplicates(["fp"])
+
+
+def stage_new_batch_chunks(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_chunks: int = 4
+) -> str:
+    """Stage the dedup family's planted NEW batch (doc_id+100000, last
+    token dropped — llm/dedup.py:planted_corpus) as chunk files: the
+    arrival stream for ingest-time near-dup admission."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    newb = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    newb.repartition(n_chunks).write.mode("overwrite").parquet(stage_dir)
+    return stage_dir
+
+
+def admission_stream(
+    corpus_old: DataFrame, new_docs: DataFrame, decisions_dir: str
+):
+    """Ingest-time near-dup admission: each micro-batch of arriving docs
+    is decided against the EXISTING corpus with the same asymmetric LSH
+    matcher as batch q_dedup_incremental (old×new bucket join only), and
+    the per-doc decisions append to a parquet sink.
+
+    foreachBatch is the right shape here — the matcher is a multi-stage
+    batch pipeline (shingle → signature → bucket join → verify), not an
+    incremental stateful operator, so each micro-batch runs it as a
+    batch against the corpus snapshot. In production the corpus side's
+    doc-features/buckets are a precomputed index refreshed as admitted
+    docs join the corpus; here the corpus is static so stream-of-batches
+    must equal one big batch (asserted in tests/test_streaming.py)."""
+    from spring_and_kafka_spark.llm.dedup import incremental_near_matches
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        corpus = corpus_old.select("doc_id", "text").unionByName(batch)
+        decisions = incremental_near_matches(
+            corpus, is_new=lambda doc_id: doc_id >= 100000
+        )
+        # restrict to THIS batch's docs: the union only contains them,
+        # but keep the semi join as the contract when the corpus later
+        # carries previously-admitted (>=100000) docs
+        decisions.join(
+            batch.select(F.col("doc_id").alias("new_id")), "new_id", "left_semi"
+        ).write.mode("append").parquet(decisions_dir)
+
+    return (
+        new_docs.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", decisions_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -256,3 +256,37 @@ def test_sessionize_summary_consistent_with_session_rows(spark):
         u: (len(v), sum(v), max(v)) for u, v in per_user.items()
     }
     assert summary == rebuilt
+
+
+def test_stream_admission_equals_batch_incremental(spark, tmp_path):
+    """Ingest-time near-dup admission over a replayed new-doc stream must
+    equal the batch q_dedup_incremental run: same per-doc decision,
+    match, and Jaccard, regardless of micro-batch boundaries (the
+    corpus side is static, so stream-of-batches ≡ one batch)."""
+    from spring_and_kafka_spark.llm.dedup import q_dedup_incremental
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.curation import (
+        admission_stream,
+        stage_new_batch_chunks,
+    )
+
+    stage = stage_new_batch_chunks(spark, SF_SMOKE, str(tmp_path / "newdocs"))
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    corpus_old = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    decisions_dir = str(tmp_path / "decisions")
+    q = admission_stream(corpus_old, stream, decisions_dir)
+    q.awaitTermination()
+    streamed = {
+        r.new_id: (r.match_id, r.jaccard, r.rejected)
+        for r in spark.read.parquet(decisions_dir).collect()
+    }
+    batch = {
+        r.new_id: (r.match_id, r.jaccard, r.rejected)
+        for r in q_dedup_incremental(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch

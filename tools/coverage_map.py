@@ -113,6 +113,7 @@ STREAMING_ONLY = [
     ("tumbling/sliding/session windows + watermark", "streaming/windows.py (tests/test_streaming.py)"),
     ("stateful dedup (dropDuplicatesWithinWatermark)", "streaming/windows.py:stream_dedup"),
     ("ingest-time corpus curation (quality gate + fingerprint dedup)", "streaming/curation.py (tests/test_streaming.py::test_stream_curation_equals_batch)"),
+    ("ingest-time near-dup admission (foreachBatch incremental LSH vs corpus)", "streaming/curation.py:admission_stream (tests/test_streaming.py::test_stream_admission_equals_batch_incremental)"),
     ("stream-stream join (time-range state bound)", "streaming/joins.py (tests/test_streaming_advanced.py)"),
     ("stream-static enrich (broadcast dim per micro-batch)", "streaming/joins.py:stream_static_enrich"),
     ("arbitrary per-key state (applyInPandasWithState)", "streaming/stateful.py (tests/test_streaming_advanced.py)"),
