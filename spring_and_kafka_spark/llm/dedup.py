@@ -836,8 +836,6 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups), compute is dense-BLAS — the layout that survives 100 TB,
     versus the O(n²) expression-evaluated theta join it replaces (which
     measured 47 s at sf0.1; this runs ~1 s)."""
-    import itertools
-
     import numpy as np
     import pandas as pd
 
@@ -850,22 +848,17 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(scaled)
 
-    n_blocks = 8
-    threshold = 0.95
-    # replicate: each vector joins every block pair (i,j) that contains its
-    # own block; pair_id = i * n_blocks + j with i <= j
-    blk = F.abs(F.xxhash64(F.col("vec_id").cast("string"))) % n_blocks
-    tagged = corpus.withColumn("blk", blk.cast("int"))
-    pair_ids = [
-        (i, j) for i, j in itertools.product(range(n_blocks), repeat=2) if i <= j
-    ]
-    pair_map = spark.createDataFrame(
-        [(i, j, i * n_blocks + j) for i, j in pair_ids], "i INT, j INT, pair_id INT"
+    from spring_and_kafka_spark.llm.similarity import (
+        auto_block_count,
+        blocked_pair_replicate,
     )
-    replicated = tagged.join(
-        F.broadcast(pair_map),
-        (tagged.blk == pair_map.i) | (tagged.blk == pair_map.j),
-    ).select("vec_id", "v", "blk", "pair_id", "i", "j")
+
+    threshold = 0.95
+    # map-side block-pair replication, B derived from the corpus size so
+    # per-group GEMM memory stays bounded (same helper as knn_all_topk)
+    replicated = blocked_pair_replicate(
+        corpus, "vec_id", auto_block_count(corpus.count())
+    )
 
     def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])

@@ -202,6 +202,35 @@ def auto_block_count(n_vectors: int, rows_per_block: int = 2000) -> int:
     return max(2, math.ceil(n_vectors / rows_per_block))
 
 
+def blocked_pair_replicate(
+    df: DataFrame, id_col: str, n_blocks: int
+) -> DataFrame:
+    """Map-side replication for blocked all-pairs GEMM kernels: hash the
+    id into one of B blocks, then explode each row to its B block-pair
+    groups with pair_id = least·B + greatest computed in place — O(n·B)
+    rows, no join, no driver-side pair table. Output adds (blk, pair_id,
+    i, j) to the input columns; group by pair_id and the kernel reads
+    its two block ids from (i, j). Shared by knn_all_topk and
+    q_dedup_embed so the replication shape cannot drift (a broadcast
+    pair-table with an OR predicate plans BroadcastNestedLoopJoin and
+    goes quadratic in B — review finding, round 5)."""
+    blk = (F.abs(F.xxhash64(F.col(id_col).cast("string"))) % n_blocks).cast(
+        "int"
+    )
+    tagged = df.withColumn("blk", blk)
+    partner = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("pb")
+    return tagged.select(*df.columns, "blk", partner).select(
+        *df.columns,
+        "blk",
+        (
+            F.least("blk", "pb").cast("long") * n_blocks
+            + F.greatest("blk", "pb")
+        ).alias("pair_id"),
+        F.least("blk", "pb").alias("i"),
+        F.greatest("blk", "pb").alias("j"),
+    )
+
+
 def knn_all_topk(
     spark: SparkSession, e: DataFrame, k: int = 3, n_blocks: int | None = None
 ) -> DataFrame:
@@ -227,20 +256,7 @@ def knn_all_topk(
 
     if n_blocks is None:
         n_blocks = auto_block_count(e.count())
-    blk = (F.abs(F.xxhash64(F.col("vec_id").cast("string"))) % n_blocks).cast("int")
-    tagged = e.withColumn("blk", blk)
-    partner = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("pb")
-    replicated = tagged.select("vec_id", "v", "blk", partner).select(
-        "vec_id",
-        "v",
-        "blk",
-        (
-            F.least("blk", "pb").cast("long") * n_blocks
-            + F.greatest("blk", "pb")
-        ).alias("pair_id"),
-        F.least("blk", "pb").alias("i"),
-        F.greatest("blk", "pb").alias("j"),
-    )
+    replicated = blocked_pair_replicate(e, "vec_id", n_blocks)
 
     def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = int(pdf["i"].iloc[0]), int(pdf["j"].iloc[0])
