@@ -42,23 +42,43 @@ _MODULE_SEQ: dict[str, int] = {}
 # The driver hash-verifies EXACTLY the first 50 exposed entries each
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row. Round-5 window:
-# slots 1-6 = the six round-4 additions that registered past the round-4
-# window and have never been driver-verified (the only queries without a
-# CORRECTNESS row anywhere in r1..r4); slots 7-38 = the 32 queries whose
-# latest green row is round 1 (stalest re-verification backfill);
-# slots 39-50 = the 12 round-2 greens that rank earliest in exposure
-# order. After round 5 every registry entry's latest driver row is
-# ≤3 rounds old. Queries not named here rank after the prefix by
+# slots 1-25 = every query with no CORRECTNESS row anywhere in r1..r4
+# (the 6 round-4 additions that registered past the r4 window plus the
+# 19 round-5 additions); slots 26-50 = 25 of the 32 queries whose latest
+# green row is round 1 (stalest re-verification backfill, exposure
+# order). After round 5 every registry entry owns a driver row; the 7
+# remaining round-1-stale greens plus the round-2 cohort lead the
+# round-6 rotation. Queries not named here rank after the prefix by
 # (module rank, def order) — the safe place for additions until they
 # are rotated in.
 _WINDOW_PREFIX = [
-    # never driver-verified (round-4 additions past the r4 window)
+    # never driver-verified: round-4 additions past the r4 window
     "q_text_bm25",
     "q_dedup_containment",
     "q_embed_centroid",
     "q_fn_url",
     "q_win_first_last",
     "q_scd2",
+    # never driver-verified: round-5 additions
+    "q_dedup_incremental",
+    "q_corpus_provenance",
+    "q_agg_corr",
+    "q_hist_equiwidth",
+    "q_agg_weighted",
+    "q_agg_string",
+    "q_unpivot",
+    "q_text_zipf",
+    "q_text_vocab_coverage",
+    "q_multimodal_dedup",
+    "q_join_pit",
+    "q_basket_pairs",
+    "q_skyline",
+    "q_rfm",
+    "q_merge_upsert",
+    "q_seq_pattern",
+    "q_win_trend",
+    "q_win_streak",
+    "q_graph_triangles",
     # re-verification backfill: latest green row is round 1
     "q_scan",
     "q_project",
@@ -85,26 +105,6 @@ _WINDOW_PREFIX = [
     "q_rollup_grouping",
     "q_cube",
     "q_grouping_sets",
-    "q_pivot",
-    "q_win_rank",
-    "q_win_lag",
-    "q_win_dist",
-    "q_win_frame_rows",
-    "q_win_frame_range",
-    "q_topk_per_group",
-    # re-verification backfill: earliest-exposed round-2 greens
-    "q_agg_global",
-    "q_text_tokens",
-    "q_text_tfidf",
-    "q_text_sentiment",
-    "q_lang_stats",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_bigram_ppl",
-    "q_text_tokens_bpe",
-    "q_text_contamination",
-    "q_text_repetition",
-    "q_text_fingerprint",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -34,9 +34,10 @@ def test_queries_are_callables():
 def test_verification_window_prefix_is_frozen():
     """The driver hash-verifies EXACTLY the first 50 exposed registry
     entries. The round-5 window is named explicitly in
-    registry._WINDOW_PREFIX (6 never-driver-verified round-4 additions,
-    32 round-1-stale re-verifications, 12 earliest-exposed round-2
-    re-verifications — see the registry comment for the derivation).
+    registry._WINDOW_PREFIX (25 never-driver-verified queries — the 6
+    round-4 additions past the r4 window plus the 19 round-5 additions —
+    then 25 round-1-stale re-verifications; see the registry comment
+    for the derivation).
     Every prefix name must actually be registered — a typo there would
     silently eject a query from verification — and the exposed order
     must start with exactly that prefix."""
