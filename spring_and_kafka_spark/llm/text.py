@@ -784,3 +784,77 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("oov_rate"),
     )
+
+
+_POSTING_CAP = 5  # impact-ordered posting prefix kept per term
+_II_MIN_DF = 50  # index only terms appearing in ≥50 docs (head vocab)
+
+
+@register(
+    "q_text_inverted_index",
+    oracle=f"""
+    WITH td AS (
+      SELECT tok AS term, doc_id, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT term, doc_id, tf,
+             count(*) OVER (PARTITION BY term) AS df,
+             sum(tf) OVER (PARTITION BY term) AS tf_total,
+             row_number() OVER (PARTITION BY term
+               ORDER BY tf DESC, doc_id) AS rn
+      FROM td
+    )
+    SELECT term, CAST(df AS BIGINT) AS df,
+           CAST(tf_total AS BIGINT) AS tf_total,
+           list(doc_id ORDER BY rn) AS top_docs
+    FROM w
+    WHERE df >= {_II_MIN_DF} AND rn <= {_POSTING_CAP}
+    GROUP BY term, df, tf_total
+    """,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction for the head vocabulary: per term its
+    document frequency, total term frequency, and an impact-ordered
+    posting prefix (top-5 docs by tf, ties by doc_id) — the retrieval
+    artifact BM25 (q_text_bm25) would serve from at query time.
+
+    The posting CAP is the skew guard: a stopword's full posting list is
+    O(corpus) and would concentrate on one reducer; capping to the
+    highest-impact prefix (how impact-ordered indexes bound early
+    termination) keeps every term's output row bounded. Shape: one
+    groupBy(term, doc) for tf, then window + final groupBy all on the
+    SAME term key — the explode's hash partitioning is reused, no second
+    wide shuffle. collect_list order is made deterministic by sorting
+    the (rank, doc) structs, never by relying on arrival order."""
+    d = load_table(spark, sf_dir, "documents")
+    td = tokens_lower(d).groupBy(
+        F.col("tok").alias("term"), "doc_id"
+    ).agg(F.count("*").alias("tf"))
+    wt = W.partitionBy("term")
+    w = td.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.count("*").over(wt).alias("df"),
+        F.sum("tf").over(wt).alias("tf_total"),
+        F.row_number()
+        .over(wt.orderBy(F.col("tf").desc(), "doc_id"))
+        .alias("rn"),
+    )
+    return (
+        w.filter(
+            (F.col("df") >= _II_MIN_DF) & (F.col("rn") <= _POSTING_CAP)
+        )
+        .groupBy("term", "df", "tf_total")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "doc_id"))),
+                lambda x: x["doc_id"],
+            ).alias("top_docs")
+        )
+    )

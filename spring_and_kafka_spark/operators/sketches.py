@@ -170,3 +170,155 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") <= 20).select(
         "bigram", "n", "cm_est", (F.col("cm_est") >= F.col("n")).alias("no_undercount")
     )
+
+
+@register(
+    "q_agg_quantile_sketch",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    cg AS (
+      SELECT cents,
+             CAST(length(CAST(cents AS VARCHAR)) AS BIGINT) AS digits,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 2) AS BIGINT)
+               AS first2,
+             count(*) AS cnt
+      FROM c GROUP BY 1
+    ),
+    b AS (
+      SELECT digits, first2, sum(cnt) AS bcnt FROM cg GROUP BY 1, 2
+    ),
+    bw AS (
+      SELECT digits, first2, bcnt,
+             sum(bcnt) OVER (ORDER BY digits, first2
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(bcnt) OVER () AS total
+      FROM b
+    ),
+    q AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+    sel AS (
+      SELECT q.q, bw.digits, bw.first2,
+             (bw.first2 + 0.5) * power(10, bw.digits - 2)
+               AS approx_cents,
+             bw.cum - bw.bcnt AS below,
+             CAST(ceil(q.q * bw.total) AS BIGINT) AS r
+      FROM q JOIN bw
+        ON CAST(ceil(q.q * bw.total) AS BIGINT) > bw.cum - bw.bcnt
+       AND CAST(ceil(q.q * bw.total) AS BIGINT) <= bw.cum
+    ),
+    cw AS (
+      SELECT cents, digits, first2, cnt,
+             sum(cnt) OVER (PARTITION BY digits, first2
+               ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumb
+      FROM cg
+    ),
+    ex AS (
+      SELECT sel.q, sel.approx_cents, cw.cents AS exact_cents
+      FROM sel JOIN cw
+        ON sel.digits = cw.digits AND sel.first2 = cw.first2
+       AND sel.r - sel.below > cw.cumb - cw.cnt
+       AND sel.r - sel.below <= cw.cumb
+    )
+    SELECT q, approx_cents / 100 AS approx_price,
+           exact_cents / 100 AS exact_price,
+           round(abs(approx_cents - exact_cents) * 1.0 / exact_cents, 4)
+             AS rel_err
+    FROM ex
+    """,
+)
+def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable decimal-histogram quantile sketch vs exact rank answer:
+    l_extendedprice buckets by (number of digits, two leading digits)
+    of its integer cents — 90 buckets per decade, ≤ ~±5% relative error
+    (bucket midpoint vs true rank value), built in
+    ONE map-side-combinable pass (the sketch a 100 TB hourly rollup
+    would materialize and re-merge, cf. q_agg_hll_rollup for distinct
+    counts). Rank semantics: the r = ceil(q·n)-th smallest value.
+
+    The exact side never global-sorts: a two-level rank lookup descends
+    from the bucket cumulative counts (first window, ~40 rows) into a
+    per-bucket cumulative over distinct cents values (second window,
+    PARTITIONED by bucket — parallel, each partition ≤ one decade of
+    price points). Buckets are pure integer/string arithmetic on exact
+    cents, so both engines agree bit-for-bit; power(10, d-1) and the
+    ±0.5 midpoints are exact doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    cg = (
+        li.groupBy("cents")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("s", F.col("cents").cast("string"))
+        .withColumn("digits", F.length("s").cast("long"))
+        .withColumn("first2", F.substring("s", 1, 2).cast("long"))
+        .drop("s")
+    )
+    b = cg.groupBy("digits", "first2").agg(F.sum("cnt").alias("bcnt"))
+    bw = b.select(
+        "digits",
+        "first2",
+        "bcnt",
+        F.sum("bcnt")
+        .over(
+            W.orderBy("digits", "first2").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("cum"),
+        F.sum("bcnt").over(W.partitionBy()).alias("total"),
+    )
+    q = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    r = F.ceil(F.col("q") * F.col("total")).cast("long")
+    sel = (
+        F.broadcast(q)
+        .crossJoin(bw)
+        .withColumn("r", r)
+        .filter(
+            (F.col("r") > F.col("cum") - F.col("bcnt"))
+            & (F.col("r") <= F.col("cum"))
+        )
+        .select(
+            "q",
+            "digits",
+            "first2",
+            (
+                (F.col("first2") + 0.5)
+                * F.pow(F.lit(10.0), F.col("digits") - 2)
+            ).alias("approx_cents"),
+            (F.col("cum") - F.col("bcnt")).alias("below"),
+            "r",
+        )
+    )
+    cw = cg.withColumn(
+        "cumb",
+        F.sum("cnt").over(
+            W.partitionBy("digits", "first2")
+            .orderBy("cents")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    s, c = sel.alias("s"), cw.alias("c")
+    rin = F.col("s.r") - F.col("s.below")  # rank within the bucket
+    ex = F.broadcast(s).join(
+        c,
+        (F.col("s.digits") == F.col("c.digits"))
+        & (F.col("s.first2") == F.col("c.first2"))
+        & (rin > F.col("c.cumb") - F.col("c.cnt"))
+        & (rin <= F.col("c.cumb")),
+    )
+    return ex.select(
+        F.col("s.q").alias("q"),
+        (F.col("s.approx_cents") / 100).alias("approx_price"),
+        (F.col("c.cents") / 100).alias("exact_price"),
+        F.round(
+            F.abs(F.col("s.approx_cents") - F.col("c.cents"))
+            / F.col("c.cents"),
+            4,
+        ).alias("rel_err"),
+    )

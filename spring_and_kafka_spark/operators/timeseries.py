@@ -428,3 +428,75 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .drop("event_type")
     )
+
+
+@register(
+    "q_ts_mad",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(vi, 0.5) AS med
+      FROM s GROUP BY 1
+    ),
+    d AS (
+      SELECT s.event_type, s.vi, m.med, abs(s.vi - m.med) AS dev
+      FROM s JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, count(*) AS n,
+           min(d.med) AS med_micros,
+           min(md.mad) AS mad_micros,
+           CAST(sum(CASE WHEN d.dev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN d.dev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS outlier_rate
+    FROM d JOIN md USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (MAD) with the standard 3σ-equivalent cut |v − median| > 3·1.4826·MAD
+    — the monitoring primitive that, unlike q_ts_anomaly's z-score, does
+    not let the outliers themselves inflate the threshold.
+
+    Cross-engine determinism: values scale to exact micro-unit BIGINTs
+    first, so both medians interpolate on integers (results land on an
+    exact .5 / .25 grid — no float-order drift), deviations are exact,
+    and the single threshold multiply 4.4478·MAD is one identical IEEE
+    op in both engines. Shape: two grouped exact percentiles with the
+    tiny per-type stats broadcast back — the fact table shuffles on
+    event_type twice and never self-joins. At 100 TB the exact
+    percentile's per-group value map is the deliberate luxury (the
+    oracle replays it exactly); approx_percentile drops into the same
+    slot when 1e-3 quantile error is acceptable."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vi"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile("vi", F.lit(0.5)).alias("med")
+    )
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("vi") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    j = d.join(F.broadcast(mad), "event_type")
+    is_out = F.col("dev") > F.lit(4.4478) * F.col("mad")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("med").alias("med_micros"),
+        F.min("mad").alias("mad_micros"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.round(F.sum(is_out.cast("long")) / F.count("*"), 6).alias(
+            "outlier_rate"
+        ),
+    )

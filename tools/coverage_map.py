@@ -103,6 +103,10 @@ SECTIONS = {
         "q_agg_string", "q_unpivot", "q_win_trend", "q_win_streak",
         "q_seq_pattern",
     ],
+    "round-5 additions: governance profiling + robust stats + retrieval index": [
+        "q_profile", "q_kanon", "q_heavy_hitters", "q_ab_test",
+        "q_ts_mad", "q_agg_quantile_sketch", "q_text_inverted_index",
+    ],
 }
 
 STREAMING_ONLY = [
