@@ -62,6 +62,10 @@ HEADLINE = [
     # two-window pass (BASELINE.md §2 notes the headline-set change)
     "q_graph_pagerank",
     "q_scd2",
+    # added round 5, second batch: governance profiling (multi-distinct
+    # Expand) + retrieval-index construction (term-keyed shuffle family)
+    "q_profile",
+    "q_text_inverted_index",
 ]
 
 

@@ -162,3 +162,40 @@ def test_unpivot_uses_expand_not_union(spark):
     p = plan(spark, "q_unpivot")
     assert "Expand" in p
     assert "Union" not in p
+
+
+def test_profile_is_single_scan_with_expand(spark):
+    """q_profile computes every per-column statistic in ONE pass: the
+    multi-distinct agg plans as Expand over a single parquet scan — not
+    the per-column UNION-ALL rescan the DuckDB oracle runs. (formatted
+    plans list each node twice: tree + details.)"""
+    p = plan(spark, "q_profile")
+    assert "Expand" in p
+    assert p.count("Scan parquet") <= 2  # one logical scan of events
+
+
+def test_ts_mad_broadcasts_tiny_stats(spark):
+    """Per-type median/MAD stats join back to the fact table as
+    broadcasts — the fact side never sort-merge shuffles for the join."""
+    p = plan(spark, "q_ts_mad")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_quantile_sketch_descent_join_is_hashed(spark):
+    """The bucket→within-bucket rank descent joins on (digits, first2)
+    equi-keys: BroadcastHashJoin with the range predicate as a residual —
+    never a cartesian. The only nested-loop is the deliberate 3-row
+    quantile-literal broadcast cross."""
+    p = plan(spark, "q_agg_quantile_sketch")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_inverted_index_reuses_term_partitioning(spark):
+    """tf groupBy, the per-term windows, and the final posting groupBy all
+    key on term — one wide shuffle family, no join, no extra exchange for
+    the final aggregate (2 logical exchanges, listed twice)."""
+    p = plan(spark, "q_text_inverted_index")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Exchange") <= 4
