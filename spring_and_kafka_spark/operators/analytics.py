@@ -691,3 +691,129 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (clicks_between >= 2)
         ).alias("matched"),
     )
+
+
+@register(
+    "q_interval_peak",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_us
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_id
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, sess_id, min(us) AS s, max(us) AS e
+      FROM numbered GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT s AS us, CAST(1 AS BIGINT) AS delta FROM sess
+      UNION ALL
+      SELECT e, CAST(-1 AS BIGINT) FROM sess
+    ),
+    swept AS (
+      SELECT us, delta,
+             sum(delta) OVER (ORDER BY us, delta DESC
+               ROWS UNBOUNDED PRECEDING) AS running
+      FROM bounds
+    )
+    SELECT CAST(max(running) AS BIGINT) AS peak_concurrency,
+           CAST(min(CASE WHEN running = (SELECT max(running) FROM swept)
+                         THEN us END) AS BIGINT) AS peak_ts_micros,
+           (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions
+    FROM swept
+    """,
+)
+def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency over session intervals: sessionize (30-min gap,
+    the q_sessionize recipe), then sweep +1/−1 session boundaries in
+    time order to find the maximum number of simultaneously-open
+    sessions and the earliest instant it is reached — the capacity-
+    planning question interval data exists to answer. Closed-interval
+    semantics: at an equal timestamp, starts count before ends
+    (ORDER BY us, delta DESC), so back-to-back sessions overlap.
+
+    The oracle states the spec as ONE global running sum; the Spark plan
+    runs the scalable two-level decomposition of the same prefix sum:
+    boundaries bucket by hour, each bucket computes its LOCAL running
+    sum in parallel, the per-bucket totals (a tiny table) cumulate into
+    bucket offsets, and global running = offset + local. Identical
+    integers — prefix sums decompose exactly — but no single-partition
+    window over the boundary stream. Ties inside a bucket at identical
+    (us, delta) permute only among equal prefix values, so max and
+    argmin-ts stay deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ts_micros("ts")
+    prev = F.lag(us).over(w)
+    marked = e.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(prev.isNull() | (us - prev > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = (
+        marked.select(
+            "user_id", "us", F.sum("new_sess").over(w2).alias("sess_id")
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("us").alias("s"), F.max("us").alias("e"))
+    )
+    bounds = sess.select(
+        F.col("s").alias("us"), F.lit(1).cast("long").alias("delta")
+    ).unionAll(
+        sess.select(
+            F.col("e").alias("us"), F.lit(-1).cast("long").alias("delta")
+        )
+    )
+    wb = (
+        W.partitionBy("bucket")
+        .orderBy("us", F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = bounds.withColumn(
+        "bucket", F.floor(F.col("us") / 3_600_000_000)
+    ).withColumn("local_run", F.sum("delta").over(wb))
+    totals = local.groupBy("bucket").agg(F.sum("delta").alias("btotal"))
+    offsets = totals.select(
+        "bucket",
+        (
+            F.sum("btotal")
+            .over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("btotal")
+        ).alias("offset"),
+    )
+    swept = local.join(F.broadcast(offsets), "bucket").select(
+        "us", (F.col("offset") + F.col("local_run")).alias("running")
+    )
+    n_sessions = sess.agg(F.count("*").alias("n_sessions"))
+    peak = swept.agg(F.max("running").alias("peak_concurrency"))
+    peak_ts = (
+        swept.join(F.broadcast(peak))
+        .filter(F.col("running") == F.col("peak_concurrency"))
+        .agg(F.min("us").alias("peak_ts_micros"))
+    )
+    return (
+        peak.crossJoin(peak_ts).crossJoin(n_sessions).select(
+            "peak_concurrency", "peak_ts_micros", "n_sessions"
+        )
+    )

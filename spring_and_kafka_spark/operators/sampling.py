@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -116,4 +117,50 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "within_ci"
             ),
         )
+    )
+
+
+_BALANCE_CAP = 60  # per-stratum ceiling
+
+
+@register(
+    "q_sample_balanced",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rnk
+      FROM documents
+    )
+    SELECT lang, doc_id, rnk FROM ranked WHERE rnk <= {_BALANCE_CAP}
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced sample: at most 60 documents per language, chosen
+    by per-stratum digest order — the head-language downsampling step a
+    multilingual training mix needs (cap the 'en' firehose, keep every
+    low-resource doc). Same digest discipline as q_sample_hash, so the
+    kept set is identical in any engine and stable under reruns.
+
+    Shape: one shuffle partitioned by stratum; Spark pushes the rank
+    filter into the window sort (WindowGroupLimit — each partition keeps
+    a 60-row heap, never sorts its stratum). With few giant strata the
+    partition count equals the stratum count; the 100 TB refinement is a
+    digest-threshold prefilter per stratum (keep digest < cut with cut
+    chosen from per-stratum counts so ≥cap rows survive, the
+    q_sample_hash_threshold trick) before the exact rank — the top-cap
+    digests all survive any such prefilter, so the result is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _BALANCE_CAP)
     )

@@ -172,6 +172,78 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_bucket_cols(df: DataFrame) -> DataFrame:
+    """Add the decimal-histogram bucket key (digits, first2) derived from
+    an exact integer ``cents`` column — pure string/integer arithmetic,
+    so any engine derives identical buckets."""
+    return (
+        df.withColumn("s", F.col("cents").cast("string"))
+        .withColumn("digits", F.length("s").cast("long"))
+        .withColumn("first2", F.substring("s", 1, 2).cast("long"))
+        .drop("s")
+    )
+
+
+def decimal_histogram(cents: DataFrame) -> DataFrame:
+    """(digits, first2, bcnt) bucket counts from raw ``cents`` rows — the
+    mergeable sketch itself. Partial histograms from ANY partitioning of
+    the rows (hourly files, stream micro-batches, per-executor splits)
+    merge by summing bcnt per bucket; tests/test_streaming_advanced.py
+    proves stream-merged == one-shot."""
+    return with_bucket_cols(cents).groupBy("digits", "first2").agg(
+        F.count("*").alias("bcnt")
+    )
+
+
+def select_quantile_buckets(
+    spark: SparkSession,
+    b: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Resolve quantiles against a (digits, first2, bcnt) histogram:
+    for each q, the bucket holding the r = ceil(q·n)-th smallest value,
+    its midpoint estimate ``approx_cents``, and the rank bookkeeping
+    (``below``, ``r``) a within-bucket exact descent needs. The windows
+    run over the tiny bucket table, never the data."""
+    bw = b.select(
+        "digits",
+        "first2",
+        "bcnt",
+        F.sum("bcnt")
+        .over(
+            W.orderBy("digits", "first2").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("cum"),
+        F.sum("bcnt").over(W.partitionBy()).alias("total"),
+    )
+    q = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in qs])).alias("q")
+    )
+    r = F.ceil(F.col("q") * F.col("total")).cast("long")
+    return (
+        F.broadcast(q)
+        .crossJoin(bw)
+        .withColumn("r", r)
+        .filter(
+            (F.col("r") > F.col("cum") - F.col("bcnt"))
+            & (F.col("r") <= F.col("cum"))
+        )
+        .select(
+            "q",
+            "digits",
+            "first2",
+            (
+                (F.col("first2") + 0.5)
+                * F.pow(F.lit(10.0), F.col("digits") - 2)
+            ).alias("approx_cents"),
+            (F.col("cum") - F.col("bcnt")).alias("below"),
+            "r",
+        )
+    )
+
+
 @register(
     "q_agg_quantile_sketch",
     oracle="""
@@ -249,52 +321,11 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    cg = (
-        li.groupBy("cents")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("s", F.col("cents").cast("string"))
-        .withColumn("digits", F.length("s").cast("long"))
-        .withColumn("first2", F.substring("s", 1, 2).cast("long"))
-        .drop("s")
+    cg = with_bucket_cols(
+        li.groupBy("cents").agg(F.count("*").alias("cnt"))
     )
     b = cg.groupBy("digits", "first2").agg(F.sum("cnt").alias("bcnt"))
-    bw = b.select(
-        "digits",
-        "first2",
-        "bcnt",
-        F.sum("bcnt")
-        .over(
-            W.orderBy("digits", "first2").rowsBetween(
-                W.unboundedPreceding, 0
-            )
-        )
-        .alias("cum"),
-        F.sum("bcnt").over(W.partitionBy()).alias("total"),
-    )
-    q = spark.range(1).select(
-        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
-    )
-    r = F.ceil(F.col("q") * F.col("total")).cast("long")
-    sel = (
-        F.broadcast(q)
-        .crossJoin(bw)
-        .withColumn("r", r)
-        .filter(
-            (F.col("r") > F.col("cum") - F.col("bcnt"))
-            & (F.col("r") <= F.col("cum"))
-        )
-        .select(
-            "q",
-            "digits",
-            "first2",
-            (
-                (F.col("first2") + 0.5)
-                * F.pow(F.lit(10.0), F.col("digits") - 2)
-            ).alias("approx_cents"),
-            (F.col("cum") - F.col("bcnt")).alias("below"),
-            "r",
-        )
-    )
+    sel = select_quantile_buckets(spark, b)
     cw = cg.withColumn(
         "cumb",
         F.sum("cnt").over(

@@ -111,3 +111,51 @@ def test_stateful_running_totals(spark, staged):
     }
     got = {r["user_id"]: r["n"] for r in final}
     assert got == batch
+
+
+def test_stream_merged_sketch_equals_batch(spark, tmp_path):
+    """Partial decimal histograms appended per micro-batch and merged by
+    bucket-sum must answer EXACTLY the quantiles of the one-shot batch
+    sketch — mergeability is the property that lets a 100 TB rollup keep
+    hourly sketch partitions instead of rescanning raw rows."""
+    from pyspark.sql import functions as F
+
+    from spring_and_kafka_spark.operators.sketches import (
+        decimal_histogram,
+        select_quantile_buckets,
+    )
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.sketch import (
+        merged_quantiles,
+        sketch_stream,
+    )
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_extendedprice")
+    stage = str(tmp_path / "prices")
+    li.repartition(5).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = sketch_stream(stream, str(tmp_path / "state"))
+    q.awaitTermination()
+
+    streamed = {
+        r.q: r.approx_cents
+        for r in merged_quantiles(spark, str(tmp_path / "state")).collect()
+    }
+    cents = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    oneshot = {
+        r.q: r.approx_cents
+        for r in select_quantile_buckets(spark, decimal_histogram(cents))
+        .select("q", "approx_cents")
+        .collect()
+    }
+    assert streamed == oneshot
+    assert set(streamed) == {0.5, 0.9, 0.99}

@@ -106,6 +106,7 @@ SECTIONS = {
     "round-5 additions: governance profiling + robust stats + retrieval index": [
         "q_profile", "q_kanon", "q_heavy_hitters", "q_ab_test",
         "q_ts_mad", "q_agg_quantile_sketch", "q_text_inverted_index",
+        "q_interval_peak", "q_sample_balanced",
     ],
 }
 
@@ -118,6 +119,7 @@ STREAMING_ONLY = [
     ("stateful dedup (dropDuplicatesWithinWatermark)", "streaming/windows.py:stream_dedup"),
     ("ingest-time corpus curation (quality gate + fingerprint dedup)", "streaming/curation.py (tests/test_streaming.py::test_stream_curation_equals_batch)"),
     ("ingest-time near-dup admission (foreachBatch incremental LSH vs corpus)", "streaming/curation.py:admission_stream (tests/test_streaming.py::test_stream_admission_equals_batch_incremental)"),
+    ("incremental quantile-sketch rollup (per-batch partial histograms, merge-on-read)", "streaming/sketch.py (tests/test_streaming_advanced.py::test_stream_merged_sketch_equals_batch)"),
     ("stream-stream join (time-range state bound)", "streaming/joins.py (tests/test_streaming_advanced.py)"),
     ("stream-static enrich (broadcast dim per micro-batch)", "streaming/joins.py:stream_static_enrich"),
     ("arbitrary per-key state (applyInPandasWithState)", "streaming/stateful.py (tests/test_streaming_advanced.py)"),
