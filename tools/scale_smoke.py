@@ -42,6 +42,10 @@ QUERIES = [
     "q_ts_anomaly",
     "q_ts_resample",
     "q_win_running_distinct",
+    "q_ts_mad",
+    "q_interval_peak",
+    "q_profile",
+    "q_ab_test",
 ]
 
 
@@ -88,6 +92,8 @@ FACT_QUERIES = [
     "q_graph_triangles",
     "q_rfm",
     "q_merge_upsert",
+    "q_heavy_hitters",
+    "q_agg_quantile_sketch",
 ]
 
 
@@ -134,6 +140,8 @@ DOCS_QUERIES = [
     "q_text_tfidf",
     "q_decontaminate",
     "q_text_chunk",
+    "q_text_inverted_index",
+    "q_sample_balanced",
 ]
 
 
