@@ -390,3 +390,146 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_ts", "click_value"],
     )
     return joined.select("event_id", "user_id", "click_ts", "click_value")
+
+
+_BLOOM_M = 32768  # bits (2^15)
+_BLOOM_K = 3  # hash functions
+
+
+@register(
+    "q_join_bloom",
+    oracle=f"""
+    WITH build AS (
+      SELECT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bloom_bits AS (
+      SELECT DISTINCT bit FROM build, (VALUES (0), (1), (2)) AS h(j),
+      LATERAL (SELECT CAST('0x' || substr(
+                 md5(CAST(key AS VARCHAR) || '#' || j), 1, 8)
+               AS BIGINT) % {_BLOOM_M} AS bit)
+    ),
+    probe_keys AS (
+      SELECT l_orderkey AS key, count(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    probe_bits AS (
+      SELECT key, j, CAST('0x' || substr(
+               md5(CAST(key AS VARCHAR) || '#' || j), 1, 8)
+             AS BIGINT) % {_BLOOM_M} AS bit
+      FROM probe_keys, (VALUES (0), (1), (2)) AS h(j)
+    ),
+    hits AS (
+      SELECT pb.key, count(*) AS n_hit
+      FROM probe_bits pb JOIN bloom_bits bb USING (bit)
+      GROUP BY 1
+    ),
+    flagged AS (
+      SELECT pk.key, pk.n_rows,
+             coalesce(h.n_hit, 0) = {_BLOOM_K} AS cand,
+             EXISTS (SELECT 1 FROM build b WHERE b.key = pk.key) AS act
+      FROM probe_keys pk LEFT JOIN hits h USING (key)
+    )
+    SELECT CAST(sum(n_rows) AS BIGINT) AS n_probe_rows,
+           CAST(sum(CASE WHEN cand THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_candidate_rows,
+           CAST(sum(CASE WHEN act THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_actual_rows,
+           CAST(sum(CASE WHEN cand AND NOT act THEN n_rows ELSE 0 END)
+                AS BIGINT) AS n_false_pos_rows,
+           round(sum(CASE WHEN cand AND NOT act THEN n_rows ELSE 0 END)
+                 * 1.0
+                 / sum(CASE WHEN NOT act THEN n_rows ELSE 0 END), 6)
+             AS fp_row_rate
+    FROM flagged
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filter, made explicit and verifiable: build
+    a 3-hash / 32768-bit bloom over the selective build side
+    (urgent orders), probe every lineitem order key, and account exactly
+    for what the filter admits — probe rows, candidate rows, true rows,
+    false positives, and the false-positive row rate. Spark injects this
+    pattern automatically (spark.sql.optimizer.runtime.bloomFilter.*);
+    this operator pins the mechanics with a deterministic md5-derived
+    bit schedule so BOTH engines build bit-identical filters and even
+    the false positives hash-match.
+
+    The 100 TB shape this stands for: the bit set (≤ m booleans) is
+    broadcast-sized no matter how large the build side grows, and the
+    probe side tests membership BEFORE its wide shuffle — candidate
+    rows, not all rows, pay the join exchange. Here the probe reduces
+    to per-key counts first (one map-side-combined groupBy), so the
+    bloom probes key cardinality, not row count."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key")
+    )
+
+    def bits_of(df: DataFrame) -> DataFrame:
+        cols = [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#", F.col("key").cast("string"), F.lit(j)
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _BLOOM_M
+            ).alias(f"b{j}")
+            for j in range(_BLOOM_K)
+        ]
+        return df.select("key", *cols)
+
+    bloom_bits = (
+        bits_of(build)
+        .select(
+            F.explode(
+                F.array(*[f"b{j}" for j in range(_BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe_keys = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    probe_bits = bits_of(probe_keys).select(
+        "key",
+        F.explode(
+            F.array(*[f"b{j}" for j in range(_BLOOM_K)])
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bloom_bits), "bit")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    flagged = (
+        probe_keys.join(F.broadcast(hits), "key", "left")
+        .join(
+            F.broadcast(build.withColumn("act", F.lit(True))), "key", "left"
+        )
+        .select(
+            "n_rows",
+            (F.coalesce("n_hit", F.lit(0)) == _BLOOM_K).alias("cand"),
+            F.coalesce("act", F.lit(False)).alias("act"),
+        )
+    )
+    n = lambda c: F.sum(F.when(c, F.col("n_rows")).otherwise(0))  # noqa: E731
+    return flagged.agg(
+        F.sum("n_rows").alias("n_probe_rows"),
+        n(F.col("cand")).alias("n_candidate_rows"),
+        n(F.col("act")).alias("n_actual_rows"),
+        n(F.col("cand") & ~F.col("act")).alias("n_false_pos_rows"),
+        F.round(
+            n(F.col("cand") & ~F.col("act")) / n(~F.col("act")), 6
+        ).alias("fp_row_rate"),
+    )

@@ -114,3 +114,92 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"), F.count("*").alias("n_events")
     )
+
+
+@register(
+    "q_stream_late",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us,
+             epoch_us(ts) + (user_id % 7) * 180000000 AS arrival
+      FROM events
+    ),
+    swept AS (
+      SELECT event_type, us,
+             max(us) OVER (ORDER BY arrival, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen_max
+      FROM arr
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN us < seen_max - 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(sum(CASE WHEN us < seen_max - 600000000
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS late_rate
+    FROM swept GROUP BY 1
+    """,
+)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-arrival accounting under skewed ingest: each user's
+    events reach the pipeline with a fixed per-user transport delay
+    (user_id % 7 × 3 min — the lagging-Kafka-partition model; the
+    fixture's raw event_id order is perfectly time-sorted, so disorder
+    must come from the transport layer). Replaying in arrival order,
+    count per event type the events whose EVENT time trails the
+    event-time high-water mark of everything that arrived before them
+    by more than the 10-minute allowed lateness — exactly the rows a
+    `withWatermark("ts", "10 minutes")` aggregation would drop (users
+    lagging ≥12 min lose events to faster users' watermark advance).
+    The capacity-planning readout for choosing a watermark delay: rerun
+    with a candidate delay, read the drop rate.
+
+    The oracle states the spec as one global exclusive running max; the
+    Spark side runs the same two-level decomposition as q_interval_peak,
+    this time for MAX (prefix maxes decompose like prefix sums): hourly
+    arrival buckets compute local exclusive running maxes in parallel,
+    per-bucket maxes cumulate into exclusive bucket offsets (tiny table,
+    broadcast back), and the high-water mark before each row =
+    greatest(bucket offset, local exclusive max). No single-partition
+    window ever sees the event stream."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        ts_micros("ts").alias("us"),
+        (ts_micros("ts") + (F.col("user_id") % 7) * 180_000_000).alias(
+            "arrival"
+        ),
+    )
+    bucketed = e.withColumn(
+        "bucket", F.floor(F.col("arrival") / 3_600_000_000)
+    )
+    wl = (
+        W.partitionBy("bucket")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("local_max", F.max("us").over(wl))
+    btot = local.groupBy("bucket").agg(F.max("us").alias("bmax"))
+    boff = btot.select(
+        "bucket",
+        F.max("bmax")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_buckets_max"),
+    )
+    arr = local.join(F.broadcast(boff), "bucket").withColumn(
+        "seen_max",
+        F.greatest(
+            F.col("prev_buckets_max"),
+            F.col("local_max"),
+        ),
+    )
+    late = F.col("us") < F.col("seen_max") - 600_000_000
+    return arr.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(late.cast("long")).alias("n_late"),
+        F.round(F.sum(late.cast("long")) / F.count("*"), 6).alias(
+            "late_rate"
+        ),
+    )

@@ -106,7 +106,8 @@ SECTIONS = {
     "round-5 additions: governance profiling + robust stats + retrieval index": [
         "q_profile", "q_kanon", "q_heavy_hitters", "q_ab_test",
         "q_ts_mad", "q_agg_quantile_sketch", "q_text_inverted_index",
-        "q_interval_peak", "q_sample_balanced",
+        "q_interval_peak", "q_sample_balanced", "q_join_bloom",
+        "q_stream_late",
     ],
 }
 
