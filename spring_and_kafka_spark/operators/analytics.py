@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from spring_and_kafka_spark.exec_utils import ts_micros
+from spring_and_kafka_spark.exec_utils import materialize, ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -769,7 +769,10 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("us", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    sess = (
+    # four downstream branches (two boundary projections, the session
+    # count, and the sweep) would each replay the sessionize pipeline —
+    # cut the lineage once; sess is interval-cardinality, not events
+    sess = materialize(
         marked.select(
             "user_id", "us", F.sum("new_sess").over(w2).alias("sess_id")
         )
@@ -802,9 +805,11 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("btotal")
         ).alias("offset"),
     )
-    swept = local.join(F.broadcast(offsets), "bucket").select(
-        "us", (F.col("offset") + F.col("local_run")).alias("running")
-    )
+    swept = materialize(
+        local.join(F.broadcast(offsets), "bucket").select(
+            "us", (F.col("offset") + F.col("local_run")).alias("running")
+        )
+    )  # read twice: global max, then argmin-ts at that max
     n_sessions = sess.agg(F.count("*").alias("n_sessions"))
     peak = swept.agg(F.max("running").alias("peak_concurrency"))
     peak_ts = (

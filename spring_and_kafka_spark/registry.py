@@ -42,13 +42,14 @@ _MODULE_SEQ: dict[str, int] = {}
 # The driver hash-verifies EXACTLY the first 50 exposed entries each
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row. Round-5 window:
-# slots 1-25 = every query with no CORRECTNESS row anywhere in r1..r4
-# (the 6 round-4 additions that registered past the r4 window plus the
-# 19 round-5 additions); slots 26-50 = 25 of the 32 queries whose latest
-# green row is round 1 (stalest re-verification backfill, exposure
-# order). After round 5 every registry entry owns a driver row; the 7
-# remaining round-1-stale greens plus the round-2 cohort lead the
-# round-6 rotation. Queries not named here rank after the prefix by
+# slots 1-36 = every query with no CORRECTNESS row anywhere in r1..r4
+# (the 6 round-4 additions that registered past the r4 window, the 19
+# early round-5 additions, and the 11 late round-5 additions);
+# slots 37-50 = 14 of the 32 queries whose latest green row is round 1
+# (stalest re-verification backfill, exposure order). After round 5
+# every registry entry owns a driver row; the 18 remaining
+# round-1-stale greens plus the round-2 cohort lead the round-6
+# rotation. Queries not named here rank after the prefix by
 # (module rank, def order) — the safe place for additions until they
 # are rotated in.
 _WINDOW_PREFIX = [
@@ -79,6 +80,18 @@ _WINDOW_PREFIX = [
     "q_win_trend",
     "q_win_streak",
     "q_graph_triangles",
+    # never driver-verified: late round-5 additions (second batch)
+    "q_profile",
+    "q_kanon",
+    "q_heavy_hitters",
+    "q_ab_test",
+    "q_ts_mad",
+    "q_agg_quantile_sketch",
+    "q_text_inverted_index",
+    "q_interval_peak",
+    "q_sample_balanced",
+    "q_join_bloom",
+    "q_stream_late",
     # re-verification backfill: latest green row is round 1
     "q_scan",
     "q_project",
@@ -94,17 +107,6 @@ _WINDOW_PREFIX = [
     "q_limit",
     "q_union",
     "q_intersect",
-    "q_except",
-    "q_generate",
-    "q_agg_distinct",
-    "q_agg_stats",
-    "q_agg_percentile",
-    "q_agg_bool",
-    "q_agg_having",
-    "q_rollup",
-    "q_rollup_grouping",
-    "q_cube",
-    "q_grouping_sets",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 
