@@ -654,3 +654,68 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "q_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey, r.r_name, n.n_name,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT r_name, n_name,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           round(cents * 1.0 / sum(cents) OVER (PARTITION BY n_regionkey),
+                 6) AS share_of_region,
+           round(cents * 1.0 / sum(cents) OVER (), 6) AS share_of_total,
+           CAST(row_number() OVER (PARTITION BY n_regionkey
+             ORDER BY cents DESC, n_name) AS BIGINT) AS rank_in_region
+    FROM rev
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (percent-of-parent): each nation's order
+    revenue as a share of its region and of the grand total, ranked
+    within region — the drill-down readout every revenue dashboard
+    renders next to a rollup.
+
+    Revenue sums as exact integer cents (a double sum would be
+    partial-aggregation-order-dependent and could never hash-match);
+    the percent-of-parent windows run over the NATION-level aggregate
+    (25 rows), so the single-partition total window costs nothing —
+    the fact table pays one groupBy shuffle, the two dimension hops are
+    broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_regionkey", "r_name", "n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    wr = W.partitionBy("n_regionkey")
+    return rev.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.round(F.col("cents") / F.sum("cents").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.col("cents") / F.sum("cents").over(W.partitionBy()), 6
+        ).alias("share_of_total"),
+        F.row_number()
+        .over(wr.orderBy(F.col("cents").desc(), "n_name"))
+        .cast("long")
+        .alias("rank_in_region"),
+    )

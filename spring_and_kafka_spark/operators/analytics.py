@@ -779,6 +779,18 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sess_id")
         .agg(F.min("us").alias("s"), F.max("us").alias("e"))
     )
+    n_sessions = sess.agg(F.count("*").alias("n_sessions"))
+    return peak_from_intervals(sess).crossJoin(n_sessions).select(
+        "peak_concurrency", "peak_ts_micros", "n_sessions"
+    )
+
+
+def peak_from_intervals(sess: DataFrame) -> DataFrame:
+    """Two-level +1/−1 boundary sweep over closed intervals (columns
+    ``s``, ``e`` in microseconds): one row (peak_concurrency,
+    peak_ts_micros). Exposed separately so the prefix-sum decomposition
+    is property-testable against brute force on arbitrary interval sets
+    (tests/test_property.py), not just the sessionized fixture."""
     bounds = sess.select(
         F.col("s").alias("us"), F.lit(1).cast("long").alias("delta")
     ).unionAll(
@@ -810,15 +822,11 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "us", (F.col("offset") + F.col("local_run")).alias("running")
         )
     )  # read twice: global max, then argmin-ts at that max
-    n_sessions = sess.agg(F.count("*").alias("n_sessions"))
     peak = swept.agg(F.max("running").alias("peak_concurrency"))
-    peak_ts = (
+    return (
         swept.join(F.broadcast(peak))
         .filter(F.col("running") == F.col("peak_concurrency"))
         .agg(F.min("us").alias("peak_ts_micros"))
-    )
-    return (
-        peak.crossJoin(peak_ts).crossJoin(n_sessions).select(
-            "peak_concurrency", "peak_ts_micros", "n_sessions"
-        )
+        .crossJoin(peak)
+        .select("peak_concurrency", "peak_ts_micros")
     )

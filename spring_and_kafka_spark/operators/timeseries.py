@@ -500,3 +500,81 @@ def q_ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_rate"
         ),
     )
+
+
+@register(
+    "q_ts_cusum",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) - 60000000 AS d
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, event_id, us,
+             sum(d) OVER (PARTITION BY event_type ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS pre
+      FROM s
+    ),
+    m AS (
+      SELECT event_type, us, pre,
+             min(pre) OVER (PARTITION BY event_type ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS minpre
+      FROM p
+    ),
+    c AS (
+      SELECT event_type, us, pre - least(minpre, 0) AS cusum FROM m
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN cusum > 200000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           CAST(max(cusum) AS BIGINT) AS max_cusum_micros,
+           CAST(min(CASE WHEN cusum > 200000000 THEN us END) AS BIGINT)
+             AS first_alarm_us
+    FROM c GROUP BY 1
+    """,
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per event type: accumulate
+    S_t = max(0, S_{t-1} + (value_t − target)) with target 60 (above the
+    ~50 series mean, so S decays between bursts) and alarm when S
+    exceeds h = 200 value-units — the classic drift detector for metric
+    streams, the third monitoring primitive next to q_ts_anomaly
+    (z-score) and q_ts_mad (robust cut).
+
+    The clamp recurrence looks inherently sequential, but the identity
+    S_t = P_t − min(0, min_{j≤t} P_j) (P = running sum of deviations)
+    turns it into two stacked window prefixes — sum, then running min —
+    so it runs as ordinary per-key windows: one shuffle on event_type,
+    no recursion, no UDF, and the same two-level decomposition rule
+    (DESIGN.md #16) applies if a single key's stream outgrows one
+    partition. Deviations scale to exact micro-unit BIGINTs, so every
+    prefix is order-independent-exact in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        ts_micros("ts").alias("us"),
+        (
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+            - 60_000_000
+        ).alias("d"),
+    )
+    wk = (
+        W.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = e.withColumn("pre", F.sum("d").over(wk))
+    m = p.withColumn("minpre", F.min("pre").over(wk))
+    c = m.select(
+        "event_type",
+        "us",
+        (F.col("pre") - F.least(F.col("minpre"), F.lit(0))).alias("cusum"),
+    )
+    alarm = F.col("cusum") > 200_000_000
+    return c.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(alarm.cast("long")).alias("n_alarms"),
+        F.max("cusum").alias("max_cusum_micros"),
+        F.min(F.when(alarm, F.col("us"))).alias("first_alarm_us"),
+    )

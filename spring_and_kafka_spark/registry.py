@@ -42,14 +42,13 @@ _MODULE_SEQ: dict[str, int] = {}
 # The driver hash-verifies EXACTLY the first 50 exposed entries each
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row. Round-5 window:
-# slots 1-36 = every query with no CORRECTNESS row anywhere in r1..r4
-# (the 6 round-4 additions that registered past the r4 window, the 19
-# early round-5 additions, and the 11 late round-5 additions);
-# slots 37-50 = 14 of the 32 queries whose latest green row is round 1
-# (stalest re-verification backfill, exposure order). After round 5
-# every registry entry owns a driver row; the 18 remaining
-# round-1-stale greens plus the round-2 cohort lead the round-6
-# rotation. Queries not named here rank after the prefix by
+# slots 1-38 = every query with no CORRECTNESS row anywhere in r1..r4
+# (the 6 round-4 additions that registered past the r4 window and the
+# 32 round-5 additions); slots 39-50 = 12 of the 32 queries whose
+# latest green row is round 1 (stalest re-verification backfill,
+# exposure order). After round 5 every registry entry owns a driver
+# row; the 20 remaining round-1-stale greens plus the round-2 cohort
+# lead the round-6 rotation. Queries not named here rank after the prefix by
 # (module rank, def order) — the safe place for additions until they
 # are rotated in.
 _WINDOW_PREFIX = [
@@ -92,6 +91,8 @@ _WINDOW_PREFIX = [
     "q_sample_balanced",
     "q_join_bloom",
     "q_stream_late",
+    "q_ts_cusum",
+    "q_share_of_total",
     # re-verification backfill: latest green row is round 1
     "q_scan",
     "q_project",
@@ -105,8 +106,6 @@ _WINDOW_PREFIX = [
     "q_distinct",
     "q_sort",
     "q_limit",
-    "q_union",
-    "q_intersect",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -34,9 +34,9 @@ def test_queries_are_callables():
 def test_verification_window_prefix_is_frozen():
     """The driver hash-verifies EXACTLY the first 50 exposed registry
     entries. The round-5 window is named explicitly in
-    registry._WINDOW_PREFIX (36 never-driver-verified queries — the 6
-    round-4 additions past the r4 window plus the 30 round-5 additions —
-    then 14 round-1-stale re-verifications; see the registry comment
+    registry._WINDOW_PREFIX (38 never-driver-verified queries — the 6
+    round-4 additions past the r4 window plus the 32 round-5 additions —
+    then 12 round-1-stale re-verifications; see the registry comment
     for the derivation).
     Every prefix name must actually be registered — a typo there would
     silently eject a query from verification — and the exposed order

@@ -303,3 +303,48 @@ def test_incremental_matches_are_symmetric_cross_pairs(spark):
         r.new_id: (-r.jaccard, r.match_id) for r in inc if r.rejected
     }
     assert got == best
+
+
+# intervals as (start, length≥0) pairs; timestamps span multiple hourly
+# buckets so the two-level decomposition's bucket boundaries are hit
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10 * 3_600_000_000),
+        st.integers(min_value=0, max_value=2 * 3_600_000_000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_intervals)
+def test_peak_from_intervals_matches_brute_force(spark, iv):
+    """The two-level +1/−1 sweep (bucketed local prefix sums + cumulated
+    offsets) must equal brute-force closed-interval stabbing counts at
+    every boundary instant, for ANY interval set — including zero-length
+    intervals, duplicates, and bucket-straddling spans."""
+    from spring_and_kafka_spark.operators.analytics import peak_from_intervals
+
+    sess = spark.createDataFrame(
+        [(s, s + ln) for s, ln in iv], "s long, e long"
+    )
+    row = peak_from_intervals(sess).collect()[0]
+
+    bounds = sorted({s for s, ln in iv} | {s + ln for s, ln in iv})
+    best, best_ts = -1, None
+    for t in bounds:
+        n = sum(1 for s, ln in iv if s <= t <= s + ln)
+        if n > best:
+            best, best_ts = n, t
+    assert row.peak_concurrency == best
+    # argmin-ts: the earliest instant achieving the peak. The sweep only
+    # changes value at boundaries, and starts sort before ends, so its
+    # peak timestamp is the earliest boundary where the stabbing count
+    # equals the peak.
+    earliest = min(
+        t
+        for t in bounds
+        if sum(1 for s, ln in iv if s <= t <= s + ln) == best
+    )
+    assert row.peak_ts_micros == earliest

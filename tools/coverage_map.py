@@ -107,7 +107,7 @@ SECTIONS = {
         "q_profile", "q_kanon", "q_heavy_hitters", "q_ab_test",
         "q_ts_mad", "q_agg_quantile_sketch", "q_text_inverted_index",
         "q_interval_peak", "q_sample_balanced", "q_join_bloom",
-        "q_stream_late",
+        "q_stream_late", "q_ts_cusum", "q_share_of_total",
     ],
 }
 
