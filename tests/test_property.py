@@ -348,3 +348,38 @@ def test_peak_from_intervals_matches_brute_force(spark, iv):
         if sum(1 for s, ln in iv if s <= t <= s + ln) == best
     )
     assert row.peak_ts_micros == earliest
+
+
+_cents_lists = st.lists(
+    st.integers(min_value=100, max_value=50_000_000),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_cents_lists)
+def test_quantile_sketch_descent_picks_true_rank_bucket(spark, cents):
+    """For ANY integer cents multiset, the histogram rank descent must
+    choose exactly the (digits, first2) bucket containing the true
+    r = ceil(q·n)-th smallest value, and the bucket midpoint must sit
+    within the two-leading-digit design bound (±0.5/first2 ≤ 5%)."""
+    from spring_and_kafka_spark.operators.sketches import (
+        decimal_histogram,
+        select_quantile_buckets,
+    )
+
+    df = spark.createDataFrame([(c,) for c in cents], "cents long")
+    sel = select_quantile_buckets(
+        spark, decimal_histogram(df)
+    ).collect()
+    ordered = sorted(cents)
+    assert len(sel) == 3
+    for row in sel:
+        import math
+
+        r = math.ceil(row.q * len(cents))
+        true_val = ordered[r - 1]
+        s = str(true_val)
+        assert (row.digits, row.first2) == (len(s), int(s[:2]))
+        assert abs(row.approx_cents - true_val) / true_val <= 0.5 / row.first2
