@@ -62,3 +62,88 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("max_cusum_micros", T.LongType()),
+        T.StructField("first_alarm_us", T.LongType()),
+    ]
+)
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pre", T.LongType()),
+        T.StructField("minpre", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("max_cusum", T.LongType()),
+        T.StructField("first_alarm_us", T.LongType()),
+    ]
+)
+
+_CUSUM_H = 200_000_000
+
+
+def _update_cusum(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Carry (prefix sum, running min prefix) across micro-batches — the
+    two numbers that make the clamp recurrence S_t = max(0, S_{t-1}+d_t)
+    resumable: S = pre − min(0, minpre) (operators/timeseries.py::
+    q_ts_cusum states the same identity as stacked windows). Rows within
+    a batch vectorize as cumsum/cummin; the alarm stats fold into state
+    so the last emitted row per key IS the full-history answer."""
+    import numpy as np
+
+    if state.exists:
+        pre, minpre, n, n_alarms, max_cusum, first_alarm = state.get
+    else:
+        pre, minpre, n, n_alarms, max_cusum, first_alarm = (
+            0, 0, 0, 0, 0, None,
+        )
+    # a key's micro-batch rows may span several Arrow chunks — assemble
+    # the whole batch before sorting, or the recurrence runs out of order
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["us", "event_id"])
+        pres = pre + np.cumsum(pdf["d"].to_numpy(dtype=np.int64))
+        minpres = np.minimum(minpre, np.minimum.accumulate(pres))
+        cusums = pres - np.minimum(minpres, 0)
+        alarms = cusums > _CUSUM_H
+        n += len(pdf)
+        n_alarms += int(alarms.sum())
+        max_cusum = max(max_cusum, int(cusums.max()))
+        pre = int(pres[-1])
+        minpre = int(minpres[-1])
+        if first_alarm is None and alarms.any():
+            first_alarm = int(pdf["us"].to_numpy()[np.argmax(alarms)])
+    state.update((pre, minpre, n, n_alarms, max_cusum, first_alarm))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "n_alarms": [n_alarms],
+            "max_cusum_micros": [max_cusum],
+            "first_alarm_us": [first_alarm],
+        }
+    )
+
+
+def cusum_stream(deviations: DataFrame) -> DataFrame:
+    """Streaming CUSUM over (event_type, event_id, us, d) rows: per-key
+    drift state maintained in applyInPandasWithState; one updated
+    summary row per key per micro-batch. Equality with the batch
+    q_ts_cusum under in-order replay is asserted in
+    tests/test_streaming_advanced.py."""
+    return deviations.groupBy("event_type").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -159,3 +159,80 @@ def test_stream_merged_sketch_equals_batch(spark, tmp_path):
     }
     assert streamed == oneshot
     assert set(streamed) == {0.5, 0.9, 0.99}
+
+
+def test_stream_cusum_equals_batch(spark, tmp_path):
+    """Streaming CUSUM (per-key state carried across micro-batches) must
+    equal the batch window formulation exactly when the stream replays
+    in time order — same counts, same max drift, same first-alarm
+    instant, regardless of micro-batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from spring_and_kafka_spark.exec_utils import ts_micros
+    from spring_and_kafka_spark.operators.timeseries import q_ts_cusum
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.stateful import cusum_stream
+    from .conftest import SF_SMOKE
+
+    # stage TIME-ORDERED chunks: sequential appends so the file source's
+    # modification-time ordering replays the event stream in order
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        "event_id",
+        ts_micros("ts").alias("us"),
+        (
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+            - 60_000_000
+        ).alias("d"),
+    )
+    from pyspark.sql import Window as W
+
+    ranked = e.withColumn(
+        "chunk",
+        F.ntile(4).over(W.orderBy("us", "event_id")),
+    )
+    stage = str(tmp_path / "ordered")
+    for k in range(1, 5):
+        ranked.filter(F.col("chunk") == k).drop("chunk").coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    out = cusum_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_stream_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # update mode emits one row per key per batch; the final (largest
+    # n_events) row per key is the full-history answer
+    emitted = spark.sql("SELECT * FROM cusum_stream_out").collect()
+    last = {}
+    for r in emitted:
+        if (
+            r.event_type not in last
+            or r.n_events > last[r.event_type].n_events
+        ):
+            last[r.event_type] = r
+    streamed = {
+        k: (r.n_events, r.n_alarms, r.max_cusum_micros, r.first_alarm_us)
+        for k, r in last.items()
+    }
+    batch = {
+        r.event_type: (
+            r.n_events,
+            r.n_alarms,
+            r.max_cusum_micros,
+            r.first_alarm_us,
+        )
+        for r in q_ts_cusum(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch

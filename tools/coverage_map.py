@@ -124,6 +124,7 @@ STREAMING_ONLY = [
     ("stream-stream join (time-range state bound)", "streaming/joins.py (tests/test_streaming_advanced.py)"),
     ("stream-static enrich (broadcast dim per micro-batch)", "streaming/joins.py:stream_static_enrich"),
     ("arbitrary per-key state (applyInPandasWithState)", "streaming/stateful.py (tests/test_streaming_advanced.py)"),
+    ("streaming CUSUM drift detector (resumable clamp recurrence in keyed state)", "streaming/stateful.py:cusum_stream (tests/test_streaming_advanced.py::test_stream_cusum_equals_batch)"),
     ("log/console sink, foreachBatch, exactly-once parquet sink", "streaming/sinks.py (tests/test_sinks.py)"),
     ("salted join / salted aggregation (skew)", "operators/skew.py (tests/test_skew_and_io.py)"),
     ("CSV/JSON readers, partitioned/bucketed writers", "sources/files.py (tests/test_skew_and_io.py, test_bucketed.py)"),
