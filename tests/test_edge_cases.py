@@ -184,3 +184,65 @@ def test_pagerank_mass_and_spread(spark):
     assert min(prs) >= _PR_BASE
     assert max(prs) > min(prs)
     assert sum(prs) <= _PR_SCALE * len(prs)
+
+
+def test_peak_from_intervals_degenerate_shapes(spark):
+    """Single interval, zero-length intervals, and exact-duplicate
+    intervals all sweep correctly (closed-interval semantics: identical
+    instants stack)."""
+    from spring_and_kafka_spark.operators.analytics import peak_from_intervals
+
+    one = spark.createDataFrame([(5, 5)], "s long, e long")
+    r = peak_from_intervals(one).collect()[0]
+    assert (r.peak_concurrency, r.peak_ts_micros) == (1, 5)
+
+    dups = spark.createDataFrame([(10, 20)] * 3 + [(20, 20)], "s long, e long")
+    r = peak_from_intervals(dups).collect()[0]
+    assert (r.peak_concurrency, r.peak_ts_micros) == (4, 20)
+
+
+def test_quantile_sketch_single_value_multiset(spark):
+    """A one-point distribution: every quantile resolves to that point's
+    bucket with zero rank ambiguity."""
+    from spring_and_kafka_spark.operators.sketches import (
+        decimal_histogram,
+        select_quantile_buckets,
+    )
+
+    df = spark.createDataFrame([(12345,)] * 7, "cents long")
+    rows = select_quantile_buckets(spark, decimal_histogram(df)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert (r.digits, r.first2) == (5, 12)
+        assert r.r <= 7 and r.below == 0
+
+
+def test_cusum_identity_on_synthetic_burst(spark):
+    """The prefix-sum/running-min identity reproduces the textbook
+    recurrence on a hand-checkable series: drift decays to zero between
+    bursts and accumulates across a burst."""
+    import pandas as pd
+
+    from spring_and_kafka_spark.streaming.stateful import _update_cusum
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    # deviations: burst of +3, then -10 washes S back to 0, then +2
+    pdf = pd.DataFrame(
+        {
+            "us": range(6),
+            "event_id": range(6),
+            "d": [3, 3, 3, -10, 2, 2],
+        }
+    )
+    st = FakeState()
+    out = list(_update_cusum(("t",), iter([pdf]), st))[0]
+    # S: 3,6,9,0(clamp),2,4 → max 9, no alarm at h=2e8
+    assert out.loc[0, "max_cusum_micros"] == 9
+    assert out.loc[0, "n_alarms"] == 0
+    assert st.value[0] == 3  # prefix sum of all d: 3+3+3-10+2+2
+    assert st.value[1] == -1  # running min prefix (P after the -10)

@@ -199,3 +199,34 @@ def test_inverted_index_reuses_term_partitioning(spark):
     p = plan(spark, "q_text_inverted_index")
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert p.count("Exchange") <= 4
+
+
+def test_cusum_is_one_shuffle_no_join(spark):
+    """The clamp-recurrence rewrite runs as two stacked windows on the
+    SAME event_type partitioning: one logical exchange, no join, no
+    single-partition window over the data."""
+    p = plan(spark, "q_ts_cusum")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2  # listed twice (tree + details)
+
+
+def test_share_of_total_broadcasts_all_dims(spark):
+    p = plan(spark, "q_share_of_total")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bloom_probe_joins_are_broadcast(spark):
+    """Both the bit-membership probe and the exact-side flags join
+    against broadcast-sized tables — the probe side never sort-merge
+    shuffles, which is the entire point of a bloom pre-filter."""
+    p = plan(spark, "q_join_bloom")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_balanced_sample_uses_group_limit_heap(spark):
+    """The per-stratum cap must plan as WindowGroupLimit (a 60-row heap
+    per stratum), not a full sort of each stratum."""
+    p = plan(spark, "q_sample_balanced")
+    assert "WindowGroupLimit" in p
