@@ -65,3 +65,18 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other bundled columnar format (Hive-ecosystem
+    interchange). Same predicate-pushdown / column-pruning story as
+    parquet; kept API-symmetric so a pipeline can switch formats per
+    sink without touching its plan."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan with schema from the file footer (self-describing, like
+    parquet — unlike the CSV/JSON readers above, which require explicit
+    schemas per SURVEY §2.1)."""
+    return spark.read.orc(path)

@@ -127,3 +127,24 @@ def test_write_partitioned_prunes(spark, tmp_path):
     plan = formatted_plan(sub)
     assert "PartitionFilters: [" in plan
     assert sub.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_orc_roundtrip_preserves_table(spark, tmp_path):
+    """ORC sink → scan round-trips the orders fixture exactly (schema
+    and values), and ORC scans push filters like parquet does."""
+    from spring_and_kafka_spark.plans import formatted_plan
+    from spring_and_kafka_spark.sources.files import read_orc, write_orc
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+    p = formatted_plan(back.filter(back.o_totalprice > 4000))
+    assert "PushedFilters: [" in p and "o_totalprice" in p

@@ -127,7 +127,7 @@ STREAMING_ONLY = [
     ("streaming CUSUM drift detector (resumable clamp recurrence in keyed state)", "streaming/stateful.py:cusum_stream (tests/test_streaming_advanced.py::test_stream_cusum_equals_batch)"),
     ("log/console sink, foreachBatch, exactly-once parquet sink", "streaming/sinks.py (tests/test_sinks.py)"),
     ("salted join / salted aggregation (skew)", "operators/skew.py (tests/test_skew_and_io.py)"),
-    ("CSV/JSON readers, partitioned/bucketed writers", "sources/files.py (tests/test_skew_and_io.py, test_bucketed.py)"),
+    ("CSV/JSON/ORC readers, partitioned/bucketed writers", "sources/files.py (tests/test_skew_and_io.py, test_bucketed.py)"),
 ]
 
 
