@@ -46,6 +46,8 @@ QUERIES = [
     "q_interval_peak",
     "q_profile",
     "q_ab_test",
+    "q_ts_cusum",
+    "q_stream_late",
 ]
 
 
@@ -94,6 +96,8 @@ FACT_QUERIES = [
     "q_merge_upsert",
     "q_heavy_hitters",
     "q_agg_quantile_sketch",
+    "q_share_of_total",
+    "q_join_bloom",
 ]
 
 
@@ -142,7 +146,7 @@ DOCS_QUERIES = [
     "q_text_chunk",
     "q_text_inverted_index",
     "q_sample_balanced",
-]
+]  # q_sample_balanced stays: stratum caps must hold as docs grow
 
 
 def build_scaled_docs(spark, factor: int, out: Path) -> None:
