@@ -512,11 +512,13 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count("*").alias("n_hit"))
     )
+    # hits and build grow with the build side — only bloom_bits (≤ m
+    # rows) is force-broadcast; these key-cardinality joins are left to
+    # Catalyst/AQE, which broadcasts them at fixture scale and shuffles
+    # them when the build side outgrows the threshold
     flagged = (
-        probe_keys.join(F.broadcast(hits), "key", "left")
-        .join(
-            F.broadcast(build.withColumn("act", F.lit(True))), "key", "left"
-        )
+        probe_keys.join(hits, "key", "left")
+        .join(build.withColumn("act", F.lit(True)), "key", "left")
         .select(
             "n_rows",
             (F.coalesce("n_hit", F.lit(0)) == _BLOOM_K).alias("cand"),

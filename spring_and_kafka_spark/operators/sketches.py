@@ -172,6 +172,18 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def to_cents(df: DataFrame) -> DataFrame:
+    """Project ``l_extendedprice`` to the exact integer ``cents`` column
+    every sketch site shares — ONE definition of the rounding rule, so
+    the stream≡batch equality (streaming/sketch.py) can't drift when the
+    rule changes."""
+    return df.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+
+
 def with_bucket_cols(df: DataFrame) -> DataFrame:
     """Add the decimal-histogram bucket key (digits, first2) derived from
     an exact integer ``cents`` column — pure string/integer arithmetic,
@@ -316,11 +328,7 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     price points). Buckets are pure integer/string arithmetic on exact
     cents, so both engines agree bit-for-bit; power(10, d-1) and the
     ±0.5 midpoints are exact doubles."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents")
-    )
+    li = to_cents(load_table(spark, sf_dir, "lineitem"))
     cg = with_bucket_cols(
         li.groupBy("cents").agg(F.count("*").alias("cnt"))
     )

@@ -146,11 +146,9 @@ def test_stream_merged_sketch_equals_batch(spark, tmp_path):
         r.q: r.approx_cents
         for r in merged_quantiles(spark, str(tmp_path / "state")).collect()
     }
-    cents = li.select(
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents")
-    )
+    from spring_and_kafka_spark.operators.sketches import to_cents
+
+    cents = to_cents(li)
     oneshot = {
         r.q: r.approx_cents
         for r in select_quantile_buckets(spark, decimal_histogram(cents))
@@ -236,3 +234,12 @@ def test_stream_cusum_equals_batch(spark, tmp_path):
         for r in q_ts_cusum(spark, SF_SMOKE).collect()
     }
     assert streamed == batch
+
+
+def test_merged_quantiles_empty_state_yields_empty(spark, tmp_path):
+    """A sketch state dir that no stream ever wrote resolves to zero
+    quantile rows, not a missing-path error."""
+    from spring_and_kafka_spark.streaming.sketch import merged_quantiles
+
+    out = merged_quantiles(spark, str(tmp_path / "never_written"))
+    assert out.collect() == []
