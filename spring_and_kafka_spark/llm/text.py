@@ -697,7 +697,8 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Term counting is explode + one groupBy (map-side combined); the
     rank window and the regression run over one row per VOCABULARY term,
     which is dwarfed by the corpus (even web-scale vocab is ~10⁸ rows ≈
-    one executor). regr_slope = covar_pop/var_pop, matching DuckDB."""
+    one executor). F.regr_slope / F.regr_r2 are the same covar_pop /
+    var_pop definitions DuckDB uses."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         tokens_lower(d)
@@ -712,11 +713,12 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lr"),
         F.log(F.col("freq").cast("double")).alias("lf"),
     )
-    slope = F.covar_pop("lf", "lr") / F.var_pop("lr")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
-        F.round(slope, 4).alias("zipf_slope"),
-        F.round(F.corr("lf", "lr") * F.corr("lf", "lr"), 4).alias("zipf_r2"),
+        F.round(F.regr_slope(F.col("lf"), F.col("lr")), 4).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.col("lf"), F.col("lr")), 4).alias("zipf_r2"),
     )
 
 

@@ -455,14 +455,14 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics per group: Pearson correlation, sample and
     population covariance, and the OLS slope of price on quantity — the
-    regression-in-SQL surface (regr_slope expressed as covar_pop /
-    var_pop, identical to DuckDB's definition).
+    regression-in-SQL surface (F.regr_slope, the same covar_pop /
+    var_pop definition DuckDB uses).
 
     All four are single-pass algebraic aggregates (sum/sum-sq/cross-sum
     moments) with map-side partial combine — one shuffle of 3 groups ×
     5 moments regardless of row count; the canonical 100 TB shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    slope = F.covar_pop("l_extendedprice", "l_quantity") / F.var_pop("l_quantity")
+    slope = F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity"))
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -493,7 +493,8 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket,
            bucket * 50000 AS lo,
-           (bucket + 1) * 50000 AS hi,
+           CASE WHEN bucket = 11 THEN NULL
+                ELSE (bucket + 1) * 50000 END AS hi,
            n,
            round(n / CAST(sum(n) OVER () AS DOUBLE), 4) AS share
     FROM h ORDER BY bucket
@@ -501,7 +502,8 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of order value: fixed $50k buckets with an
-    overflow cap, counts and shares — the profiling / data-quality
+    open-ended overflow bucket (hi = NULL — every row satisfies its own
+    stated bounds), counts and shares — the profiling / data-quality
     primitive (bounds derive from the bucket index, so no second pass
     for min/max and the bucket count is fixed up front).
 
@@ -519,7 +521,11 @@ def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "bucket",
         (F.col("bucket") * 50000).alias("lo"),
-        ((F.col("bucket") + 1) * 50000).alias("hi"),
+        # the cap bucket is open-ended: a NULL hi, not a bound the
+        # overflow rows would violate
+        F.when(F.col("bucket") < 11, (F.col("bucket") + 1) * 50000).alias(
+            "hi"
+        ),
         "n",
         F.round(F.col("n") / total.cast("double"), 4).alias("share"),
     ).orderBy("bucket")
@@ -531,8 +537,8 @@ def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH j AS (
       SELECT p.p_brand,
              CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
-               * CAST(l.l_quantity AS BIGINT) AS wprice_cents,
-             CAST(l.l_quantity AS BIGINT) AS qty
+               * CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS wprice_cents,
+             CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qty
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     )
     SELECT p_brand,
@@ -558,10 +564,14 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    # floor(q+0.5), not cast: Spark cast(double->long) truncates while
+    # DuckDB CAST rounds (registry.py conventions) — half-up on BOTH
+    # sides keeps the hash stable if quantities ever go non-integral
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
         "p_brand",
-        (cents * F.col("l_quantity").cast("long")).alias("wprice_cents"),
-        F.col("l_quantity").cast("long").alias("qty"),
+        (cents * qty).alias("wprice_cents"),
+        qty.alias("qty"),
     )
     return (
         j.groupBy("p_brand")
@@ -623,7 +633,8 @@ def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT l_returnflag,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_qty,
              CAST(count(*) AS BIGINT) AS n_lines,
              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
       FROM lineitem GROUP BY l_returnflag
@@ -644,7 +655,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms read but in one pass over a 3-row aggregate)."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")).alias(
+            "sum_qty"
+        ),
         F.count(F.lit(1)).alias("n_lines"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )

@@ -179,6 +179,35 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_session_ids(e: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+    """The shared 30-minute gap-sessionize recipe: (user_id, event_id,
+    us, sess_id) rows where a >gap_us silence opens a new session. One
+    shuffle on user_id; the boundary lag and the running session-id sum
+    reuse the same (us, event_id) total order, which is unique, so the
+    numbering is deterministic. Callers: q_sessionize (per-session
+    aggregates) and q_interval_peak (session intervals) — one
+    definition, so the gap rule and tie-break cannot drift apart."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ts_micros("ts")
+    prev = F.lag(us).over(w)
+    marked = e.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(prev.isNull() | (us - prev > gap_us), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return marked.select(
+        "user_id", "event_id", "us", F.sum("new_sess").over(w2).alias("sess_id")
+    )
+
+
 @register(
     "q_sessionize",
     oracle="""
@@ -228,31 +257,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the canonical sessionize shape: no self-join, state
     bounded by one user's events per partition, AQE free to coalesce."""
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = ts_micros("ts")
-    prev = F.lag(us).over(w)
-    marked = e.select(
-        "user_id",
-        "event_id",
-        us.alias("us"),
-        F.when(prev.isNull() | (us - prev > 1_800_000_000), 1)
-        .otherwise(0)
-        .alias("new_sess"),
-    )
-    # the running sum numbers sessions in the SAME total order the
-    # boundaries were computed in — (us, event_id) is unique, so the
-    # cumulative sum is deterministic and groups rows to the session
-    # opened by the boundary immediately before them
-    w2 = (
-        W.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    numbered = marked.select(
-        "user_id", "event_id", F.sum("new_sess").over(w2).alias("sess_id")
-    )
-    per_sess = numbered.groupBy("user_id", "sess_id").agg(
-        F.count("*").alias("n_events")
+    per_sess = (
+        gap_session_ids(e)
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"))
     )
     return per_sess.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
@@ -545,7 +553,8 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     src AS (     -- updates for existing keys + inserts for new keys
       SELECT o_custkey AS k, delta_cents FROM delta
       UNION ALL
-      SELECT o_custkey + 1000000, delta_cents
+      SELECT o_custkey + (SELECT max(c_custkey) FROM customer),
+             delta_cents
       FROM (SELECT * FROM delta
             ORDER BY delta_cents DESC, o_custkey LIMIT 10)
     )
@@ -569,17 +578,28 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer join (Delta/Iceberg MERGE compiles to the same shape).
 
     Money moves through integer cents (half-up per row) so update
-    arithmetic is exact in both engines. One shuffle for the delta
-    reduce, one for the full-outer join; at 100 TB the join would be
-    bucketed on the merge key so repeated MERGEs reuse partitioning."""
+    arithmetic is exact in both engines, and the synthetic insert keys
+    offset from max(c_custkey) — a fixed constant would collide with
+    real keys at larger scale factors and silently reclassify inserts
+    as updates. One shuffle for the delta reduce, one for the
+    full-outer join; at 100 TB the join would be bucketed on the merge
+    key so repeated MERGEs reuse partitioning."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    delta = o.groupBy("o_custkey").agg(F.sum(cents).alias("delta_cents"))
+    # two branches (updates + top-10 inserts) read delta — pin it once
+    delta = materialize(
+        o.groupBy("o_custkey").agg(F.sum(cents).alias("delta_cents"))
+    )
+    max_key = c.agg(F.max("c_custkey").alias("max_custkey"))
     inserts = (
         delta.orderBy(F.col("delta_cents").desc(), "o_custkey")
         .limit(10)
-        .select((F.col("o_custkey") + 1000000).alias("k"), "delta_cents")
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("o_custkey") + F.col("max_custkey")).alias("k"),
+            "delta_cents",
+        )
     )
     updates = delta.select(F.col("o_custkey").alias("k"), "delta_cents")
     src = updates.unionByName(inserts)
@@ -603,93 +623,115 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_seq_pattern",
     oracle="""
     WITH base AS (
-      SELECT user_id, event_id, ts, event_type,
+      SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cum_clicks,
-             first_value(CASE WHEN event_type = 'purchase'
-                              THEN ts END IGNORE NULLS)
-               OVER w_fwd AS p_ts,
-             first_value(CASE WHEN event_type = 'purchase'
-                              THEN event_id END IGNORE NULLS)
-               OVER w_fwd AS p_eid
+               AS cum_clicks
       FROM events
-      WINDOW w_fwd AS (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
     ),
-    with_pcum AS (
-      SELECT *,
-             first_value(CASE WHEN event_type = 'purchase'
-                              THEN cum_clicks END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-               AS p_cum_clicks
-      FROM base
+    s AS (
+      SELECT user_id, event_id AS signup_event, us AS s_us,
+             cum_clicks AS cs
+      FROM base WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT user_id, event_id AS p_eid, us AS p_us, cum_clicks AS cp
+      FROM base WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT s.user_id, s.signup_event, s.s_us, p.p_eid, p.p_us,
+             p.cp - s.cs AS cb,
+             row_number() OVER (PARTITION BY s.user_id, s.signup_event
+               ORDER BY p.p_us, p.p_eid) AS rn
+      FROM s JOIN p ON s.user_id = p.user_id AND p.cp >= s.cs + 2
     )
-    SELECT user_id, event_id AS signup_event, p_eid AS purchase_event,
-           CAST(coalesce(p_cum_clicks - cum_clicks, 0) AS BIGINT)
+    SELECT s.user_id, s.signup_event,
+           CASE WHEN c.p_us <= s.s_us + 604800000000
+                THEN c.p_eid END AS purchase_event,
+           CAST(coalesce(CASE WHEN c.p_us <= s.s_us + 604800000000
+                              THEN c.cb END, 0) AS BIGINT)
              AS clicks_between,
-           CAST(p_ts IS NOT NULL
-                AND p_ts <= ts + INTERVAL 7 DAY
-                AND p_cum_clicks - cum_clicks >= 2 AS BOOLEAN) AS matched
-    FROM with_pcum WHERE event_type = 'signup'
+           coalesce(c.p_us <= s.s_us + 604800000000, false) AS matched
+    FROM s LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      USING (user_id, signup_event)
     """,
 )
 def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): for every
     signup, does the pattern `signup → click{2,} → purchase` complete
-    within 7 days? Emits the matched purchase and the click count in
-    between — the behavioral-cohort / conversion-pattern operator SQL
-    engines expose as MATCH_RECOGNIZE and Spark does not have natively.
+    within 7 days? Emits the matched purchase (NULL when unmatched) and
+    the click count in between — the behavioral-cohort /
+    conversion-pattern operator SQL engines expose as MATCH_RECOGNIZE
+    and Spark does not have natively.
 
-    Compiled entirely to ONE user-partitioned window pass (three
-    forward/backward frame lookups over the same sort): a running click
-    counter, plus first-following-purchase (ts, event_id, counter
-    snapshot) via first(ignorenulls) over a strictly-future frame.
-    Clicks-between = counter at the purchase minus counter at the
-    signup — no self-join, no per-user UDF loop, one shuffle; the same
-    plan shape as q_join_pit and it scales identically. The oracle
-    states the identical windows with DuckDB's IGNORE NULLS syntax."""
+    The binding purchase is the first one with ≥2 clicks after the
+    signup — NOT simply the first following purchase (a user who buys
+    once quickly and again after more clicks still completes the
+    pattern; anchoring to the first purchase alone would undercount
+    conversions, and the running click counter is monotone so the first
+    qualifying purchase is the only candidate that can be in-window).
+    Shape: one user-partitioned window pass for the click counter, then
+    signups join qualifying purchases per user (cp ≥ cs+2 — the time
+    ordering is implied by counter monotonicity) and a per-signup
+    rank-1 filter picks the earliest. Per-user key join, no cross-user
+    blow-up; the oracle states the identical join."""
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_fwd = w.rowsBetween(1, W.unboundedFollowing)
-    is_purchase = F.col("event_type") == "purchase"
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     base = e.select(
         "user_id",
         "event_id",
-        "ts",
+        ts_micros("ts").alias("us"),
         "event_type",
-        F.sum(
-            F.when(F.col("event_type") == "click", 1).otherwise(0)
-        )
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .over(w_cum)
         .alias("cum_clicks"),
-        F.first(F.when(is_purchase, F.col("ts")), ignorenulls=True)
-        .over(w_fwd)
-        .alias("p_ts"),
-        F.first(F.when(is_purchase, F.col("event_id")), ignorenulls=True)
-        .over(w_fwd)
-        .alias("p_eid"),
     )
-    with_pcum = base.withColumn(
-        "p_cum_clicks",
-        F.first(F.when(is_purchase, F.col("cum_clicks")), ignorenulls=True).over(
-            w_fwd
-        ),
-    )
-    clicks_between = F.col("p_cum_clicks") - F.col("cum_clicks")
-    return with_pcum.filter(F.col("event_type") == "signup").select(
+    s = base.filter(F.col("event_type") == "signup").select(
         "user_id",
         F.col("event_id").alias("signup_event"),
-        F.col("p_eid").alias("purchase_event"),
-        F.coalesce(clicks_between, F.lit(0)).cast("long").alias("clicks_between"),
-        (
-            F.col("p_ts").isNotNull()
-            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 7 DAYS"))
-            & (clicks_between >= 2)
-        ).alias("matched"),
+        F.col("us").alias("s_us"),
+        F.col("cum_clicks").alias("cs"),
+    )
+    p = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_eid"),
+        F.col("us").alias("p_us"),
+        F.col("cum_clicks").alias("cp"),
+    )
+    cand = (
+        s.join(p, ["user_id"])
+        .filter(F.col("cp") >= F.col("cs") + 2)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "signup_event").orderBy(
+                    "p_us", "p_eid"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "signup_event",
+            "p_eid",
+            "p_us",
+            (F.col("cp") - F.col("cs")).alias("cb"),
+        )
+    )
+    in_window = F.col("p_us") <= F.col("s_us") + F.lit(604_800_000_000)
+    return s.join(cand, ["user_id", "signup_event"], "left").select(
+        "user_id",
+        "signup_event",
+        F.when(in_window, F.col("p_eid")).alias("purchase_event"),
+        F.coalesce(F.when(in_window, F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("clicks_between"),
+        F.coalesce(in_window, F.lit(False)).alias("matched"),
     )
 
 
@@ -753,29 +795,11 @@ def q_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     (us, delta) permute only among equal prefix values, so max and
     argmin-ts stay deterministic."""
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    us = ts_micros("ts")
-    prev = F.lag(us).over(w)
-    marked = e.select(
-        "user_id",
-        "event_id",
-        us.alias("us"),
-        F.when(prev.isNull() | (us - prev > 1_800_000_000), 1)
-        .otherwise(0)
-        .alias("new_sess"),
-    )
-    w2 = (
-        W.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     # four downstream branches (two boundary projections, the session
     # count, and the sweep) would each replay the sessionize pipeline —
     # cut the lineage once; sess is interval-cardinality, not events
     sess = materialize(
-        marked.select(
-            "user_id", "us", F.sum("new_sess").over(w2).alias("sess_id")
-        )
+        gap_session_ids(e)
         .groupBy("user_id", "sess_id")
         .agg(F.min("us").alias("s"), F.max("us").alias("e"))
     )

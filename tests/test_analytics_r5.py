@@ -367,21 +367,23 @@ def test_seq_pattern_matches_bruteforce(spark):
         for i, r in enumerate(rows):
             if r.event_type != "signup":
                 continue
-            clicks, p = 0, None
+            # binding purchase = the FIRST one with >=2 clicks after
+            # the signup (not merely the first purchase); emitted only
+            # when it lands inside the 7-day window
+            clicks, bound, bound_clicks = 0, None, 0
             for nxt in rows[i + 1:]:
-                if nxt.event_type == "purchase":
-                    p = nxt
-                    break
                 if nxt.event_type == "click":
                     clicks += 1
+                elif nxt.event_type == "purchase" and clicks >= 2:
+                    bound, bound_clicks = nxt, clicks
+                    break
             matched = (
-                p is not None
-                and (p.ts - r.ts).total_seconds() <= 7 * 86400
-                and clicks >= 2
+                bound is not None
+                and (bound.ts - r.ts).total_seconds() <= 7 * 86400
             )
             expected[r.event_id] = (
-                p.event_id if p else None,
-                clicks if p else 0,
+                bound.event_id if matched else None,
+                bound_clicks if matched else 0,
                 matched,
             )
     got = {
