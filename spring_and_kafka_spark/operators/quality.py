@@ -1,0 +1,431 @@
+"""Data-quality and data-mastering operators — the governance batch a
+training-data warehouse runs before (and while) a corpus ships:
+declarative expectation checks, Benford first-digit screening, robust
+winsorized/trimmed aggregates, blocked entity resolution, and PII
+scanning over fabricated contact blobs (the reference's "count, filter,
+enrich or transform" event model, reference README.md:329, grown to the
+audit surface of a curation pipeline).
+
+Scale notes (100 TB): every operator here is either a single
+map-side-combined aggregation (checks, Benford, PII) or a blocked
+self-join whose block key bounds the pair blow-up (entity resolution:
+pairs are generated per (nation, name-prefix) block, never all-pairs —
+the same candidate-generation discipline as the MinHash-LSH dedup
+family in llm/dedup.py). The winsorize pass is two shuffles: one
+percentile aggregation producing one tiny row per group, broadcast back
+over the fact scan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+    WITH raw AS (
+      SELECT 'customer_acctbal_not_null' AS check_name,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(count(*) - count(c_acctbal) AS BIGINT) AS n_violations
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem_discount_range', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_fk_orders',
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'orders_fk_customer',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'orders_pk_unique', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders
+    )
+    SELECT check_name, n_checked, n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT)
+             AS passed
+    FROM raw
+    """,
+    tags=("governance",),
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (Deequ/Great-Expectations shape):
+    null checks, value-range checks, primary-key uniqueness, and
+    referential-integrity orphan counts, one result row per check with
+    a checked/violated count and a pass flag.
+
+    Each check is an independent aggregate subplan unioned into one tiny
+    result: the scalar checks are single map-side-combined passes over
+    their table; the FK checks are left-anti joins (shuffle hash on the
+    key — NOT broadcast, because at 100 TB the parent table is itself a
+    fact table). Catalyst runs the six subplans as parallel stages; the
+    union is six 1-row partitions."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, checked: DataFrame) -> DataFrame:
+        return checked.select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
+        )
+
+    nulls = one(
+        "customer_acctbal_not_null",
+        cust.agg(
+            F.count("*").alias("n_checked"),
+            (F.count("*") - F.count("c_acctbal")).alias("n_violations"),
+        ),
+    )
+    disc = one(
+        "lineitem_discount_range",
+        li.agg(
+            F.count("*").alias("n_checked"),
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                ).otherwise(0)
+            ).alias("n_violations"),
+        ),
+    )
+    li_orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(li.agg(F.count("*").alias("n_checked")))
+    )
+    fk_li = one("lineitem_fk_orders", li_orphans)
+    o_orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(orders.agg(F.count("*").alias("n_checked")))
+    )
+    fk_o = one("orders_fk_customer", o_orphans)
+    pk = one(
+        "orders_pk_unique",
+        orders.agg(
+            F.count("*").alias("n_checked"),
+            (F.count("*") - F.countDistinct("o_orderkey")).alias(
+                "n_violations"
+            ),
+        ),
+    )
+    pos = one(
+        "orders_totalprice_positive",
+        orders.agg(
+            F.count("*").alias("n_checked"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+            ).alias("n_violations"),
+        ),
+    )
+    out = reduce(
+        DataFrame.unionByName, [nulls, disc, fk_li, fk_o, pk, pos]
+    )
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("passed"),
+    )
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS ds
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (SELECT ds, count(*) AS n FROM d GROUP BY ds),
+    tot AS (SELECT sum(n) AS n_tot FROM counts)
+    SELECT CAST(ds AS INT) AS digit,
+           CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / n_tot, 4) AS frac,
+           round(log10(1.0 + 1.0 / CAST(ds AS DOUBLE)), 4) AS benford,
+           round(abs(n * 1.0 / n_tot
+                     - log10(1.0 + 1.0 / CAST(ds AS DOUBLE))), 4)
+             AS abs_dev
+    FROM counts CROSS JOIN tot
+    """,
+    tags=("governance",),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen over order totals —
+    the classic fraud / synthetic-data tell. One output row per digit
+    with the observed fraction, the Benford expectation log10(1+1/d),
+    and the absolute deviation.
+
+    The first digit comes from the integer part formatted as a string
+    (floor → BIGINT → VARCHAR → substr) — exact in both engines, unlike
+    floor(x/10^floor(log10 x)) whose log10 can land one ulp below an
+    integer and misclassify exact powers of ten. One map-side-combined
+    groupBy on a 9-value key; the total joins back as a broadcast
+    1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).alias("ds")
+    )
+    counts = d.groupBy("ds").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("n_tot"))
+    dig = F.col("ds").cast("int")
+    frac_raw = F.col("n") * F.lit(1.0) / F.col("n_tot")
+    benford_raw = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("ds").cast("double"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        dig.alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        F.round(frac_raw, 4).alias("frac"),
+        F.round(benford_raw, 4).alias("benford"),
+        F.round(F.abs(frac_raw - benford_raw), 4).alias("abs_dev"),
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS p05,
+             quantile_cont(c_acctbal, 0.95) AS p95
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(q.p05), 2) AS p05,
+           round(any_value(q.p95), 2) AS p95,
+           round(avg(c.c_acctbal), 2) AS mean_raw,
+           round(avg(CASE WHEN c.c_acctbal < q.p05 THEN q.p05
+                          WHEN c.c_acctbal > q.p95 THEN q.p95
+                          ELSE c.c_acctbal END), 2) AS mean_winsor,
+           round(avg(CASE WHEN c.c_acctbal BETWEEN q.p05 AND q.p95
+                          THEN c.c_acctbal END), 2) AS mean_trim,
+           CAST(sum(CASE WHEN c.c_acctbal < q.p05 OR c.c_acctbal > q.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM customer c JOIN q ON c.c_mktsegment = q.c_mktsegment
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("governance",),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group aggregates: winsorized mean (clamp to the
+    [p05, p95] band) and trimmed mean (drop outside the band) of
+    customer balances per market segment — the outlier-resistant
+    pre-normalization step for any learned quality score.
+
+    Two shuffles: an exact-percentile aggregation producing one tiny row
+    per segment, broadcast back over a second scan that clamps and
+    re-aggregates. Both engines interpolate percentiles with the same
+    (n-1)*p rule (Spark `percentile`, DuckDB `quantile_cont`), so the
+    band edges are bit-identical; means are money, rounded to cents."""
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("p95"),
+    )
+    j = cust.join(F.broadcast(q), "c_mktsegment")
+    bal = F.col("c_acctbal")
+    clamped = (
+        F.when(bal < F.col("p05"), F.col("p05"))
+        .when(bal > F.col("p95"), F.col("p95"))
+        .otherwise(bal)
+    )
+    inside = bal.between(F.col("p05"), F.col("p95"))
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("p05"), 2).alias("p05"),
+        F.round(F.first("p95"), 2).alias("p95"),
+        F.round(F.avg(bal), 2).alias("mean_raw"),
+        F.round(F.avg(clamped), 2).alias("mean_winsor"),
+        F.round(F.avg(F.when(inside, bal)), 2).alias("mean_trim"),
+        F.sum(F.when(inside, 0).otherwise(1)).alias("n_clipped"),
+    )
+
+
+@register(
+    "q_er_blocking",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             substr(c_name, 10, 8) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, b2.c_custkey AS custkey_b,
+           a.c_name AS name_a, b2.c_name AS name_b,
+           CAST(a.c_nationkey AS INT) AS nationkey,
+           CAST(levenshtein(a.c_name, b2.c_name) AS INT) AS dist,
+           CAST(CASE WHEN a.c_mktsegment = b2.c_mktsegment
+                     THEN 1 ELSE 0 END AS INT) AS same_segment
+    FROM b a JOIN b b2
+      ON a.blk = b2.blk AND a.c_nationkey = b2.c_nationkey
+     AND a.c_custkey < b2.c_custkey
+    WHERE levenshtein(a.c_name, b2.c_name) <= 1
+    """,
+    tags=("governance", "dedup"),
+)
+def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution (record linkage) over customer records:
+    candidate pairs are generated only within a (nation, name-prefix)
+    block, then verified with edit distance ≤ 1 — the structured-record
+    sibling of the MinHash-LSH candidate→verify discipline in
+    llm/dedup.py.
+
+    The block key is an equi-join column, so Spark plans an ordinary
+    shuffle hash join whose pair blow-up is bounded by block size
+    (≤10 consecutive key names × the nation fan-out), never all-pairs:
+    at 100 TB the cost is one shuffle of the slim (key, name, block)
+    projection. The levenshtein verify runs JVM-side (codegen built-in)
+    on candidates only."""
+    b = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring("c_name", 10, 8).alias("blk"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.blk") == F.col("c.blk"))
+        & (F.col("a.c_nationkey") == F.col("c.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("c.c_custkey")),
+    )
+    dist = F.levenshtein(F.col("a.c_name"), F.col("c.c_name"))
+    return pairs.filter(dist <= 1).select(
+        F.col("a.c_custkey").alias("custkey_a"),
+        F.col("c.c_custkey").alias("custkey_b"),
+        F.col("a.c_name").alias("name_a"),
+        F.col("c.c_name").alias("name_b"),
+        F.col("a.c_nationkey").cast("int").alias("nationkey"),
+        dist.cast("int").alias("dist"),
+        F.when(F.col("a.c_mktsegment") == F.col("c.c_mktsegment"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("same_segment"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "q_pii_scan",
+    oracle="""
+    WITH contact AS (
+      SELECT c_mktsegment,
+             'record for ' || c_name ||
+             CASE WHEN c_custkey % 3 = 0
+                  THEN ' email user' || CAST(c_custkey AS VARCHAR) || '@'
+                       || lower(c_mktsegment) || '.example.com'
+                  ELSE '' END ||
+             CASE WHEN c_custkey % 5 < 2
+                  THEN ' phone +1-555-'
+                       || substr(CAST(10000 + c_custkey % 10000 AS VARCHAR),
+                                 2, 4)
+                  ELSE '' END || ' end' AS blob
+      FROM customer
+    ),
+    per_row AS (
+      SELECT c_mktsegment,
+             len(regexp_extract_all(blob,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS n_email_row,
+             len(regexp_extract_all(blob, '\\+1-555-[0-9]{4}'))
+               AS n_phone_row
+      FROM contact
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(n_email_row) AS BIGINT) AS n_email,
+           CAST(sum(n_phone_row) AS BIGINT) AS n_phone,
+           CAST(sum(CASE WHEN n_email_row + n_phone_row > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN n_email_row + n_phone_row > 0
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS flagged_rate
+    FROM per_row
+    GROUP BY c_mktsegment
+    """,
+    tags=("governance", "text"),
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scanning: regex-count emails and phone numbers per record and
+    roll up hit counts and a flagged-record rate per segment — the scan
+    a corpus runs before release (q_text_redact is the removal side;
+    this is the audit side).
+
+    The contact blob is fabricated deterministically from fixture
+    columns (the q_fn_url precedent — the synthetic corpus has no real
+    PII to find) with modular conditions so hit rates vary by row. Both
+    regexes are ASCII-only and portable between Java regex (Spark
+    codegen `regexp_count`) and RE2 (DuckDB). One projection + one
+    map-side-combined groupBy — at 100 TB this is a pure scan pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    blob = F.concat(
+        F.lit("record for "),
+        F.col("c_name"),
+        F.when(
+            key % 3 == 0,
+            F.concat(
+                F.lit(" email user"),
+                key.cast("string"),
+                F.lit("@"),
+                F.lower("c_mktsegment"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            key % 5 < 2,
+            F.concat(
+                F.lit(" phone +1-555-"),
+                F.substring((key % 10000 + 10000).cast("string"), 2, 4),
+            ),
+        ).otherwise(""),
+        F.lit(" end"),
+    )
+    per_row = cust.select(
+        "c_mktsegment",
+        F.regexp_count(blob, F.lit(_EMAIL_RE)).alias("n_email_row"),
+        F.regexp_count(blob, F.lit(_PHONE_RE)).alias("n_phone_row"),
+    )
+    flagged = F.when(
+        F.col("n_email_row") + F.col("n_phone_row") > 0, 1
+    ).otherwise(0)
+    return per_row.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_records"),
+        F.sum("n_email_row").cast("long").alias("n_email"),
+        F.sum("n_phone_row").cast("long").alias("n_phone"),
+        F.sum(flagged).alias("n_flagged"),
+        F.round(F.sum(flagged) * F.lit(1.0) / F.count("*"), 4).alias(
+            "flagged_rate"
+        ),
+    )
