@@ -610,3 +610,111 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         # flip at 6 dp (ratio-column discipline, registry docstring).
         F.round(cosine(F.col("v"), F.col("cv")), 4).alias("cos_centroid"),
     )
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 3
+
+
+@register(
+    "q_embed_pca",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(64)) AS i),
+    -- iteration 1: s = v . v0 with v0 = (1/8, ..., 1/8)
+    s1 AS (SELECT vec_id, v, list_sum(v) * 0.125 AS s FROM e),
+    w1 AS (
+      SELECT i, sum(v[CAST(i AS INT) + 1] * s) AS w
+      FROM s1 CROSS JOIN dims GROUP BY i
+    ),
+    n1 AS (SELECT sqrt(sum(w * w)) AS nn FROM w1),
+    c1 AS (SELECT i, w / nn AS c FROM w1 CROSS JOIN n1),
+    s2 AS (
+      SELECT e.vec_id, e.v, sum(e.v[CAST(c1.i AS INT) + 1] * c1.c) AS s
+      FROM e CROSS JOIN c1 GROUP BY e.vec_id, e.v
+    ),
+    w2 AS (
+      SELECT i, sum(v[CAST(i AS INT) + 1] * s) AS w
+      FROM s2 CROSS JOIN dims GROUP BY i
+    ),
+    n2 AS (SELECT sqrt(sum(w * w)) AS nn FROM w2),
+    c2 AS (SELECT i, w / nn AS c FROM w2 CROSS JOIN n2),
+    s3 AS (
+      SELECT e.vec_id, e.v, sum(e.v[CAST(c2.i AS INT) + 1] * c2.c) AS s
+      FROM e CROSS JOIN c2 GROUP BY e.vec_id, e.v
+    ),
+    w3 AS (
+      SELECT i, sum(v[CAST(i AS INT) + 1] * s) AS w
+      FROM s3 CROSS JOIN dims GROUP BY i
+    ),
+    n3 AS (SELECT sqrt(sum(w * w)) AS nn FROM w3),
+    c3 AS (SELECT i, w / nn AS c FROM w3 CROSS JOIN n3)
+    SELECT e.vec_id,
+           round(sum(e.v[CAST(c3.i AS INT) + 1] * c3.c), 4) AS pc1_score
+    FROM e CROSS JOIN c3
+    WHERE e.vec_id < 50
+    GROUP BY e.vec_id
+    """,
+    tags=("embedding",),
+)
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration (3 fixed rounds, uncentered), reporting each of the first
+    50 vectors' projection onto it — the 1-D structure probe behind
+    whitening, drift detection, and anisotropy scoring of embedding
+    spaces.
+
+    Each round is one data pass: project every vector onto the current
+    direction (an array zip_with fold — one JVM expression, not 64
+    column aggregates whose codegen compile time dominates at this
+    width), then re-estimate the direction as per-dim sums over the
+    exploded (dim, x·s) rows — a 64-group map-side-combined shuffle,
+    the q_sim_ann_ivf centroid-means pattern; the 1-row direction
+    broadcasts into the next round.
+    No driver-side collect and no n×n matrix ever materializes: cost is
+    iters × one scan + a 64-column 1-row shuffle, the same
+    fixed-rounds-unrolled iterative shape as q_graph_pagerank. The
+    oracle replays all three rounds in SQL CTEs (per-dim sums via a
+    dims cross join, exactly the q_sim_ann_ivf_refined pattern). The
+    fixed all-positive init keeps the sign deterministic in both
+    engines; scores round to 4 dp against ~1e-12 cross-engine
+    summation-order drift."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim, iters = _PCA_DIM, _PCA_ITERS
+
+    def dot_c(v: str | F.Column, c: str | F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # current direction: a broadcastable 1-row DataFrame, array column c
+    cur = spark.range(1).select(
+        F.array(*[F.lit(1.0 / dim**0.5)] * dim).alias("c")
+    )
+    for _ in range(iters):
+        j = e.crossJoin(F.broadcast(cur))
+        proj = j.select("v", dot_c("v", "c").alias("s")).select(
+            F.posexplode("v").alias("i", "x"), "s"
+        )
+        w = proj.groupBy("i").agg(F.sum(F.col("x") * F.col("s")).alias("w"))
+        cur = w.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: s.getField("w"),
+            ).alias("wv")
+        ).select(
+            F.transform(
+                "wv",
+                lambda x: x / F.sqrt(dot_c("wv", "wv")),
+            ).alias("c")
+        )
+    scores = e.filter(F.col("vec_id") < 50).crossJoin(F.broadcast(cur))
+    return scores.select(
+        "vec_id", F.round(dot_c("v", "c"), 4).alias("pc1_score")
+    )

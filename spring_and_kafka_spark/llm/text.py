@@ -860,3 +860,92 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_docs")
         )
     )
+
+
+@register(
+    "q_text_keyphrase",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS tok,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    big AS (
+      SELECT tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    bc AS (
+      SELECT w1, w2, count(*) AS n_xy FROM big
+      WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ),
+    uc AS (SELECT tok AS w, count(*) AS n FROM tok GROUP BY tok),
+    tot AS (SELECT count(*) AS n_tok FROM tok)
+    SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+           round(n_xy * log2(n_xy * 1.0 * n_tok / (u1.n * u2.n)), 4)
+             AS score
+    FROM bc
+    JOIN uc u1 ON bc.w1 = u1.w
+    JOIN uc u2 ON bc.w2 = u2.w
+    CROSS JOIN tot
+    WHERE n_xy >= 5
+    ORDER BY n_xy * log2(n_xy * 1.0 * n_tok / (u1.n * u2.n)) DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("text",),
+)
+def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / keyphrase extraction: the top-20 adjacent bigrams
+    ranked by mutual-information contribution n_xy · PMI(w1,w2) — high
+    when a pair co-occurs far above chance AND often enough to matter
+    (raw PMI alone surfaces one-off rare pairs; the n_xy weight is the
+    standard fix).
+
+    Bigrams come from a per-document lead window over token positions
+    (one shuffle on doc_id, bounded by document length), unigram and
+    bigram counts are map-side-combined groupBys, and the corpus total
+    joins back as a broadcast scalar — the same explode→count→broadcast
+    shape as q_text_bm25. Ranking ties break on the bigram text itself,
+    so top-k membership is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uc = tok.groupBy(F.col("tok").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        bc.filter(F.col("n_xy") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            (
+                F.col("n_xy")
+                * F.log2(
+                    F.col("n_xy")
+                    * F.lit(1.0)
+                    * F.col("n_tok")
+                    / (F.col("n1") * F.col("n2"))
+                )
+            ).alias("raw_score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("raw_score").desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "n_xy", F.round("raw_score", 4).alias("score"))
+    )

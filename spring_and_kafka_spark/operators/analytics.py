@@ -854,3 +854,225 @@ def peak_from_intervals(sess: DataFrame) -> DataFrame:
         .crossJoin(peak)
         .select("peak_concurrency", "peak_ts_micros")
     )
+
+
+@register(
+    "q_cohort_revenue",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT fo.cohort_month,
+           CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                - (year(fo.cohort_month) * 12 + month(fo.cohort_month))
+                AS INT) AS age_months,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("warehouse",),
+)
+def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue matrix: customers are grouped by their first-order
+    month (the cohort), and revenue plus active-customer counts roll up
+    per (cohort month, months-since-first-order) cell — the retention
+    economics readout every subscription/commerce warehouse maintains
+    (q_retention is the event-side sibling; this is the revenue side).
+
+    Two shuffles on o_custkey: the per-customer min-month aggregate,
+    then the fact-side join back (co-partitioned on the same key, so AQE
+    plans it shuffle-free after the first exchange) feeding one final
+    map-side-combined rollup. Month arithmetic stays in exact integer
+    space (year*12+month), never float date diffs."""
+    orders = load_table(spark, sf_dir, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "mm")).alias("cohort_month")
+    )
+    j = orders.join(fo, "o_custkey")
+    month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cohort_idx = F.year("cohort_month") * 12 + F.month("cohort_month")
+    return j.groupBy(
+        "cohort_month", (month_idx - cohort_idx).cast("int").alias("age_months")
+    ).agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_ATTRIB_WINDOW_US = 7 * 86_400_000_000  # 7-day last-touch lookback
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, us, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN k END
+                        IGNORE NULLS) OVER w AS last_click_k,
+             last_value(CASE WHEN event_type = 'click' THEN us END
+                        IGNORE NULLS) OVER w AS last_click_us
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT coalesce(CASE WHEN us - last_click_us <= 604800000000
+                         THEN last_click_k END, -1) AS campaign,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("warehouse",),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is
+    credited to the campaign (props.k) of the user's most recent click
+    within a 7-day lookback; purchases with no qualifying click land in
+    the -1 "unattributed" bucket. Revenue and purchase counts roll up
+    per campaign.
+
+    One shuffle on user_id: a running last-non-null window carries the
+    latest click's campaign and timestamp forward over each user's
+    ordered event stream (no self-join, no per-purchase scan-back), then
+    a map-side-combined rollup on the ~100-value campaign key. The
+    (us, event_id) window order is unique, so carried values are
+    deterministic under equal timestamps."""
+    e = load_table(spark, sf_dir, "events")
+    us = ts_micros("ts")
+    k = F.get_json_object("props", "$.k").cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = e.select(
+        us.alias("us"),
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") == "click", k), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_click_k"),
+        F.last(
+            F.when(F.col("event_type") == "click", us), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_click_us"),
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase")
+    campaign = F.coalesce(
+        F.when(
+            F.col("us") - F.col("last_click_us") <= _ATTRIB_WINDOW_US,
+            F.col("last_click_k"),
+        ),
+        F.lit(-1).cast("long"),
+    )
+    return purchases.groupBy(campaign.alias("campaign")).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "q_join_overlap",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_us
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_id
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+             min(us) AS s, max(us) AS e
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT a.user_id, a.sess_id,
+           CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_overlap_users
+    FROM sess a LEFT JOIN sess b
+      ON b.user_id <> a.user_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1, 2
+    """,
+    tags=("interval",),
+)
+def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: sessionize (30-min gap, the shared
+    q_sessionize recipe), then for every session count how many OTHER
+    users had a session overlapping it in time (closed intervals) — the
+    concurrent-audience readout behind collaborative-session and
+    co-presence features.
+
+    The oracle states the spec as a quadratic range join; the Spark plan
+    runs the scalable binned decomposition: each interval replicates to
+    the hour buckets it spans (``sequence`` + explode), candidates pair
+    only within a bucket (equi-join on the bucket key — an ordinary
+    shuffle join), the true-overlap predicate filters, and duplicates
+    from multi-bucket overlaps collapse in the count-distinct. Pair
+    blow-up is bounded by per-bucket concurrency, never n²; a left join
+    back to the session table keeps zero-overlap sessions at 0."""
+    e = load_table(spark, sf_dir, "events")
+    sess = materialize(
+        gap_session_ids(e)
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("us").alias("s"), F.max("us").alias("e"))
+    )
+    binned = sess.select(
+        "user_id",
+        "sess_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / 3_600_000_000),
+                F.floor(F.col("e") / 3_600_000_000),
+            )
+        ).alias("bucket"),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    cand = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a.user_id") != F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.sess_id").alias("sess_id"),
+            F.col("b.user_id").alias("other_user"),
+        )
+    )
+    counts = cand.groupBy("user_id", "sess_id").agg(
+        F.countDistinct("other_user").alias("n_overlap_users")
+    )
+    return (
+        sess.select("user_id", "sess_id")
+        .join(counts, ["user_id", "sess_id"], "left")
+        .select(
+            "user_id",
+            "sess_id",
+            F.coalesce(F.col("n_overlap_users"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap_users"),
+        )
+    )

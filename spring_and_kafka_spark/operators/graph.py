@@ -227,3 +227,68 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.count(F.lit(1)).alias("n_triangles"),
     )
+
+
+@register(
+    "q_graph_degree",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY n
+    )
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-order graph (same thinned
+    edge set as q_graph_triangles: parts ordered together ≥2 times) —
+    the first diagnostic run on any graph before choosing join
+    strategies: a heavy tail here is exactly what the triangle
+    operator's degree orientation and the skew family's salting exist
+    to absorb.
+
+    Two map-side-combined aggregations past the shared edge build: node
+    degrees from the doubled edge list, then the histogram on the tiny
+    degree key. No joins after the edge thinning; at 100 TB the edge
+    build's (order, part) dedup shuffle dominates and the histogram is
+    free."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

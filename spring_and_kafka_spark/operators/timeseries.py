@@ -578,3 +578,60 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cusum").alias("max_cusum_micros"),
         F.min(F.when(alarm, F.col("us"))).alias("first_alarm_us"),
     )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag_days)
+    SELECT CAST(l.lag_days AS INT) AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(d2.rev, d1.rev), 4) AS acf
+    FROM lags l
+    JOIN d d1 ON true
+    JOIN d d2 ON d2.day = d1.day + CAST(l.lag_days AS INT)
+    GROUP BY 1
+    """,
+    tags=("timeseries",),
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags 1–7
+    days — the periodicity probe (weekly seasonality shows as a lag-7
+    spike) run before any forecasting or anomaly threshold is chosen.
+
+    The raw facts aggregate to one row per day first, so the series the
+    ACF sees is post-rollup cardinality (days, not orders). Lag pairing
+    is a self-equi-join on the shifted date key — NOT a global-order
+    window, which would funnel the whole series through one partition;
+    missing days simply drop pairs, matching the oracle. corr() is
+    scale-invariant, so no money rounding enters until the final 4-dp
+    readout."""
+    days = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_days"))
+    d1 = days.alias("d1")
+    d2 = days.alias("d2")
+    paired = (
+        d1.crossJoin(F.broadcast(lags))
+        .join(
+            d2,
+            F.col("d2.day")
+            == F.expr("date_add(d1.day, lag_days)"),
+        )
+        .select(
+            "lag_days",
+            F.col("d1.rev").alias("rev_base"),
+            F.col("d2.rev").alias("rev_lead"),
+        )
+    )
+    return paired.groupBy("lag_days").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.corr("rev_lead", "rev_base"), 4).alias("acf"),
+    )
