@@ -66,6 +66,11 @@ HEADLINE = [
     # Expand) + retrieval-index construction (term-keyed shuffle family)
     "q_profile",
     "q_text_inverted_index",
+    # added round 5, third batch: warehouse cohort rollup (two custkey
+    # shuffles) + iterative embedding-structure probe (3 unrolled
+    # power-iteration passes)
+    "q_cohort_revenue",
+    "q_embed_pca",
 ]
 
 

@@ -42,13 +42,14 @@ _MODULE_SEQ: dict[str, int] = {}
 # The driver hash-verifies EXACTLY the first 50 exposed entries each
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row. Round-5 window:
-# slots 1-38 = every query with no CORRECTNESS row anywhere in r1..r4
-# (the 6 round-4 additions that registered past the r4 window and the
-# 32 round-5 additions); slots 39-50 = 12 of the 32 queries whose
-# latest green row is round 1 (stalest re-verification backfill,
-# exposure order). After round 5 every registry entry owns a driver
-# row; the 20 remaining round-1-stale greens plus the round-2 cohort
-# lead the round-6 rotation. Queries not named here rank after the prefix by
+# all 50 slots = every query with no CORRECTNESS row anywhere in
+# r1..r4 — the 6 round-4 additions that registered past the r4 window,
+# the 32 earlier round-5 additions, and the 12 late round-5 additions
+# (governance/warehouse batch) that replaced the originally planned
+# round-1 re-verification backfill (first-time verification beats
+# re-confirmation of 4×-verified greens). After round 5 every registry
+# entry owns a driver row; the round-1/round-2 stale greens lead the
+# round-6 rotation. Queries not named here rank after the prefix by
 # (module rank, def order) — the safe place for additions until they
 # are rotated in.
 _WINDOW_PREFIX = [
@@ -93,19 +94,20 @@ _WINDOW_PREFIX = [
     "q_stream_late",
     "q_ts_cusum",
     "q_share_of_total",
-    # re-verification backfill: latest green row is round 1
-    "q_scan",
-    "q_project",
-    "q_filter_cmp",
-    "q_filter_bool",
-    "q_filter_in",
-    "q_filter_between",
-    "q_filter_like",
-    "q_filter_null",
-    "q_case_when",
-    "q_distinct",
-    "q_sort",
-    "q_limit",
+    # never driver-verified: late round-5 additions (third batch:
+    # governance / warehouse analytics / text / embedding)
+    "q_dq_checks",
+    "q_benford",
+    "q_winsorize",
+    "q_er_blocking",
+    "q_pii_scan",
+    "q_cohort_revenue",
+    "q_attribution",
+    "q_join_overlap",
+    "q_ts_autocorr",
+    "q_graph_degree",
+    "q_text_keyphrase",
+    "q_embed_pca",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -147,3 +147,101 @@ def cusum_stream(deviations: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ATTR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("campaign", T.LongType()),
+    ]
+)
+ATTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_click_us", T.LongType()),
+        T.StructField("last_click_k", T.LongType()),
+    ]
+)
+_ATTR_WINDOW_US = 7 * 86_400_000_000
+
+
+def _update_attribution(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Carry (last_click_us, last_click_k) per user across micro-batches
+    — the only state last-touch attribution needs: a purchase is
+    attributed to the carried click iff it falls inside the 7-day
+    lookback, exactly the batch q_attribution window semantics
+    (operators/analytics.py), made resumable. Rows within a batch
+    vectorize as a forward-fill seeded from state."""
+    import numpy as np
+
+    if state.exists:
+        last_us, last_k = state.get
+    else:
+        last_us, last_k = None, None
+    chunks = [p for p in pdfs if len(p)]
+    out = []
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["us", "event_id"])
+        is_click = (pdf["event_type"] == "click").to_numpy()
+        click_us = pdf["us"].where(is_click).ffill()
+        click_k = pdf["k"].where(is_click).ffill()
+        if last_us is not None:
+            click_us = click_us.fillna(last_us)
+            click_k = click_k.fillna(last_k)
+        purch = (pdf["event_type"] == "purchase").to_numpy()
+        if purch.any():
+            p_us = pdf["us"].to_numpy()[purch]
+            c_us = click_us.to_numpy(dtype="float64")[purch]
+            c_k = click_k.to_numpy(dtype="float64")[purch]
+            in_window = ~np.isnan(c_us) & (p_us - c_us <= _ATTR_WINDOW_US)
+            campaign = np.where(in_window, np.nan_to_num(c_k, nan=-1), -1)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(purch.sum(), key[0]),
+                        "us": p_us,
+                        "value": pdf["value"].to_numpy()[purch],
+                        "campaign": campaign.astype("int64"),
+                    }
+                )
+            )
+        if is_click.any():
+            last_row = pdf[is_click].iloc[-1]
+            last_us = int(last_row["us"])
+            last_k = int(last_row["k"])
+    state.update((last_us, last_k))
+    yield from out or [
+        pd.DataFrame(
+            {"user_id": [], "us": [], "value": [], "campaign": []}
+        ).astype(
+            {
+                "user_id": "int64",
+                "us": "int64",
+                "value": "float64",
+                "campaign": "int64",
+            }
+        )
+    ]
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution over (user_id, event_id, us,
+    event_type, value, k) rows: per-user click state in
+    applyInPandasWithState; attributed purchase rows emitted in the
+    micro-batch their purchase arrives (append mode — each purchase is
+    final the moment it is seen, because only PRECEDING clicks can claim
+    it). The per-campaign rollup composes downstream exactly as in the
+    batch q_attribution. Equality with the batch path under in-order
+    replay is asserted in tests/test_streaming_advanced.py."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_attribution,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -230,3 +230,55 @@ def test_balanced_sample_uses_group_limit_heap(spark):
     per stratum), not a full sort of each stratum."""
     p = plan(spark, "q_sample_balanced")
     assert "WindowGroupLimit" in p
+
+
+def test_er_blocking_is_equi_join_on_block_key(spark):
+    """Blocked ER must plan an equi join on (blk, nation) — the
+    candidate bound comes from blocking, so a CartesianProduct or
+    BroadcastNestedLoop here would mean all-pairs at 100 TB."""
+    p = plan(spark, "q_er_blocking")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_winsorize_broadcasts_percentile_band(spark):
+    """The per-segment [p05, p95] band is one tiny row per segment —
+    it must broadcast back over the fact scan, never shuffle it."""
+    p = plan(spark, "q_winsorize")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_attribution_is_one_user_shuffle_window(spark):
+    """Last-touch attribution is a running window over each user's
+    stream plus a rollup — no join, no self-scan-back."""
+    p = plan(spark, "q_attribution")
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_join_overlap_pairs_via_bucket_equi_join(spark):
+    """The interval-overlap pairing must be an equi join on the hour
+    bucket (plus the left join back); the quadratic shape lives only
+    in the oracle."""
+    p = plan(spark, "q_join_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_autocorr_lag_pairing_is_equi_join(spark):
+    """The lag-k pairing is an equi join on the shifted date key; the
+    only nested-loop allowed is the 7-row broadcast of the lag table."""
+    p = plan(spark, "q_ts_autocorr")
+    assert "CartesianProduct" not in p
+    # day-key pairing must not degenerate to a nested loop over days:
+    # exactly the one lag-table broadcast nested loop may appear
+    # (each node prints twice: plan tree + details section)
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_benford_prunes_to_single_column(spark):
+    p = plan(spark, "q_benford")
+    assert "o_orderdate" not in p and "o_custkey" not in p
+    assert "PushedFilters: [" in p  # totalprice >= 1 reaches the scan

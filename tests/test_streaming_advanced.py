@@ -243,3 +243,66 @@ def test_merged_quantiles_empty_state_yields_empty(spark, tmp_path):
 
     out = merged_quantiles(spark, str(tmp_path / "never_written"))
     assert out.collect() == []
+
+
+def test_stream_attribution_equals_batch(spark, tmp_path):
+    """Streaming last-touch attribution (per-user click state across
+    micro-batches) must reproduce the batch q_attribution rollup exactly
+    when the stream replays in time order: same per-campaign purchase
+    counts and revenue, regardless of micro-batch boundaries."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from spring_and_kafka_spark.exec_utils import ts_micros
+    from spring_and_kafka_spark.operators.analytics import q_attribution
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.stateful import attribution_stream
+    from .conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        ts_micros("ts").alias("us"),
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    ranked = e.withColumn(
+        "chunk", F.ntile(4).over(W.orderBy("us", "event_id"))
+    )
+    stage = str(tmp_path / "ordered")
+    for k in range(1, 5):
+        ranked.filter(F.col("chunk") == k).drop("chunk").coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = (
+        attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("attr_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r.campaign: (r.n, round(r.rev, 2))
+        for r in spark.sql(
+            "SELECT campaign, count(*) AS n, sum(value) AS rev "
+            "FROM attr_stream_out GROUP BY campaign"
+        ).collect()
+    }
+    batch = {
+        r.campaign: (r.n_purchases, r.revenue)
+        for r in q_attribution(spark, SF_SMOKE).collect()
+    }
+    assert set(streamed) == set(batch)
+    for c, (n, rev) in batch.items():
+        assert streamed[c][0] == n
+        assert abs(streamed[c][1] - rev) < 0.02

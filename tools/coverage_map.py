@@ -109,6 +109,11 @@ SECTIONS = {
         "q_interval_peak", "q_sample_balanced", "q_join_bloom",
         "q_stream_late", "q_ts_cusum", "q_share_of_total",
     ],
+    "round-5 additions: data quality + warehouse analytics + structure probes": [
+        "q_dq_checks", "q_benford", "q_winsorize", "q_er_blocking",
+        "q_pii_scan", "q_cohort_revenue", "q_attribution", "q_join_overlap",
+        "q_ts_autocorr", "q_graph_degree", "q_text_keyphrase", "q_embed_pca",
+    ],
 }
 
 STREAMING_ONLY = [
@@ -125,6 +130,7 @@ STREAMING_ONLY = [
     ("stream-static enrich (broadcast dim per micro-batch)", "streaming/joins.py:stream_static_enrich"),
     ("arbitrary per-key state (applyInPandasWithState)", "streaming/stateful.py (tests/test_streaming_advanced.py)"),
     ("streaming CUSUM drift detector (resumable clamp recurrence in keyed state)", "streaming/stateful.py:cusum_stream (tests/test_streaming_advanced.py::test_stream_cusum_equals_batch)"),
+    ("streaming last-touch attribution (per-user click state, append-mode purchase emission)", "streaming/stateful.py:attribution_stream (tests/test_streaming_advanced.py::test_stream_attribution_equals_batch)"),
     ("log/console sink, foreachBatch, exactly-once parquet sink", "streaming/sinks.py (tests/test_sinks.py)"),
     ("salted join / salted aggregation (skew)", "operators/skew.py (tests/test_skew_and_io.py)"),
     ("CSV/JSON/ORC readers, partitioned/bucketed writers", "sources/files.py (tests/test_skew_and_io.py, test_bucketed.py)"),

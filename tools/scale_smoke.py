@@ -48,6 +48,12 @@ QUERIES = [
     "q_ab_test",
     "q_ts_cusum",
     "q_stream_late",
+    "q_attribution",
+    # q_join_overlap: output-bound — the scaled copies all run
+    # concurrently, so true overlapping-pair count grows ~quadratically
+    # in concurrency BY DEFINITION of the query; its ratio measures
+    # output growth, not a plan defect (see the note printed below).
+    "q_join_overlap",
 ]
 
 
@@ -98,6 +104,14 @@ FACT_QUERIES = [
     "q_agg_quantile_sketch",
     "q_share_of_total",
     "q_join_bloom",
+    "q_cohort_revenue",
+    "q_benford",
+    "q_ts_autocorr",
+    "q_dq_checks",
+    # q_graph_degree: copies replay the same orders, so co-order pair
+    # counts multiply and once-only pairs cross the ≥2 threshold — the
+    # graph genuinely densifies (same caveat as q_graph_triangles).
+    "q_graph_degree",
 ]
 
 
@@ -146,6 +160,7 @@ DOCS_QUERIES = [
     "q_text_chunk",
     "q_text_inverted_index",
     "q_sample_balanced",
+    "q_text_keyphrase",
 ]  # q_sample_balanced stays: stratum caps must hold as docs grow
 
 
@@ -205,7 +220,10 @@ def main() -> None:
           f"{factor}× events ({base_n:,} → {scaled_n:,} rows)\n")
     print("Generated by tools/scale_smoke.py. A healthy (scan-bound or")
     print("key-partitioned) operator grows ≤ ~linearly in wall clock; a")
-    print("quadratic blow-up would show a ≫ factor× ratio.\n")
+    print("quadratic blow-up would show a ≫ factor× ratio.")
+    print("Exception: q_join_overlap's OUTPUT is pairwise in concurrency —")
+    print("the scaled copies all run at once, so its ratio tracks true")
+    print("result growth, not a plan defect.\n")
     print("| query | 1× sec | {}× sec | ratio |".format(factor))
     print("|---|---|---|---|")
     for name in QUERIES:
