@@ -652,7 +652,8 @@ _PCA_ITERS = 3
     n3 AS (SELECT sqrt(sum(w * w)) AS nn FROM w3),
     c3 AS (SELECT i, w / nn AS c FROM w3 CROSS JOIN n3)
     SELECT e.vec_id,
-           round(sum(e.v[CAST(c3.i AS INT) + 1] * c3.c), 4) AS pc1_score
+           round(sum(e.v[CAST(c3.i AS INT) + 1] * c3.c), 4) + 0.0
+             AS pc1_score
     FROM e CROSS JOIN c3
     WHERE e.vec_id < 50
     GROUP BY e.vec_id
@@ -715,6 +716,8 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     scores = e.filter(F.col("vec_id") < 50).crossJoin(F.broadcast(cur))
+    # + 0.0 collapses IEEE -0.0 to 0.0 (semistructured.py convention):
+    # a score rounding to zero must format identically in both engines
     return scores.select(
-        "vec_id", F.round(dot_c("v", "c"), 4).alias("pc1_score")
+        "vec_id", (F.round(dot_c("v", "c"), 4) + 0.0).alias("pc1_score")
     )

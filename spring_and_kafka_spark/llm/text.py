@@ -683,8 +683,8 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf
     )
     SELECT CAST(count(*) AS BIGINT) AS n_terms,
-           round(regr_slope(lf, lr), 4) AS zipf_slope,
-           round(corr(lf, lr) * corr(lf, lr), 4) AS zipf_r2
+           round(regr_slope(lf, lr), 4) + 0.0 AS zipf_slope,
+           round(corr(lf, lr) * corr(lf, lr), 4) + 0.0 AS zipf_r2
     FROM ranked
     """,
 )
@@ -715,10 +715,13 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
-        F.round(F.regr_slope(F.col("lf"), F.col("lr")), 4).alias(
+        # + 0.0 collapses IEEE -0.0 (semistructured.py convention)
+        (F.round(F.regr_slope(F.col("lf"), F.col("lr")), 4) + 0.0).alias(
             "zipf_slope"
         ),
-        F.round(F.regr_r2(F.col("lf"), F.col("lr")), 4).alias("zipf_r2"),
+        (F.round(F.regr_r2(F.col("lf"), F.col("lr")), 4) + 0.0).alias(
+            "zipf_r2"
+        ),
     )
 
 
@@ -883,7 +886,7 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     uc AS (SELECT tok AS w, count(*) AS n FROM tok GROUP BY tok),
     tot AS (SELECT count(*) AS n_tok FROM tok)
     SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
-           round(n_xy * log2(n_xy * 1.0 * n_tok / (u1.n * u2.n)), 4)
+           round(n_xy * log2(n_xy * 1.0 * n_tok / (u1.n * u2.n)), 4) + 0.0
              AS score
     FROM bc
     JOIN uc u1 ON bc.w1 = u1.w
@@ -947,5 +950,10 @@ def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.col("raw_score").desc(), "w1", "w2")
         .limit(20)
-        .select("w1", "w2", "n_xy", F.round("raw_score", 4).alias("score"))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            (F.round("raw_score", 4) + 0.0).alias("score"),
+        )
     )

@@ -445,10 +445,10 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_corr",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
-           round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
-           round(covar_pop(l_extendedprice, l_quantity), 4) AS price_qty_covar_pop,
-           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty
+           round(corr(l_extendedprice, l_quantity), 4) + 0.0 AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4) + 0.0 AS price_qty_covar,
+           round(covar_pop(l_extendedprice, l_quantity), 4) + 0.0 AS price_qty_covar_pop,
+           round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS price_per_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -466,16 +466,16 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias(
+            # + 0.0 collapses IEEE -0.0 (DuckDB round keeps the sign on
+            # tiny negatives; Spark drops it — semistructured.py convention)
+            (F.round(F.corr("l_extendedprice", "l_quantity"), 4) + 0.0).alias(
                 "price_qty_corr"
             ),
-            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
-                "price_qty_covar"
-            ),
-            F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias(
-                "price_qty_covar_pop"
-            ),
-            F.round(slope, 4).alias("price_per_qty"),
+            (F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4) + 0.0)
+            .alias("price_qty_covar"),
+            (F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4) + 0.0)
+            .alias("price_qty_covar_pop"),
+            (F.round(slope, 4) + 0.0).alias("price_per_qty"),
         )
         .orderBy("l_returnflag")
     )

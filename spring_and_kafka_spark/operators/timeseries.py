@@ -590,7 +590,7 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags AS (SELECT unnest(range(1, 8)) AS lag_days)
     SELECT CAST(l.lag_days AS INT) AS lag_days,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(corr(d2.rev, d1.rev), 4) AS acf
+           round(corr(d2.rev, d1.rev), 4) + 0.0 AS acf
     FROM lags l
     JOIN d d1 ON true
     JOIN d d2 ON d2.day = d1.day + CAST(l.lag_days AS INT)
@@ -633,5 +633,6 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return paired.groupBy("lag_days").agg(
         F.count("*").alias("n_pairs"),
-        F.round(F.corr("rev_lead", "rev_base"), 4).alias("acf"),
+        # + 0.0: an ACF rounding to zero must not format as -0 in one engine
+        (F.round(F.corr("rev_lead", "rev_base"), 4) + 0.0).alias("acf"),
     )
