@@ -214,3 +214,37 @@ def test_survivors_are_original_cluster_representatives(spark):
     }
     assert ids == {d for d, c in comp.items() if d == c}
     assert len(ids) == len(set(comp.values()))  # exactly one per cluster
+
+
+def test_connected_components_fallback_beyond_unroll(spark):
+    """A path graph of diameter 7 cannot converge inside unroll=3 rounds:
+    the verification job must detect the un-converged labels and the
+    materialize-per-round fallback loop must finish it. Also pins the
+    unrolled fast path on a graph that DOES fit (star, diameter 2)."""
+    from spring_and_kafka_spark.llm.dedup import connected_components
+
+    # path 0-1-2-...-7 plus isolated node 99
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "a long, b long"
+    )
+    nodes = spark.range(8).withColumnRenamed("id", "node").unionByName(
+        spark.createDataFrame([(99,)], "node long")
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes, edges, unroll=3).collect()
+    }
+    assert comp == {**{i: 0 for i in range(8)}, 99: 99}
+
+    # star centered at 5: converges inside the unrolled rounds
+    star_edges = spark.createDataFrame(
+        [(5, 20), (5, 21), (5, 22)], "a long, b long"
+    )
+    star_nodes = spark.createDataFrame(
+        [(5,), (20,), (21,), (22,)], "node long"
+    )
+    comp2 = {
+        r["node"]: r["component"]
+        for r in connected_components(star_nodes, star_edges, unroll=3).collect()
+    }
+    assert comp2 == {5: 5, 20: 5, 21: 5, 22: 5}
