@@ -1076,3 +1076,102 @@ def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_overlap_users"),
         )
     )
+
+
+# Snapshot-diff (CDC) modulus constants, shared Spark/oracle. A key hit
+# by _CDC_DEL is absent from snapshot B; else a _CDC_UPD hit gets a new
+# price; _CDC_INS keys contribute one brand-new row each.
+_CDC_DEL = 97
+_CDC_UPD = 13
+_CDC_INS = 101
+_CDC_KEY_OFFSET = 100_000_000
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % {_CDC_UPD} = 0
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % {_CDC_DEL} <> 0
+      UNION ALL
+      SELECT o_orderkey + {_CDC_KEY_OFFSET}, o_totalprice
+      FROM orders WHERE o_orderkey % {_CDC_INS} = 0
+    ),
+    classified AS (
+      SELECT CASE
+               WHEN b.o_orderkey IS NULL THEN 'delete'
+               WHEN a.o_orderkey IS NULL THEN 'insert'
+               WHEN a.o_totalprice <> b.price THEN 'update'
+               ELSE 'unchanged'
+             END AS change_type,
+             COALESCE(b.price, 0) - COALESCE(a.o_totalprice, 0) AS delta
+      FROM orders a
+      FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           floor(sum(delta) * 100 + 0.5) / 100 AS price_delta
+    FROM classified
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full outer join
+    of snapshot A (orders) against snapshot B (a deterministically
+    mutated next-day image: ~1% of keys deleted, ~8% repriced, ~1% new
+    keys inserted) keyed on o_orderkey, each key classified
+    insert/update/delete/unchanged, rolled up with net price drift.
+    This is the reconciliation step of every incremental-ingest pipeline
+    — diff the incoming snapshot, emit a changelog, audit the net.
+
+    Scale shape: ONE key-partitioned full outer join (both sides shuffle
+    on the primary key — on a bucketed/partitioned warehouse table the
+    shuffle is free) and one tiny aggregation; classification is
+    row-local. No broadcast assumption: both snapshots are table-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_totalprice")
+    snap_b = (
+        a.filter(F.col("o_orderkey") % _CDC_DEL != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % _CDC_UPD == 0,
+                F.col("o_totalprice") * 1.1,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .unionByName(
+            a.filter(F.col("o_orderkey") % _CDC_INS == 0).select(
+                (F.col("o_orderkey") + _CDC_KEY_OFFSET).alias("o_orderkey"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    aa = a.alias("a")
+    bb = snap_b.alias("b")
+    classified = aa.join(
+        bb, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    ).select(
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("delete"))
+        .when(F.col("a.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("a.o_totalprice") != F.col("b.price"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        (
+            F.coalesce(F.col("b.price"), F.lit(0.0))
+            - F.coalesce(F.col("a.o_totalprice"), F.lit(0.0))
+        ).alias("delta"),
+    )
+    return (
+        classified.groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.floor(F.sum("delta") * 100 + F.lit(0.5)) / 100).alias(
+                "price_delta"
+            ),
+        )
+        .orderBy("change_type")
+    )

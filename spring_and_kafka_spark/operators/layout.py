@@ -1,0 +1,266 @@
+"""Storage-layout operators: zone-map data skipping and z-order
+clustering quality (SURVEY.md §2 north-star mandate — the physical-design
+arm of a 100 TB warehouse; reference README.md:329's "count, filter,
+enrich or transform" pipeline grown to the layout-audit surface).
+
+Why these are first-class at 100 TB: scan cost there is decided before
+the first executor runs, by which files min/max footer stats let the
+reader skip. Both queries quantify that — what fraction of a predicate's
+input a given physical layout lets you NOT read — using only
+aggregations (two groupBys and a scalar min/max broadcast; no global
+sort, no window over an unpartitioned ORDER BY, nothing that funnels the
+table through one task), so the audit itself runs at the scale it
+audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.exec_utils import ts_micros
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+# Zone-map scenario constants (shared Spark/oracle — single source of
+# truth for the hash discipline).
+_ZM_FILES = 64  # files per layout
+_ZM_LO = "1995-01-01 00:00:00"  # predicate: l_shipdate in [LO, HI)
+_ZM_HI = "1996-01-01 00:00:00"
+
+
+@register(
+    "q_zonemap_prune",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT l_shipdate,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+               AS file_date,
+             l_orderkey % {_ZM_FILES} AS file_scatter
+      FROM lineitem
+    ),
+    zones AS (
+      SELECT 'date_partitioned' AS layout, file_date AS file_id,
+             min(l_shipdate) AS zmin, max(l_shipdate) AS zmax,
+             count(*) AS n_rows
+      FROM assigned GROUP BY file_date
+      UNION ALL
+      SELECT 'scattered', file_scatter, min(l_shipdate), max(l_shipdate),
+             count(*)
+      FROM assigned GROUP BY file_scatter
+    ),
+    marked AS (
+      SELECT layout, n_rows,
+             CAST(zmax < TIMESTAMP '{_ZM_LO}'
+                  OR zmin >= TIMESTAMP '{_ZM_HI}' AS INT) AS skipped
+      FROM zones
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(skipped) AS BIGINT) AS files_skipped,
+           CAST(sum(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           round(sum(CASE WHEN skipped = 0 THEN n_rows ELSE 0 END)
+                 * 1.0 / sum(n_rows), 4) AS scan_fraction
+    FROM marked
+    GROUP BY layout
+    ORDER BY layout
+    """,
+)
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer stats) skipping audit: how much of
+    lineitem a one-year shipdate predicate must scan under two physical
+    layouts — date-partitioned files (file = shipdate month: tight zone
+    maps, most files skipped) vs arrival-scattered files (file =
+    orderkey mod 64: every zone map spans the full date range, zero
+    skipping). This is the parquet row-group pruning model: a file is
+    skipped iff its [min, max] interval misses the predicate interval.
+
+    Execution is two hash aggregations — rows → per-(layout, file) zone
+    maps, zone maps → per-layout totals — with the file id a pure
+    row-local expression. No sort, no shuffle wider than the file count;
+    the same audit runs unchanged on 10^9-row partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    assigned = li.select(
+        "l_shipdate",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("file_date"),
+        (F.col("l_orderkey") % _ZM_FILES).alias("file_scatter"),
+    )
+    # one fact scan, not one per layout: explode each row into its two
+    # (layout, file_id) assignments, then a single (layout, file_id)
+    # hash aggregation builds every zone map at once
+    exploded = assigned.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("date_partitioned").alias("layout"),
+                    F.col("file_date").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("scattered").alias("layout"),
+                    F.col("file_scatter").alias("file_id"),
+                ),
+            )
+        ).alias("a"),
+        "l_shipdate",
+    )
+    zones = exploded.groupBy("a.layout", "a.file_id").agg(
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+        F.count("*").alias("n_rows"),
+    )
+    lo = F.lit(_ZM_LO).cast("timestamp")
+    hi = F.lit(_ZM_HI).cast("timestamp")
+    marked = zones.select(
+        "layout",
+        "n_rows",
+        ((F.col("zmax") < lo) | (F.col("zmin") >= hi))
+        .cast("int")
+        .alias("skipped"),
+    )
+    scanned = F.sum(F.when(F.col("skipped") == 0, F.col("n_rows")).otherwise(0))
+    return (
+        marked.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("skipped").alias("files_skipped"),
+            scanned.alias("rows_scanned"),
+            F.round(scanned * 1.0 / F.sum("n_rows"), 4).alias("scan_fraction"),
+        )
+        .orderBy("layout")
+    )
+
+
+# Z-order scenario constants.
+_Z_BITS = 8  # per-dimension resolution: 256 buckets
+_Z_FILE_SHIFT = 10  # 16-bit z-value >> 10 → 64 files
+
+
+def _interleave_sql(cb: str, db: str) -> str:
+    """SQL for bit-interleaving two _Z_BITS-bit ints (cb odd positions,
+    db even) — identical text semantics in DuckDB and Spark SQL."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({cb} >> {i}) & 1) * {1 << (2 * i + 1)})")
+        terms.append(f"((({db} >> {i}) & 1) * {1 << (2 * i)})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+             min(epoch_us(o_orderdate)) AS mind,
+             max(epoch_us(o_orderdate)) AS maxd
+      FROM orders
+    ),
+    b AS (
+      SELECT ((o_custkey - minc) * {1 << _Z_BITS})
+               // (maxc - minc + 1) AS cb,
+             ((epoch_us(o_orderdate) - mind) * {1 << _Z_BITS})
+               // (maxd - mind + 1) AS db
+      FROM orders CROSS JOIN bounds
+    ),
+    assigned AS (
+      SELECT cb, db,
+             ({_interleave_sql("cb", "db")}) >> {_Z_FILE_SHIFT}
+               AS file_z,
+             cb >> 2 AS file_c
+      FROM b
+    ),
+    per_file AS (
+      SELECT 'zorder' AS layout, file_z AS file_id,
+             max(cb) - min(cb) AS span_cust,
+             max(db) - min(db) AS span_date, count(*) AS n_rows
+      FROM assigned GROUP BY file_z
+      UNION ALL
+      SELECT 'cust_sorted', file_c, max(cb) - min(cb),
+             max(db) - min(db), count(*)
+      FROM assigned GROUP BY file_c
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           round(avg(span_cust), 4) AS avg_cust_span,
+           round(avg(span_date), 4) AS avg_date_span
+    FROM per_file
+    GROUP BY layout
+    ORDER BY layout
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering quality: orders' (custkey, orderdate) bucketized
+    to 8 bits each, bit-interleaved into a 16-bit z-value whose prefix
+    assigns one of 64 files, vs a custkey-only sorted layout at the same
+    file count. Per-layout readout: the average per-file span of EACH
+    dimension's bucket range — the z-order layout bounds both spans (so
+    zone maps prune on either predicate column), the single-column sort
+    gives a tight custkey span but full-width date spans.
+
+    Scale shape: one scalar min/max aggregate (broadcast back as a cross
+    join with a 1-row frame), then row-local bit arithmetic, then two
+    hash aggregations over ≤64-row groups — the file assignment is
+    exactly how a distributed z-order writer shards (compute z, hash/range
+    by its prefix), with no global sort anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min(ts_micros("o_orderdate")).alias("mind"),
+        F.max(ts_micros("o_orderdate")).alias("maxd"),
+    )
+    scale = F.lit(1 << _Z_BITS)
+    b = o.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"((o_custkey - minc) * {1 << _Z_BITS}) DIV (maxc - minc + 1)"
+        ).alias("cb"),
+        (
+            (ts_micros("o_orderdate") - F.col("mind")) * scale
+        ).cast("long").alias("_dnum"),
+        (F.col("maxd") - F.col("mind") + 1).alias("_dden"),
+    )
+    b = b.select("cb", F.expr("_dnum DIV _dden").alias("db"))
+    assigned = b.select(
+        "cb",
+        "db",
+        F.expr(f"({_interleave_sql('cb', 'db')}) >> {_Z_FILE_SHIFT}").alias(
+            "file_z"
+        ),
+        F.expr("cb >> 2").alias("file_c"),
+    )
+
+    # single scan for both layouts (explode-then-one-groupBy, same
+    # pattern as q_zonemap_prune)
+    exploded = assigned.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("file_z").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("cust_sorted").alias("layout"),
+                    F.col("file_c").alias("file_id"),
+                ),
+            )
+        ).alias("a"),
+        "cb",
+        "db",
+    )
+    pf = exploded.groupBy("a.layout", "a.file_id").agg(
+        (F.max("cb") - F.min("cb")).alias("span_cust"),
+        (F.max("db") - F.min("db")).alias("span_date"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        pf.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.round(F.avg("span_cust"), 4).alias("avg_cust_span"),
+            F.round(F.avg("span_date"), 4).alias("avg_date_span"),
+        )
+        .orderBy("layout")
+    )

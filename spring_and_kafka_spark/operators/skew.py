@@ -177,3 +177,51 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_partkey, count(*) AS sz FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(sz) AS n_rows FROM sizes)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(sz) AS BIGINT) AS max_size,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY sz), 4)
+             AS p50_size,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY sz), 4)
+             AS p99_size,
+           round(max(sz) * 1.0
+                 / percentile_cont(0.5) WITHIN GROUP (ORDER BY sz), 4)
+             AS skew_ratio,
+           round(max(sz) * 1.0 / any_value(n_rows), 6) AS top1_share
+    FROM sizes CROSS JOIN tot
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for lineitem.l_partkey — the readout
+    that decides whether a join needs salting (salted_join above), AQE
+    skew splitting, or nothing: key cardinality, max/median/p99 group
+    size, max-to-median skew ratio, and the heaviest key's share of all
+    rows. A skew_ratio near 1 (the fixture's uniform TPC-H keys) says
+    plain hash join; a ratio over ~20 at 100 TB says the biggest key
+    exceeds its partition budget and needs the salt path.
+
+    Two aggregations: rows → per-key sizes (map-side combined), sizes →
+    one stats row. The exact percentiles sort only the per-KEY size
+    table (one row per distinct key, not per input row); at extreme key
+    cardinality swap percentile_approx into the same slot."""
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_partkey").agg(F.count("*").alias("sz"))
+    p50 = F.percentile("sz", F.lit(0.5))
+    return sizes.agg(
+        F.count("*").alias("n_keys"),
+        F.max("sz").alias("max_size"),
+        F.round(p50, 4).alias("p50_size"),
+        F.round(F.percentile("sz", F.lit(0.99)), 4).alias("p99_size"),
+        F.round(F.max("sz") * 1.0 / p50, 4).alias("skew_ratio"),
+        F.round(F.max("sz") * 1.0 / F.sum("sz"), 6).alias("top1_share"),
+    )

@@ -636,3 +636,58 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + 0.0: an ACF rounding to zero must not format as -0 in one engine
         (F.round(F.corr("rev_lead", "rev_base"), 4) + 0.0).alias("acf"),
     )
+
+
+@register(
+    "q_ts_seasonality",
+    oracle="""
+    WITH per_dow AS (
+      SELECT isodow(ts) AS dow, count(*) AS n_events,
+             sum(value) AS dow_value
+      FROM events GROUP BY isodow(ts)
+    ),
+    tot AS (
+      SELECT sum(n_events) AS all_n, sum(dow_value) AS all_value
+      FROM per_dow
+    )
+    SELECT CAST(dow AS INT) AS dow, CAST(n_events AS BIGINT) AS n_events,
+           round(dow_value / n_events, 4) AS avg_value,
+           round((dow_value / n_events)
+                 / (all_value / all_n), 4) AS seasonality_index
+    FROM per_dow CROSS JOIN tot
+    ORDER BY dow
+    """,
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of the events stream: per-ISO-dow
+    event count, mean value, and seasonality index (dow mean over global
+    mean — the multiplicative factor a forecaster divides out before
+    trend fitting). ISO numbering (Mon=1..Sun=7) is used because Spark's
+    dayofweek() and DuckDB's dayofweek() disagree on the week start;
+    weekday()+1 and isodow() agree everywhere.
+
+    One map-side-combined aggregation to 7 rows; the global mean comes
+    from re-aggregating those 7 rows, not a second scan. Scales as a
+    single shuffle of 7 groups (with partial aggregation doing virtually
+    all the work map-side)."""
+    e = load_table(spark, sf_dir, "events")
+    per_dow = e.groupBy(
+        (F.weekday("ts") + 1).cast("int").alias("dow")
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("dow_value"))
+    tot = per_dow.agg(
+        F.sum("n_events").alias("all_n"),
+        F.sum("dow_value").alias("all_value"),
+    )
+    avg_val = F.col("dow_value") / F.col("n_events")
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_events",
+            F.round(avg_val, 4).alias("avg_value"),
+            F.round(
+                avg_val / (F.col("all_value") / F.col("all_n")), 4
+            ).alias("seasonality_index"),
+        )
+        .orderBy("dow")
+    )

@@ -141,6 +141,7 @@ _MODULE_ORDER = [
     "spring_and_kafka_spark.operators.tpch",
     "spring_and_kafka_spark.operators.profiling",
     "spring_and_kafka_spark.operators.quality",
+    "spring_and_kafka_spark.operators.layout",
 ]
 _MODULE_RANK = {m: i for i, m in enumerate(_MODULE_ORDER)}
 
@@ -206,6 +207,7 @@ def _load_all_modules() -> None:
     import spring_and_kafka_spark.operators.tpch  # noqa: F401
     import spring_and_kafka_spark.operators.profiling  # noqa: F401
     import spring_and_kafka_spark.operators.quality  # noqa: F401
+    import spring_and_kafka_spark.operators.layout  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -282,3 +282,28 @@ def test_benford_prunes_to_single_column(spark):
     p = plan(spark, "q_benford")
     assert "o_orderdate" not in p and "o_custkey" not in p
     assert "PushedFilters: [" in p  # totalprice >= 1 reaches the scan
+
+
+def test_zonemap_audit_prunes_columns_no_sort(spark):
+    # the skipping audit must itself be skinny: scan only the two
+    # columns it bins on, and never globally sort the fact table
+    p = plan(spark, "q_zonemap_prune")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    # exactly ONE fact scan (explode-then-group, not one scan per
+    # layout), reading only the binning columns
+    assert len(read) == 1
+    assert "l_extendedprice" not in read[0] and "l_quantity" not in read[0]
+    assert "l_shipdate" in read[0]
+
+
+def test_zorder_bounds_come_via_broadcast(spark):
+    # the scalar min/max frame must broadcast (1 row), never shuffle the
+    # orders table against it
+    p = plan(spark, "q_zorder_layout")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_snapshot_diff_is_single_key_partitioned_join(spark):
+    p = plan(spark, "q_snapshot_diff")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p

@@ -114,6 +114,10 @@ SECTIONS = {
         "q_pii_scan", "q_cohort_revenue", "q_attribution", "q_join_overlap",
         "q_ts_autocorr", "q_graph_degree", "q_text_keyphrase", "q_embed_pca",
     ],
+    "round-5 additions: storage layout + warehouse reconciliation": [
+        "q_zonemap_prune", "q_zorder_layout", "q_snapshot_diff",
+        "q_skew_report", "q_ts_seasonality",
+    ],
 }
 
 STREAMING_ONLY = [

@@ -49,6 +49,7 @@ QUERIES = [
     "q_ts_cusum",
     "q_stream_late",
     "q_attribution",
+    "q_ts_seasonality",
     # q_join_overlap: output-bound — the scaled copies all run
     # concurrently, so true overlapping-pair count grows ~quadratically
     # in concurrency BY DEFINITION of the query; its ratio measures
@@ -112,6 +113,10 @@ FACT_QUERIES = [
     # counts multiply and once-only pairs cross the ≥2 threshold — the
     # graph genuinely densifies (same caveat as q_graph_triangles).
     "q_graph_degree",
+    "q_zonemap_prune",
+    "q_zorder_layout",
+    "q_snapshot_diff",
+    "q_skew_report",
 ]
 
 
