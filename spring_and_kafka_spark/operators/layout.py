@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from spring_and_kafka_spark.exec_utils import ts_micros
 from spring_and_kafka_spark.registry import register
@@ -263,4 +264,177 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("span_date"), 4).alias("avg_date_span"),
         )
         .orderBy("layout")
+    )
+
+
+# Incremental-maintenance scenario constants — the SAME snapshot-B
+# mutation moduli as q_snapshot_diff (operators/analytics.py), so the
+# changelog this query applies is the one that CDC diff emits.
+_MV_DEL = 97
+_MV_UPD = 13
+_MV_INS = 101
+_MV_KEY_OFFSET = 100_000_000
+
+
+@register(
+    "q_mv_incremental",
+    oracle=f"""
+    WITH snap_b AS (
+      SELECT o_orderdate,
+             CASE WHEN o_orderkey % {_MV_UPD} = 0
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % {_MV_DEL} <> 0
+      UNION ALL
+      SELECT o_orderdate, o_totalprice
+      FROM orders WHERE o_orderkey % {_MV_INS} = 0
+    )
+    SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+             AS month_id,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM snap_b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly-revenue MV
+    built over snapshot A is advanced to snapshot B by applying ONLY the
+    CDC changelog (the q_snapshot_diff mutation: ~1% deletes, ~8%
+    reprices, ~1% inserts) — deletes retract (-price, -1), updates emit
+    the price difference, inserts add. The ORACLE recomputes the view
+    from snapshot B directly, so the hash match IS the proof that
+    incremental maintenance ≡ full recompute.
+
+    Money is summed in integer cents (floor(x*100+0.5) per row, BIGINT
+    sum) — with double sums, base + delta would differ from the direct
+    sum in the last float bits and the equivalence would only hold
+    approximately; in cents it holds exactly, which is the invariant an
+    incremental pipeline must audit at 100 TB.
+
+    Scale shape: the base MV is group-cardinality-sized (months, not
+    rows) and the delta scan touches only changed keys — at 100 TB that
+    is the difference between re-aggregating the table nightly and
+    aggregating the day's changelog."""
+    o = load_table(spark, sf_dir, "orders")
+    month_id = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast(
+        "long"
+    )
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+
+    # the standing MV over snapshot A
+    base = o.groupBy(month_id.alias("month_id")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )
+
+    # CDC changelog rows: (month_id, d_orders, d_cents)
+    key = F.col("o_orderkey")
+    deletes = o.filter(key % _MV_DEL == 0).select(
+        month_id.alias("month_id"),
+        F.lit(-1).alias("d_orders"),
+        (-cents(F.col("o_totalprice"))).alias("d_cents"),
+    )
+    updates = o.filter((key % _MV_DEL != 0) & (key % _MV_UPD == 0)).select(
+        month_id.alias("month_id"),
+        F.lit(0).alias("d_orders"),
+        (
+            cents(F.col("o_totalprice") * 1.1) - cents(F.col("o_totalprice"))
+        ).alias("d_cents"),
+    )
+    inserts = o.filter(key % _MV_INS == 0).select(
+        month_id.alias("month_id"),
+        F.lit(1).alias("d_orders"),
+        cents(F.col("o_totalprice")).alias("d_cents"),
+    )
+    delta = (
+        deletes.unionByName(updates)
+        .unionByName(inserts)
+        .groupBy("month_id")
+        .agg(
+            F.sum("d_orders").alias("d_orders"),
+            F.sum("d_cents").alias("d_cents"),
+        )
+    )
+
+    merged = base.join(delta, "month_id", "full_outer").select(
+        "month_id",
+        (
+            F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_orders", F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce("revenue_cents", F.lit(0))
+            + F.coalesce("d_cents", F.lit(0))
+        ).alias("revenue_cents"),
+    )
+    return merged.filter(F.col("n_orders") > 0).orderBy("month_id")
+
+
+# Compaction scenario constants.
+_COMPACT_FILES = 101  # simulated small-file inventory size
+_COMPACT_TARGET = 10_000  # target bytes per compacted output file
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT doc_id % {_COMPACT_FILES} AS file_id,
+             sum(length(text)) AS size_bytes
+      FROM documents GROUP BY 1
+    ),
+    packed AS (
+      SELECT file_id, size_bytes,
+             (sum(size_bytes) OVER (ORDER BY file_id) - size_bytes)
+               // {_COMPACT_TARGET} AS bin_id
+      FROM files
+    )
+    SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           round(sum(size_bytes) * 1.0 / {_COMPACT_TARGET}, 4)
+             AS fill_ratio
+    FROM packed
+    GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: a simulated file inventory (one row
+    per file: id + byte size, derived deterministically from the
+    documents table) is packed into target-sized output files by
+    next-fit over the inventory order — bin = cumulative-bytes-before
+    DIV target. Emits the compaction manifest: per-bin file count, total
+    bytes, and fill ratio vs the target. This is the nightly job that
+    keeps a streaming-ingested table's file count (and thus its scan
+    task count and driver planning cost) bounded.
+
+    The running-sum window is over file METADATA — one row per file, the
+    table's manifest, millions of rows at most at 100 TB — not over data
+    rows; partition the window by table partition key when even that is
+    too wide. The data movement the plan implies is pure per-bin
+    concatenation, embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    files = d.groupBy((F.col("doc_id") % _COMPACT_FILES).alias("file_id")).agg(
+        F.sum(F.length("text")).alias("size_bytes")
+    )
+    w = W.orderBy("file_id").rowsBetween(W.unboundedPreceding, -1)
+    packed = files.select(
+        "file_id",
+        "size_bytes",
+        F.floor(
+            F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+            / F.lit(_COMPACT_TARGET)
+        ).alias("bin_id"),
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("size_bytes").alias("total_bytes"),
+            F.round(
+                F.sum("size_bytes") * 1.0 / _COMPACT_TARGET, 4
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bin_id")
     )

@@ -47,11 +47,14 @@ _MODULE_SEQ: dict[str, int] = {}
 # the 32 earlier round-5 additions, and the 12 late round-5 additions
 # (governance/warehouse batch) that replaced the originally planned
 # round-1 re-verification backfill (first-time verification beats
-# re-confirmation of 4×-verified greens). After round 5 every registry
-# entry owns a driver row; the round-1/round-2 stale greens lead the
-# round-6 rotation. Queries not named here rank after the prefix by
-# (module rank, def order) — the safe place for additions until they
-# are rotated in.
+# re-confirmation of 4×-verified greens). After round 5 every entry
+# registered at window-freeze time owns a driver row; the 7 post-freeze
+# round-5 additions (q_zonemap_prune q_zorder_layout q_snapshot_diff
+# q_skew_report q_ts_seasonality q_mv_incremental q_compaction_plan,
+# operators/layout.py et al.) plus the
+# round-1/round-2 stale greens lead the round-6 rotation. Queries not
+# named here rank after the prefix by (module rank, def order) — the
+# safe place for additions until they are rotated in.
 _WINDOW_PREFIX = [
     # never driver-verified: round-4 additions past the r4 window
     "q_text_bm25",

@@ -109,3 +109,85 @@ def test_seasonality_indices_average_to_one(spark):
     total = sum(r["n_events"] for r in rows)
     weighted = sum(r["seasonality_index"] * r["n_events"] for r in rows)
     assert abs(weighted / total - 1.0) < 0.01
+
+
+def test_mv_incremental_equals_full_recompute(spark):
+    """The query's own oracle already proves incremental == recompute via
+    the driver hash; here we rebuild snapshot B independently in Spark
+    and assert the merged MV matches it row-for-row."""
+    import pyspark.sql.functions as F
+
+    from spring_and_kafka_spark.operators.layout import (
+        _MV_DEL,
+        _MV_INS,
+        _MV_UPD,
+        q_mv_incremental,
+    )
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    key = F.col("o_orderkey")
+    snap_b = (
+        o.filter(key % _MV_DEL != 0)
+        .select(
+            "o_orderdate",
+            F.when(key % _MV_UPD == 0, F.col("o_totalprice") * 1.1)
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .unionByName(
+            o.filter(key % _MV_INS == 0).select(
+                "o_orderdate", F.col("o_totalprice").alias("price")
+            )
+        )
+    )
+    full = {
+        r["month_id"]: (r["n_orders"], r["revenue_cents"])
+        for r in snap_b.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("month_id")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .collect()
+    }
+    inc = {
+        r["month_id"]: (r["n_orders"], r["revenue_cents"])
+        for r in q_mv_incremental(spark, SF_SMOKE).collect()
+    }
+    assert inc == full
+
+
+def test_compaction_plan_conserves_bytes_and_fills_bins(spark):
+    import pyspark.sql.functions as F
+
+    from spring_and_kafka_spark.operators.layout import (
+        _COMPACT_FILES,
+        _COMPACT_TARGET,
+        q_compaction_plan,
+    )
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    rows = q_compaction_plan(spark, SF_SMOKE).collect()
+    d = load_table(spark, SF_SMOKE, "documents")
+    inv = (
+        d.groupBy((F.col("doc_id") % _COMPACT_FILES).alias("file_id"))
+        .agg(F.sum(F.length("text")).alias("sz"))
+        .collect()
+    )
+    # conservation: every inventory file lands in exactly one bin
+    assert sum(r["n_files"] for r in rows) == len(inv)
+    assert sum(r["total_bytes"] for r in rows) == sum(r["sz"] for r in inv)
+    # bins are dense 0..k
+    assert [r["bin_id"] for r in rows] == list(range(len(rows)))
+    # next-fit invariant: a bin closes only once the running total has
+    # crossed its target, so every bin except the last holds at least
+    # target - max_single_file bytes
+    max_file = max(r["sz"] for r in inv)
+    for r in rows[:-1]:
+        assert r["total_bytes"] >= _COMPACT_TARGET - max_file

@@ -116,7 +116,8 @@ SECTIONS = {
     ],
     "round-5 additions: storage layout + warehouse reconciliation": [
         "q_zonemap_prune", "q_zorder_layout", "q_snapshot_diff",
-        "q_skew_report", "q_ts_seasonality",
+        "q_skew_report", "q_ts_seasonality", "q_mv_incremental",
+        "q_compaction_plan",
     ],
 }
 

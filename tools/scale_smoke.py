@@ -117,6 +117,7 @@ FACT_QUERIES = [
     "q_zorder_layout",
     "q_snapshot_diff",
     "q_skew_report",
+    "q_mv_incremental",
 ]
 
 
@@ -166,6 +167,7 @@ DOCS_QUERIES = [
     "q_text_inverted_index",
     "q_sample_balanced",
     "q_text_keyphrase",
+    "q_compaction_plan",
 ]  # q_sample_balanced stays: stratum caps must hold as docs grow
 
 
