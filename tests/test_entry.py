@@ -34,10 +34,13 @@ def test_queries_are_callables():
 def test_verification_window_prefix_is_frozen():
     """The driver hash-verifies EXACTLY the first 50 exposed registry
     entries. The round-5 window is named explicitly in
-    registry._WINDOW_PREFIX (38 never-driver-verified queries — the 6
-    round-4 additions past the r4 window plus the 32 round-5 additions —
-    then 12 round-1-stale re-verifications; see the registry comment
-    for the derivation).
+    registry._WINDOW_PREFIX, and ALL 50 slots are first-time
+    verifications: the 6 round-4 additions that registered past the r4
+    window, the 32 earlier round-5 additions, and the 12 late round-5
+    governance/warehouse additions (which displaced the originally
+    planned round-1 re-verification backfill; see the registry comment
+    for the derivation). Post-freeze round-5 additions rank after the
+    prefix and wait for the round-6 rotation.
     Every prefix name must actually be registered — a typo there would
     silently eject a query from verification — and the exposed order
     must start with exactly that prefix."""
