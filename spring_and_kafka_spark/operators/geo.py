@@ -1,0 +1,231 @@
+"""Geospatial operators: grid-bucketed radius join and grid density
+(SURVEY.md §2 north-star mandate — the spatial arm of event/entity
+analytics; reference README.md:329's "count, filter, enrich or
+transform" pipeline grown to location-aware enrichment).
+
+Coordinates are fabricated deterministically from customer keys via md5
+(the q_pii_scan / q_sample_temperature precedent — the fixtures carry no
+geo columns), capped to |lat| ≤ 60 so a fixed 2° grid cell is ≥ 111 km
+wide everywhere and therefore always covers the 100 km search radius.
+
+The radius join is the spatial instance of this engine's one
+candidate-generation law (DESIGN.md #4): never go quadratic — bucket
+into grid cells, probe each point against its 3×3 neighborhood (with
+longitude wraparound at ±180), verify the exact haversine distance on
+candidates only. The DuckDB oracle computes the ALL-PAIRS ground truth,
+so the driver hash match proves the grid's candidate recall is exactly
+1.0, the same verification pattern as the LSH dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.registry import register
+from spring_and_kafka_spark.sources.tables import load_table
+
+_GEO_MAX_KEY = 1000  # point subset: customers with c_custkey <= this
+_GEO_CELL_DEG = 2  # grid cell size (degrees); 2° lon at lat 60 ≈ 111 km
+_GEO_RADIUS_KM = 100.0  # search radius; < min cell width
+_GEO_LON_CELLS = 360 // _GEO_CELL_DEG
+_U24 = float(0xFFFFFF)  # 6 hex digits → [0, 1) scale
+
+# Shared point-fabrication SQL (DuckDB): lat in [-60, 60), lon in
+# [-180, 180), both from the first 6 md5 hex digits of a salted key.
+_GEO_POINTS_SQL = f"""points AS (
+      SELECT c_custkey AS id,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '-lat'),
+                                 1, 6) AS BIGINT) / {_U24} * 120 - 60
+               AS lat,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '-lon'),
+                                 1, 6) AS BIGINT) / {_U24} * 360 - 180
+               AS lon
+      FROM customer WHERE c_custkey <= {_GEO_MAX_KEY}
+    )"""
+
+_HAVERSINE_SQL = """2 * 6371.0 * asin(sqrt(
+      sin(radians(({lat2} - {lat1}) / 2)) * sin(radians(({lat2} - {lat1}) / 2))
+      + cos(radians({lat1})) * cos(radians({lat2}))
+        * sin(radians(({lon2} - {lon1}) / 2))
+        * sin(radians(({lon2} - {lon1}) / 2))))"""
+
+
+def geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, lat, lon): deterministic per-customer coordinates — the
+    Spark twin of _GEO_POINTS_SQL, bit-identical doubles (md5 hex → int
+    → the same IEEE divide/scale in both engines)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= _GEO_MAX_KEY
+    )
+
+    def coord(salt: str, span: int, lo: int) -> F.Column:
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return u / F.lit(_U24) * span + lo
+
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        coord("-lat", 120, -60).alias("lat"),
+        coord("-lon", 360, -180).alias("lon"),
+    )
+
+
+def _haversine(lat1, lon1, lat2, lon2) -> F.Column:
+    dphi = F.radians((lat2 - lat1) / 2)
+    dlam = F.radians((lon2 - lon1) / 2)
+    h = F.sin(dphi) * F.sin(dphi) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.sin(dlam) * F.sin(dlam)
+    return 2 * 6371.0 * F.asin(F.sqrt(h))
+
+
+@register(
+    "q_geo_grid_density",
+    oracle=f"""
+    WITH {_GEO_POINTS_SQL},
+    cells AS (
+      SELECT CAST(floor((lat + 90) / {_GEO_CELL_DEG}) AS BIGINT) AS cell_lat,
+             CAST(floor((lon + 180) / {_GEO_CELL_DEG}) AS BIGINT) AS cell_lon,
+             count(*) AS n_points
+      FROM points GROUP BY 1, 2
+    )
+    SELECT cell_lat, cell_lon, CAST(n_points AS BIGINT) AS n_points
+    FROM cells WHERE n_points >= 2
+    ORDER BY cell_lat, cell_lon
+    """,
+)
+def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density rollup: points binned to the fixed 2° grid, cells
+    with ≥ 2 points reported — the heat-map / hot-cell readout that also
+    decides whether the radius join below needs per-cell capping (a city
+    cell at 100 TB is the spatial analog of an LSH hot bucket). One
+    map-side-combined aggregation; the cell id is row-local math."""
+    pts = geo_points(spark, sf_dir)
+    return (
+        pts.groupBy(
+            F.floor((F.col("lat") + 90) / _GEO_CELL_DEG)
+            .cast("long")
+            .alias("cell_lat"),
+            F.floor((F.col("lon") + 180) / _GEO_CELL_DEG)
+            .cast("long")
+            .alias("cell_lon"),
+        )
+        .agg(F.count("*").alias("n_points"))
+        .filter(F.col("n_points") >= 2)
+        .orderBy("cell_lat", "cell_lon")
+    )
+
+
+@register(
+    "q_geo_radius_join",
+    oracle=f"""
+    WITH {_GEO_POINTS_SQL}
+    SELECT a.id AS a_id, b.id AS b_id,
+           round({_HAVERSINE_SQL.format(lat1="a.lat", lon1="a.lon",
+                                        lat2="b.lat", lon2="b.lon")}, 3)
+             AS dist_km
+    FROM points a JOIN points b ON a.id < b.id
+    WHERE {_HAVERSINE_SQL.format(lat1="a.lat", lon1="a.lon",
+                                 lat2="b.lat", lon2="b.lon")}
+          <= {_GEO_RADIUS_KM}
+    ORDER BY a_id, b_id
+    """,
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join: all point pairs within 100 km, by grid-cell
+    candidate generation + exact haversine verify. Each point is
+    replicated to its 3×3 neighbor cells (longitude wrapping at ±180) as
+    the probe side and joins the build side's home cell, so a pair of
+    neighbors meets exactly once per orientation and the a<b filter
+    keeps one; candidates then pass the exact distance check. The oracle
+    is the quadratic all-pairs ground truth — the hash match proves the
+    2° cell (≥ 111 km wide at |lat| ≤ 60) misses no ≤ 100 km pair.
+
+    Scale shape: shuffle O(points × 9) probe rows joined on cell id —
+    the spatial equivalent of LSH banding; the quadratic form never
+    runs on the cluster. Skewed cells (cities) are visible in
+    q_geo_grid_density and would get the same cap/salt treatment as hot
+    LSH buckets."""
+    return radius_join(geo_points(spark, sf_dir), _GEO_RADIUS_KM)
+
+
+def radius_join(points: DataFrame, radius_km: float) -> DataFrame:
+    """Grid candidate generation + exact haversine verify over a
+    (id, lat, lon) frame — see q_geo_radius_join. Factored out so tests
+    can drive it with synthetic points (the ±180 longitude seam, exact
+    radius boundaries). radius_km must not exceed the minimum cell
+    width (111 km at |lat| = 60 with the 2° grid) or the 3×3
+    neighborhood stops covering the search disc."""
+    pts = points.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor((F.col("lat") + 90) / _GEO_CELL_DEG)
+        .cast("long")
+        .alias("cell_lat"),
+        F.floor((F.col("lon") + 180) / _GEO_CELL_DEG)
+        .cast("long")
+        .alias("cell_lon"),
+    )
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    probe = (
+        pts.select(
+            "id",
+            "lat",
+            "lon",
+            "cell_lat",
+            "cell_lon",
+            F.explode(offsets).alias("dlat"),
+        )
+        .select(
+            "id",
+            "lat",
+            "lon",
+            (F.col("cell_lat") + F.col("dlat")).alias("pcell_lat"),
+            "cell_lon",
+            F.explode(offsets).alias("dlon"),
+        )
+        .select(
+            F.col("id").alias("a_id"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            "pcell_lat",
+            # wraparound: the cell left of lon-cell 0 is the last cell
+            (
+                (F.col("cell_lon") + F.col("dlon") + _GEO_LON_CELLS)
+                % _GEO_LON_CELLS
+            ).alias("pcell_lon"),
+        )
+    )
+    build = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        "cell_lat",
+        "cell_lon",
+    )
+    cand = probe.join(
+        build,
+        (F.col("pcell_lat") == F.col("cell_lat"))
+        & (F.col("pcell_lon") == F.col("cell_lon"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    dist = _haversine(
+        F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+    )
+    return (
+        cand.select(
+            "a_id", "b_id", F.round(dist, 3).alias("dist_km"), dist.alias("_d")
+        )
+        .filter(F.col("_d") <= radius_km)
+        .drop("_d")
+        .orderBy("a_id", "b_id")
+    )

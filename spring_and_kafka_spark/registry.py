@@ -48,10 +48,11 @@ _MODULE_SEQ: dict[str, int] = {}
 # (governance/warehouse batch) that replaced the originally planned
 # round-1 re-verification backfill (first-time verification beats
 # re-confirmation of 4×-verified greens). After round 5 every entry
-# registered at window-freeze time owns a driver row; the 7 post-freeze
+# registered at window-freeze time owns a driver row; the 9 post-freeze
 # round-5 additions (q_zonemap_prune q_zorder_layout q_snapshot_diff
-# q_skew_report q_ts_seasonality q_mv_incremental q_compaction_plan,
-# operators/layout.py et al.) plus the
+# q_skew_report q_ts_seasonality q_mv_incremental q_compaction_plan
+# q_geo_grid_density q_geo_radius_join — operators/layout.py,
+# operators/geo.py et al.) plus the
 # round-1/round-2 stale greens lead the round-6 rotation. Queries not
 # named here rank after the prefix by (module rank, def order) — the
 # safe place for additions until they are rotated in.
@@ -145,6 +146,7 @@ _MODULE_ORDER = [
     "spring_and_kafka_spark.operators.profiling",
     "spring_and_kafka_spark.operators.quality",
     "spring_and_kafka_spark.operators.layout",
+    "spring_and_kafka_spark.operators.geo",
 ]
 _MODULE_RANK = {m: i for i, m in enumerate(_MODULE_ORDER)}
 
@@ -211,6 +213,7 @@ def _load_all_modules() -> None:
     import spring_and_kafka_spark.operators.profiling  # noqa: F401
     import spring_and_kafka_spark.operators.quality  # noqa: F401
     import spring_and_kafka_spark.operators.layout  # noqa: F401
+    import spring_and_kafka_spark.operators.geo  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

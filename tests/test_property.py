@@ -383,3 +383,52 @@ def test_quantile_sketch_descent_picks_true_rank_bucket(spark, cents):
         s = str(true_val)
         assert (row.digits, row.first2) == (len(s), int(s[:2]))
         assert abs(row.approx_cents - true_val) / true_val <= 0.5 / row.first2
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    """The unroll-then-verify connected components (3 lazy rounds, one
+    verification job, materialize-per-round fallback) must match a
+    driver-side union-find on ARBITRARY small graphs — long paths force
+    the fallback, cliques and self-loops stay on the fast path, isolated
+    nodes come back as their own singleton component."""
+    from spring_and_kafka_spark.llm.dedup import connected_components
+
+    nodes = sorted({n for e in edges for n in e} | {99})  # 99: isolated
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in nodes}
+    # canonicalize: component id = min member
+    comp_min = {}
+    for n, r in expected.items():
+        comp_min.setdefault(r, n if n < r else r)
+        comp_min[r] = min(comp_min[r], n)
+    expected = {n: comp_min[find(n)] for n in nodes}
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edges_df = spark.createDataFrame(
+        edges or [(99, 99)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == expected

@@ -119,6 +119,9 @@ SECTIONS = {
         "q_skew_report", "q_ts_seasonality", "q_mv_incremental",
         "q_compaction_plan",
     ],
+    "round-5 additions: geospatial grid": [
+        "q_geo_grid_density", "q_geo_radius_join",
+    ],
 }
 
 STREAMING_ONLY = [
