@@ -675,7 +675,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20, unroll: int = 3
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50, unroll: int = 3
 ) -> DataFrame:
     """Min-label propagation connected components.
 
@@ -729,19 +729,25 @@ def connected_components(
     for _ in range(unroll):
         labels = propagate(labels)
     labels = materialize(labels)
-    # phase 2: one more propagation; any label still dropping ⇒ not done
-    nxt = propagate(labels)
+    # phase 2: one more propagation; any label still dropping ⇒ not
+    # done. Materialize nxt BEFORE counting so the non-converged path
+    # reuses the computed round instead of re-running the propagate
+    # inside a second materialize; when converged, nxt == labels and is
+    # the (already checkpointed) frame we return.
+    nxt = materialize(propagate(labels))
     changed = (
         labels.join(nxt.withColumnRenamed("component", "ncomp"), "node")
         .filter(F.col("ncomp") != F.col("component"))
         .count()
     )
+    labels.unpersist()
     if changed == 0:
         sym.unpersist()
         sym_self.unpersist()
-        return labels
-    labels = materialize(nxt)
+        return nxt
+    labels = nxt
     prev = labels
+    converged = False
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -770,10 +776,20 @@ def connected_components(
             prev = chk
             labels = chk.drop("__changed")
             if changed == 0:
+                converged = True
                 break
     finally:
         sym.unpersist()
         sym_self.unpersist()
+    if not converged:
+        # a silent fall-through here would return labels mid-propagation
+        # (wrong components on graphs whose diameter exceeds the total
+        # round budget) — fail loudly; callers raise max_iter instead
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{unroll + 1 + max_iter} propagation rounds; "
+            f"raise max_iter for graphs of this diameter"
+        )
     return labels
 
 

@@ -29,7 +29,12 @@ _GEO_MAX_KEY = 1000  # point subset: customers with c_custkey <= this
 _GEO_CELL_DEG = 2  # grid cell size (degrees); 2° lon at lat 60 ≈ 111 km
 _GEO_RADIUS_KM = 100.0  # search radius; < min cell width
 _GEO_LON_CELLS = 360 // _GEO_CELL_DEG
-_U24 = float(0xFFFFFF)  # 6 hex digits → [0, 1) scale
+# 6 hex digits scaled by 2^24 (NOT 0xFFFFFF): the exclusive divisor
+# keeps u/_U24 strictly in [0, 1) — with 0xFFFFFF a key hashing to
+# 'ffffff' would fabricate lon = 180.0 / lat = 60.0 exactly, landing in
+# a grid cell past the wrap seam (llm/pipeline.py uses the same 2^24
+# convention for its acceptance uniforms)
+_U24 = float(1 << 24)
 
 # Shared point-fabrication SQL (DuckDB): lat in [-60, 60), lon in
 # [-180, 180), both from the first 6 md5 hex digits of a salted key.
@@ -210,7 +215,10 @@ def radius_join(points: DataFrame, radius_km: float) -> DataFrame:
         F.col("lat").alias("b_lat"),
         F.col("lon").alias("b_lon"),
         "cell_lat",
-        "cell_lon",
+        # same wrap as the probe side: a caller-supplied lon of exactly
+        # 180.0 bins past the seam into cell _GEO_LON_CELLS, which no
+        # probe cell could reach un-normalized
+        (F.col("cell_lon") % _GEO_LON_CELLS).alias("cell_lon"),
     )
     cand = probe.join(
         build,

@@ -267,13 +267,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Incremental-maintenance scenario constants — the SAME snapshot-B
-# mutation moduli as q_snapshot_diff (operators/analytics.py), so the
-# changelog this query applies is the one that CDC diff emits.
-_MV_DEL = 97
-_MV_UPD = 13
-_MV_INS = 101
-_MV_KEY_OFFSET = 100_000_000
+# Incremental-maintenance scenario moduli: IMPORTED from q_snapshot_diff
+# (operators/analytics.py), not re-declared, so the changelog this query
+# applies is definitionally the one that CDC diff emits — editing the
+# CDC constants cannot silently desynchronize the two queries.
+from spring_and_kafka_spark.operators.analytics import (  # noqa: E402
+    _CDC_DEL as _MV_DEL,
+    _CDC_INS as _MV_INS,
+    _CDC_UPD as _MV_UPD,
+)
 
 
 @register(

@@ -58,6 +58,9 @@ def test_radius_join_finds_pairs_across_the_antimeridian(spark):
             (1, 10.0, 179.75),
             (2, 10.0, -179.75),  # ≈ 0.5° of longitude from point 1
             (3, 10.0, 170.0),  # far from both
+            # lon = 180.0 exactly: bins past the last cell unless the
+            # BUILD side wraps too (probe-only wrap missed this pair)
+            (4, 10.0, 180.0),
         ],
         "id long, lat double, lon double",
     )
@@ -65,7 +68,7 @@ def test_radius_join_finds_pairs_across_the_antimeridian(spark):
         (r["a_id"], r["b_id"]): r["dist_km"]
         for r in radius_join(points, 100.0).collect()
     }
-    assert set(got) == {(1, 2)}
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
     assert abs(got[(1, 2)] - _haversine(10.0, 179.75, 10.0, -179.75)) < 0.01
 
 
