@@ -691,3 +691,91 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+_HOLT_ALPHA = 0.5  # level smoothing
+_HOLT_BETA = 0.3  # trend smoothing
+
+
+@register(
+    "q_ts_holt",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, value, rn,
+             CAST(value AS DOUBLE) AS lvl, CAST(0 AS DOUBLE) AS trd
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.value, s.rn,
+             {_HOLT_ALPHA} * s.value
+               + {1 - _HOLT_ALPHA} * (r.lvl + r.trd),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * s.value
+                              + {1 - _HOLT_ALPHA} * (r.lvl + r.trd)) - r.lvl)
+               + {1 - _HOLT_BETA} * r.trd
+      FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value,
+           floor(lvl * 1e6 + 0.5) / 1e6 AS level,
+           floor(trd * 1e6 + 0.5) / 1e6 AS trend,
+           floor((lvl + trd) * 1e6 + 0.5) / 1e6 AS forecast
+    FROM r
+    """,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double exponential smoothing (level α=0.5, trend
+    β=0.3, init l₁=x₁, b₁=0) with the one-step-ahead forecast l+b — the
+    trend-aware upgrade of q_ts_ewma, and with q_ts_seasonality's
+    day-of-week indices the classic decomposition forecaster
+    (deseasonalize → Holt → reseasonalize).
+
+    Same execution shape as q_ts_ewma: applyInPandas per user, the
+    coupled recurrence in IEEE doubles, replayed bit-for-bit by the
+    DuckDB recursive CTE before floor-form rounding — the expression
+    trees are written identically on both sides so every intermediate
+    double agrees. One shuffle on user_id; over-long keys decompose by
+    time shards whose partials carry (level, trend) forward — the
+    recurrence is linear in its 2-vector state, so shard composition is
+    an affine map, same discipline as the EWMA decay-factor fold."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].to_numpy(dtype=np.float64)
+        lvl = np.empty(len(pdf), dtype=np.float64)
+        trd = np.empty(len(pdf), dtype=np.float64)
+        l, b = 0.0, 0.0
+        for i, x in enumerate(xs):
+            if i == 0:
+                l, b = x, 0.0
+            else:
+                l_new = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (l + b)
+                b = _HOLT_BETA * (l_new - l) + (1 - _HOLT_BETA) * b
+                l = l_new
+            lvl[i], trd[i] = l, b
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "level": np.floor(lvl * 1e6 + 0.5) / 1e6,
+                "trend": np.floor(trd * 1e6 + 0.5) / 1e6,
+                "forecast": np.floor((lvl + trd) * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        kernel,
+        "user_id LONG, event_id LONG, value DOUBLE, "
+        "level DOUBLE, trend DOUBLE, forecast DOUBLE",
+    )

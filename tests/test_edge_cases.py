@@ -246,3 +246,40 @@ def test_cusum_identity_on_synthetic_burst(spark):
     assert out.loc[0, "n_alarms"] == 0
     assert st.value[0] == 3  # prefix sum of all d: 3+3+3-10+2+2
     assert st.value[1] == -1  # running min prefix (P after the -10)
+
+
+def test_holt_tracks_a_perfect_linear_series(spark, tmp_path):
+    """On x_i = 5i the Holt smoother must converge: trend -> the true
+    slope 5 and the one-step forecast -> the next value — the property
+    EWMA structurally cannot have (it lags a trending series forever).
+    Driven through the real query against a synthetic events table."""
+    import datetime as dt
+
+    from spring_and_kafka_spark.operators.timeseries import q_ts_holt
+
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+            7,
+            float(5 * i),
+            "t",
+            "{}",
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, value double, "
+        "event_type string, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        q_ts_holt(spark, str(tmp_path)).collect(),
+        key=lambda r: r["event_id"],
+    )
+    last = out[-1]
+    assert abs(last["trend"] - 5.0) < 0.01
+    assert abs(last["forecast"] - 5.0 * 60) < 0.05
+    # level tracks the series itself once converged
+    assert abs(last["level"] - last["value"]) < 0.05

@@ -432,3 +432,55 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(nodes_df, edges_df).collect()
     }
     assert got == expected
+
+
+geo_pts = st.lists(
+    st.tuples(
+        st.floats(min_value=-60, max_value=60, allow_nan=False),
+        st.floats(min_value=-180, max_value=180, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(geo_pts)
+def test_radius_join_matches_brute_force_property(spark, coords):
+    """Grid candidate generation + haversine verify must equal the
+    quadratic brute force on ARBITRARY points in the supported envelope
+    (|lat| <= 60), including clusters at the ±180 seam and coincident
+    points. Radius 100 km < the minimum 2° cell width in-envelope."""
+    import math
+
+    from spring_and_kafka_spark.operators.geo import radius_join
+
+    def hav(a, b):
+        dphi = math.radians((b[0] - a[0]) / 2)
+        dlam = math.radians((b[1] - a[1]) / 2)
+        h = (
+            math.sin(dphi) ** 2
+            + math.cos(math.radians(a[0]))
+            * math.cos(math.radians(b[0]))
+            * math.sin(dlam) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(min(1.0, h)))
+
+    pts = list(enumerate(coords))
+    expected = {
+        (i, j)
+        for k, (i, a) in enumerate(pts)
+        for j, b in pts[k + 1 :]
+        if hav(a, b) <= 100.0
+    }
+    df = spark.createDataFrame(
+        [(i, a[0], a[1]) for i, a in pts] or [(0, 0.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    got = {
+        (r["a_id"], r["b_id"]) for r in radius_join(df, 100.0).collect()
+    }
+    if not pts:
+        expected = set()
+        got -= {(0, 0)}  # placeholder row can't pair with itself anyway
+    assert got == expected

@@ -122,6 +122,9 @@ SECTIONS = {
     "round-5 additions: geospatial grid": [
         "q_geo_grid_density", "q_geo_radius_join",
     ],
+    "round-5 additions: forecasting": [
+        "q_ts_holt",
+    ],
 }
 
 STREAMING_ONLY = [
