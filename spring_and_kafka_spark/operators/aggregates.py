@@ -732,3 +732,88 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_in_region"),
     )
+
+
+@register(
+    "q_agg_ols2",
+    oracle="""
+    WITH z AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1,
+             CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * x1) AS DOUBLE) AS sx11,
+             CAST(sum(x2 * x2) AS DOUBLE) AS sx22,
+             CAST(sum(x1 * x2) AS DOUBLE) AS sx12,
+             CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS sx2y
+      FROM z
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round((
+             (sx1y * 1.0 - sx1 * sy / n) * (sx22 - sx2 * sx2 / n)
+             - (sx2y - sx2 * sy / n) * (sx12 - sx1 * sx2 / n)
+           ) / (
+             (sx11 - sx1 * sx1 / n) * (sx22 - sx2 * sx2 / n)
+             - (sx12 - sx1 * sx2 / n) * (sx12 - sx1 * sx2 / n)
+           ) / 100, 4) AS beta_qty,
+           round((
+             (sx2y * 1.0 - sx2 * sy / n) * (sx11 - sx1 * sx1 / n)
+             - (sx1y - sx1 * sy / n) * (sx12 - sx1 * sx2 / n)
+           ) / (
+             (sx11 - sx1 * sx1 / n) * (sx22 - sx2 * sx2 / n)
+             - (sx12 - sx1 * sx2 / n) * (sx12 - sx1 * sx2 / n)
+           ) / 100, 4) AS beta_disc_pct
+    FROM s
+    """,
+)
+def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (extendedprice ~ quantity + discount) solved in
+    closed form from the normal equations — the multi-regressor upgrade
+    of q_agg_corr's regr_slope, fitted the way a 100 TB engine must: ONE
+    aggregation pass collecting the 9 sufficient-statistic sums, then
+    constant-time 2×2 centered-Cramer algebra on the driver-sized row.
+
+    Exactness discipline (DESIGN.md #13): inputs are scaled to integers
+    (quantity, discount percent, price cents) so all nine sums are EXACT
+    BIGINTs — summation order cannot perturb them — and only then cast
+    to double for the division algebra, whose expression tree is written
+    identically in both engines. Largest product: qty(≤50) × cents(≈1e7)
+    summed over 6e5 rows ≈ 3e14, far under the 2^63 ANSI-overflow line;
+    y² is deliberately NOT summed (it would overflow at sf0.1), which is
+    why the readout is the betas, not R²."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    z = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    s = z.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("sx2y"),
+    )
+    c11 = F.col("sx11") - F.col("sx1") * F.col("sx1") / F.col("n")
+    c22 = F.col("sx22") - F.col("sx2") * F.col("sx2") / F.col("n")
+    c12 = F.col("sx12") - F.col("sx1") * F.col("sx2") / F.col("n")
+    c1y = F.col("sx1y") * 1.0 - F.col("sx1") * F.col("sy") / F.col("n")
+    c2y = F.col("sx2y") * 1.0 - F.col("sx2") * F.col("sy") / F.col("n")
+    det = c11 * c22 - c12 * c12
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round((c1y * c22 - c2y * c12) / det / 100, 4).alias("beta_qty"),
+        F.round((c2y * c11 - c1y * c12) / det / 100, 4).alias(
+            "beta_disc_pct"
+        ),
+    )

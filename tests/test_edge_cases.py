@@ -283,3 +283,29 @@ def test_holt_tracks_a_perfect_linear_series(spark, tmp_path):
     assert abs(last["forecast"] - 5.0 * 60) < 0.05
     # level tracks the series itself once converged
     assert abs(last["level"] - last["value"]) < 0.05
+
+
+def test_ols2_matches_numpy_least_squares(spark):
+    """The closed-form normal-equation solve (one aggregation pass +
+    Cramer algebra) must agree with numpy's QR-based lstsq on the same
+    integer-scaled design matrix — two entirely different solution
+    paths, same betas."""
+    import numpy as np
+
+    from spring_and_kafka_spark.operators.aggregates import q_agg_ols2
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    got = q_agg_ols2(spark, SF_SMOKE).collect()[0]
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    x1 = np.array([float(int(r[0])) for r in rows])
+    x2 = np.array([np.floor(r[1] * 100 + 0.5) for r in rows])
+    y = np.array([np.floor(r[2] * 100 + 0.5) for r in rows])
+    A = np.column_stack([np.ones_like(x1), x1, x2])
+    beta = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert got["n_rows"] == len(rows)
+    assert abs(got["beta_qty"] - beta[1] / 100) < 1e-3
+    assert abs(got["beta_disc_pct"] - beta[2] / 100) < 1e-3
