@@ -957,3 +957,47 @@ def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("raw_score", 4) + 0.0).alias("score"),
         )
     )
+
+
+@register(
+    "q_text_hapax",
+    oracle="""
+    WITH tok AS (
+      SELECT lower(t.tok) AS tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dis_legomena,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS hapax_ratio,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / sum(n), 6)
+             AS good_turing_p0
+    FROM freq
+    """,
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-health readout: hapax legomena (once-seen types), dis
+    legomena (twice-seen), the hapax share of the vocabulary, and the
+    Good-Turing unseen-mass estimate N₁/N — the number a corpus curator
+    watches while scaling data (a healthy natural corpus keeps the hapax
+    ratio roughly stable; a collapsing one signals dedup failure or
+    synthetic repetition, complementing q_text_zipf's slope view).
+
+    Two map-side-combined aggregations over the token stream (types,
+    then one summary row) — no joins, no windows; the type table is the
+    only shuffle and is vocabulary-sized, not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = tokens_lower(d).groupBy("tok").agg(F.count("*").alias("n"))
+    one = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    two = F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+    return freq.agg(
+        F.count("*").alias("vocab_size"),
+        one.cast("long").alias("n_hapax"),
+        two.cast("long").alias("n_dis_legomena"),
+        F.round(one * 1.0 / F.count("*"), 4).alias("hapax_ratio"),
+        F.round(one * 1.0 / F.sum("n"), 6).alias("good_turing_p0"),
+    )

@@ -817,3 +817,86 @@ def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta_disc_pct"
         ),
     )
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH z AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(q) AS DOUBLE) AS s1,
+             CAST(sum(q * q) AS DOUBLE) AS s2,
+             CAST(sum(q * q * q) AS DOUBLE) AS s3,
+             CAST(sum(q * q * q * q) AS DOUBLE) AS s4
+      FROM z GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round(s1 / n, 4) AS mean_qty,
+           round((s2 / n - (s1 / n) * (s1 / n)), 4) AS var_pop,
+           round(
+             (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) + 0.0 AS skewness_pop,
+           round(
+             (s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 4) + 0.0
+             AS kurtosis_excess
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profile per returnflag: population
+    variance, skewness and excess kurtosis of order quantity. The
+    built-in skewness()/kurtosis() aggregates differ between engines in
+    bias correction, so the engine computes them FROM RAW MOMENTS: one
+    aggregation pass collects Σq..Σq⁴ as EXACT BIGINTs (q ≤ 50, so even
+    Σq⁴ ≈ 6.25e6 per row stays far under 2^63 at any fixture SF), and
+    the standardized-moment algebra runs on the per-group row with an
+    expression tree written identically in both engines — the same
+    sufficient-statistic discipline as q_agg_ols2, and the shape that
+    makes the stat mergeable across shards (raw moment sums add)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    z = li.select("l_returnflag", q.alias("q"))
+    s = z.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("q").cast("double").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).cast("double").alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q"))
+        .cast("double")
+        .alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    m4 = F.col("s4") / F.col("n")
+    var = m2 - m * m
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(m, 4).alias("mean_qty"),
+        F.round(var, 4).alias("var_pop"),
+        # + 0.0 collapses IEEE -0.0 (session-wide convention): a moment
+        # rounding to zero must format identically in both engines
+        (
+            F.round((m3 - 3 * m * m2 + 2 * m * m * m) / F.pow(var, 1.5), 4)
+            + 0.0
+        ).alias("skewness_pop"),
+        (
+            F.round(
+                (m4 - 4 * m * m3 + 6 * m * m * m2 - 3 * m * m * m * m)
+                / F.pow(var, 2)
+                - 3,
+                4,
+            )
+            + 0.0
+        ).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")

@@ -122,8 +122,8 @@ SECTIONS = {
     "round-5 additions: geospatial grid": [
         "q_geo_grid_density", "q_geo_radius_join",
     ],
-    "round-5 additions: forecasting + regression": [
-        "q_ts_holt", "q_agg_ols2",
+    "round-5 additions: forecasting + regression + distribution stats": [
+        "q_ts_holt", "q_agg_ols2", "q_agg_moments", "q_text_hapax",
     ],
 }
 
