@@ -294,3 +294,106 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_b - rate_a, 6).alias("lift"),
         F.round((rate_b - rate_a) / se, 4).alias("z"),
     )
+
+
+@register(
+    "q_dist_shift",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(min(ts)) AS lo,
+             (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+      FROM events
+    ),
+    tagged AS (
+      SELECT CASE WHEN epoch_us(ts) < mid THEN 'early' ELSE 'late' END
+               AS period,
+             event_type
+      FROM events CROSS JOIN bounds
+    ),
+    k AS (SELECT count(DISTINCT event_type) AS n_types FROM tagged),
+    c AS (
+      SELECT event_type,
+             sum(CASE WHEN period = 'early' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN period = 'late' THEN 1 ELSE 0 END) AS n_b
+      FROM tagged GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n_a) AS na, sum(n_b) AS nb FROM c),
+    p AS (
+      SELECT event_type,
+             (n_a + 1) * 1.0 / (na + n_types) AS pa,
+             (n_b + 1) * 1.0 / (nb + n_types) AS pb
+      FROM c CROSS JOIN tot CROSS JOIN k
+    )
+    SELECT event_type,
+           round(pa, 6) AS p_early,
+           round(pb, 6) AS p_late,
+           round(pb * log2(pb / pa), 6) + 0.0 AS kl_term,
+           round(0.5 * pa * log2(pa / ((pa + pb) / 2))
+                 + 0.5 * pb * log2(pb / ((pa + pb) / 2)), 6) + 0.0
+             AS js_term
+    FROM p
+    ORDER BY event_type
+    """,
+)
+def q_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the event-type distribution of the
+    stream's early half vs its late half (split at the midpoint of the
+    observed time range), Laplace-smoothed, with each type's
+    contribution to KL(late ‖ early) and to the Jensen-Shannon
+    divergence — the per-ingest drift check a training-data pipeline
+    alerts on before a shifted batch contaminates a corpus mix. Laplace
+    (+1 over N+K) keeps the divergences finite when a type appears in
+    only one period, which is exactly the interesting case.
+
+    One scan with two tiny broadcast scalars (time bounds, type count),
+    one group-cardinality aggregation, row-local log algebra. Sums of
+    kl_term / js_term over the (tiny) result are the headline KL and
+    JSD; per-type terms are emitted because the alert needs to say
+    WHICH type drifted, not just that something did."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        ((ts_micros(F.min("ts")) + ts_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        F.when(ts_micros("ts") < F.col("mid"), F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("period"),
+        "event_type",
+    )
+    c = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("period") == "early", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("period") == "late", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").alias("na"),
+        F.sum("n_b").alias("nb"),
+        F.count("*").alias("n_types"),
+    )
+    p = c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        ((F.col("n_a") + 1) * 1.0 / (F.col("na") + F.col("n_types"))).alias(
+            "pa"
+        ),
+        ((F.col("n_b") + 1) * 1.0 / (F.col("nb") + F.col("n_types"))).alias(
+            "pb"
+        ),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    return p.select(
+        "event_type",
+        F.round("pa", 6).alias("p_early"),
+        F.round("pb", 6).alias("p_late"),
+        # + 0.0 collapses IEEE -0.0 (session-wide convention)
+        (F.round(F.col("pb") * F.log2(F.col("pb") / F.col("pa")), 6) + 0.0)
+        .alias("kl_term"),
+        (
+            F.round(
+                0.5 * F.col("pa") * F.log2(F.col("pa") / m)
+                + 0.5 * F.col("pb") * F.log2(F.col("pb") / m),
+                6,
+            )
+            + 0.0
+        ).alias("js_term"),
+    ).orderBy("event_type")

@@ -309,3 +309,20 @@ def test_ols2_matches_numpy_least_squares(spark):
     assert got["n_rows"] == len(rows)
     assert abs(got["beta_qty"] - beta[1] / 100) < 1e-3
     assert abs(got["beta_disc_pct"] - beta[2] / 100) < 1e-3
+
+
+def test_dist_shift_probabilities_sum_to_one_and_jsd_bounded(spark):
+    """Laplace-smoothed per-period probabilities must each sum to 1
+    (modulo rounding), per-type JS terms are non-negative, and the total
+    JSD is bounded by 1 bit — the invariants that make the drift number
+    comparable across ingests."""
+    from spring_and_kafka_spark.operators.profiling import q_dist_shift
+
+    rows = q_dist_shift(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["p_early"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["p_late"] for r in rows) - 1.0) < 1e-3
+    jsd = sum(r["js_term"] for r in rows)
+    assert 0.0 <= jsd <= 1.0
+    for r in rows:
+        assert r["js_term"] >= 0.0
