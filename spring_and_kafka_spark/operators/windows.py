@@ -424,3 +424,91 @@ def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("streak_len").alias("longest_streak"),
         )
     )
+
+
+_RSLOPE_WIN = 20
+
+
+@register(
+    "q_win_rolling_slope",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS BIGINT) AS rn
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id, value, rn,
+             count(*) OVER w AS n,
+             sum(rn) OVER w AS sx,
+             sum(rn * rn) OVER w AS sxx,
+             sum(vi) OVER w AS sy,
+             sum(rn * vi) OVER w AS sxy
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN {_RSLOPE_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, value,
+           CASE WHEN n >= 3
+             THEN floor((n * sxy - sx * sy) * 1.0
+                        / (n * sxx - sx * sx) / 1e6 * 1e4 + 0.5) / 1e4 + 0.0
+           END AS roll_slope
+    FROM framed
+    """,
+)
+def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling regression slope: the least-squares trend of the
+    last {20} values against their sequence index, emitted per row — the
+    windowed sibling of q_agg_corr's regr_slope and the feature a
+    monitoring pipeline thresholds for 'steadily rising' (vs q_ts_cusum's
+    step-change view). NULL until the frame has 3 points.
+
+    Exactness discipline: value scaled to integer micro-units and the
+    regressor is the integer row index, so every frame sum (Σx, Σx²,
+    Σy, Σxy) is an exact BIGINT windowed aggregate — the closed-form
+    slope then divides identical integers in both engines (q_ts_anomaly's
+    pattern extended with the cross-moment). One shuffle on user_id,
+    running frame sums, no per-row recompute of the frame."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vi"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("rn"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(_RSLOPE_WIN - 1), 0)
+    )
+    framed = seq.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("*").over(w).alias("n"),
+        F.sum("rn").over(w).alias("sx"),
+        F.sum(F.col("rn") * F.col("rn")).over(w).alias("sxx"),
+        F.sum("vi").over(w).alias("sy"),
+        F.sum(F.col("rn") * F.col("vi")).over(w).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return framed.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(
+            F.col("n") >= 3,
+            # floor-form half-up: Spark round() (decimal HALF_UP) and
+            # DuckDB round() (binary) disagree on .xxxx5 boundaries;
+            # floor(x*1e4+0.5)/1e4 is identical in both (repo convention)
+            F.floor(num * 1.0 / den / 1e6 * 1e4 + F.lit(0.5)) / 1e4 + 0.0,
+        ).alias("roll_slope"),
+    )

@@ -124,7 +124,7 @@ SECTIONS = {
     ],
     "round-5 additions: forecasting + regression + distribution stats": [
         "q_ts_holt", "q_agg_ols2", "q_agg_moments", "q_text_hapax",
-        "q_dist_shift",
+        "q_dist_shift", "q_win_rolling_slope",
     ],
 }
 
