@@ -1175,3 +1175,89 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+      SELECT 'signup_to_click' AS step,
+             epoch_us(c.t2) - epoch_us(s.t1) AS gap_us
+      FROM c JOIN s USING (user_id)
+      UNION ALL
+      SELECT 'click_to_purchase',
+             epoch_us(p.t3) - epoch_us(c.t2)
+      FROM p JOIN c USING (user_id)
+    )
+    SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us)
+                 / 1e6, 2) AS p50_sec,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us)
+                 / 1e6, 2) AS p90_sec
+    FROM d GROUP BY step ORDER BY step
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency readout for q_funnel's signup → click →
+    purchase stages: per transition, how long converting users took
+    (median and p90 seconds between the stage-entry events). The number
+    a growth team reads next to the funnel counts — the same per-user
+    stage times as q_funnel, reduced over integer microsecond gaps so
+    the percentile interpolation sees identical inputs in both engines.
+
+    Shape: two stage joins over per-user minima (group-cardinality
+    frames, never event-row × event-row), one percentile aggregation
+    over users-sized gaps. At extreme user counts the exact percentile
+    swaps for percentile_approx in the same slot."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage_min(etype: str, after: DataFrame | None, tcol: str) -> DataFrame:
+        ev = e.filter(F.col("event_type") == etype)
+        if after is not None:
+            prev = after.columns[1]
+            ev = ev.join(after, "user_id").filter(F.col("ts") > F.col(prev))
+        return ev.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s = stage_min("signup", None, "t1")
+    c = stage_min("click", s, "t2")
+    p = stage_min("purchase", c, "t3")
+    d = (
+        c.join(s, "user_id")
+        .select(
+            F.lit("signup_to_click").alias("step"),
+            (ts_micros("t2") - ts_micros("t1")).alias("gap_us"),
+        )
+        .unionByName(
+            p.join(c, "user_id").select(
+                F.lit("click_to_purchase").alias("step"),
+                (ts_micros("t3") - ts_micros("t2")).alias("gap_us"),
+            )
+        )
+    )
+    return (
+        d.groupBy("step")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 2).alias(
+                "p50_sec"
+            ),
+            F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 2).alias(
+                "p90_sec"
+            ),
+        )
+        .orderBy("step")
+    )

@@ -397,3 +397,70 @@ def q_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("js_term"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(sum(i * cents) AS BIGINT) AS wsum
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           round(tot / 100.0, 2) AS total_revenue,
+           round(2.0 * wsum / (n * 1.0 * tot) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    inequality gauge that pairs with q_skew_report: a Gini near 0 says
+    revenue (like TPC-H's synthetic keys) is spread evenly and plain
+    partitioning is safe; a high Gini at 100 TB says a handful of
+    accounts dominate and the fact table needs the salt/cap treatment.
+
+    Exactness: per-customer revenue in integer cents, rank from a
+    deterministic (cents, custkey) order, and the weighted sum Σ(i·yᵢ)
+    as an exact BIGINT — only the final normalized formula runs in
+    doubles, written identically in both engines. The global sort is
+    over the CUSTOMER-level aggregate (group cardinality, not fact
+    rows); at extreme customer counts the rank decomposes two-level per
+    DESIGN.md #16."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    ranked = rev.select(
+        "cents",
+        F.row_number()
+        .over(W.orderBy("cents", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).alias("wsum"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("tot") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("wsum") / (F.col("n") * 1.0 * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -326,3 +326,59 @@ def test_dist_shift_probabilities_sum_to_one_and_jsd_bounded(spark):
     assert 0.0 <= jsd <= 1.0
     for r in rows:
         assert r["js_term"] >= 0.0
+
+
+def test_gini_bounds_and_degenerate_equality(spark, tmp_path):
+    """Gini must be 0 on perfectly equal revenues, approach (n-1)/n when
+    one customer holds everything, and the fixture value must fall
+    strictly inside (0, 1)."""
+    from spring_and_kafka_spark.operators.profiling import q_agg_gini
+
+    fixture = q_agg_gini(spark, SF_SMOKE).collect()[0]
+    assert 0.0 < fixture["gini"] < 1.0
+
+    import datetime as dt
+
+    def write_orders(rows, name):
+        df = spark.createDataFrame(
+            [
+                (i, ck, "O", price, dt.datetime(2024, 1, 1), "1-URGENT")
+                for i, (ck, price) in enumerate(rows)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        )
+        d = tmp_path / name
+        df.write.mode("overwrite").parquet(str(d / "orders.parquet"))
+        return str(d)
+
+    equal = write_orders([(c, 100.0) for c in range(10)], "equal")
+    assert q_agg_gini(spark, equal).collect()[0]["gini"] == 0.0
+    skewed = write_orders(
+        [(0, 1e6)] + [(c, 0.01) for c in range(1, 10)], "skewed"
+    )
+    assert q_agg_gini(spark, skewed).collect()[0]["gini"] > 0.85
+
+
+def test_funnel_latency_gaps_are_positive_and_match_funnel_counts(spark):
+    """Each transition's user count must equal q_funnel's corresponding
+    stage count (identical stage semantics, different readout), with
+    positive latencies and p50 <= p90. The funnel's stage counts are
+    taken positionally (its 2nd column) to stay schema-agnostic."""
+    from spring_and_kafka_spark.operators.analytics import (
+        q_funnel,
+        q_funnel_latency,
+    )
+
+    lat = {r["step"]: r for r in q_funnel_latency(spark, SF_SMOKE).collect()}
+    assert set(lat) == {"signup_to_click", "click_to_purchase"}
+    for r in lat.values():
+        assert r["n_users"] > 0
+        assert 0 < r["p50_sec"] <= r["p90_sec"]
+    funnel_counts = {r[0]: r[1] for r in q_funnel(spark, SF_SMOKE).collect()}
+    vals = set(funnel_counts.values())
+    # users reaching click == signup_to_click transitions; reaching
+    # purchase == click_to_purchase transitions
+    assert lat["signup_to_click"]["n_users"] in vals
+    assert lat["click_to_purchase"]["n_users"] in vals
