@@ -464,3 +464,80 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT o_custkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey) AS cum,
+             sum(cents) OVER () AS tot
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 10 <= tot * 5 THEN 'A'
+                  WHEN cum * 10 <= tot * 8 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(cents) / 100.0, 2) AS revenue,
+           round(sum(cents) * 1.0 / max(tot), 4) AS revenue_share
+    FROM classed CROSS JOIN (SELECT sum(cents) AS tot FROM rev) t
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue: class A =
+    customers covering the first 50% of cumulative revenue (largest
+    first), B = the next 30%, C = the tail — the segmentation that
+    decides which accounts get dedicated treatment, and numerically the
+    piecewise view of q_agg_gini's single number. Class boundaries are
+    evaluated as integer cross-products (cum·10 ≤ tot·5) so no floating
+    division ever decides a boundary row.
+
+    The running sum is over the CUSTOMER-level aggregate (group
+    cardinality, not fact rows), ordered deterministically by (revenue
+    desc, custkey); at extreme customer counts the cumulative sum
+    decomposes two-level per DESIGN.md #16."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    w = W.orderBy(F.col("cents").desc(), "o_custkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") * 10 <= F.col("tot") * 5, F.lit("A"))
+        .when(F.col("cum") * 10 <= F.col("tot") * 8, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "cents",
+        "tot",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.sum("cents") * 1.0 / F.max("tot"), 4).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )

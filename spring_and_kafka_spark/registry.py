@@ -48,12 +48,12 @@ _MODULE_SEQ: dict[str, int] = {}
 # (governance/warehouse batch) that replaced the originally planned
 # round-1 re-verification backfill (first-time verification beats
 # re-confirmation of 4×-verified greens). After round 5 every entry
-# registered at window-freeze time owns a driver row; the 17 post-freeze
+# registered at window-freeze time owns a driver row; the 18 post-freeze
 # round-5 additions (q_zonemap_prune q_zorder_layout q_snapshot_diff
 # q_skew_report q_ts_seasonality q_mv_incremental q_compaction_plan
 # q_geo_grid_density q_geo_radius_join q_ts_holt q_agg_ols2
 # q_agg_moments q_text_hapax q_dist_shift q_win_rolling_slope
-# q_funnel_latency q_agg_gini —
+# q_funnel_latency q_agg_gini q_pareto_abc —
 # operators/layout.py,
 # operators/geo.py et al.) plus the
 # round-1/round-2 stale greens lead the round-6 rotation. Queries not

@@ -382,3 +382,33 @@ def test_funnel_latency_gaps_are_positive_and_match_funnel_counts(spark):
     # purchase == click_to_purchase transitions
     assert lat["signup_to_click"]["n_users"] in vals
     assert lat["click_to_purchase"]["n_users"] in vals
+
+
+def test_pareto_abc_partitions_and_ordering(spark):
+    """A/B/C shares must sum to 1, stack as A>=~50%, A+B>=~80%, and
+    every customer lands in exactly one class."""
+    import pyspark.sql.functions as F
+
+    from spring_and_kafka_spark.operators.profiling import q_pareto_abc
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    rows = {r["abc_class"]: r for r in q_pareto_abc(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_cust = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows.values()) == n_cust
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-3
+    # boundary rows belong to the class whose threshold they complete,
+    # so A can land just under 50% and A+B just under 80%
+    assert rows["A"]["revenue_share"] <= 0.5
+    assert rows["A"]["revenue_share"] + rows["B"]["revenue_share"] <= 0.8
+    # A takes the LARGEST customers first, so its mean revenue per
+    # customer must dominate C's — true even on TPC-H's near-uniform
+    # revenue, where the class sizes themselves are nearly equal
+    mean_a = rows["A"]["revenue"] / rows["A"]["n_customers"]
+    mean_c = rows["C"]["revenue"] / rows["C"]["n_customers"]
+    assert mean_a > mean_c

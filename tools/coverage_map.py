@@ -125,7 +125,7 @@ SECTIONS = {
     "round-5 additions: forecasting + regression + distribution stats": [
         "q_ts_holt", "q_agg_ols2", "q_agg_moments", "q_text_hapax",
         "q_dist_shift", "q_win_rolling_slope", "q_funnel_latency",
-        "q_agg_gini",
+        "q_agg_gini", "q_pareto_abc",
     ],
 }
 
