@@ -18,6 +18,40 @@ from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
 
+def funnel_stage_minima(
+    e: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Per-user first-entry times for the signup → click → purchase
+    funnel: (s, c, p) frames keyed by user_id with t1/t2/t3, each stage
+    admitted only strictly AFTER the previous stage's first event. The
+    SINGLE definition of the stage semantics — q_funnel counts these
+    frames, q_funnel_latency differences them; sharing it is what keeps
+    the two readouts definitionally consistent. Each stage is a per-user
+    min (tiny, broadcast) joined to the next stage's events — event rows
+    never shuffle twice."""
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return s, c, p
+
+
+
 @register(
     "q_funnel",
     oracle="""
@@ -43,28 +77,8 @@ from spring_and_kafka_spark.sources.tables import load_table
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup → click → purchase: users counted at each
     stage only if the stage event happens strictly AFTER their previous
-    stage's first event. Each stage is a per-user min (tiny) joined to the
-    next stage's events — event rows never shuffle twice."""
-    e = load_table(spark, sf_dir, "events")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
+    stage's first event (stage semantics in funnel_stage_minima)."""
+    s, c, p = funnel_stage_minima(load_table(spark, sf_dir, "events"))
     return (
         s.agg(F.count("*").alias("n_signup"))
         .crossJoin(c.agg(F.count("*").alias("n_click_after")))
@@ -1204,10 +1218,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p JOIN c USING (user_id)
     )
     SELECT step, CAST(count(*) AS BIGINT) AS n_users,
-           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us)
-                 / 1e6, 2) AS p50_sec,
-           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us)
-                 / 1e6, 2) AS p90_sec
+           floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us)
+                 / 1e6 * 100 + 0.5) / 100 AS p50_sec,
+           floor(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us)
+                 / 1e6 * 100 + 0.5) / 100 AS p90_sec
     FROM d GROUP BY step ORDER BY step
     """,
 )
@@ -1219,22 +1233,14 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage times as q_funnel, reduced over integer microsecond gaps so
     the percentile interpolation sees identical inputs in both engines.
 
-    Shape: two stage joins over per-user minima (group-cardinality
-    frames, never event-row × event-row), one percentile aggregation
-    over users-sized gaps. At extreme user counts the exact percentile
-    swaps for percentile_approx in the same slot."""
-    e = load_table(spark, sf_dir, "events")
-
-    def stage_min(etype: str, after: DataFrame | None, tcol: str) -> DataFrame:
-        ev = e.filter(F.col("event_type") == etype)
-        if after is not None:
-            prev = after.columns[1]
-            ev = ev.join(after, "user_id").filter(F.col("ts") > F.col(prev))
-        return ev.groupBy("user_id").agg(F.min("ts").alias(tcol))
-
-    s = stage_min("signup", None, "t1")
-    c = stage_min("click", s, "t2")
-    p = stage_min("purchase", c, "t3")
+    Shape: the SAME stage minima as q_funnel (funnel_stage_minima — one
+    definition, two readouts, broadcast per-user frames), then one
+    percentile aggregation over users-sized gaps. At extreme user
+    counts the exact percentile swaps for percentile_approx in the same
+    slot. Seconds use floor-form rounding: a percentile of integer
+    microseconds can land exactly on a .xx5 boundary, where Spark's
+    decimal round and DuckDB's binary round disagree."""
+    s, c, p = funnel_stage_minima(load_table(spark, sf_dir, "events"))
     d = (
         c.join(s, "user_id")
         .select(
@@ -1252,12 +1258,20 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("step")
         .agg(
             F.count("*").alias("n_users"),
-            F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 2).alias(
-                "p50_sec"
-            ),
-            F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 2).alias(
-                "p90_sec"
-            ),
+            (
+                F.floor(
+                    F.percentile("gap_us", F.lit(0.5)) / 1e6 * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("p50_sec"),
+            (
+                F.floor(
+                    F.percentile("gap_us", F.lit(0.9)) / 1e6 * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("p90_sec"),
         )
         .orderBy("step")
     )

@@ -417,12 +417,13 @@ def q_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(cents) AS BIGINT) AS tot,
-             CAST(sum(i * cents) AS BIGINT) AS wsum
+             sum(CAST(i AS HUGEINT) * cents) AS wsum
       FROM ranked
     )
     SELECT n AS n_customers,
            round(tot / 100.0, 2) AS total_revenue,
-           round(2.0 * wsum / (n * 1.0 * tot) - (n + 1.0) / n, 6) AS gini
+           round(2.0 * CAST(wsum AS DOUBLE) / (n * 1.0 * tot)
+                 - (n + 1.0) / n, 6) AS gini
     FROM s
     """,
 )
@@ -435,10 +436,14 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-customer revenue in integer cents, rank from a
     deterministic (cents, custkey) order, and the weighted sum Σ(i·yᵢ)
-    as an exact BIGINT — only the final normalized formula runs in
-    doubles, written identically in both engines. The global sort is
-    over the CUSTOMER-level aggregate (group cardinality, not fact
-    rows); at extreme customer counts the rank decomposes two-level per
+    accumulated in DECIMAL(38)/HUGEINT — it grows as n²·avg_cents/2 and
+    would cross int64 around 1.5M customers, so 128-bit accumulation is
+    what keeps the claim exact at ANY scale (the scale-latent-overflow
+    class an earlier review batch fixed elsewhere). Only the final
+    normalized formula runs in doubles, converted from the identical
+    exact integer in both engines. The global sort is over the
+    CUSTOMER-level aggregate (group cardinality, not fact rows); at
+    extreme customer counts the rank decomposes two-level per
     DESIGN.md #16."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
@@ -453,13 +458,16 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ranked.agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("tot"),
-        F.sum(F.col("i") * F.col("cents")).alias("wsum"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("cents")
+        ).alias("wsum"),
     )
     return s.select(
         F.col("n").alias("n_customers"),
         F.round(F.col("tot") / 100.0, 2).alias("total_revenue"),
         F.round(
-            2.0 * F.col("wsum") / (F.col("n") * 1.0 * F.col("tot"))
+            2.0 * F.col("wsum").cast("double")
+            / (F.col("n") * 1.0 * F.col("tot"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),

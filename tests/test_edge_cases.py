@@ -363,9 +363,8 @@ def test_gini_bounds_and_degenerate_equality(spark, tmp_path):
 
 def test_funnel_latency_gaps_are_positive_and_match_funnel_counts(spark):
     """Each transition's user count must equal q_funnel's corresponding
-    stage count (identical stage semantics, different readout), with
-    positive latencies and p50 <= p90. The funnel's stage counts are
-    taken positionally (its 2nd column) to stay schema-agnostic."""
+    stage count (both now derive from funnel_stage_minima — one stage
+    definition, two readouts), with positive latencies and p50 <= p90."""
     from spring_and_kafka_spark.operators.analytics import (
         q_funnel,
         q_funnel_latency,
@@ -376,12 +375,11 @@ def test_funnel_latency_gaps_are_positive_and_match_funnel_counts(spark):
     for r in lat.values():
         assert r["n_users"] > 0
         assert 0 < r["p50_sec"] <= r["p90_sec"]
-    funnel_counts = {r[0]: r[1] for r in q_funnel(spark, SF_SMOKE).collect()}
-    vals = set(funnel_counts.values())
-    # users reaching click == signup_to_click transitions; reaching
-    # purchase == click_to_purchase transitions
-    assert lat["signup_to_click"]["n_users"] in vals
-    assert lat["click_to_purchase"]["n_users"] in vals
+    # q_funnel returns ONE wide row: (n_signup, n_click_after,
+    # n_purchase_after) — compare stage-by-stage BY NAME
+    funnel = q_funnel(spark, SF_SMOKE).collect()[0]
+    assert lat["signup_to_click"]["n_users"] == funnel["n_click_after"]
+    assert lat["click_to_purchase"]["n_users"] == funnel["n_purchase_after"]
 
 
 def test_pareto_abc_partitions_and_ordering(spark):
