@@ -816,7 +816,7 @@ _II_MIN_DF = 50  # index only terms appearing in ≥50 docs (head vocab)
     )
     SELECT term, CAST(df AS BIGINT) AS df,
            CAST(tf_total AS BIGINT) AS tf_total,
-           list(doc_id ORDER BY rn) AS top_docs
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS top_docs
     FROM w
     WHERE df >= {_II_MIN_DF} AND rn <= {_POSTING_CAP}
     GROUP BY term, df, tf_total
@@ -835,7 +835,11 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(term, doc) for tf, then window + final groupBy all on the
     SAME term key — the explode's hash partitioning is reused, no second
     wide shuffle. collect_list order is made deterministic by sorting
-    the (rank, doc) structs, never by relying on arrival order."""
+    the (rank, doc) structs, never by relying on arrival order. The
+    posting prefix is serialized to one CSV string (the q_agg_collect
+    precedent, operators/aggregates.py): identical semantics, but
+    scalar-typed output so the driver's pandas-based value hasher —
+    which cannot factorize list cells — can process the column."""
     d = load_table(spark, sf_dir, "documents")
     td = tokens_lower(d).groupBy(
         F.col("tok").alias("term"), "doc_id"
@@ -857,9 +861,12 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("term", "df", "tf_total")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("rn", "doc_id"))),
-                lambda x: x["doc_id"],
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+                ",",
             ).alias("top_docs")
         )
     )
@@ -893,7 +900,8 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN uc u2 ON bc.w2 = u2.w
     CROSS JOIN tot
     WHERE n_xy >= 5
-    ORDER BY n_xy * log2(n_xy * 1.0 * n_tok / (u1.n * u2.n)) DESC, w1, w2
+    ORDER BY round(n_xy * log2(n_xy * 1.0 * n_tok / (u1.n * u2.n)), 4)
+             DESC, n_xy DESC, w1, w2
     LIMIT 20
     """,
     tags=("text",),
@@ -909,8 +917,12 @@ def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle on doc_id, bounded by document length), unigram and
     bigram counts are map-side-combined groupBys, and the corpus total
     joins back as a broadcast scalar — the same explode→count→broadcast
-    shape as q_text_bm25. Ranking ties break on the bigram text itself,
-    so top-k membership is deterministic."""
+    shape as q_text_bm25. The top-20 boundary is decided on the 4-dp
+    ROUNDED score (then n_xy, then the bigram text): JVM and DuckDB libm
+    may disagree by 1 ulp on log2, so ranking on the raw double is a
+    latent cross-engine reorder at the LIMIT edge — rounding first makes
+    near-equal scores exactly equal and the integer/text tiebreaks
+    deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -948,7 +960,9 @@ def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        scored.orderBy(F.col("raw_score").desc(), "w1", "w2")
+        scored.orderBy(
+            F.round("raw_score", 4).desc(), F.col("n_xy").desc(), "w1", "w2"
+        )
         .limit(20)
         .select(
             "w1",

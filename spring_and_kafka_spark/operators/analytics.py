@@ -883,7 +883,8 @@ def peak_from_intervals(sess: DataFrame) -> DataFrame:
                 - (year(fo.cohort_month) * 12 + month(fo.cohort_month))
                 AS INT) AS age_months,
            CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
-           round(sum(o.o_totalprice), 2) AS revenue
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
     GROUP BY 1, 2
     """,
@@ -900,7 +901,10 @@ def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the fact-side join back (co-partitioned on the same key, so AQE
     plans it shuffle-free after the first exchange) feeding one final
     map-side-combined rollup. Month arithmetic stays in exact integer
-    space (year*12+month), never float date diffs."""
+    space (year*12+month), never float date diffs; revenue is summed in
+    integer cents (floor(x*100+0.5) per row, BIGINT sum — the repo's
+    cross-engine money convention, see q_mv_incremental) so Spark/DuckDB
+    summation-order and .xx5-rounding drift cannot touch the hash."""
     orders = load_table(spark, sf_dir, "orders")
     fo = orders.groupBy("o_custkey").agg(
         F.min(F.trunc("o_orderdate", "mm")).alias("cohort_month")
@@ -912,7 +916,11 @@ def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_month", (month_idx - cohort_idx).cast("int").alias("age_months")
     ).agg(
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("revenue_cents"),
     )
 
 

@@ -192,6 +192,7 @@ def _update_attribution(
         click_k = pdf["k"].where(is_click).ffill()
         if last_us is not None:
             click_us = click_us.fillna(last_us)
+        if last_k is not None:
             click_k = click_k.fillna(last_k)
         purch = (pdf["event_type"] == "purchase").to_numpy()
         if purch.any():
@@ -211,9 +212,14 @@ def _update_attribution(
                 )
             )
         if is_click.any():
-            last_row = pdf[is_click].iloc[-1]
-            last_us = int(last_row["us"])
-            last_k = int(last_row["k"])
+            # Mirror the batch's IGNORE NULLS semantics: the latest
+            # click always advances last_click_us, but a click whose
+            # props lack '$.k' (NaN here) must NOT clobber the carried
+            # campaign — last_click_k advances only on non-null k.
+            last_us = int(pdf["us"].to_numpy()[is_click][-1])
+            k_clicks = pdf["k"].where(is_click).dropna()
+            if len(k_clicks):
+                last_k = int(k_clicks.iloc[-1])
     state.update((last_us, last_k))
     yield from out or [
         pd.DataFrame(

@@ -308,6 +308,75 @@ def test_stream_attribution_equals_batch(spark, tmp_path):
         assert abs(streamed[c][1] - rev) < 0.02
 
 
+def test_attribution_state_tolerates_null_campaign_clicks():
+    """A click whose props lack '$.k' (NaN in the Arrow batch) must not
+    crash the state update, and must advance last_click_us WITHOUT
+    clobbering the carried campaign — the batch oracle's IGNORE NULLS
+    semantics (ADVICE r5 #1: int(last_row['k']) raised on NaN and
+    killed the streaming query)."""
+    import numpy as np
+    import pandas as pd
+
+    from spring_and_kafka_spark.streaming.stateful import _update_attribution
+
+    class FakeState:
+        def __init__(self):
+            self.value = None
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+    st = FakeState()
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "event_id": [1, 2],
+            "us": [0, 10],
+            "event_type": ["click", "click"],
+            "value": [0.0, 0.0],
+            "k": [7.0, np.nan],  # second click has no campaign key
+        }
+    )
+    list(_update_attribution((1,), iter([b1]), st))
+    assert st.value == (10, 7)  # us from last click, k carried past NaN
+    b2 = pd.DataFrame(
+        {
+            "user_id": [1],
+            "event_id": [3],
+            "us": [20],
+            "event_type": ["purchase"],
+            "value": [5.0],
+            "k": [np.nan],
+        }
+    )
+    out = pd.concat(list(_update_attribution((1,), iter([b2]), st)))
+    assert out["campaign"].tolist() == [7]
+
+    # all-null-k history: purchases inside the window land in -1
+    st2 = FakeState()
+    b3 = pd.DataFrame(
+        {
+            "user_id": [2, 2],
+            "event_id": [1, 2],
+            "us": [0, 5],
+            "event_type": ["click", "purchase"],
+            "value": [0.0, 3.0],
+            "k": [np.nan, np.nan],
+        }
+    )
+    out3 = pd.concat(list(_update_attribution((2,), iter([b3]), st2)))
+    assert out3["campaign"].tolist() == [-1]
+    assert st2.value == (0, None)
+
+
 def test_stream_maintained_mv_equals_batch(spark, tmp_path):
     """CDC changelog rows replayed as micro-batches through the
     foreachBatch partial-delta sink must maintain the monthly-revenue MV
