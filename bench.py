@@ -71,6 +71,14 @@ HEADLINE = [
     # power-iteration passes)
     "q_cohort_revenue",
     "q_embed_pca",
+    # added round 6: the round's new operators — grid-blocked spatial
+    # argmin, per-source entropy (vocabulary-sized second agg),
+    # per-dimension embedding profile, partition-freshness audit
+    # (BASELINE.md §2 notes the headline-set change)
+    "q_geo_nearest",
+    "q_text_entropy",
+    "q_embed_dim_stats",
+    "q_dq_freshness",
 ]
 
 

@@ -721,3 +721,56 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(
         "vec_id", (F.round(dot_c("v", "c"), 4) + 0.0).alias("pc1_score")
     )
+
+
+@register(
+    "q_embed_dim_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT CAST(pos AS INT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(x), 4) + 0.0 AS mean_x,
+           round(stddev_samp(x), 4) AS std_x,
+           round(min(x), 4) + 0.0 AS min_x,
+           round(max(x), 4) + 0.0 AS max_x,
+           round(avg(CASE WHEN abs(x) < 0.001 THEN 1.0 ELSE 0.0 END), 4)
+             AS near_zero_rate
+    FROM ex GROUP BY pos
+    """,
+    tags=("embedding",),
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile: mean, spread, range, and
+    near-zero rate for each of the 64 coordinates — the readout that
+    catches dead dimensions (std ≈ 0: wasted capacity, or a truncated
+    export) and collapsed/shifted ones (mean far off 0) before a
+    curation run trusts cosine distances built on them. Complements
+    q_embed_centroid's per-vector view with the per-coordinate one.
+
+    Shape: one posexplode and ONE map-side-combined groupBy on the
+    64-value dim key — the reduce stream is 64×partitions rows no
+    matter the corpus size, the same scale argument as
+    q_embed_centroid's centroid aggregate. All moments round to 4 dp so
+    partial-sum order drift between the engines cannot touch the hash
+    (ratio-column discipline, registry.py header); `+ 0.0` collapses
+    IEEE -0.0 (semistructured.py convention)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        )
+    )
+    return ex.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        (F.round(F.avg("x"), 4) + 0.0).alias("mean_x"),
+        F.round(F.stddev_samp("x"), 4).alias("std_x"),
+        (F.round(F.min("x"), 4) + 0.0).alias("min_x"),
+        (F.round(F.max("x"), 4) + 0.0).alias("max_x"),
+        F.round(
+            F.avg(F.when(F.abs("x") < 0.001, 1.0).otherwise(0.0)), 4
+        ).alias("near_zero_rate"),
+    )

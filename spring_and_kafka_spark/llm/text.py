@@ -1015,3 +1015,67 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(one * 1.0 / F.count("*"), 4).alias("hapax_ratio"),
         F.round(one * 1.0 / F.sum("n"), 6).alias("good_turing_p0"),
     )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, lower(t.tok) AS tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    ),
+    tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (
+      SELECT source, sum(c) AS n, count(*) AS vocab FROM tc GROUP BY 1
+    )
+    SELECT tc.source,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           CAST(tot.vocab AS BIGINT) AS vocab_size,
+           round(-sum((c * 1.0 / tot.n) * log2(c * 1.0 / tot.n)), 4)
+             AS entropy_bits,
+           round(-sum((c * 1.0 / tot.n) * log2(c * 1.0 / tot.n))
+                 / log2(tot.vocab * 1.0), 4) AS norm_entropy
+    FROM tc JOIN tot ON tc.source = tot.source
+    GROUP BY tc.source, tot.n, tot.vocab
+    """,
+    tags=("text",),
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy H = -Σ p·log₂p plus its
+    normalized form H / log₂|V| — the information-density quality signal
+    a curator reads next to q_text_zipf's slope and q_text_hapax's tail:
+    low entropy flags templated/repetitive sources (boilerplate, spam
+    farms), near-1 normalized entropy flags near-uniform token soup
+    (random or shuffled text). Both extremes are down-weighted when
+    mixing a training corpus.
+
+    Shape: one map-side-combined (source, token) count, one per-source
+    rollup of those counts, and the totals joined back on the ~10-value
+    source key (broadcast). The entropy sum runs over the vocabulary
+    table — types, not the token stream — so the second aggregate is
+    vocabulary-sized at any corpus scale; rounding to 4 dp absorbs
+    summation-order double drift between the engines (the repo's ratio
+    convention, registry.py header)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = tc.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("vocab")
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    j = tc.join(F.broadcast(tot), "source")
+    return j.groupBy("source", "n", "vocab").agg(
+        F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+        F.round(
+            -F.sum(p * F.log2(p)) / F.log2(F.col("vocab") * 1.0), 4
+        ).alias("norm_entropy"),
+    ).select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab_size"),
+        "entropy_bits",
+        "norm_entropy",
+    )

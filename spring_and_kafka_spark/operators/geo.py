@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -162,13 +163,11 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_join(geo_points(spark, sf_dir), _GEO_RADIUS_KM)
 
 
-def radius_join(points: DataFrame, radius_km: float) -> DataFrame:
-    """Grid candidate generation + exact haversine verify over a
-    (id, lat, lon) frame — see q_geo_radius_join. Factored out so tests
-    can drive it with synthetic points (the ±180 longitude seam, exact
-    radius boundaries). radius_km must not exceed the minimum cell
-    width (111 km at |lat| = 60 with the 2° grid) or the 3×3
-    neighborhood stops covering the search disc."""
+def _radius_pairs(points: DataFrame, radius_km: float) -> DataFrame:
+    """Unordered grid-blocked radius pairs (a_id < b_id, dist_km) —
+    the shared candidate-generation core of q_geo_radius_join (which
+    adds the presentation sort) and q_geo_nearest (which argmins per
+    point and must NOT pay a global sort first)."""
     pts = points.select(
         "id",
         "lat",
@@ -235,5 +234,74 @@ def radius_join(points: DataFrame, radius_km: float) -> DataFrame:
         )
         .filter(F.col("_d") <= radius_km)
         .drop("_d")
-        .orderBy("a_id", "b_id")
+    )
+
+
+def radius_join(points: DataFrame, radius_km: float) -> DataFrame:
+    """Grid candidate generation + exact haversine verify over a
+    (id, lat, lon) frame — see q_geo_radius_join. Factored out so tests
+    can drive it with synthetic points (the ±180 longitude seam, exact
+    radius boundaries). radius_km must not exceed the minimum cell
+    width (111 km at |lat| = 60 with the 2° grid) or the 3×3
+    neighborhood stops covering the search disc."""
+    return _radius_pairs(points, radius_km).orderBy("a_id", "b_id")
+
+
+@register(
+    "q_geo_nearest",
+    oracle=f"""
+    WITH {_GEO_POINTS_SQL},
+    pairs AS (
+      SELECT a.id AS id, b.id AS nn_id,
+             round({_HAVERSINE_SQL.format(lat1="a.lat", lon1="a.lon",
+                                          lat2="b.lat", lon2="b.lon")}, 3)
+               AS dist_km
+      FROM points a JOIN points b ON a.id <> b.id
+      WHERE {_HAVERSINE_SQL.format(lat1="a.lat", lon1="a.lon",
+                                   lat2="b.lat", lon2="b.lon")}
+            <= {_GEO_RADIUS_KM}
+    ),
+    ranked AS (
+      SELECT id, nn_id, dist_km,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY dist_km, nn_id) AS rn
+      FROM pairs
+    )
+    SELECT id, nn_id, dist_km FROM ranked WHERE rn = 1 ORDER BY id
+    """,
+)
+def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-within-radius: for every point that has at least
+    one neighbor inside 100 km, its closest such neighbor and the
+    distance — the spatial enrichment ("closest store / nearest depot")
+    that follows the radius join in any location pipeline.
+
+    Built on the SAME grid-blocked candidate pairs as q_geo_radius_join
+    (each undirected pair symmetrized into both directions), then a
+    per-id row_number argmin — so the only new cost over the radius join
+    is one shuffle on id whose per-key group is bounded by the points in
+    a 100 km disc, never the whole dataset. Argmin orders on the 3-dp
+    ROUNDED distance with an nn_id tiebreak in both engines: ranking on
+    the raw double would let 1-ulp trig divergence between JVM and
+    DuckDB libm flip near-equal neighbors. The oracle is the quadratic
+    all-pairs ground truth, so the hash match re-proves grid recall 1.0
+    on the argmin path too."""
+    rj = _radius_pairs(geo_points(spark, sf_dir), _GEO_RADIUS_KM)
+    sym = rj.select(
+        F.col("a_id").alias("id"),
+        F.col("b_id").alias("nn_id"),
+        "dist_km",
+    ).unionAll(
+        rj.select(
+            F.col("b_id").alias("id"),
+            F.col("a_id").alias("nn_id"),
+            "dist_km",
+        )
+    )
+    w = W.partitionBy("id").orderBy("dist_km", "nn_id")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "nn_id", "dist_km")
+        .orderBy("id")
     )

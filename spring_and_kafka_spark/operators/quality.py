@@ -22,6 +22,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -428,4 +429,58 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(flagged) * F.lit(1.0) / F.count("*"), 4).alias(
             "flagged_rate"
         ),
+    )
+
+
+@register(
+    "q_dq_freshness",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             round(1.0 - count(value) * 1.0 / count(*), 6)
+               AS null_value_rate
+      FROM events GROUP BY 1
+    )
+    SELECT day, CAST(n_rows AS BIGINT) AS n_rows, n_users,
+           null_value_rate,
+           round(n_rows * 1.0 / lag(n_rows) OVER (ORDER BY day), 4)
+             AS dod_ratio
+    FROM d
+    """,
+    tags=("governance",),
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest freshness/completeness audit: per event day, row volume,
+    distinct users, the null rate of the value column, and the
+    day-over-day volume ratio — the partition-health dashboard a 100 TB
+    ingest runs after every load (a dod_ratio collapsing toward 0 is a
+    stuck upstream; a null-rate step is a schema drift; both fire
+    before any downstream query sees the partition).
+
+    One map-side-combined groupBy on the day key (the natural ingest
+    partition — at scale this aggregate reads per-partition footer
+    stats, not the fact rows, if the table is date-partitioned), then a
+    lag window over the day-count table, which is days-sized, not
+    rows-sized: the window sort is O(days) on one reducer and that is
+    the correct plan. events.ts is TIMESTAMP(NANOS) parquet — Spark
+    reads NTZ, DuckDB naive timestamp; CAST→date agrees on both."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(
+            1.0 - F.count("value") * 1.0 / F.count("*"), 6
+        ).alias("null_value_rate"),
+    )
+    w = Window.orderBy("day")
+    return d.select(
+        "day",
+        "n_rows",
+        "n_users",
+        "null_value_rate",
+        F.round(
+            F.col("n_rows") * 1.0 / F.lag("n_rows").over(w), 4
+        ).alias("dod_ratio"),
     )

