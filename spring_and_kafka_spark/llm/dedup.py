@@ -675,77 +675,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 50, unroll: int = 3
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """Min-label propagation connected components.
 
     nodes: (node BIGINT); edges: (a, b) undirected pairs. Returns
     (node, component) where component = min node id reachable.
 
-    Two-phase execution (same shape as the pagerank rework that cut it
-    2.5×): phase 1 unrolls `unroll` propagation rounds LAZILY — one
-    multi-stage Spark job instead of one materialize+count job pair per
-    round, which is what dominated at fixture scale (per-job scheduling
-    overhead, not data). Phase 2 is a single verification job: propagate
-    once more and count label changes; 0 ⇒ converged (dedup clusters are
-    near-cliques, diameter ≤ 2, so 6 rounds is generous). If the graph's
-    diameter exceeds `unroll` (possible on arbitrary 100 TB graphs), we
-    fall back to the classic materialize-per-round loop with a
-    driver-side convergence check — correctness never depends on the
-    unroll guess. Deterministic.
+    Iterative DataFrame loop: each round joins labels across the SPARSE
+    edge list, takes the per-node neighbor min, and left-joins that back
+    onto the full label frame (least(own, neighbor_min)); stops when no
+    label changed (driver-side convergence check). Rounds = graph
+    diameter — tiny for dedup clusters (near-cliques, diameter ≤ 2).
+    Deterministic.
 
-    Iteration discipline (fallback loop): edges are persisted once and
-    labels are materialized each round (exec_utils.materialize —
-    localCheckpoint on local mode, reliable checkpoint/persist on a
-    cluster) — without this, round k's action would lazily recompute the
-    whole upstream pipeline (pair detection included) k times over, and
-    the plan lineage would grow unboundedly."""
+    Why NOT the pagerank-style lazy unroll: round 5's rework unrolled
+    3 rounds + a verify round into one job by folding "keep own label"
+    into self-loop edges. That pushes every node (self-loops = |V| rows,
+    dwarfing the sparse dedup edge set) through the join+groupBy's TWO
+    shuffles every round, where this loop shuffles only O(|E|) join rows
+    plus one O(|V|) left join — and always pays unroll+1 rounds even
+    when the graph converges in one. Round-6 interleaved A/B at sf0.1
+    (q_dedup_clusters_lsh, 5-run medians, alternating JVMs): loop
+    5.85/6.00 s vs two-phase 5.93/5.63 s — parity within this host's
+    noise band, so the unroll bought nothing here and the loop wins on
+    shuffle volume (sparse graphs), adaptive early stop, and simplicity;
+    reverted in round 6 (BASELINE.md §2 carries the full numbers).
+    Pagerank keeps its unroll: its fan table is dense (every node has
+    edges), so there the self-join IS the data and job-count dominates —
+    its 2.5× isolated win was real and re-measured.
+
+    Iteration discipline: edges are persisted once and labels are
+    materialized each round (exec_utils.materialize — localCheckpoint on
+    local mode, reliable checkpoint/persist on a cluster) — without this,
+    round k's action would lazily recompute the whole upstream pipeline
+    (pair detection included) k times over, and the plan lineage would
+    grow unboundedly."""
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .persist()
     )
-    # self-loops fold "keep own label" into the same join, so one round
-    # references the label frame exactly ONCE — with labels both joined
-    # AND unioned per round, the lazy plan would double each round
-    # (2^unroll copies of the upstream lineage; measured 20-30 s of pure
-    # Catalyst planning at 6 rounds). Linear lineage keeps planning flat.
-    sym_self = sym.unionByName(
-        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).persist()
-
-    def propagate(lbl: DataFrame) -> DataFrame:
-        # min over {self} ∪ {neighbors}: join + groupBy = 2 shuffles
-        l = lbl.select(F.col("node").alias("lnode"), "component")
-        return (
-            sym_self.join(l, F.col("src") == F.col("lnode"))
-            .select(F.col("dst").alias("node"), "component")
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
-    # phase 1: unrolled rounds, single job at the materialize
-    for _ in range(unroll):
-        labels = propagate(labels)
     labels = materialize(labels)
-    # phase 2: one more propagation; any label still dropping ⇒ not
-    # done. Materialize nxt BEFORE counting so the non-converged path
-    # reuses the computed round instead of re-running the propagate
-    # inside a second materialize; when converged, nxt == labels and is
-    # the (already checkpointed) frame we return.
-    nxt = materialize(propagate(labels))
-    changed = (
-        labels.join(nxt.withColumnRenamed("component", "ncomp"), "node")
-        .filter(F.col("ncomp") != F.col("component"))
-        .count()
-    )
-    labels.unpersist()
-    if changed == 0:
-        sym.unpersist()
-        sym_self.unpersist()
-        return nxt
-    labels = nxt
     prev = labels
     converged = False
     try:
@@ -780,15 +752,13 @@ def connected_components(
                 break
     finally:
         sym.unpersist()
-        sym_self.unpersist()
     if not converged:
         # a silent fall-through here would return labels mid-propagation
-        # (wrong components on graphs whose diameter exceeds the total
-        # round budget) — fail loudly; callers raise max_iter instead
+        # (wrong components on graphs whose diameter exceeds the round
+        # budget) — fail loudly; callers raise max_iter instead
         raise RuntimeError(
-            f"connected_components did not converge within "
-            f"{unroll + 1 + max_iter} propagation rounds; "
-            f"raise max_iter for graphs of this diameter"
+            f"connected_components did not converge within {max_iter} "
+            f"propagation rounds; raise max_iter for graphs of this diameter"
         )
     return labels
 

@@ -216,11 +216,14 @@ def test_survivors_are_original_cluster_representatives(spark):
     assert len(ids) == len(set(comp.values()))  # exactly one per cluster
 
 
-def test_connected_components_fallback_beyond_unroll(spark):
-    """A path graph of diameter 7 cannot converge inside unroll=3 rounds:
-    the verification job must detect the un-converged labels and the
-    materialize-per-round fallback loop must finish it. Also pins the
-    unrolled fast path on a graph that DOES fit (star, diameter 2)."""
+def test_connected_components_deep_path_and_star(spark):
+    """A path graph of diameter 7 needs many propagation rounds — the
+    driver-side convergence check must keep iterating until labels stop
+    dropping. Also pins a graph that converges immediately (star,
+    diameter 2) and that a too-small max_iter fails LOUDLY instead of
+    returning mid-propagation labels."""
+    import pytest
+
     from spring_and_kafka_spark.llm.dedup import connected_components
 
     # path 0-1-2-...-7 plus isolated node 99
@@ -232,11 +235,14 @@ def test_connected_components_fallback_beyond_unroll(spark):
     )
     comp = {
         r["node"]: r["component"]
-        for r in connected_components(nodes, edges, unroll=3).collect()
+        for r in connected_components(nodes, edges).collect()
     }
     assert comp == {**{i: 0 for i in range(8)}, 99: 99}
 
-    # star centered at 5: converges inside the unrolled rounds
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+
+    # star centered at 5: converges in one round + confirm
     star_edges = spark.createDataFrame(
         [(5, 20), (5, 21), (5, 22)], "a long, b long"
     )
@@ -245,6 +251,6 @@ def test_connected_components_fallback_beyond_unroll(spark):
     )
     comp2 = {
         r["node"]: r["component"]
-        for r in connected_components(star_nodes, star_edges, unroll=3).collect()
+        for r in connected_components(star_nodes, star_edges).collect()
     }
     assert comp2 == {5: 5, 20: 5, 21: 5, 22: 5}

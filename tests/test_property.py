@@ -395,11 +395,10 @@ edge_lists = st.lists(
 @settings(max_examples=12, deadline=None)
 @given(edge_lists)
 def test_connected_components_matches_union_find(spark, edges):
-    """The unroll-then-verify connected components (3 lazy rounds, one
-    verification job, materialize-per-round fallback) must match a
-    driver-side union-find on ARBITRARY small graphs — long paths force
-    the fallback, cliques and self-loops stay on the fast path, isolated
-    nodes come back as their own singleton component."""
+    """The materialize-per-round min-label propagation must match a
+    driver-side union-find on ARBITRARY small graphs — long paths need
+    many rounds, cliques converge in one, self-loops are harmless,
+    isolated nodes come back as their own singleton component."""
     from spring_and_kafka_spark.llm.dedup import connected_components
 
     nodes = sorted({n for e in edges for n in e} | {99})  # 99: isolated
