@@ -122,6 +122,10 @@ SECTIONS = {
     "round-5 additions: geospatial grid": [
         "q_geo_grid_density", "q_geo_radius_join",
     ],
+    "round-6 additions: spatial argmin + corpus/embedding/ingest health": [
+        "q_geo_nearest", "q_text_entropy", "q_embed_dim_stats",
+        "q_dq_freshness",
+    ],
     "round-5 additions: forecasting + regression + distribution stats": [
         "q_ts_holt", "q_agg_ols2", "q_agg_moments", "q_text_hapax",
         "q_dist_shift", "q_win_rolling_slope", "q_funnel_latency",
