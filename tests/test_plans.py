@@ -307,3 +307,39 @@ def test_snapshot_diff_is_single_key_partitioned_join(spark):
     p = plan(spark, "q_snapshot_diff")
     assert "FullOuter" in p
     assert "CartesianProduct" not in p
+
+
+def test_geo_nearest_is_cell_equi_join_no_cartesian(spark):
+    # candidate generation must join on grid-cell equality (the 3×3
+    # replication), never cross all points; the argmin is a rank-limit
+    # window, not a global sort of the pair set
+    p = plan(spark, "q_geo_nearest")
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p or "Window" in p
+
+
+def test_text_entropy_totals_broadcast_back(spark):
+    # the per-source totals frame is ~10 rows — it must broadcast onto
+    # the vocabulary-sized (source, token) count table, never shuffle it
+    p = plan(spark, "q_text_entropy")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_embed_dim_stats_is_one_partial_agg(spark):
+    # one exploded scan, one map-side-combined aggregate on the 64-value
+    # dim key: exactly one exchange, no join, no sort
+    p = plan(spark, "q_embed_dim_stats")
+    assert p.count("Exchange") <= 2  # hash exchange (+ AQE read)
+    assert "Join" not in p
+    assert "partial_" in p  # map-side combine present
+
+
+def test_dq_freshness_prunes_event_columns(spark):
+    # the audit reads ts/user_id/value only — props (the widest column)
+    # must be pruned from the scan
+    p = plan(spark, "q_dq_freshness")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert len(read) == 1
+    assert "props" not in read[0]
+    assert "event_type" not in read[0]
