@@ -1050,23 +1050,28 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (random or shuffled text). Both extremes are down-weighted when
     mixing a training corpus.
 
-    Shape: one map-side-combined (source, token) count, one per-source
-    rollup of those counts, and the totals joined back on the ~10-value
-    source key (broadcast). The entropy sum runs over the vocabulary
-    table — types, not the token stream — so the second aggregate is
-    vocabulary-sized at any corpus scale; rounding to 4 dp absorbs
-    summation-order double drift between the engines (the repo's ratio
-    convention, registry.py header)."""
+    Shape: ONE corpus scan — a map-side-combined (source, token) count,
+    then the per-source totals come from an unordered window over that
+    vocabulary-sized type table (a totals-groupBy-plus-join-back would
+    re-derive the counts from a second corpus scan+explode; the window
+    reshuffles only types). The entropy sum likewise runs over types,
+    not the token stream, so every post-count stage is vocabulary-sized
+    at any corpus scale; rounding to 4 dp absorbs summation-order double
+    drift between the engines (the repo's ratio convention, registry.py
+    header)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
-    tot = tc.groupBy("source").agg(
-        F.sum("c").alias("n"), F.count("*").alias("vocab")
+    w = W.partitionBy("source")
+    j = tc.select(
+        "source",
+        "c",
+        F.sum("c").over(w).alias("n"),
+        F.count("*").over(w).alias("vocab"),
     )
     p = F.col("c") * 1.0 / F.col("n")
-    j = tc.join(F.broadcast(tot), "source")
     return j.groupBy("source", "n", "vocab").agg(
         F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
         F.round(

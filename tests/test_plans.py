@@ -318,12 +318,15 @@ def test_geo_nearest_is_cell_equi_join_no_cartesian(spark):
     assert "WindowGroupLimit" in p or "Window" in p
 
 
-def test_text_entropy_totals_broadcast_back(spark):
-    # the per-source totals frame is ~10 rows — it must broadcast onto
-    # the vocabulary-sized (source, token) count table, never shuffle it
+def test_text_entropy_single_scan_two_shuffles(spark):
+    # ONE corpus scan (the totals window reads the counted type table,
+    # never a second scan+explode), no join at all, and only the count
+    # exchange + the per-source window exchange
     p = plan(spark, "q_text_entropy")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert len(read) == 1
+    assert "Join" not in p
+    assert p.count("Exchange (") <= 2
 
 
 def test_embed_dim_stats_is_one_partial_agg(spark):
