@@ -73,11 +73,19 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary-sized) → broadcast back onto the tf side. Corpus size N is
     a 1-row aggregate cross-joined in (broadcast), keeping the whole query
     ONE Spark job — a driver-side d.count() would scan the table in a
-    separate job before the real one starts."""
+    separate job before the real one starts.
+
+    df derives FROM the tf aggregate (tf rows are already distinct
+    (doc, term), so counting them per term IS count-distinct-docs) —
+    this drops the countDistinct Expand that doubled the df-side shuffle
+    rows. The two tf subplans still scan separately, and that is the
+    plan you want: the probe side's doc_id < 50 filter pushes through
+    the per-doc aggregate to its scan (50 docs exploded), so only the
+    df side pays the full-corpus explode."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(d)
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_df = d.agg(F.count("*").cast("double").alias("__n"))
     return (
         tf.join(F.broadcast(df), "tok")
