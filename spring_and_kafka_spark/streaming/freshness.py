@@ -1,0 +1,111 @@
+"""Incrementally-maintained ingest freshness audit — the streaming face
+of operators/quality.py::q_dq_freshness.
+
+The per-day health stats split into two merge algebras:
+
+- row volume and null-value counts are COUNTERS — each micro-batch
+  folds to one partial row per touched day (map-side combine done at
+  ingest), and the current audit sums partials per day;
+- distinct users is NOT a counter, so each batch also writes its
+  DISTINCT (day, user_id) presence rows — bounded by active users per
+  day per batch, not by event volume — and the reader count-distincts
+  across partials. (An approximate variant would store HLL sketches,
+  operators/sketches.py; the audit keeps the exact form because its
+  oracle is exact.)
+
+Both partial kinds land under ``batch_id=N`` partitions, so an
+at-least-once replay overwrites its own partition — the same
+exactly-once merge-on-read contract as streaming/sketch.py and
+streaming/mv.py. Derived columns (null rate, day-over-day ratio) are
+computed on READ with the exact expressions of the batch query, never
+merged — ratios don't merge, their numerators and denominators do.
+
+tests/test_streaming_advanced.py asserts stream-maintained == the batch
+q_dq_freshness answer on the same replayed events, regardless of
+micro-batch boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from spring_and_kafka_spark.streaming.sinks import foreach_batch_sink
+
+_CNT_SCHEMA = "day DATE, n_rows BIGINT, n_null_value BIGINT"
+_USR_SCHEMA = "day DATE, user_id BIGINT"
+
+
+def freshness_delta_stream(events: DataFrame, state_dir: str):
+    """Fold an event stream (ts, user_id, value, …) into per-batch
+    freshness partials under ``state_dir``: counter rows per day and
+    distinct user-presence rows per day."""
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        day = F.to_date("ts").alias("day")
+        (
+            batch_df.groupBy(day)
+            .agg(
+                F.count("*").alias("n_rows"),
+                (F.count("*") - F.count("value")).alias("n_null_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/counts/batch_id={batch_id}")
+        )
+        (
+            batch_df.select(day, "user_id")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/users/batch_id={batch_id}")
+        )
+
+    return (
+        foreach_batch_sink(events, on_batch, state_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current audit = partials merged per day, derived columns computed
+    with the batch query's exact expressions (quality.py): null rate to
+    6 dp, day-over-day volume ratio via a days-sized lag window. A
+    stream that never ran yields an empty audit, not a missing-path
+    error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        counts = spark.read.schema(_CNT_SCHEMA).parquet(
+            f"{state_dir}/counts"
+        )
+        users = spark.read.schema(_USR_SCHEMA).parquet(f"{state_dir}/users")
+    except AnalysisException:
+        counts = spark.createDataFrame([], _CNT_SCHEMA)
+        users = spark.createDataFrame([], _USR_SCHEMA)
+    c = counts.groupBy("day").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null_value").alias("n_null"),
+    )
+    u = users.groupBy("day").agg(F.countDistinct("user_id").alias("n_users"))
+    w = Window.orderBy("day")
+    return (
+        c.join(u, "day")
+        .select(
+            "day",
+            "n_rows",
+            "n_users",
+            F.round(F.col("n_null") * 1.0 / F.col("n_rows"), 6).alias(
+                "null_value_rate"
+            ),
+        )
+        .select(
+            "day",
+            "n_rows",
+            "n_users",
+            "null_value_rate",
+            F.round(
+                F.col("n_rows") * 1.0 / F.lag("n_rows").over(w), 4
+            ).alias("dod_ratio"),
+        )
+    )

@@ -467,3 +467,55 @@ def test_stream_maintained_mv_equals_batch(spark, tmp_path):
         r["month_id"]: (r["n_orders"], r["revenue_cents"])
         for r in base.collect()
     }
+
+
+def test_stream_maintained_freshness_equals_batch(spark, tmp_path):
+    """Freshness partials folded per micro-batch (counter rows + distinct
+    user presence under batch_id partitions) must merge on read to
+    EXACTLY the batch q_dq_freshness audit for the same events — the
+    counter/presence split is what makes the audit maintainable at
+    ingest without rescanning the day's partition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from spring_and_kafka_spark.operators.quality import q_dq_freshness
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.freshness import (
+        freshness_delta_stream,
+        maintained_freshness,
+    )
+    from .conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").select("ts", "user_id", "value")
+    staged = str(tmp_path / "staged")
+    # 4 arbitrary chunks: batch boundaries must not matter
+    chunked = e.withColumn(
+        "chunk", F.ntile(4).over(W.orderBy("ts", "user_id"))
+    )
+    for k in range(1, 5):
+        chunked.filter(F.col("chunk") == k).drop("chunk").coalesce(
+            1
+        ).write.mode("append").parquet(staged)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    state = str(tmp_path / "state")
+    q = freshness_delta_stream(stream, state)
+    q.awaitTermination()
+
+    got = {
+        r.day: (r.n_rows, r.n_users, r.null_value_rate, r.dod_ratio)
+        for r in maintained_freshness(spark, state).collect()
+    }
+    want = {
+        r.day: (r.n_rows, r.n_users, r.null_value_rate, r.dod_ratio)
+        for r in q_dq_freshness(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+    # never-ran stream → empty audit, not an error
+    empty = maintained_freshness(spark, str(tmp_path / "nostate"))
+    assert empty.count() == 0
