@@ -13,6 +13,15 @@ Conventions (hash-match discipline, SURVEY.md §5.2):
   →long; DuckDB ceil(double)→double vs Spark →long; DuckDB CAST(double AS
   BIGINT) rounds vs Spark truncates)
 - break all ranking/top-k ties with a unique key column
+- a LIMIT boundary may only rank on cross-engine-STABLE keys: integers,
+  rounded doubles, or doubles built from +,* alone with matching
+  association order in both engines (IEEE-deterministic — the dot
+  products in llm/similarity.py qualify). libm outputs (log/log2/trig)
+  differ by 1 ulp between JVM and DuckDB, and scores derived from
+  repeated integer counts make near-ties STRUCTURAL, so ranking raw
+  libm scores at a LIMIT edge is a latent hash flake — round first,
+  then tiebreak (the q_text_keyphrase lesson, round 6; all 13 top-k
+  oracles audited against this rule that round)
 """
 
 from __future__ import annotations
