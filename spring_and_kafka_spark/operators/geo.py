@@ -286,7 +286,16 @@ def q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB libm flip near-equal neighbors. The oracle is the quadratic
     all-pairs ground truth, so the hash match re-proves grid recall 1.0
     on the argmin path too."""
-    rj = _radius_pairs(geo_points(spark, sf_dir), _GEO_RADIUS_KM)
+    return nearest_within(geo_points(spark, sf_dir), _GEO_RADIUS_KM)
+
+
+def nearest_within(points: DataFrame, radius_km: float) -> DataFrame:
+    """Per-point nearest neighbor inside ``radius_km`` over an
+    (id, lat, lon) frame — see q_geo_nearest. Factored out (the
+    radius_join precedent) so tests can drive it with synthetic points:
+    the ±180 seam and tie handling are structural claims the fixture's
+    random points never exercise."""
+    rj = _radius_pairs(points, radius_km)
     sym = rj.select(
         F.col("a_id").alias("id"),
         F.col("b_id").alias("nn_id"),

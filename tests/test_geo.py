@@ -101,3 +101,36 @@ def test_grid_density_counts_match_point_total(spark):
     for r in rows:
         assert 15 <= r["cell_lat"] <= 75  # lat ∈ [-60, 60) → cells 15..74
         assert 0 <= r["cell_lon"] < 180
+
+
+def test_nearest_within_crosses_the_antimeridian_and_breaks_ties(spark):
+    """The per-point argmin must see candidates generated across the
+    ±180 seam, pick the true closest among several in-radius neighbors,
+    and break exact-distance ties on the lower neighbor id."""
+    from spring_and_kafka_spark.operators.geo import nearest_within
+
+    points = spark.createDataFrame(
+        [
+            (1, 10.0, 179.75),
+            (2, 10.0, -179.75),  # ≈55 km from 1 across the seam
+            (3, 10.0, 179.30),  # ≈49 km from 1 on the same side — closer
+            (4, 0.0, 0.0),  # isolated: no neighbor within 100 km
+            # 6 and 7 are equidistant from 5 (symmetric ±0.3°): tie →
+            # lower id wins
+            (5, 20.0, 10.0),
+            (6, 20.0, 10.3),
+            (7, 20.0, 9.7),
+        ],
+        "id long, lat double, lon double",
+    )
+    got = {
+        r["id"]: (r["nn_id"], r["dist_km"])
+        for r in nearest_within(points, 100.0).collect()
+    }
+    assert 4 not in got  # isolated points produce no row
+    assert got[1][0] == 3  # same-side neighbor beats the seam pair
+    assert got[2][0] == 1  # seam crossing is 2's only in-radius option
+    assert got[3][0] == 1
+    assert got[5][0] == 6  # tie with 7 broken on lower id
+    assert got[6][0] == 5 and got[7][0] == 5
+    assert abs(got[2][1] - 55.0) < 2.0
