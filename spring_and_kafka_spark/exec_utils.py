@@ -37,6 +37,19 @@ def ts_micros(col: Column | str) -> Column:
     return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
 
 
+def cents(col: Column | str) -> Column:
+    """Exact integer cents from a money double: floor(x*100 + 0.5) as
+    BIGINT — the repo's ONE cross-engine rounding rule for currency
+    (Spark round() is decimal HALF_UP, DuckDB rounds binary; this form
+    is bit-identical in both). Every operator that sums or ranks money
+    must use this helper, not a hand-copied expression: four inline
+    copies had already drifted into existence by round 6, and a future
+    edit to one of them would silently diverge the others' oracle
+    hashes. sketches.to_cents wraps the same rule at DataFrame level."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Compute `df` once and return a lineage-cut (or at least pinned)
     DataFrame, safe for the current deployment mode. See module doc."""

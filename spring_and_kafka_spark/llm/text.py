@@ -1042,8 +1042,10 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(tot.vocab AS BIGINT) AS vocab_size,
            round(-sum((c * 1.0 / tot.n) * log2(c * 1.0 / tot.n)), 4)
              AS entropy_bits,
-           round(-sum((c * 1.0 / tot.n) * log2(c * 1.0 / tot.n))
-                 / log2(tot.vocab * 1.0), 4) AS norm_entropy
+           CASE WHEN tot.vocab > 1 THEN
+             round(-sum((c * 1.0 / tot.n) * log2(c * 1.0 / tot.n))
+                   / log2(tot.vocab * 1.0), 4)
+           END AS norm_entropy
     FROM tc JOIN tot ON tc.source = tot.source
     GROUP BY tc.source, tot.n, tot.vocab
     """,
@@ -1080,15 +1082,25 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("vocab"),
     )
     p = F.col("c") * 1.0 / F.col("n")
-    return j.groupBy("source", "n", "vocab").agg(
-        F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
-        F.round(
-            -F.sum(p * F.log2(p)) / F.log2(F.col("vocab") * 1.0), 4
-        ).alias("norm_entropy"),
-    ).select(
+    # the entropy sum is aggregated ONCE (Catalyst does not CSE
+    # aggregate functions — two agg expressions would pay the per-row
+    # log2 twice); both rounded columns derive from it in a post-select.
+    # norm_entropy is guarded for the single-type vocabulary: log2(1)=0
+    # and 0/0 is NULL in Spark but NaN in DuckDB — the CASE makes both
+    # engines emit NULL for that (real — fully templated source) shape.
+    g = j.groupBy("source", "n", "vocab").agg(
+        (-F.sum(p * F.log2(p))).alias("h")
+    )
+    return g.select(
         "source",
         F.col("n").cast("long").alias("n_tokens"),
         F.col("vocab").cast("long").alias("vocab_size"),
-        "entropy_bits",
-        "norm_entropy",
+        F.round("h", 4).alias("entropy_bits"),
+        F.round(
+            F.when(
+                F.col("vocab") > 1,
+                F.col("h") / F.log2(F.col("vocab") * 1.0),
+            ),
+            4,
+        ).alias("norm_entropy"),
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import cents as ex_cents
 from spring_and_kafka_spark.exec_utils import materialize, ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -525,7 +526,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB replace with approx-percentile cut points (the scores
     tolerate estimated quartiles; documented trade)."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = ex_cents("o_totalprice")
     m = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("recency"),
         F.count(F.lit(1)).alias("frequency"),
@@ -600,7 +601,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key so repeated MERGEs reuse partitioning."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = ex_cents("o_totalprice")
     # two branches (updates + top-10 inserts) read delta — pin it once
     delta = materialize(
         o.groupBy("o_custkey").agg(F.sum(cents).alias("delta_cents"))
@@ -620,7 +621,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c.join(src, c.c_custkey == src.k, "full_outer")
     bal_cents = F.when(
         F.col("c_custkey").isNull(), F.lit(0).cast("long")
-    ).otherwise(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long"))
+    ).otherwise(ex_cents("c_acctbal"))
     return joined.select(
         F.coalesce("c_custkey", "k").alias("c_custkey"),
         F.when(F.col("k").isNull(), "unchanged")
@@ -917,7 +918,7 @@ def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ex_cents("o_totalprice")
         )
         .cast("long")
         .alias("revenue_cents"),

@@ -294,19 +294,30 @@ def nearest_within(points: DataFrame, radius_km: float) -> DataFrame:
     (id, lat, lon) frame — see q_geo_nearest. Factored out (the
     radius_join precedent) so tests can drive it with synthetic points:
     the ±180 seam and tie handling are structural claims the fixture's
-    random points never exercise."""
+    random points never exercise.
+
+    Symmetrization is a per-row explode of the two orientations, NOT a
+    self-union of the pair plan: union branches are planned as
+    independent subplans, so the 9×-replicated cell join + haversine
+    verify would execute twice — explode runs the candidate generation
+    once and merely doubles the (tiny) verified pair rows."""
     rj = _radius_pairs(points, radius_km)
     sym = rj.select(
-        F.col("a_id").alias("id"),
-        F.col("b_id").alias("nn_id"),
-        "dist_km",
-    ).unionAll(
-        rj.select(
-            F.col("b_id").alias("id"),
-            F.col("a_id").alias("nn_id"),
-            "dist_km",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a_id").alias("id"),
+                    F.col("b_id").alias("nn_id"),
+                    F.col("dist_km"),
+                ),
+                F.struct(
+                    F.col("b_id").alias("id"),
+                    F.col("a_id").alias("nn_id"),
+                    F.col("dist_km"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.id", "e.nn_id", "e.dist_km")
     w = W.partitionBy("id").orderBy("dist_km", "nn_id")
     return (
         sym.withColumn("rn", F.row_number().over(w))

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from spring_and_kafka_spark.exec_utils import ts_micros
+from spring_and_kafka_spark.exec_utils import cents, ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -323,7 +323,6 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     month_id = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast(
         "long"
     )
-    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
 
     # the standing MV over snapshot A
     base = o.groupBy(month_id.alias("month_id")).agg(

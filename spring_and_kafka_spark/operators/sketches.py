@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import cents
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -177,11 +178,7 @@ def to_cents(df: DataFrame) -> DataFrame:
     every sketch site shares — ONE definition of the rounding rule, so
     the stream≡batch equality (streaming/sketch.py) can't drift when the
     rule changes."""
-    return df.select(
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents")
-    )
+    return df.select(cents("l_extendedprice").alias("cents"))
 
 
 def with_bucket_cols(df: DataFrame) -> DataFrame:

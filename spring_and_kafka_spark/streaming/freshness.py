@@ -89,15 +89,24 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
     )
     u = users.groupBy("day").agg(F.countDistinct("user_id").alias("n_users"))
     w = Window.orderBy("day")
+    # null-safe join key: an event with a NULL ts groups to day=NULL in
+    # the batch audit, and a plain inner join would silently drop that
+    # row here (NULL == NULL never matches) — stream != batch.
+    # The rate reconstructs the batch's EXACT expression
+    # 1.0 - count(value)/count(*): count(value) = n_rows - n_null, both
+    # exact integers; computing n_null/n_rows instead can differ in the
+    # last float bit before the 6-dp round.
+    non_null = F.col("n_rows") - F.col("n_null")
     return (
-        c.join(u, "day")
+        c.join(u, c["day"].eqNullSafe(u["day"]))
+        .drop(u["day"])
         .select(
             "day",
             "n_rows",
             "n_users",
-            F.round(F.col("n_null") * 1.0 / F.col("n_rows"), 6).alias(
-                "null_value_rate"
-            ),
+            F.round(
+                F.lit(1.0) - non_null * 1.0 / F.col("n_rows"), 6
+            ).alias("null_value_rate"),
         )
         .select(
             "day",

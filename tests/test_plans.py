@@ -321,19 +321,25 @@ def test_geo_nearest_is_cell_equi_join_no_cartesian(spark):
 def test_text_entropy_single_scan_two_shuffles(spark):
     # ONE corpus scan (the totals window reads the counted type table,
     # never a second scan+explode), no join at all, and only the count
-    # exchange + the per-source window exchange
+    # shuffle + the per-source window shuffle
+    from spring_and_kafka_spark.plans import count_shuffles
+
+    df = SPECS["q_text_entropy"].fn(spark, SF_SMOKE)
+    assert count_shuffles(df) <= 2
     p = plan(spark, "q_text_entropy")
     read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert len(read) == 1
     assert "Join" not in p
-    assert p.count("Exchange (") <= 2
 
 
 def test_embed_dim_stats_is_one_partial_agg(spark):
     # one exploded scan, one map-side-combined aggregate on the 64-value
-    # dim key: exactly one exchange, no join, no sort
+    # dim key: exactly one shuffle, no join, no sort
+    from spring_and_kafka_spark.plans import count_shuffles
+
+    df = SPECS["q_embed_dim_stats"].fn(spark, SF_SMOKE)
+    assert count_shuffles(df) == 1
     p = plan(spark, "q_embed_dim_stats")
-    assert p.count("Exchange") <= 2  # hash exchange (+ AQE read)
     assert "Join" not in p
     assert "partial_" in p  # map-side combine present
 
