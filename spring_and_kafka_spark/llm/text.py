@@ -1040,11 +1040,11 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tc.source,
            CAST(tot.n AS BIGINT) AS n_tokens,
            CAST(tot.vocab AS BIGINT) AS vocab_size,
-           round(-sum((c * 1.0 / tot.n) * log2(c * 1.0 / tot.n)), 4)
+           round(-sum((c * 1.0 / tot.n) * log2(c * 1.0 / tot.n)), 4) + 0.0
              AS entropy_bits,
            CASE WHEN tot.vocab > 1 THEN
              round(-sum((c * 1.0 / tot.n) * log2(c * 1.0 / tot.n))
-                   / log2(tot.vocab * 1.0), 4)
+                   / log2(tot.vocab * 1.0), 4) + 0.0
            END AS norm_entropy
     FROM tc JOIN tot ON tc.source = tot.source
     GROUP BY tc.source, tot.n, tot.vocab
@@ -1095,12 +1095,17 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n").cast("long").alias("n_tokens"),
         F.col("vocab").cast("long").alias("vocab_size"),
-        F.round("h", 4).alias("entropy_bits"),
-        F.round(
-            F.when(
-                F.col("vocab") > 1,
-                F.col("h") / F.log2(F.col("vocab") * 1.0),
-            ),
-            4,
+        # + 0.0 collapses IEEE -0.0 (a single-type source's entropy is
+        # -sum(0) = -0.0) — semistructured.py convention
+        (F.round("h", 4) + 0.0).alias("entropy_bits"),
+        (
+            F.round(
+                F.when(
+                    F.col("vocab") > 1,
+                    F.col("h") / F.log2(F.col("vocab") * 1.0),
+                ),
+                4,
+            )
+            + 0.0
         ).alias("norm_entropy"),
     )

@@ -483,3 +483,49 @@ def test_radius_join_matches_brute_force_property(spark, coords):
         expected = set()
         got -= {(0, 0)}  # placeholder row can't pair with itself anyway
     assert got == expected
+
+
+@settings(max_examples=12, deadline=None)
+@given(geo_pts)
+def test_nearest_within_matches_brute_force_property(spark, coords):
+    """The grid-blocked per-point argmin must equal the quadratic brute
+    force (min 3-dp-rounded distance, nn_id tiebreak) on ARBITRARY
+    points in the envelope — coincident points, seam clusters, isolated
+    points. The rounded-distance ordering is the contract: it is what
+    both engines rank on (q_geo_nearest docstring)."""
+    import math
+
+    from spring_and_kafka_spark.operators.geo import nearest_within
+
+    def hav(a, b):
+        dphi = math.radians((b[0] - a[0]) / 2)
+        dlam = math.radians((b[1] - a[1]) / 2)
+        h = (
+            math.sin(dphi) ** 2
+            + math.cos(math.radians(a[0]))
+            * math.cos(math.radians(b[0]))
+            * math.sin(dlam) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(min(1.0, h)))
+
+    pts = list(enumerate(coords))
+    expected = {}
+    for i, a in pts:
+        cands = [
+            (round(hav(a, b), 3), j)
+            for j, b in pts
+            if j != i and hav(a, b) <= 100.0
+        ]
+        if cands:
+            expected[i] = min(cands)  # (rounded dist, lowest id) tuple
+    df = spark.createDataFrame(
+        [(i, a[0], a[1]) for i, a in pts] or [(0, 0.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    got = {
+        r["id"]: (r["dist_km"], r["nn_id"])
+        for r in nearest_within(df, 100.0).collect()
+    }
+    if not pts:
+        expected, got = {}, {}
+    assert got == expected
