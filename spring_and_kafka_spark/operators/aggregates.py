@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import cents as ex_cents
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -563,7 +564,7 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,2) is the headroom upgrade, same plan."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cents = ex_cents("l_extendedprice")
     # floor(q+0.5), not cast: Spark cast(double->long) truncates while
     # DuckDB CAST rounds (registry.py conventions) — half-up on BOTH
     # sides keeps the hash stable if quantities ever go non-integral
@@ -708,7 +709,7 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = ex_cents("o_totalprice")
     rev = (
         o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
@@ -790,8 +791,8 @@ def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     why the readout is the betas, not R²."""
     li = load_table(spark, sf_dir, "lineitem")
     x1 = F.col("l_quantity").cast("long")
-    x2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    x2 = ex_cents("l_discount")
+    y = ex_cents("l_extendedprice")
     z = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
     s = z.agg(
         F.count("*").cast("double").alias("n"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import cents as ex_cents
 from spring_and_kafka_spark.exec_utils import ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -446,7 +447,7 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme customer counts the rank decomposes two-level per
     DESIGN.md #16."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = ex_cents("o_totalprice")
     rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
     ranked = rev.select(
         "cents",
@@ -519,7 +520,7 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc, custkey); at extreme customer counts the cumulative sum
     decomposes two-level per DESIGN.md #16."""
     o = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = ex_cents("o_totalprice")
     rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
     w = W.orderBy(F.col("cents").desc(), "o_custkey").rowsBetween(
         W.unboundedPreceding, 0

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import cents as ex_cents
 from spring_and_kafka_spark.exec_utils import ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -329,7 +330,7 @@ def q_win_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (
         (ts_micros("ts") - F.lit(1704067200000000)) / F.lit(1000000)
     ).cast("long")
-    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    y = ex_cents("value")
     base = e.select(
         "user_id", "event_id", x.alias("x"), y.alias("y")
     )

@@ -44,21 +44,28 @@ def freshness_delta_stream(events: DataFrame, state_dir: str):
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         day = F.to_date("ts").alias("day")
-        (
-            batch_df.groupBy(day)
-            .agg(
-                F.count("*").alias("n_rows"),
-                (F.count("*") - F.count("value")).alias("n_null_value"),
+        # two write jobs consume the batch — persist so the second one
+        # reads the cached rows instead of re-scanning the source files
+        # (the sibling mv/sketch sinks are single-action and skip this)
+        batch_df.persist()
+        try:
+            (
+                batch_df.groupBy(day)
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    (F.count("*") - F.count("value")).alias("n_null_value"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/counts/batch_id={batch_id}")
             )
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/counts/batch_id={batch_id}")
-        )
-        (
-            batch_df.select(day, "user_id")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/users/batch_id={batch_id}")
-        )
+            (
+                batch_df.select(day, "user_id")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/users/batch_id={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         foreach_batch_sink(events, on_batch, state_dir + "_ckpt")

@@ -326,7 +326,7 @@ def test_text_entropy_single_scan_two_shuffles(spark):
 
     df = SPECS["q_text_entropy"].fn(spark, SF_SMOKE)
     assert count_shuffles(df) <= 2
-    p = plan(spark, "q_text_entropy")
+    p = formatted_plan(df)
     read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert len(read) == 1
     assert "Join" not in p
@@ -339,7 +339,7 @@ def test_embed_dim_stats_is_one_partial_agg(spark):
 
     df = SPECS["q_embed_dim_stats"].fn(spark, SF_SMOKE)
     assert count_shuffles(df) == 1
-    p = plan(spark, "q_embed_dim_stats")
+    p = formatted_plan(df)
     assert "Join" not in p
     assert "partial_" in p  # map-side combine present
 

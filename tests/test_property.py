@@ -433,6 +433,20 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == expected
 
 
+def _hav_km(a, b):
+    """Brute-force haversine (km) shared by the geo property tests — ONE
+    definition of the ground truth both tests compare against."""
+    dphi = math.radians((b[0] - a[0]) / 2)
+    dlam = math.radians((b[1] - a[1]) / 2)
+    h = (
+        math.sin(dphi) ** 2
+        + math.cos(math.radians(a[0]))
+        * math.cos(math.radians(b[0]))
+        * math.sin(dlam) ** 2
+    )
+    return 2 * 6371.0 * math.asin(math.sqrt(min(1.0, h)))
+
+
 geo_pts = st.lists(
     st.tuples(
         st.floats(min_value=-60, max_value=60, allow_nan=False),
@@ -450,27 +464,14 @@ def test_radius_join_matches_brute_force_property(spark, coords):
     quadratic brute force on ARBITRARY points in the supported envelope
     (|lat| <= 60), including clusters at the ±180 seam and coincident
     points. Radius 100 km < the minimum 2° cell width in-envelope."""
-    import math
-
     from spring_and_kafka_spark.operators.geo import radius_join
-
-    def hav(a, b):
-        dphi = math.radians((b[0] - a[0]) / 2)
-        dlam = math.radians((b[1] - a[1]) / 2)
-        h = (
-            math.sin(dphi) ** 2
-            + math.cos(math.radians(a[0]))
-            * math.cos(math.radians(b[0]))
-            * math.sin(dlam) ** 2
-        )
-        return 2 * 6371.0 * math.asin(math.sqrt(min(1.0, h)))
 
     pts = list(enumerate(coords))
     expected = {
         (i, j)
         for k, (i, a) in enumerate(pts)
         for j, b in pts[k + 1 :]
-        if hav(a, b) <= 100.0
+        if _hav_km(a, b) <= 100.0
     }
     df = spark.createDataFrame(
         [(i, a[0], a[1]) for i, a in pts] or [(0, 0.0, 0.0)],
@@ -493,28 +494,15 @@ def test_nearest_within_matches_brute_force_property(spark, coords):
     points in the envelope — coincident points, seam clusters, isolated
     points. The rounded-distance ordering is the contract: it is what
     both engines rank on (q_geo_nearest docstring)."""
-    import math
-
     from spring_and_kafka_spark.operators.geo import nearest_within
-
-    def hav(a, b):
-        dphi = math.radians((b[0] - a[0]) / 2)
-        dlam = math.radians((b[1] - a[1]) / 2)
-        h = (
-            math.sin(dphi) ** 2
-            + math.cos(math.radians(a[0]))
-            * math.cos(math.radians(b[0]))
-            * math.sin(dlam) ** 2
-        )
-        return 2 * 6371.0 * math.asin(math.sqrt(min(1.0, h)))
 
     pts = list(enumerate(coords))
     expected = {}
     for i, a in pts:
         cands = [
-            (round(hav(a, b), 3), j)
+            (round(_hav_km(a, b), 3), j)
             for j, b in pts
-            if j != i and hav(a, b) <= 100.0
+            if j != i and _hav_km(a, b) <= 100.0
         ]
         if cands:
             expected[i] = min(cands)  # (rounded dist, lowest id) tuple
