@@ -577,9 +577,9 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN s.k IS NULL THEN 'unchanged'
                 WHEN c.c_custkey IS NULL THEN 'inserted'
                 ELSE 'updated' END AS status,
-           round((CASE WHEN c.c_custkey IS NULL THEN 0
-                       ELSE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
-                  END + coalesce(s.delta_cents, 0)) / 100.0, 2) AS new_acctbal
+           (CASE WHEN c.c_custkey IS NULL THEN 0
+                 ELSE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+            END + coalesce(s.delta_cents, 0)) / 100.0 AS new_acctbal
     FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
     ORDER BY c_custkey
     """,
@@ -628,8 +628,13 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c_custkey").isNull(), "inserted")
         .otherwise("updated")
         .alias("status"),
-        F.round(
-            (bal_cents + F.coalesce("delta_cents", F.lit(0).cast("long"))) / 100.0, 2
+        # no round(): exact-cents / 100.0 is a single IEEE division whose
+        # true value sits exactly ON the 2-dp boundary — engine round()
+        # there adds only cross-build divergence (the q_compaction_plan
+        # round-6 lesson), never precision
+        (
+            (bal_cents + F.coalesce("delta_cents", F.lit(0).cast("long")))
+            / 100.0
         ).alias("new_acctbal"),
     ).orderBy("c_custkey")
 

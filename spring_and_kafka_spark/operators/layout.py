@@ -393,8 +393,8 @@ _COMPACT_TARGET = 10_000  # target bytes per compacted output file
     )
     SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files,
            CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
-           round(sum(size_bytes) * 1.0 / {_COMPACT_TARGET}, 4)
-             AS fill_ratio
+           CAST(sum(size_bytes) * 10000 // {_COMPACT_TARGET} AS BIGINT)
+             AS fill_bp
     FROM packed
     GROUP BY bin_id
     ORDER BY bin_id
@@ -406,9 +406,13 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table) is packed into target-sized output files by
     next-fit over the inventory order — bin = cumulative-bytes-before
     DIV target. Emits the compaction manifest: per-bin file count, total
-    bytes, and fill ratio vs the target. This is the nightly job that
-    keeps a streaming-ingested table's file count (and thus its scan
-    task count and driver planning cost) bounded.
+    bytes, and fill level vs the target in integer BASIS POINTS
+    (fill_bp = bytes*10^4 DIV target — exact integer arithmetic in both
+    engines; round 6's driver-red taught that a rounded-DOUBLE ratio
+    derived from exact integers is a cross-engine ULP hazard, so the
+    ratio column is integer by construction). This is the nightly job
+    that keeps a streaming-ingested table's file count (and thus its
+    scan task count and driver planning cost) bounded.
 
     The running-sum window is over file METADATA — one row per file, the
     table's manifest, millions of rows at most at 100 TB — not over data
@@ -433,9 +437,10 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_files"),
             F.sum("size_bytes").alias("total_bytes"),
-            F.round(
-                F.sum("size_bytes") * 1.0 / _COMPACT_TARGET, 4
-            ).alias("fill_ratio"),
+            F.expr(
+                f"CAST(sum(size_bytes) * 10000 DIV {_COMPACT_TARGET}"
+                " AS BIGINT)"
+            ).alias("fill_bp"),
         )
         .orderBy("bin_id")
     )

@@ -422,7 +422,7 @@ def q_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT n AS n_customers,
-           round(tot / 100.0, 2) AS total_revenue,
+           tot / 100.0 AS total_revenue,
            round(2.0 * CAST(wsum AS DOUBLE) / (n * 1.0 * tot)
                  - (n + 1.0) / n, 6) AS gini
     FROM s
@@ -465,7 +465,12 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").alias("n_customers"),
-        F.round(F.col("tot") / 100.0, 2).alias("total_revenue"),
+        # no round(): tot/100.0 is ONE IEEE division on an exact integer
+        # (bit-identical across engines) whose true value sits exactly ON
+        # the 2-dp boundary — wrapping it in engine round() adds only the
+        # cross-build divergence that made q_compaction_plan driver-red
+        # in round 6, never precision
+        (F.col("tot") / 100.0).alias("total_revenue"),
         F.round(
             2.0 * F.col("wsum").cast("double")
             / (F.col("n") * 1.0 * F.col("tot"))
@@ -499,7 +504,7 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT abc_class,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(cents) / 100.0, 2) AS revenue,
+           sum(cents) / 100.0 AS revenue,
            round(sum(cents) * 1.0 / max(tot), 4) AS revenue_share
     FROM classed CROSS JOIN (SELECT sum(cents) AS tot FROM rev) t
     GROUP BY abc_class
@@ -543,7 +548,9 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         classed.groupBy("abc_class")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            # unrounded by design: exact-cents / 100.0 is boundary-exact,
+            # see q_agg_gini's total_revenue note
+            (F.sum("cents") / 100.0).alias("revenue"),
             F.round(F.sum("cents") * 1.0 / F.max("tot"), 4).alias(
                 "revenue_share"
             ),

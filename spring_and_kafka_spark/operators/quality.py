@@ -445,7 +445,8 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, CAST(n_rows AS BIGINT) AS n_rows, n_users,
            null_value_rate,
-           round(n_rows * 1.0 / lag(n_rows) OVER (ORDER BY day), 4)
+           round(n_rows * 1.0 / lag(n_rows)
+                 OVER (ORDER BY day NULLS FIRST), 4)
              AS dod_ratio
     FROM d
     """,
@@ -465,7 +466,12 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag window over the day-count table, which is days-sized, not
     rows-sized: the window sort is O(days) on one reducer and that is
     the correct plan. events.ts is TIMESTAMP(NANOS) parquet — Spark
-    reads NTZ, DuckDB naive timestamp; CAST→date agrees on both."""
+    reads NTZ, DuckDB naive timestamp; CAST→date agrees on both.
+
+    The lag window pins NULLS FIRST explicitly in BOTH engines (ADVICE
+    r6): engine defaults differ (Spark ASC = nulls first, DuckDB =
+    nulls last), so a NULL ts day — absent in fixtures but legal —
+    would silently shift every lag neighbor."""
     e = load_table(spark, sf_dir, "events")
     d = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n_rows"),
@@ -474,7 +480,7 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.count("value") * 1.0 / F.count("*"), 6
         ).alias("null_value_rate"),
     )
-    w = Window.orderBy("day")
+    w = Window.orderBy(F.col("day").asc_nulls_first())
     return d.select(
         "day",
         "n_rows",

@@ -9,6 +9,14 @@ oracle SQL get a rows-only check.
 Conventions (hash-match discipline, SURVEY.md §5.2):
 - alias every computed column identically in Spark and SQL
 - round money sums to 2 decimals, averages/ratios to 4-6, cosines to 6
+- EXCEPTION (the q_compaction_plan round-6 lesson): when the unrounded
+  value is an exact-integer ratio landing exactly ON the rounding
+  boundary (cents/100, bytes/10^4), do NOT wrap it in engine round() —
+  either emit the integer itself (fill_bp) or the bare single IEEE
+  division (cents/100.0): both are bit-identical across engines, while
+  round() implementations diverge across DuckDB builds precisely at
+  boundary values. round() is for values with real excess digits (real
+  averages, libm outputs), where boundary hits are measure-zero
 - cast engine-divergent types explicitly (DuckDB SUM(int)→HUGEINT vs Spark
   →long; DuckDB ceil(double)→double vs Spark →long; DuckDB CAST(double AS
   BIGINT) rounds vs Spark truncates)
@@ -50,74 +58,76 @@ _MODULE_SEQ: dict[str, int] = {}
 
 # The driver hash-verifies EXACTLY the first 50 exposed entries each
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
-# every query eventually owns a green CORRECTNESS row. Round-6 window
-# (VERDICT r5 items 1-3): the 18 round-5 post-freeze additions that have
-# never been driver-verified, the repo's only driver-red query
-# (q_text_inverted_index — its ARRAY output crashed the driver hasher in
-# r5; now serialized to CSV per the q_agg_collect precedent), the 4
-# round-6 additions registered BEFORE this freeze (q_geo_nearest,
-# q_text_entropy, q_embed_dim_stats, q_dq_freshness), and 27 of the 32
-# round-1 greens — the stalest rows in the registry, unchecked since r1.
-# The 5 remaining r1 greens (q_scan q_project q_filter_cmp q_sort
-# q_limit — the lowest-risk single-operator scans) rotate in round 7.
-# After this window every registered query has a driver row no older
-# than r2. Queries not named here rank after the prefix by (module
+# every query eventually owns a green CORRECTNESS row. Round-7 window
+# (VERDICT r6 items 1-3): the repo's one driver-red row
+# (q_compaction_plan — its rounded-DOUBLE fill_ratio is now integer
+# fill_bp in both engines), the 4 queries whose output expressions
+# changed this round (the boundary-exact round() removals in
+# q_agg_gini / q_pareto_abc / q_merge_upsert, and q_dq_freshness's
+# NULLS FIRST pin), the 5 remaining r1 greens (the lowest-risk scans,
+# scheduled last round), all 28 r2-stale greens (the functions/array,
+# UDF-surface and first LLM batches — modules the shared-helper churn
+# since r2 touched), and the 12 most churn-exposed r3 rows (the whole
+# functions/scalar batch + the two r3 aggregate survivors). After this
+# window no green row is older than r3, and 32 r3 rows remain for the
+# r8 rotation. Queries not named here rank after the prefix by (module
 # rank, def order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
-    # the one driver-red row from r5, re-verifying its fixed output shape
-    "q_text_inverted_index",
-    # never driver-verified: round-5 post-freeze additions (18)
-    "q_zonemap_prune",
-    "q_zorder_layout",
-    "q_mv_incremental",
+    # the one driver-red row from r6, re-verifying its integer fix
     "q_compaction_plan",
-    "q_snapshot_diff",
-    "q_skew_report",
-    "q_ts_seasonality",
-    "q_ts_holt",
-    "q_geo_grid_density",
-    "q_geo_radius_join",
-    "q_agg_ols2",
-    "q_agg_moments",
+    # output expressions changed in round 7 (must re-verify)
     "q_agg_gini",
     "q_pareto_abc",
-    "q_dist_shift",
-    "q_text_hapax",
-    "q_win_rolling_slope",
-    "q_funnel_latency",
-    # round-6 additions, registered before this freeze (4)
-    "q_geo_nearest",
-    "q_text_entropy",
-    "q_embed_dim_stats",
+    "q_merge_upsert",
     "q_dq_freshness",
-    # stalest greens: driver-verified once, in round 1 (27 of 32)
-    "q_filter_bool",
-    "q_filter_in",
-    "q_filter_between",
-    "q_filter_like",
-    "q_filter_null",
-    "q_case_when",
-    "q_distinct",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_generate",
-    "q_agg_distinct",
-    "q_agg_stats",
-    "q_agg_percentile",
-    "q_agg_bool",
-    "q_agg_having",
-    "q_rollup",
-    "q_rollup_grouping",
-    "q_cube",
-    "q_grouping_sets",
-    "q_pivot",
-    "q_win_rank",
-    "q_win_lag",
-    "q_win_frame_rows",
-    "q_win_frame_range",
-    "q_win_dist",
-    "q_topk_per_group",
+    # stalest greens: the 5 remaining round-1 rows
+    "q_scan",
+    "q_project",
+    "q_filter_cmp",
+    "q_sort",
+    "q_limit",
+    # round-2 greens, unchecked since r2 (28)
+    "q_agg_global",
+    "q_embed_generate",
+    "q_fn_array",
+    "q_fn_explode",
+    "q_fn_json",
+    "q_fn_map",
+    "q_fn_struct",
+    "q_funnel",
+    "q_lang_stats",
+    "q_multimodal_decode",
+    "q_multimodal_meta",
+    "q_pipeline_curate",
+    "q_retention",
+    "q_text_bigram_ppl",
+    "q_text_contamination",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_sentiment",
+    "q_text_tfidf",
+    "q_text_tokens",
+    "q_text_tokens_bpe",
+    "q_ts_simsearch",
+    "q_udf_grouped_agg",
+    "q_udf_grouped_map",
+    "q_udf_pandas",
+    "q_udf_scalar",
+    # most churn-exposed round-3 greens (12 of 44)
+    "q_fn_bits",
+    "q_fn_cast",
+    "q_fn_condexpr",
+    "q_fn_date",
+    "q_fn_editdist",
+    "q_fn_hash",
+    "q_fn_math",
+    "q_fn_regex",
+    "q_fn_string",
+    "q_fn_trig",
+    "q_agg_approx",
+    "q_agg_collect",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -79,15 +79,29 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
     with the batch query's exact expressions (quality.py): null rate to
     6 dp, day-over-day volume ratio via a days-sized lag window. A
     stream that never ran yields an empty audit, not a missing-path
-    error."""
+    error. PARTIAL state — exactly one of counts/users present, i.e. a
+    crash landed between on_batch's two writes — raises instead of
+    silently reading as 'stream never ran' (ADVICE r6: one try around
+    both reads discarded a successfully-read counts/ when users/ was
+    missing, masking a torn state dir)."""
     from pyspark.errors import AnalysisException
 
-    try:
-        counts = spark.read.schema(_CNT_SCHEMA).parquet(
-            f"{state_dir}/counts"
+    def read_or_none(sub: str, schema: str) -> DataFrame | None:
+        try:
+            return spark.read.schema(schema).parquet(f"{state_dir}/{sub}")
+        except AnalysisException:
+            return None
+
+    counts = read_or_none("counts", _CNT_SCHEMA)
+    users = read_or_none("users", _USR_SCHEMA)
+    if (counts is None) != (users is None):
+        present = "counts" if counts is not None else "users"
+        raise RuntimeError(
+            f"partial freshness state under {state_dir}: {present}/ exists "
+            "but its sibling is missing — a crash between on_batch's two "
+            "writes; replay the last batch or clear the state dir"
         )
-        users = spark.read.schema(_USR_SCHEMA).parquet(f"{state_dir}/users")
-    except AnalysisException:
+    if counts is None:
         counts = spark.createDataFrame([], _CNT_SCHEMA)
         users = spark.createDataFrame([], _USR_SCHEMA)
     c = counts.groupBy("day").agg(
@@ -95,7 +109,10 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
         F.sum("n_null_value").alias("n_null"),
     )
     u = users.groupBy("day").agg(F.countDistinct("user_id").alias("n_users"))
-    w = Window.orderBy("day")
+    # NULLS FIRST pinned to match the batch query's explicit ordering
+    # (quality.py q_dq_freshness, ADVICE r6) — a NULL day must take the
+    # same lag slot in both faces or stream != batch on torn inputs.
+    w = Window.orderBy(F.col("day").asc_nulls_first())
     # null-safe join key: an event with a NULL ts groups to day=NULL in
     # the batch audit, and a plain inner join would silently drop that
     # row here (NULL == NULL never matches) — stream != batch.

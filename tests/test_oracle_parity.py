@@ -20,7 +20,10 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else f"{v:.9g}"
+        # float64 round-trip width — a 1-ulp cross-engine divergence
+        # must fail HERE, not first at the driver's bitwise hash
+        # (tools/selfcheck.py uses the same width; VERDICT r6 item 2)
+        return "NaN" if math.isnan(v) else f"{v:.17g}"
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if hasattr(v, "isoformat"):
@@ -33,6 +36,41 @@ def _multiset(rows, cols):
     return sorted(
         (tuple(_norm(r[i]) for i in order) for r in rows),
         key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+# Queries allowed to combine round() with a power-of-ten literal
+# division in their oracle: the division is NOT the last exact-integer
+# step (an arbitrary-real value precedes it), so the rounded value never
+# sits systematically ON the boundary.
+_ROUND_POW10_ALLOWED = {
+    "q_agg_ols2",  # (covar-matrix solve) / det precedes the /100 scale
+    "q_fn_trig",  # round(sin(x / 10), 6) — libm wraps the division
+}
+
+
+def test_no_round_over_boundary_exact_pow10_ratio():
+    """Registry lint (the q_compaction_plan round-6 lesson, VERDICT r6
+    item 2): an oracle that wraps a power-of-ten literal division in
+    round() is the signature of the boundary-exact hazard class — an
+    exact-integer ratio whose true value lands exactly ON the rounding
+    boundary, where engine round() implementations diverge across
+    DuckDB builds. Emit the integer (fill_bp) or the bare division
+    (cents/100.0) instead; see registry.py conventions."""
+    import re
+
+    pat = re.compile(r"round\s*\([^;]*?/\s*10+(?:\.0)?\s*[,)]", re.I | re.S)
+    offenders = [
+        name
+        for name, spec in SPECS.items()
+        if spec.oracle
+        and name not in _ROUND_POW10_ALLOWED
+        and pat.search(spec.oracle)
+    ]
+    assert not offenders, (
+        f"{offenders}: round() over a power-of-ten literal division — "
+        "boundary-exact ratio; emit the integer or the unrounded "
+        "division (registry.py conventions, q_compaction_plan lesson)"
     )
 
 

@@ -316,6 +316,14 @@ def test_geo_nearest_is_cell_equi_join_no_cartesian(spark):
     p = plan(spark, "q_geo_nearest")
     assert "CartesianProduct" not in p
     assert "WindowGroupLimit" in p or "Window" in p
+    # symmetrization is an explode of the verified pairs, NOT a
+    # self-union of the pair subplan: the 9×-replicated candidate join
+    # must appear in the physical plan exactly ONCE (geo.py
+    # nearest_within docstring — a union would execute it twice)
+    import re
+
+    assert len(re.findall(r"\(\d+\) \w*Join", p)) == 1
+    assert "Union" not in p
 
 
 def test_text_entropy_single_scan_two_shuffles(spark):

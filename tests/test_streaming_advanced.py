@@ -519,3 +519,15 @@ def test_stream_maintained_freshness_equals_batch(spark, tmp_path):
     # never-ran stream → empty audit, not an error
     empty = maintained_freshness(spark, str(tmp_path / "nostate"))
     assert empty.count() == 0
+
+    # PARTIAL state (counts/ committed, users/ missing — a crash between
+    # on_batch's two writes) must raise, not read as 'never ran'
+    # (ADVICE r6: the old single try silently discarded the good half).
+    import shutil
+
+    import pytest
+
+    torn = str(tmp_path / "torn")
+    shutil.copytree(f"{state}/counts", f"{torn}/counts")
+    with pytest.raises(RuntimeError, match="partial freshness state"):
+        maintained_freshness(spark, torn).collect()

@@ -263,6 +263,23 @@ NOTES = {
         "overlapping-pair count grows ~quadratically in concurrency by "
         "definition of the query — the ratio tracks result growth."
     ),
+    "q_heavy_hitters": (
+        "above peers yet SUBLINEAR in the 10× facts — the 1× run "
+        "(~0.2 s) is pure job overhead; the only row-sized stage is the "
+        "groupBy(l_partkey) scan, and the rank/cumulative windows run "
+        "over the KEY table, whose cardinality is unchanged by "
+        "amplification (copies replay the same part keys). The ratio is "
+        "the scan's true cost emerging from under the overhead floor."
+    ),
+    "q_agg_quantile_sketch": (
+        "above peers yet SUBLINEAR in the 10× facts — amplified copies "
+        "replay the SAME price values, so distinct-cents cardinality "
+        "and every window/bucket stage after the first groupBy are "
+        "unchanged; only the one map-side-combined groupBy(cents) scan "
+        "grows 10×. 3-4× total is that scan surfacing from under the "
+        "fixed multi-job overhead (5 jobs: bucket select + rank join), "
+        "not pair growth — there is no pair space in this plan."
+    ),
     "q_dedup_near": (
         "hovers around the corpus factor (3-5× across re-runs at 4× "
         "docs) because THIS amplified corpus saturates band signatures "

@@ -37,7 +37,12 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # 17 significant digits is the float64 round-trip width: any
+        # cross-engine divergence, down to 1 ulp, fails HERE before it
+        # fails the driver's bitwise hash. Round 6's only driver-red
+        # (q_compaction_plan) slipped through the previous %.9g — a
+        # looser-than-driver local gate is a blind spot, not a gate.
+        return f"{v:.17g}"
     if isinstance(v, (list, tuple)):
         return tuple(normalize(x) for x in v)
     if hasattr(v, "isoformat"):
