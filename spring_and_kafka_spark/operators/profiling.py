@@ -423,8 +423,8 @@ def q_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_customers,
            tot / 100.0 AS total_revenue,
-           round(2.0 * CAST(wsum AS DOUBLE) / (n * 1.0 * tot)
-                 - (n + 1.0) / n, 6) AS gini
+           2.0 * CAST(wsum AS DOUBLE) / (n * 1.0 * tot)
+             - (n + 1.0) / n AS gini
     FROM s
     """,
 )
@@ -471,11 +471,14 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cross-build divergence that made q_compaction_plan driver-red
         # in round 6, never precision
         (F.col("tot") / 100.0).alias("total_revenue"),
-        F.round(
+        # unrounded: an order-matched chain of single IEEE ops on the
+        # identical exact integers (n, tot, wsum) is bit-identical
+        # across engines; engine round() would add only cross-build
+        # boundary risk (registry.py conventions)
+        (
             2.0 * F.col("wsum").cast("double")
             / (F.col("n") * 1.0 * F.col("tot"))
-            - (F.col("n") + 1.0) / F.col("n"),
-            6,
+            - (F.col("n") + 1.0) / F.col("n")
         ).alias("gini"),
     )
 
@@ -505,7 +508,7 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT abc_class,
            CAST(count(*) AS BIGINT) AS n_customers,
            sum(cents) / 100.0 AS revenue,
-           round(sum(cents) * 1.0 / max(tot), 4) AS revenue_share
+           sum(cents) * 1.0 / max(tot) AS revenue_share
     FROM classed CROSS JOIN (SELECT sum(cents) AS tot FROM rev) t
     GROUP BY abc_class
     ORDER BY abc_class
@@ -551,7 +554,9 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             # unrounded by design: exact-cents / 100.0 is boundary-exact,
             # see q_agg_gini's total_revenue note
             (F.sum("cents") / 100.0).alias("revenue"),
-            F.round(F.sum("cents") * 1.0 / F.max("tot"), 4).alias(
+            # unrounded: single IEEE division of exact integer sums —
+            # bit-identical across engines (see gini's note above)
+            (F.sum("cents") * 1.0 / F.max("tot")).alias(
                 "revenue_share"
             ),
         )

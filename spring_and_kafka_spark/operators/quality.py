@@ -439,14 +439,12 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(ts AS DATE) AS day,
              count(*) AS n_rows,
              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-             round(1.0 - count(value) * 1.0 / count(*), 6)
-               AS null_value_rate
+             1.0 - count(value) * 1.0 / count(*) AS null_value_rate
       FROM events GROUP BY 1
     )
     SELECT day, CAST(n_rows AS BIGINT) AS n_rows, n_users,
            null_value_rate,
-           round(n_rows * 1.0 / lag(n_rows)
-                 OVER (ORDER BY day NULLS FIRST), 4)
+           n_rows * 1.0 / lag(n_rows) OVER (ORDER BY day NULLS FIRST)
              AS dod_ratio
     FROM d
     """,
@@ -471,14 +469,22 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lag window pins NULLS FIRST explicitly in BOTH engines (ADVICE
     r6): engine defaults differ (Spark ASC = nulls first, DuckDB =
     nulls last), so a NULL ts day — absent in fixtures but legal —
-    would silently shift every lag neighbor."""
+    would silently shift every lag neighbor.
+
+    Both rate columns are UNROUNDED by design: each is an order-matched
+    chain of single IEEE ops on exact integer counts (divide, subtract)
+    — bit-identical across engines — and daily row counts routinely
+    divide 10^4/10^6 (a 500-row day puts every value exactly ON the
+    rounding grid), so wrapping them in engine round() adds only the
+    cross-build boundary divergence of the q_compaction_plan round-6
+    driver-red, never precision."""
     e = load_table(spark, sf_dir, "events")
     d = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(
-            1.0 - F.count("value") * 1.0 / F.count("*"), 6
-        ).alias("null_value_rate"),
+        (1.0 - F.count("value") * 1.0 / F.count("*")).alias(
+            "null_value_rate"
+        ),
     )
     w = Window.orderBy(F.col("day").asc_nulls_first())
     return d.select(
@@ -486,7 +492,7 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_users",
         "null_value_rate",
-        F.round(
-            F.col("n_rows") * 1.0 / F.lag("n_rows").over(w), 4
-        ).alias("dod_ratio"),
+        (F.col("n_rows") * 1.0 / F.lag("n_rows").over(w)).alias(
+            "dod_ratio"
+        ),
     )

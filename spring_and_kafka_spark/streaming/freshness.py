@@ -79,16 +79,21 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
     with the batch query's exact expressions (quality.py): null rate to
     6 dp, day-over-day volume ratio via a days-sized lag window. A
     stream that never ran yields an empty audit, not a missing-path
-    error. PARTIAL state — exactly one of counts/users present, i.e. a
-    crash landed between on_batch's two writes — raises instead of
-    silently reading as 'stream never ran' (ADVICE r6: one try around
-    both reads discarded a successfully-read counts/ when users/ was
-    missing, masking a torn state dir)."""
+    error. PARTIAL state raises instead of being silently absorbed
+    (ADVICE r6: one try around both reads discarded a successfully-read
+    counts/ when users/ was missing) — checked at two levels: one
+    top-level dir missing entirely (first-batch crash), and a
+    batch_id=N partition present on one side only (crash between
+    on_batch's two writes on any later batch)."""
     from pyspark.errors import AnalysisException
 
     def read_or_none(sub: str, schema: str) -> DataFrame | None:
+        # batch_id appended to the schema: it is the partition-directory
+        # column (counts/batch_id=N), parsed from the path on read
         try:
-            return spark.read.schema(schema).parquet(f"{state_dir}/{sub}")
+            return spark.read.schema(schema + ", batch_id BIGINT").parquet(
+                f"{state_dir}/{sub}"
+            )
         except AnalysisException:
             return None
 
@@ -104,6 +109,42 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
     if counts is None:
         counts = spark.createDataFrame([], _CNT_SCHEMA)
         users = spark.createDataFrame([], _USR_SCHEMA)
+    else:
+        # PER-BATCH tear check: a crash between on_batch's two writes on
+        # any batch after the first leaves counts/batch_id=N without its
+        # users/batch_id=N sibling while both top-level dirs exist — the
+        # whole-dir check above cannot see it, and the merge would
+        # silently undercount that batch's days. Compare the batch_id
+        # partition sets (batch-count cardinality, not data rows); the
+        # 1-row collect is the same tiny-diagnostic pattern as
+        # operators/skew.py's salted_join.
+        sides = (
+            counts.select("batch_id")
+            .distinct()
+            .withColumn("side", F.lit("counts"))
+            .unionByName(
+                users.select("batch_id")
+                .distinct()
+                .withColumn("side", F.lit("users"))
+            )
+        )
+        torn = (
+            sides.groupBy("batch_id")
+            .agg(F.count("*").alias("n_sides"), F.min("side").alias("side"))
+            .filter(F.col("n_sides") < 2)
+            .limit(1)
+            .collect()
+        )
+        if torn:
+            b, _, side = torn[0]
+            raise RuntimeError(
+                f"partial freshness state under {state_dir}: batch_id={b} "
+                f"has {side}/ but not its sibling — a crash between "
+                "on_batch's two writes; replay that batch or clear the "
+                "state dir"
+            )
+        counts = counts.drop("batch_id")
+        users = users.drop("batch_id")
     c = counts.groupBy("day").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_null_value").alias("n_null"),
@@ -119,7 +160,8 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
     # The rate reconstructs the batch's EXACT expression
     # 1.0 - count(value)/count(*): count(value) = n_rows - n_null, both
     # exact integers; computing n_null/n_rows instead can differ in the
-    # last float bit before the 6-dp round.
+    # last float bit. Unrounded like the batch face (quality.py): the
+    # chain is single IEEE ops on exact integers, bit-identical.
     non_null = F.col("n_rows") - F.col("n_null")
     return (
         c.join(u, c["day"].eqNullSafe(u["day"]))
@@ -128,17 +170,17 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
             "day",
             "n_rows",
             "n_users",
-            F.round(
-                F.lit(1.0) - non_null * 1.0 / F.col("n_rows"), 6
-            ).alias("null_value_rate"),
+            (F.lit(1.0) - non_null * 1.0 / F.col("n_rows")).alias(
+                "null_value_rate"
+            ),
         )
         .select(
             "day",
             "n_rows",
             "n_users",
             "null_value_rate",
-            F.round(
-                F.col("n_rows") * 1.0 / F.lag("n_rows").over(w), 4
-            ).alias("dod_ratio"),
+            (F.col("n_rows") * 1.0 / F.lag("n_rows").over(w)).alias(
+                "dod_ratio"
+            ),
         )
     )

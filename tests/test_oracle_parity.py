@@ -59,13 +59,45 @@ def test_no_round_over_boundary_exact_pow10_ratio():
     (cents/100.0) instead; see registry.py conventions."""
     import re
 
-    pat = re.compile(r"round\s*\([^;]*?/\s*10+(?:\.0)?\s*[,)]", re.I | re.S)
+    div_pow10 = re.compile(r"/\s*10+(?:\.0)?\b")
+
+    def round_args(sql):
+        # balanced-paren argument text of every round( call — a plain
+        # regex either matches divisions OUTSIDE the call or misses
+        # ones that aren't the last token before the closing paren
+        low = sql.lower()
+        i = 0
+        while True:
+            j = low.find("round", i)
+            if j < 0:
+                return
+            if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+                i = j + 5  # identifier suffix (x_round), not a call
+                continue
+            k = j + 5
+            while k < len(sql) and sql[k].isspace():
+                k += 1
+            if k >= len(sql) or sql[k] != "(":
+                i = j + 5
+                continue
+            depth = 0
+            m = k
+            for m in range(k, len(sql)):
+                if sql[m] == "(":
+                    depth += 1
+                elif sql[m] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        yield sql[k + 1 : m]
+                        break
+            i = m + 1
+
     offenders = [
         name
         for name, spec in SPECS.items()
         if spec.oracle
         and name not in _ROUND_POW10_ALLOWED
-        and pat.search(spec.oracle)
+        and any(div_pow10.search(a) for a in round_args(spec.oracle))
     ]
     assert not offenders, (
         f"{offenders}: round() over a power-of-ten literal division — "

@@ -531,3 +531,18 @@ def test_stream_maintained_freshness_equals_batch(spark, tmp_path):
     shutil.copytree(f"{state}/counts", f"{torn}/counts")
     with pytest.raises(RuntimeError, match="partial freshness state"):
         maintained_freshness(spark, torn).collect()
+
+    # PER-BATCH tear: both dirs exist, but one batch committed counts
+    # and crashed before users — must also raise, naming the batch,
+    # not silently undercount that batch's days.
+    torn2 = str(tmp_path / "torn2")
+    shutil.copytree(state, torn2)
+    victims = [
+        d
+        for d in sorted((tmp_path / "torn2" / "users").iterdir())
+        if d.name.startswith("batch_id=")
+    ]
+    assert len(victims) >= 2, "need multi-batch state for this case"
+    shutil.rmtree(victims[-1])
+    with pytest.raises(RuntimeError, match=r"batch_id=\d+ has counts/"):
+        maintained_freshness(spark, torn2).collect()
