@@ -254,6 +254,14 @@ NOTES = {
         "low-degree endpoint; the ratio measures graph densification, "
         "not a plan defect."
     ),
+    "q_graph_pagerank": (
+        "1.6-2.8× across hosts at 10× facts — SUBLINEAR in rows either "
+        "way: the 5 fixed rounds iterate over the co-order edge table, "
+        "which grows with distinct co-order pairs (the same "
+        "densification caveat as q_graph_triangles, milder because no "
+        "threshold crossing), and the 1× run carries the fixed 5-round "
+        "job overhead."
+    ),
     "q_graph_degree": (
         "same densification caveat as q_graph_triangles: once-only "
         "co-order pairs cross the ≥2 threshold as copies stack."
