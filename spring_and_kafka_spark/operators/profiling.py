@@ -423,8 +423,9 @@ def q_dist_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_customers,
            tot / 100.0 AS total_revenue,
-           2.0 * CAST(wsum AS DOUBLE) / (n * 1.0 * tot)
-             - (n + 1.0) / n AS gini
+           CASE WHEN tot = 0 THEN NULL
+                ELSE 2.0 * CAST(wsum AS DOUBLE) / (n * 1.0 * tot)
+                     - (n + 1.0) / n END AS gini
     FROM s
     """,
 )
@@ -474,11 +475,14 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unrounded: an order-matched chain of single IEEE ops on the
         # identical exact integers (n, tot, wsum) is bit-identical
         # across engines; engine round() would add only cross-build
-        # boundary risk (registry.py conventions)
-        (
+        # boundary risk (registry.py conventions). NULL when total
+        # revenue is 0 — concentration of nothing is undefined, and
+        # ANSI mode would otherwise throw DIVIDE_BY_ZERO.
+        F.when(
+            F.col("tot") != 0,
             2.0 * F.col("wsum").cast("double")
             / (F.col("n") * 1.0 * F.col("tot"))
-            - (F.col("n") + 1.0) / F.col("n")
+            - (F.col("n") + 1.0) / F.col("n"),
         ).alias("gini"),
     )
 
@@ -508,7 +512,8 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT abc_class,
            CAST(count(*) AS BIGINT) AS n_customers,
            sum(cents) / 100.0 AS revenue,
-           sum(cents) * 1.0 / max(tot) AS revenue_share
+           CASE WHEN max(tot) = 0 THEN NULL
+                ELSE sum(cents) * 1.0 / max(tot) END AS revenue_share
     FROM classed CROSS JOIN (SELECT sum(cents) AS tot FROM rev) t
     GROUP BY abc_class
     ORDER BY abc_class
@@ -555,10 +560,14 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             # see q_agg_gini's total_revenue note
             (F.sum("cents") / 100.0).alias("revenue"),
             # unrounded: single IEEE division of exact integer sums —
-            # bit-identical across engines (see gini's note above)
-            (F.sum("cents") * 1.0 / F.max("tot")).alias(
-                "revenue_share"
-            ),
+            # bit-identical across engines (see gini's note above).
+            # NULL when total revenue is 0: share is undefined and ANSI
+            # mode would otherwise throw DIVIDE_BY_ZERO (hypothesis
+            # found the all-zero-revenue corpus, round 7)
+            F.when(
+                F.max("tot") != 0,
+                F.sum("cents") * 1.0 / F.max("tot"),
+            ).alias("revenue_share"),
         )
         .orderBy("abc_class")
     )

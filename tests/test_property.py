@@ -517,3 +517,104 @@ def test_nearest_within_matches_brute_force_property(spark, coords):
     if not pts:
         expected, got = {}, {}
     assert got == expected
+
+
+doc_lists = st.lists(
+    st.tuples(st.integers(0, 400), st.integers(0, 600)),  # (doc_id, len)
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(doc_lists)
+def test_compaction_plan_matches_brute_force_next_fit(spark, docs):
+    """For ANY file inventory the compaction manifest must equal a
+    driver-side next-fit: bins are contiguous in file order, bytes are
+    conserved, and fill_bp is the exact integer bytes·10^4 DIV target
+    (the round-7 integer form — no float anywhere in the contract)."""
+    import tempfile
+
+    from spring_and_kafka_spark.operators.layout import (
+        _COMPACT_FILES,
+        _COMPACT_TARGET,
+        q_compaction_plan,
+    )
+
+    sizes: dict[int, int] = {}
+    for doc_id, ln in docs:
+        fid = doc_id % _COMPACT_FILES
+        sizes[fid] = sizes.get(fid, 0) + ln
+    bins: dict[int, list[int]] = {}
+    cum = 0
+    for fid in sorted(sizes):
+        b = cum // _COMPACT_TARGET
+        n, tot = bins.get(b, (0, 0))
+        bins[b] = (n + 1, tot + sizes[fid])
+        cum += sizes[fid]
+    expected = [
+        (b, n, tot, tot * 10000 // _COMPACT_TARGET)
+        for b, (n, tot) in sorted(bins.items())
+    ]
+
+    d = tempfile.mkdtemp(prefix="compact-prop-")
+    spark.createDataFrame(
+        [(doc_id, "a" * ln) for doc_id, ln in docs],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = [
+        (r.bin_id, r.n_files, r.total_bytes, r.fill_bp)
+        for r in q_compaction_plan(spark, d).collect()
+    ]
+    assert got == expected
+    assert sum(t for _, _, t, _ in got) == sum(sizes.values())
+
+
+order_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 500)),  # (custkey, $)
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(order_lists)
+def test_pareto_abc_matches_brute_force(spark, orders):
+    """ABC classification must equal a driver-side reference on ANY
+    order set: boundaries evaluated as integer cross-products
+    (cum·10 ≤ tot·5 / ·8) over the (revenue desc, custkey) order, so no
+    float ever decides a boundary row — including the all-ties and
+    single-customer degenerate shapes hypothesis likes to find."""
+    import datetime as dt
+    import tempfile
+
+    from spring_and_kafka_spark.operators.profiling import q_pareto_abc
+
+    rev: dict[int, int] = {}
+    for ck, dollars in orders:
+        rev[ck] = rev.get(ck, 0) + dollars * 100
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(rev.values())
+    expected: dict[str, list[int]] = {}
+    cum = 0
+    for ck, cents in ranked:
+        cum += cents
+        cls = "A" if cum * 10 <= tot * 5 else ("B" if cum * 10 <= tot * 8 else "C")
+        n, c = expected.get(cls, (0, 0))
+        expected[cls] = (n + 1, c + cents)
+
+    d = tempfile.mkdtemp(prefix="pareto-prop-")
+    spark.createDataFrame(
+        [
+            (i, ck, "O", float(dollars), dt.datetime(2024, 1, 1), "1-URGENT")
+            for i, (ck, dollars) in enumerate(orders)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {
+        r.abc_class: (r.n_customers, int(round(r.revenue * 100)))
+        for r in q_pareto_abc(spark, d).collect()
+    }
+    assert got == {k: (n, c) for k, (n, c) in expected.items()}
