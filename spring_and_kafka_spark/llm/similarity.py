@@ -27,7 +27,12 @@ def dot(u: Column, v: Column) -> Column:
 
 
 def cosine(u: Column, v: Column) -> Column:
-    return dot(u, v) / (F.sqrt(dot(u, u)) * F.sqrt(dot(v, v)))
+    # NULL against a zero-norm vector: cosine is undefined there, ANSI
+    # Spark throws on /0 while DuckDB's list_dot_product oracles yield
+    # NULL — the guard makes both engines answer NULL (Catalyst CSEs the
+    # repeated dot() subtrees, so no extra fold is evaluated)
+    denom = F.sqrt(dot(u, u)) * F.sqrt(dot(v, v))
+    return F.when(denom != 0, dot(u, v) / denom)
 
 
 @register(

@@ -722,11 +722,17 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         (F.col("cents").cast("double") / 100).alias("revenue"),
-        F.round(F.col("cents") / F.sum("cents").over(wr), 6).alias(
-            "share_of_region"
-        ),
-        F.round(
-            F.col("cents") / F.sum("cents").over(W.partitionBy()), 6
+        # NULL when the region/total revenue is 0 (share of nothing is
+        # undefined; ANSI Spark throws on /0 where DuckDB yields NULL)
+        F.when(
+            F.sum("cents").over(wr) != 0,
+            F.round(F.col("cents") / F.sum("cents").over(wr), 6),
+        ).alias("share_of_region"),
+        F.when(
+            F.sum("cents").over(W.partitionBy()) != 0,
+            F.round(
+                F.col("cents") / F.sum("cents").over(W.partitionBy()), 6
+            ),
         ).alias("share_of_total"),
         F.row_number()
         .over(wr.orderBy(F.col("cents").desc(), "n_name"))
@@ -811,12 +817,17 @@ def q_agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1y = F.col("sx1y") * 1.0 - F.col("sx1") * F.col("sy") / F.col("n")
     c2y = F.col("sx2y") * 1.0 - F.col("sx2") * F.col("sy") / F.col("n")
     det = c11 * c22 - c12 * c12
+    # NULL on a singular normal matrix (collinear/constant regressors):
+    # ANSI Spark throws on /0 where DuckDB yields NULL — the guard makes
+    # the degenerate answer NULL in BOTH engines (robustness sweep, r7)
     return s.select(
         F.col("n").cast("long").alias("n_rows"),
-        F.round((c1y * c22 - c2y * c12) / det / 100, 4).alias("beta_qty"),
-        F.round((c2y * c11 - c1y * c12) / det / 100, 4).alias(
-            "beta_disc_pct"
-        ),
+        F.when(
+            det != 0, F.round((c1y * c22 - c2y * c12) / det / 100, 4)
+        ).alias("beta_qty"),
+        F.when(
+            det != 0, F.round((c2y * c11 - c1y * c12) / det / 100, 4)
+        ).alias("beta_disc_pct"),
     )
 
 
@@ -886,18 +897,25 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m, 4).alias("mean_qty"),
         F.round(var, 4).alias("var_pop"),
         # + 0.0 collapses IEEE -0.0 (session-wide convention): a moment
-        # rounding to zero must format identically in both engines
-        (
+        # rounding to zero must format identically in both engines.
+        # NULL on a constant group (var = 0): shape moments are
+        # undefined, and ANSI Spark throws on /0 where DuckDB NULLs.
+        # var != 0 (not > 0): a float-noise NEGATIVE var must keep the
+        # NaN both engines produce via pow(neg, 1.5), not become NULL
+        # in one of them
+        F.when(
+            var != 0,
             F.round((m3 - 3 * m * m2 + 2 * m * m * m) / F.pow(var, 1.5), 4)
-            + 0.0
+            + 0.0,
         ).alias("skewness_pop"),
-        (
+        F.when(
+            var != 0,
             F.round(
                 (m4 - 4 * m * m3 + 6 * m * m * m2 - 3 * m * m * m * m)
                 / F.pow(var, 2)
                 - 3,
                 4,
             )
-            + 0.0
+            + 0.0,
         ).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")

@@ -293,7 +293,10 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "conv_b",
         F.round(rate_b - rate_a, 6).alias("lift"),
-        F.round((rate_b - rate_a) / se, 4).alias("z"),
+        # NULL z when the pooled rate is 0 or 1 (se = 0: no conversions
+        # at all, or nothing but conversions — the test is undefined;
+        # ANSI Spark throws on /0 where DuckDB yields NULL)
+        F.when(se != 0, F.round((rate_b - rate_a) / se, 4)).alias("z"),
     )
 
 

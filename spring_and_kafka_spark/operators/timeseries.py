@@ -279,7 +279,10 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("double")
         - F.col("s1").cast("double") * F.col("s1").cast("double") / _ANOM_WIN
     ) / (_ANOM_WIN - 1)
-    z = (vd - mean) / F.sqrt(var)
+    # NULL z on a CONSTANT window (var = 0): the var > 0 filter below
+    # drops those rows anyway, but under ANSI the projection evaluates
+    # before the filter and an unguarded /0 throws (robustness sweep, r7)
+    z = F.when(var > 0, (vd - mean) / F.sqrt(var))
     return (
         framed.select("user_id", "event_id", "value", var.alias("var"), z.alias("zr"))
         .filter((F.col("var") > 0) & (F.abs(F.col("zr")) > _ANOM_Z))
@@ -685,8 +688,13 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "n_events",
             F.round(avg_val, 4).alias("avg_value"),
-            F.round(
-                avg_val / (F.col("all_value") / F.col("all_n")), 4
+            # NULL index when the overall mean is 0 (an index against a
+            # zero baseline is undefined; ANSI throws on /0, DuckDB NULLs)
+            F.when(
+                F.col("all_value") != 0,
+                F.round(
+                    avg_val / (F.col("all_value") / F.col("all_n")), 4
+                ),
             ).alias("seasonality_index"),
         )
         .orderBy("dow")
