@@ -1,0 +1,184 @@
+"""Degenerate-input robustness (round-7 sweep).
+
+Spark 4 runs ANSI mode: ANY division by zero throws DIVIDE_BY_ZERO —
+including DOUBLE division — while DuckDB yields NULL. Every
+data-dependent denominator in the package is therefore guarded to NULL
+on the degenerate shape real data will eventually produce: constant
+series (variance 0), zero totals, singular regressors, zero-norm
+vectors, conversion-free experiments. Each test builds the degenerate
+fixture and asserts BOTH claims: the query does not crash, and Spark
+still equals the DuckDB oracle on that data (the guards reproduce
+DuckDB's native NULL-on-/0 semantics, so parity must hold even here).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+
+from spring_and_kafka_spark import registry
+
+from .test_oracle_parity import _multiset
+
+SPECS = registry.all_specs()
+
+
+def assert_parity(spark, name, sf_dir, tables):
+    """Mini replica of the driver's hash check on a degenerate dir."""
+    con = duckdb.connect()
+    for t in tables:
+        # Spark writes <table>.parquet as a DIRECTORY of part files —
+        # glob them (the real fixtures are single files; tmp ones aren't)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    spec = SPECS[name]
+    sdf = spec.fn(spark, sf_dir)
+    srows = sdf.collect()
+    res = con.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _multiset(srows, sdf.columns) == _multiset(orows, ocols)
+    return {c: [r[i] for r in srows] for i, c in enumerate(sdf.columns)}
+
+
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double"
+)
+
+
+def _write_events(spark, tmp_path, name, rows):
+    d = tmp_path / name
+    spark.createDataFrame(rows, _EVENT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_anomaly_on_constant_series_yields_no_rows(spark, tmp_path):
+    """A flat series has variance 0 in every window: the z-score guard
+    must yield NULL (not DIVIDE_BY_ZERO), the var > 0 filter drops the
+    rows, and the oracle agrees on the empty answer."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), 1, "view", 5.0)
+        for i in range(40)
+    ]
+    d = _write_events(spark, tmp_path, "flat", rows)
+    got = assert_parity(spark, "q_ts_anomaly", d, ["events"])
+    assert len(next(iter(got.values()), [])) == 0
+
+
+def test_seasonality_on_zero_values_is_null_index(spark, tmp_path):
+    """All-zero values make the overall mean 0: the seasonality index
+    (avg / overall avg) is undefined and must be NULL in both engines."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=6 * i), 1, "view", 0.0)
+        for i in range(40)
+    ]
+    d = _write_events(spark, tmp_path, "zeroes", rows)
+    got = assert_parity(spark, "q_ts_seasonality", d, ["events"])
+    assert got["seasonality_index"] and all(
+        v is None for v in got["seasonality_index"]
+    )
+
+
+def test_ab_test_without_conversions_is_null_z(spark, tmp_path):
+    """No purchases at all: pooled rate 0, standard error 0 — the z
+    statistic is undefined and must be NULL, lift must still be 0."""
+    rows = [
+        (
+            100 * u + i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+            u,
+            "view",
+            1.0,
+        )
+        for u in range(10)
+        for i in range(20)
+    ]
+    d = _write_events(spark, tmp_path, "noconv", rows)
+    got = assert_parity(spark, "q_ab_test", d, ["events"])
+    assert got["z"] == [None]
+    assert got["lift"] == [0.0]
+
+
+def _write_lineitem(spark, tmp_path, name, rows):
+    d = tmp_path / name
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def test_ols2_on_collinear_regressors_is_null_betas(spark, tmp_path):
+    """Constant quantity and discount make the normal matrix singular
+    (det = 0): both betas must be NULL in both engines, never a crash."""
+    rows = [
+        (i, i, i, 1, 7.0, 100.0 + 3.0 * i, 0.05, 0.01, "A", "F",
+         dt.datetime(2024, 1, 1))
+        for i in range(12)
+    ]
+    d = _write_lineitem(spark, tmp_path, "collinear", rows)
+    got = assert_parity(spark, "q_agg_ols2", d, ["lineitem"])
+    assert got["beta_qty"] == [None]
+    assert got["beta_disc_pct"] == [None]
+
+
+def test_moments_on_constant_group_is_null_shape(spark, tmp_path):
+    """A constant group has variance exactly 0: skewness/kurtosis are
+    undefined (NULL); mean and var_pop stay exact."""
+    rows = [
+        (i, i, i, 1, 7.0, 100.0, 0.05, 0.01, "A", "F", dt.datetime(2024, 1, 1))
+        for i in range(9)
+    ]
+    d = _write_lineitem(spark, tmp_path, "constgrp", rows)
+    got = assert_parity(spark, "q_agg_moments", d, ["lineitem"])
+    assert got["mean_qty"] == [7.0]
+    assert got["var_pop"] == [0.0]
+    assert got["skewness_pop"] == [None]
+    assert got["kurtosis_excess"] == [None]
+
+
+def test_cosine_against_zero_vector_is_null(spark, tmp_path):
+    """A zero-norm embedding makes cosine undefined: the pair touching
+    it must be NULL (both engines), other pairs unaffected."""
+    d = tmp_path / "zerovec"
+    spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [1.0, 1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    got = assert_parity(spark, "q_sim_pairwise", str(d), ["embeddings"])
+    by_pair = dict(zip(got["a_id"], got["cos_sim"]))
+    assert by_pair[0] is None  # (zero, e1)
+    assert abs(by_pair[1] - 0.707107) < 1e-6  # (e1, e1+e2)
+
+
+def test_gini_on_zero_revenue_is_null(spark, tmp_path):
+    """All-zero order totals: concentration of nothing is undefined —
+    gini NULL, total 0.0, still parity with the oracle."""
+    d = tmp_path / "zerorev"
+    spark.createDataFrame(
+        [
+            (i, i % 3, "O", 0.0, dt.datetime(2024, 1, 1), "1-URGENT")
+            for i in range(6)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    got = assert_parity(spark, "q_agg_gini", str(d), ["orders"])
+    assert got["gini"] == [None]
+    assert got["total_revenue"] == [0.0]
