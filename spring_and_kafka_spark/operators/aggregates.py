@@ -579,12 +579,15 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum("qty").alias("total_qty"),
-            (
+            # NULL weighted average for a zero-weight group: ANSI Spark
+            # throws on /0 where DuckDB yields NULL
+            F.when(
+                F.sum("qty") != 0,
                 F.floor(
                     F.sum("wprice_cents").cast("double") / F.sum("qty")
                     + F.lit(0.5)
                 )
-                / 100.0
+                / 100.0,
             ).alias("wavg_price"),
         )
         .orderBy("p_brand")

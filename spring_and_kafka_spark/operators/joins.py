@@ -531,7 +531,10 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(F.col("cand")).alias("n_candidate_rows"),
         n(F.col("act")).alias("n_actual_rows"),
         n(F.col("cand") & ~F.col("act")).alias("n_false_pos_rows"),
-        F.round(
-            n(F.col("cand") & ~F.col("act")) / n(~F.col("act")), 6
+        # NULL FPR when there are no true negatives to false-positive on
+        # (probe ⊆ build): ANSI Spark throws on /0 where DuckDB NULLs
+        F.when(
+            n(~F.col("act")) != 0,
+            F.round(n(F.col("cand") & ~F.col("act")) / n(~F.col("act")), 6),
         ).alias("fp_row_rate"),
     )

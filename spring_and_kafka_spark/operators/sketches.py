@@ -352,9 +352,14 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.q").alias("q"),
         (F.col("s.approx_cents") / 100).alias("approx_price"),
         (F.col("c.cents") / 100).alias("exact_price"),
-        F.round(
-            F.abs(F.col("s.approx_cents") - F.col("c.cents"))
-            / F.col("c.cents"),
-            4,
+        # NULL relative error against an exact value of 0 (free items):
+        # ANSI Spark throws on /0 where DuckDB yields NULL
+        F.when(
+            F.col("c.cents") != 0,
+            F.round(
+                F.abs(F.col("s.approx_cents") - F.col("c.cents"))
+                / F.col("c.cents"),
+                4,
+            ),
         ).alias("rel_err"),
     )
