@@ -21,6 +21,12 @@ Conventions (hash-match discipline, SURVEY.md §5.2):
   →long; DuckDB ceil(double)→double vs Spark →long; DuckDB CAST(double AS
   BIGINT) rounds vs Spark truncates)
 - break all ranking/top-k ties with a unique key column
+- guard every data-dependent denominator with F.when(denom != 0, ...):
+  ANSI Spark throws DIVIDE_BY_ZERO on ANY division by zero (doubles
+  included) while DuckDB yields NULL — the guard reproduces DuckDB's
+  semantics so degenerate inputs (constant series, zero totals,
+  singular matrices, zero vectors) keep parity instead of crashing
+  (tests/test_degenerate.py builds each shape and asserts it)
 - a LIMIT boundary may only rank on cross-engine-STABLE keys: integers,
   rounded doubles, or doubles built from +,* alone with matching
   association order in both engines (IEEE-deterministic — the dot
