@@ -195,11 +195,17 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("local_max"),
         ),
     )
-    late = F.col("us") < F.col("seen_max") - 600_000_000
+    # when(...).otherwise(0), NOT a bare cast: the globally-first arrival
+    # has seen_max NULL (no watermark yet → cannot be late). A bare
+    # late.cast sums NULL for that row — invisible while every group
+    # also holds non-null rows (sum skips NULLs = oracle's ELSE 0), but
+    # a group consisting ONLY of first-arrival rows returned NULL vs the
+    # oracle's 0 (found by the 1-row sweep, round 7).
+    late_n = F.when(
+        F.col("us") < F.col("seen_max") - 600_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
     return arr.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(late.cast("long")).alias("n_late"),
-        F.round(F.sum(late.cast("long")) / F.count("*"), 6).alias(
-            "late_rate"
-        ),
+        F.sum(late_n).cast("long").alias("n_late"),
+        F.round(F.sum(late_n) / F.count("*"), 6).alias("late_rate"),
     )

@@ -44,24 +44,36 @@ EXPECTED_EMPTY_DIVERGENCE = {
 }
 
 
-def build_empty_dir(spark) -> str:
+def build_empty_dir(spark, limit: int = 0) -> str:
+    """limit=0 → empty tables; limit=N → the N first rows of each table
+    by its first column (deterministic; FK coherence not preserved, so
+    joins legitimately thin out — the point is exercising n=1 paths
+    like stddev/corr where engines disagree on NaN vs NULL)."""
     out = tempfile.mkdtemp(prefix="sks-empty-")
     for t in TABLES:
-        schema = spark.read.parquet(f"{SRC}/{t}.parquet").schema
-        spark.createDataFrame([], schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{out}/{t}.parquet")
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if limit:
+            part = df.orderBy(df.columns[0]).limit(limit)
+        else:
+            part = spark.createDataFrame([], df.schema)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
     return out
 
 
 def main() -> int:
     json_path = None
+    limit = 0
     args = sys.argv[1:]
     if "--json" in args:
         i = args.index("--json")
         json_path = args[i + 1]
+    if "--limit" in args:
+        i = args.index("--limit")
+        limit = int(args[i + 1])
     spark = get_spark("empty-sweep")
-    d = build_empty_dir(spark)
+    d = build_empty_dir(spark, limit)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -94,6 +106,8 @@ def main() -> int:
             continue
         order = sorted(range(len(scols)), key=lambda i: scols[i])
         oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        # accepted at any --limit: a selective filter can drain the
+        # input before the rollup, reproducing the empty-relation case
         if (
             name in EXPECTED_EMPTY_DIVERGENCE
             and sorted(scols) == sorted(ocols)
