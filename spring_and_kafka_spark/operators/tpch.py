@@ -324,10 +324,19 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
+            # NULL market share of a zero-volume year (ANSI /0 guard,
+            # registry.py conventions)
+            F.when(
+                F.sum(vol) != 0,
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("nation") == "NATION_3", vol
+                        ).otherwise(0.0)
+                    )
+                    / F.sum(vol),
+                    4,
+                ),
             ).alias("mkt_share")
         )
     )
@@ -469,11 +478,20 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
-                / F.sum(_rev()),
-                4,
+            # NULL promo share of zero total revenue (ANSI /0 guard,
+            # registry.py conventions)
+            F.when(
+                F.sum(_rev()) != 0,
+                F.round(
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(
+                            F.col("p_type") == "PROMO", _rev()
+                        ).otherwise(0.0)
+                    )
+                    / F.sum(_rev()),
+                    4,
+                ),
             ).alias("promo_revenue")
         )
     )

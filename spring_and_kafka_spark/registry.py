@@ -73,11 +73,13 @@ _MODULE_SEQ: dict[str, int] = {}
 # NULLS FIRST pin), the 5 remaining r1 greens (the lowest-risk scans,
 # scheduled last round), all 28 r2-stale greens (the functions/array,
 # UDF-surface and first LLM batches — modules the shared-helper churn
-# since r2 touched), and the 12 most churn-exposed r3 rows (the whole
-# functions/scalar batch + the two r3 aggregate survivors). After this
-# window no green row is older than r3, and 32 r3 rows remain for the
-# r8 rotation. Queries not named here rank after the prefix by (module
-# rank, def order) — the safe place for additions until rotated in.
+# since r2 touched), 11 churn-exposed r3 rows (the whole
+# functions/scalar batch + q_agg_approx), and q_stream_late (its
+# first-arrival NULL-late fix landed late in round 7; it took the slot
+# planned for q_agg_collect). After this window no green row is older
+# than r3, and 33 r3 rows remain for the r8 rotation. Queries not
+# named here rank after the prefix by (module rank, def order) — the
+# safe place for additions until rotated in.
 _WINDOW_PREFIX = [
     # the one driver-red row from r6, re-verifying its integer fix
     "q_compaction_plan",

@@ -88,12 +88,8 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     def read_or_none(sub: str, schema: str) -> DataFrame | None:
-        # batch_id appended to the schema: it is the partition-directory
-        # column (counts/batch_id=N), parsed from the path on read
         try:
-            return spark.read.schema(schema + ", batch_id BIGINT").parquet(
-                f"{state_dir}/{sub}"
-            )
+            return spark.read.schema(schema).parquet(f"{state_dir}/{sub}")
         except AnalysisException:
             return None
 
@@ -114,37 +110,31 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
         # any batch after the first leaves counts/batch_id=N without its
         # users/batch_id=N sibling while both top-level dirs exist — the
         # whole-dir check above cannot see it, and the merge would
-        # silently undercount that batch's days. Compare the batch_id
-        # partition sets (batch-count cardinality, not data rows); the
-        # 1-row collect is the same tiny-diagnostic pattern as
-        # operators/skew.py's salted_join.
-        sides = (
-            counts.select("batch_id")
-            .distinct()
-            .withColumn("side", F.lit("counts"))
-            .unionByName(
-                users.select("batch_id")
-                .distinct()
-                .withColumn("side", F.lit("users"))
-            )
-        )
-        torn = (
-            sides.groupBy("batch_id")
-            .agg(F.count("*").alias("n_sides"), F.min("side").alias("side"))
-            .filter(F.col("n_sides") < 2)
-            .limit(1)
-            .collect()
-        )
+        # silently undercount that batch's days. The batch_id partition
+        # sets are pure directory METADATA, so this is a Hadoop FS
+        # listing (O(#batches) driver-side ops, any scheme incl. object
+        # stores) — not a Spark job re-scanning the partials the merge
+        # below is about to read anyway (review finding, round 7).
+        def batch_dirs(sub: str) -> set[str]:
+            jvm = spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{sub}")
+            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+            return {
+                st.getPath().getName()
+                for st in fs.listStatus(path)
+                if st.getPath().getName().startswith("batch_id=")
+            }
+
+        torn = batch_dirs("counts") ^ batch_dirs("users")
         if torn:
-            b, _, side = torn[0]
+            b = sorted(torn)[0]
+            side = "counts" if b in batch_dirs("counts") else "users"
             raise RuntimeError(
-                f"partial freshness state under {state_dir}: batch_id={b} "
-                f"has {side}/ but not its sibling — a crash between "
+                f"partial freshness state under {state_dir}: {b} has "
+                f"{side}/ but not its sibling — a crash between "
                 "on_batch's two writes; replay that batch or clear the "
                 "state dir"
             )
-        counts = counts.drop("batch_id")
-        users = users.drop("batch_id")
     c = counts.groupBy("day").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_null_value").alias("n_null"),

@@ -90,7 +90,9 @@ def test_no_round_over_boundary_exact_pow10_ratio():
                     if depth == 0:
                         yield sql[k + 1 : m]
                         break
-            i = m + 1
+            # resume INSIDE the argument, not after the closing paren:
+            # a round() nested within another round() must be visited too
+            i = k + 1
 
     offenders = [
         name

@@ -558,15 +558,20 @@ def test_compaction_plan_matches_brute_force_next_fit(spark, docs):
         for b, (n, tot) in sorted(bins.items())
     ]
 
+    import shutil
+
     d = tempfile.mkdtemp(prefix="compact-prop-")
-    spark.createDataFrame(
-        [(doc_id, "a" * ln) for doc_id, ln in docs],
-        "doc_id long, text string",
-    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
-    got = [
-        (r.bin_id, r.n_files, r.total_bytes, r.fill_bp)
-        for r in q_compaction_plan(spark, d).collect()
-    ]
+    try:
+        spark.createDataFrame(
+            [(doc_id, "a" * ln) for doc_id, ln in docs],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = [
+            (r.bin_id, r.n_files, r.total_bytes, r.fill_bp)
+            for r in q_compaction_plan(spark, d).collect()
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     assert got == expected
     assert sum(t for _, _, t, _ in got) == sum(sizes.values())
 
@@ -604,17 +609,24 @@ def test_pareto_abc_matches_brute_force(spark, orders):
         n, c = expected.get(cls, (0, 0))
         expected[cls] = (n + 1, c + cents)
 
+    import shutil
+
     d = tempfile.mkdtemp(prefix="pareto-prop-")
-    spark.createDataFrame(
-        [
-            (i, ck, "O", float(dollars), dt.datetime(2024, 1, 1), "1-URGENT")
-            for i, (ck, dollars) in enumerate(orders)
-        ],
-        "o_orderkey long, o_custkey long, o_orderstatus string, "
-        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
-    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
-    got = {
-        r.abc_class: (r.n_customers, int(round(r.revenue * 100)))
-        for r in q_pareto_abc(spark, d).collect()
-    }
+    try:
+        spark.createDataFrame(
+            [
+                (i, ck, "O", float(dollars), dt.datetime(2024, 1, 1),
+                 "1-URGENT")
+                for i, (ck, dollars) in enumerate(orders)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = {
+            r.abc_class: (r.n_customers, int(round(r.revenue * 100)))
+            for r in q_pareto_abc(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     assert got == {k: (n, c) for k, (n, c) in expected.items()}

@@ -66,14 +66,23 @@ def main() -> int:
     json_path = None
     limit = 0
     args = sys.argv[1:]
-    if "--json" in args:
-        i = args.index("--json")
-        json_path = args[i + 1]
-    if "--limit" in args:
-        i = args.index("--limit")
-        limit = int(args[i + 1])
+
+    def flag_value(name: str) -> str | None:
+        if name not in args:
+            return None
+        i = args.index(name)
+        if i + 1 >= len(args):
+            raise SystemExit(f"usage: empty_sweep.py [{name} VALUE] ...")
+        return args[i + 1]
+
+    json_path = flag_value("--json")
+    limit = int(flag_value("--limit") or 0)
     spark = get_spark("empty-sweep")
     d = build_empty_dir(spark, limit)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, d, True)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
