@@ -21,6 +21,10 @@ Conventions (hash-match discipline, SURVEY.md §5.2):
   →long; DuckDB ceil(double)→double vs Spark →long; DuckDB CAST(double AS
   BIGINT) rounds vs Spark truncates)
 - break all ranking/top-k ties with a unique key column
+- case-mapping parity holds except Unicode special casing (Turkish İ,
+  German ß→SS, Greek word-final Σ): JVM applies full/context mappings,
+  utf8proc simple ones — corpora containing those contexts need a
+  casefold at ingest (divergences pinned in tests/test_unicode.py)
 - guard every data-dependent denominator with F.when(denom != 0, ...):
   ANSI Spark throws DIVIDE_BY_ZERO on ANY division by zero (doubles
   included) while DuckDB yields NULL — the guard reproduces DuckDB's

@@ -1,0 +1,109 @@
+"""Unicode-corpus parity (round-7 probe).
+
+The text family feeds corpus text through built-in lower()/split()/
+regexp — JVM implementations on the Spark side, utf8proc/RE2 on the
+DuckDB side. Probed surface (round 7): length, lower, upper, split,
+regexp_count agree across accents, Greek (including final sigma),
+CJK, emoji+ZWJ, and tab/multi-space whitespace. The three KNOWN
+divergences are Unicode special-casing policy (JVM implements the
+context-sensitive/full mappings of SpecialCasing.txt; utf8proc does
+simple 1:1 mappings), pinned below so an engine upgrade that changes
+them is noticed:
+
+- lower('İ') — JVM emits 'i' + COMBINING DOT ABOVE (full casing),
+  DuckDB emits plain 'i' (simple casing);
+- upper('ß') — JVM emits 'SS' (full casing), DuckDB emits 'ẞ'
+  (LATIN CAPITAL LETTER SHARP S);
+- lower('ΟΔΟΣ') — JVM emits final sigma 'ς' word-finally
+  (context-sensitive casing), DuckDB emits medial 'σ'.
+
+Consequence, documented here rather than papered over: queries that
+case-map corpus text keep cross-engine parity on any corpus free of
+these special-casing contexts (Turkish İ, German ß, Greek
+word-final Σ); such corpora need a casefold pre-normalization at
+ingest before the oracle comparison is meaningful. A Python-UDF
+lower() would restore parity at 10-100x the cost of the codegen
+built-in — the wrong trade for an analytics engine.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from spring_and_kafka_spark import registry
+
+from .test_oracle_parity import _multiset
+
+SPECS = registry.all_specs()
+
+_DOCS = [
+    (0, "café au lait crème brûlée", "fr", "web", 26),
+    (1, "ΣΟΦΙΑ σοφια ΑΘΗΝΑ αθηνα", "el", "web", 23),
+    (2, "日本語 の テスト 文書 です", "ja", "web", 14),
+    (3, "emoji 👩‍👩‍👧 mixed ascii text", "en", "web", 29),
+    (4, "tabs\tand  double  spaces here", "en", "web", 29),
+    (5, "plain english text for the control group", "en", "web", 40),
+]
+
+# documents-table queries exercising lower()/split()/regex over text
+_TEXT_QUERIES = [
+    "q_text_tokens",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_repetition",
+    "q_text_entropy",
+    "q_text_hapax",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("unicode")
+    spark.createDataFrame(
+        _DOCS,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _TEXT_QUERIES)
+def test_text_query_parity_on_unicode_corpus(name, spark, unicode_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{unicode_dir}/documents.parquet/*.parquet'"
+    )
+    spec = SPECS[name]
+    sdf = spec.fn(spark, unicode_dir)
+    srows = sdf.collect()
+    res = con.execute(spec.oracle)
+    ocols = [x[0] for x in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _multiset(srows, sdf.columns) == _multiset(orows, ocols)
+
+
+def test_known_case_mapping_divergences_still_hold(spark):
+    """Pin the two JVM-vs-utf8proc special-casing divergences: if an
+    engine upgrade unifies them, this fails and the docstring caveat
+    (and any ingest casefold guidance) should be revisited."""
+    from pyspark.sql import functions as F
+
+    srow = (
+        spark.createDataFrame([("İ", "ß", "ΟΔΟΣ")], "a string, b string, c string")
+        .select(F.lower("a"), F.upper("b"), F.lower("c"))
+        .collect()[0]
+    )
+    orow = (
+        duckdb.connect()
+        .execute("SELECT lower('İ'), upper('ß'), lower('ΟΔΟΣ')")
+        .fetchone()
+    )
+    assert srow[0] == "i̇" and orow[0] == "i"  # lower('İ')
+    assert srow[1] == "SS" and orow[1] == "ẞ"  # upper('ß')
+    assert srow[2] == "οδος" and orow[2] == "οδοσ"  # final sigma
