@@ -19,6 +19,7 @@ import duckdb
 
 from spring_and_kafka_spark import registry
 
+from .conftest import SF_SMOKE
 from .test_oracle_parity import _multiset
 
 SPECS = registry.all_specs()
@@ -26,14 +27,16 @@ SPECS = registry.all_specs()
 
 def assert_parity(spark, name, sf_dir, tables):
     """Mini replica of the driver's hash check on a degenerate dir."""
+    import os
+
     con = duckdb.connect()
     for t in tables:
         # Spark writes <table>.parquet as a DIRECTORY of part files —
-        # glob them (the real fixtures are single files; tmp ones aren't)
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * "
-            f"FROM '{sf_dir}/{t}.parquet/*.parquet'"
-        )
+        # glob those; symlinked real fixtures are single files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     spec = SPECS[name]
     sdf = spec.fn(spark, sf_dir)
     srows = sdf.collect()
@@ -182,3 +185,40 @@ def test_gini_on_zero_revenue_is_null(spark, tmp_path):
     got = assert_parity(spark, "q_agg_gini", str(d), ["orders"])
     assert got["gini"] == [None]
     assert got["total_revenue"] == [0.0]
+
+
+def test_dedup_family_on_all_duplicates_corpus(spark, tmp_path):
+    """Maximal duplication — every document identical — is the dedup
+    family's adversarial shape: one exact group holds the whole corpus,
+    every LSH band hashes to one bucket (the hot-bucket cap's design
+    case), and the cluster graph is a single clique. Each representative
+    query must keep exact oracle parity there, not just at fixture
+    duplication rates."""
+    import os
+
+    from spring_and_kafka_spark.sources.tables import TABLES
+
+    d = tmp_path / "alldup"
+    d.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(
+                f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet"
+            )
+    text = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "for tokens"
+    )
+    spark.createDataFrame(
+        [(i, text, "en", "web", len(text)) for i in range(12)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    for name in [
+        "q_dedup_exact",
+        "q_dedup_near",
+        "q_dedup_clusters_lsh",
+        "q_dedup_survivors",
+        "q_text_dup_fraction",
+    ]:
+        assert_parity(spark, name, str(d), list(TABLES))
