@@ -1134,12 +1134,14 @@ _CDC_KEY_OFFSET = 100_000_000
                WHEN a.o_totalprice <> b.price THEN 'update'
                ELSE 'unchanged'
              END AS change_type,
-             COALESCE(b.price, 0) - COALESCE(a.o_totalprice, 0) AS delta
+             COALESCE(CAST(floor(b.price * 100 + 0.5) AS BIGINT), 0)
+               - COALESCE(CAST(floor(a.o_totalprice * 100 + 0.5)
+                               AS BIGINT), 0) AS delta_cents
       FROM orders a
       FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
     )
     SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
-           floor(sum(delta) * 100 + 0.5) / 100 AS price_delta
+           sum(delta_cents) / 100.0 AS price_delta
     FROM classified
     GROUP BY change_type
     ORDER BY change_type
@@ -1188,18 +1190,25 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("a.o_totalprice") != F.col("b.price"), F.lit("update"))
         .otherwise(F.lit("unchanged"))
         .alias("change_type"),
+        # per-row integer cents BEFORE the sum (round 7): the previous
+        # floor(sum(double)·100+0.5) rounded an order-dependent float
+        # sum, and at sf0.1 the true net drift sits near a half-cent
+        # boundary — Spark's partitioned partial sums and DuckDB's
+        # sequential sum landed on different cents. Integer deltas sum
+        # exactly in any order; the final /100.0 is the boundary-exact
+        # bare-division convention.
         (
-            F.coalesce(F.col("b.price"), F.lit(0.0))
-            - F.coalesce(F.col("a.o_totalprice"), F.lit(0.0))
-        ).alias("delta"),
+            F.coalesce(ex_cents("b.price"), F.lit(0).cast("long"))
+            - F.coalesce(
+                ex_cents("a.o_totalprice"), F.lit(0).cast("long")
+            )
+        ).alias("delta_cents"),
     )
     return (
         classified.groupBy("change_type")
         .agg(
             F.count("*").alias("n_rows"),
-            (F.floor(F.sum("delta") * 100 + F.lit(0.5)) / 100).alias(
-                "price_delta"
-            ),
+            (F.sum("delta_cents") / 100.0).alias("price_delta"),
         )
         .orderBy("change_type")
     )

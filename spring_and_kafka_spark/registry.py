@@ -77,13 +77,13 @@ _MODULE_SEQ: dict[str, int] = {}
 # NULLS FIRST pin), the 5 remaining r1 greens (the lowest-risk scans,
 # scheduled last round), all 28 r2-stale greens (the functions/array,
 # UDF-surface and first LLM batches — modules the shared-helper churn
-# since r2 touched), 11 churn-exposed r3 rows (the whole
-# functions/scalar batch + q_agg_approx), and q_stream_late (its
-# first-arrival NULL-late fix landed late in round 7; it took the slot
-# planned for q_agg_collect). After this window no green row is older
-# than r3, and 33 r3 rows remain for the r8 rotation. Queries not
-# named here rank after the prefix by (module rank, def order) — the
-# safe place for additions until rotated in.
+# since r2 touched), the 10 functions/scalar r3 rows, and the two
+# queries whose fixes landed late in round 7 (q_stream_late,
+# q_snapshot_diff — see the note at the list tail; they displaced
+# q_agg_approx and q_agg_collect). After this window no green row is
+# older than r3, and 34 r3 rows remain for the r8 rotation. Queries
+# not named here rank after the prefix by (module rank, def order) —
+# the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
     # the one driver-red row from r6, re-verifying its integer fix
     "q_compaction_plan",
@@ -138,10 +138,15 @@ _WINDOW_PREFIX = [
     "q_fn_regex",
     "q_fn_string",
     "q_fn_trig",
-    "q_agg_approx",
-    # touched late in round 7 (first-arrival NULL-late fix — fixture
-    # hash provably unchanged, in-window anyway for belt and braces)
+    # touched late in round 7, displacing the lowest-risk r3 rows
+    # (q_agg_approx, q_agg_collect move to the r8 rotation):
+    # q_stream_late's first-arrival NULL-late fix (fixture hash
+    # provably unchanged, in-window for belt and braces) and
+    # q_snapshot_diff's integer-cents rework (output VALUES changed —
+    # the sf0.1 sweep caught its order-dependent float sum landing on
+    # a half-cent boundary, so the old r6 green no longer stands)
     "q_stream_late",
+    "q_snapshot_diff",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 
