@@ -630,3 +630,80 @@ def test_pareto_abc_matches_brute_force(spark, orders):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == {k: (n, c) for k, (n, c) in expected.items()}
+
+
+cdc_orders = st.lists(
+    st.tuples(st.integers(1, 400), st.integers(0, 50000)),  # (key, cents)
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(cdc_orders)
+def test_snapshot_diff_matches_brute_force_cdc(spark, orders):
+    """The CDC classification and net drift must equal a driver-side
+    reference on ANY key set: the mutation rules (delete every 97th key,
+    reprice every 13th survivor by 1.1x, insert a shifted copy of every
+    101st) applied in exact integer cents per row — the round-7 rework
+    that replaced the order-dependent float sum."""
+    import shutil
+    import tempfile
+
+    import datetime as dt
+
+    from spring_and_kafka_spark.operators.analytics import (
+        _CDC_DEL,
+        _CDC_INS,
+        _CDC_KEY_OFFSET,
+        _CDC_UPD,
+        q_snapshot_diff,
+    )
+
+    def half_up(x):  # floor(x*100+0.5), the repo cents convention
+        import math
+
+        return math.floor(x * 100 + 0.5)
+
+    a = {k: c / 100.0 for k, c in orders}
+    b = {}
+    for k, price in a.items():
+        if k % _CDC_DEL == 0:
+            continue
+        b[k] = price * 1.1 if k % _CDC_UPD == 0 else price
+    for k, price in a.items():
+        if k % _CDC_INS == 0:
+            b[k + _CDC_KEY_OFFSET] = price
+    expected: dict[str, list[int]] = {}
+    for k in set(a) | set(b):
+        if k not in b:
+            cls = "delete"
+        elif k not in a:
+            cls = "insert"
+        elif a[k] != b[k]:
+            cls = "update"
+        else:
+            cls = "unchanged"
+        d_cents = half_up(b.get(k, 0.0)) - half_up(a.get(k, 0.0))
+        n, c = expected.get(cls, (0, 0))
+        expected[cls] = (n + 1, c + d_cents)
+
+    d = tempfile.mkdtemp(prefix="cdc-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (k, 0, "O", price, dt.datetime(2024, 1, 1), "1-URGENT")
+                for k, price in a.items()
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = {
+            r.change_type: (r.n_rows, half_up(r.price_delta))
+            for r in q_snapshot_diff(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == {k: (n, c) for k, (n, c) in expected.items()}
