@@ -49,6 +49,54 @@ _ROUND_POW10_ALLOWED = {
 }
 
 
+# Oracles that round/floor a SUM — audited members of the
+# rounded-float-sum class (DESIGN.md #7 corollary): a float sum is
+# order-dependent across engines, so rounding it is a per-(query,
+# dataset) coin flip that q_snapshot_diff lost at sf0.1 in round 7.
+# Every name here is pinned green by BOTH full-registry sweeps
+# (SELFCHECK_r07.json at sf0.01, SELFCHECK_r07_sf01.json at sf0.1);
+# many round sums of exact integers, which are safe outright. A NEW
+# query must either sum integer cents per row (the convention) or be
+# added here after passing a two-scale sweep.
+_ROUNDED_SUM_AUDITED = {
+    "q_agg_global", "q_agg_group", "q_agg_having", "q_attribution",
+    "q_corpus_pack", "q_cube", "q_embed_pca", "q_gapfill",
+    "q_grouping_sets", "q_join_bloom", "q_join_multi", "q_join_range",
+    "q_join_salted", "q_kanon", "q_pii_scan", "q_pivot", "q_rollup",
+    "q_rollup_hier", "q_stream_late", "q_stream_tumble",
+    "q_text_dup_fraction", "q_text_hapax", "q_text_sentiment",
+    "q_tpch_q10", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q22", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_ts_mad",
+    "q_udf_grouped_agg", "q_win_frame_range", "q_win_frame_rows",
+    "q_zonemap_prune",
+}
+
+
+def test_no_unaudited_rounded_sum():
+    """Lint the sibling hazard class of the pow10 test below: rounding
+    an order-dependent float sum (the q_snapshot_diff round-7 incident).
+    Existing members are frozen in _ROUNDED_SUM_AUDITED with two-scale
+    sweep evidence; anything new fails here until audited or converted
+    to per-row integer cents."""
+    import re
+
+    pat = re.compile(r"(round|floor)\s*\(\s*sum\s*\(", re.I)
+    offenders = sorted(
+        name
+        for name, spec in SPECS.items()
+        if spec.oracle
+        and name not in _ROUNDED_SUM_AUDITED
+        and pat.search(spec.oracle)
+    )
+    assert not offenders, (
+        f"{offenders}: round()/floor() over a SUM — order-dependent "
+        "float-sum hazard (DESIGN.md #7 corollary). Sum integer cents "
+        "per row instead, or audit at sf0.01 AND sf0.1 and add to "
+        "_ROUNDED_SUM_AUDITED."
+    )
+
+
 def test_no_round_over_boundary_exact_pow10_ratio():
     """Registry lint (the q_compaction_plan round-6 lesson, VERDICT r6
     item 2): an oracle that wraps a power-of-ten literal division in

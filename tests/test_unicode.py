@@ -31,20 +31,22 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from spring_and_kafka_spark import registry
+from spring_and_kafka_spark import registry  # noqa: F401  (registry load)
 
-from .test_oracle_parity import _multiset
+from .test_degenerate import assert_parity
 
-SPECS = registry.all_specs()
-
-_DOCS = [
-    (0, "café au lait crème brûlée", "fr", "web", 26),
-    (1, "ΣΟΦΙΑ σοφια ΑΘΗΝΑ αθηνα", "el", "web", 23),
-    (2, "日本語 の テスト 文書 です", "ja", "web", 14),
-    (3, "emoji 👩‍👩‍👧 mixed ascii text", "en", "web", 29),
-    (4, "tabs\tand  double  spaces here", "en", "web", 29),
-    (5, "plain english text for the control group", "en", "web", 40),
+# n_chars derived as len(text) — the documents-table invariant every
+# real fixture satisfies (a hardcoded count was wrong on the non-ASCII
+# rows, review finding r7)
+_TEXTS = [
+    (0, "café au lait crème brûlée", "fr"),
+    (1, "ΣΟΦΙΑ σοφια ΑΘΗΝΑ αθηνα", "el"),
+    (2, "日本語 の テスト 文書 です", "ja"),
+    (3, "emoji 👩‍👩‍👧 mixed ascii text", "en"),
+    (4, "tabs\tand  double  spaces here", "en"),
+    (5, "plain english text for the control group", "en"),
 ]
+_DOCS = [(i, t, lang, "web", len(t)) for i, t, lang in _TEXTS]
 
 # documents-table queries exercising lower()/split()/regex over text
 _TEXT_QUERIES = [
@@ -72,24 +74,12 @@ def unicode_dir(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", _TEXT_QUERIES)
 def test_text_query_parity_on_unicode_corpus(name, spark, unicode_dir):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"'{unicode_dir}/documents.parquet/*.parquet'"
-    )
-    spec = SPECS[name]
-    sdf = spec.fn(spark, unicode_dir)
-    srows = sdf.collect()
-    res = con.execute(spec.oracle)
-    ocols = [x[0] for x in res.description]
-    orows = res.fetchall()
-    assert sorted(sdf.columns) == sorted(ocols)
-    assert len(srows) == len(orows)
-    assert _multiset(srows, sdf.columns) == _multiset(orows, ocols)
+    # shared driver-replica harness — one copy to maintain
+    assert_parity(spark, name, unicode_dir, ["documents"])
 
 
 def test_known_case_mapping_divergences_still_hold(spark):
-    """Pin the two JVM-vs-utf8proc special-casing divergences: if an
+    """Pin the three JVM-vs-utf8proc special-casing divergences: if an
     engine upgrade unifies them, this fails and the docstring caveat
     (and any ingest casefold guidance) should be revisited."""
     from pyspark.sql import functions as F
