@@ -707,3 +707,110 @@ def test_snapshot_diff_matches_brute_force_cdc(spark, orders):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == {k: (n, c) for k, (n, c) in expected.items()}
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # user
+        st.integers(0, 60),  # minute offset
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(funnel_events)
+def test_funnel_matches_brute_force(spark, data):
+    """The ordered funnel (signup → click-after → purchase-after, each
+    stage strictly after the user's FIRST event of the previous stage)
+    must match a driver-side reference on arbitrary event streams —
+    including users who click before signing up, multiple events per
+    minute, and stages entirely absent."""
+    from spring_and_kafka_spark.operators.analytics import q_funnel
+
+    def stage_min(rows, typ, after=None):
+        out = {}
+        for u, m, t in rows:
+            if t != typ:
+                continue
+            if after is not None and (u not in after or m <= after[u]):
+                continue
+            out[u] = min(out.get(u, m), m)
+        return out
+
+    s = stage_min(data, "signup")
+    c = stage_min(data, "click", after=s)
+    p = stage_min(data, "purchase", after=c)
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="funnel-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i, _TS0 + dt.timedelta(minutes=m), u, t, 1.0)
+                for i, (u, m, t) in enumerate(data)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        row = q_funnel(spark, d).collect()[0]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert (row.n_signup, row.n_click_after, row.n_purchase_after) == (
+        len(s),
+        len(c),
+        len(p),
+    )
+
+
+retention_events = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 70)),  # (user, day offset)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(retention_events)
+def test_retention_matches_brute_force(spark, data):
+    """The retention triangle (users bucketed by first-active week,
+    counted in every week they return) must match a driver-side
+    reference on arbitrary activity patterns — single-week users,
+    gap weeks, several users sharing a cohort."""
+    from collections import defaultdict
+
+    from spring_and_kafka_spark.operators.analytics import q_retention
+
+    weekly = {(u, d // 7) for u, d in data}
+    cohort = {}
+    for u, w in weekly:
+        cohort[u] = min(cohort.get(u, w), w)
+    expected = defaultdict(set)
+    for u, w in weekly:
+        expected[(cohort[u], w - cohort[u])].add(u)
+    expected = {k: len(v) for k, v in expected.items()}
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="retention-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i, _TS0 + dt.timedelta(days=day, hours=3), u, "view", 1.0)
+                for i, (u, day) in enumerate(data)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (r.cohort_week, r.week_offset): r.n_users
+            for r in q_retention(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
