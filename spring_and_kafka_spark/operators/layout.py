@@ -387,8 +387,14 @@ _COMPACT_TARGET = 10_000  # target bytes per compacted output file
     ),
     packed AS (
       SELECT file_id, size_bytes,
-             (sum(size_bytes) OVER (ORDER BY file_id) - size_bytes)
-               // {_COMPACT_TARGET} AS bin_id
+             -- DuckDB types sum(BIGINT) as HUGEINT, so this // lands
+             -- HUGEINT -> Arrow decimal128(38,0) while Spark emits
+             -- bigint; the r6/r7 driver-red was exactly this uncast
+             -- group key (the measures below were cast, the key was
+             -- not). Every HUGEINT-reachable oracle output column
+             -- must be BIGINT-cast (registry.py conventions).
+             CAST((sum(size_bytes) OVER (ORDER BY file_id) - size_bytes)
+               // {_COMPACT_TARGET} AS BIGINT) AS bin_id
       FROM files
     )
     SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files,
@@ -418,7 +424,15 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table's manifest, millions of rows at most at 100 TB — not over data
     rows; partition the window by table partition key when even that is
     too wide. The data movement the plan implies is pure per-bin
-    concatenation, embarrassingly parallel."""
+    concatenation, embarrassingly parallel.
+
+    Arithmetic bound (ANSI): fill_bp multiplies a bin's byte total by
+    10^4 in BIGINT before the DIV, so it overflows (and ANSI-throws)
+    only if one next-fit bin exceeds ~9.2e14 bytes — and next-fit bins
+    are bounded by target + one file, so that needs a single ~0.9 PB
+    file in the manifest. DuckDB is immune via HUGEINT; if single files
+    that large are ever real, cast the sum to DECIMAL(38,0) before the
+    multiply on the Spark side."""
     d = load_table(spark, sf_dir, "documents")
     files = d.groupBy((F.col("doc_id") % _COMPACT_FILES).alias("file_id")).agg(
         F.sum(F.length("text")).alias("size_bytes")
