@@ -441,9 +441,18 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = files.select(
         "file_id",
         "size_bytes",
-        F.floor(
-            F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
-            / F.lit(_COMPACT_TARGET)
+        # Integer DIV on BIGINT, matching the oracle's // semantics
+        # exactly — floor(double division) agrees only below ~4.5 PB
+        # cumulative manifest bytes (2^52 × target granularity), and
+        # this function is integer-by-construction everywhere else.
+        F.coalesce(F.sum("size_bytes").over(w), F.lit(0)).alias(
+            "cum_bytes_before"
+        ),
+    ).select(
+        "file_id",
+        "size_bytes",
+        F.expr(
+            f"CAST(cum_bytes_before DIV {_COMPACT_TARGET} AS BIGINT)"
         ).alias("bin_id"),
     )
     return (

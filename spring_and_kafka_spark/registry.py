@@ -68,85 +68,82 @@ _MODULE_SEQ: dict[str, int] = {}
 
 # The driver hash-verifies EXACTLY the first 50 exposed entries each
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
-# every query eventually owns a green CORRECTNESS row. Round-7 window
-# (VERDICT r6 items 1-3): the repo's one driver-red row
-# (q_compaction_plan — its rounded-DOUBLE fill_ratio is now integer
-# fill_bp in both engines), the 4 queries whose output expressions
-# changed this round (the boundary-exact round() removals in
-# q_agg_gini / q_pareto_abc / q_merge_upsert, and q_dq_freshness's
-# NULLS FIRST pin), the 5 remaining r1 greens (the lowest-risk scans,
-# scheduled last round), all 28 r2-stale greens (the functions/array,
-# UDF-surface and first LLM batches — modules the shared-helper churn
-# since r2 touched), the 10 functions/scalar r3 rows, and the two
-# queries whose fixes landed late in round 7 (q_stream_late,
-# q_snapshot_diff — see the note at the list tail; they displaced
-# q_agg_approx and q_agg_collect). After this window no green row is
-# older than r3, and 34 r3 rows remain for the r8 rotation. Queries
-# not named here rank after the prefix by (module rank, def order) —
-# the safe place for additions until rotated in.
+# every query eventually owns a green CORRECTNESS row. Round-9 window
+# (VERDICT r8 items 1+4; the r8 rotation never happened, so staleness
+# is computed from CORRECTNESS_r01..r08 directly): the one query whose
+# output expression changed this round (q_compaction_plan — Spark-side
+# bin_id now integer DIV like the oracle, the ADVICE r8 item), all 34
+# rows last driver-verified in round 3 (the joins, sampling,
+# similarity and dedup batches, q_corpus_budget/pack, q_text_redact,
+# q_embed_quantize, q_agg_approx/argmax/collect), and 15 of the 50
+# round-4 rows — chosen to complete the join/sampling/corpus batches
+# plus the sketch aggregates and two text rows. After this window no
+# green row is older than r4; 35 r4 rows remain as the r10 rotation
+# pool, then 47 r5 and 45 r6. Queries not named here rank after the
+# prefix by (module rank, def order) — the safe place for additions
+# until rotated in.
 _WINDOW_PREFIX = [
-    # the one driver-red row from r6, re-verifying its integer fix
+    # output expression changed this round: Spark bin_id floor(/) ->
+    # integer DIV (values identical below ~4.5 PB, but rule 4 of the
+    # rotation discipline says any output-expression change re-rolls
+    # the first-check dice, so it re-verifies in-window)
     "q_compaction_plan",
-    # output expressions changed in round 7 (must re-verify)
-    "q_agg_gini",
-    "q_pareto_abc",
-    "q_merge_upsert",
-    "q_dq_freshness",
-    # stalest greens: the 5 remaining round-1 rows
-    "q_scan",
-    "q_project",
-    "q_filter_cmp",
-    "q_sort",
-    "q_limit",
-    # round-2 greens, unchecked since r2 (28)
-    "q_agg_global",
-    "q_embed_generate",
-    "q_fn_array",
-    "q_fn_explode",
-    "q_fn_json",
-    "q_fn_map",
-    "q_fn_struct",
-    "q_funnel",
-    "q_lang_stats",
-    "q_multimodal_decode",
-    "q_multimodal_meta",
-    "q_pipeline_curate",
-    "q_retention",
-    "q_text_bigram_ppl",
-    "q_text_contamination",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_sentiment",
-    "q_text_tfidf",
-    "q_text_tokens",
-    "q_text_tokens_bpe",
-    "q_ts_simsearch",
-    "q_udf_grouped_agg",
-    "q_udf_grouped_map",
-    "q_udf_pandas",
-    "q_udf_scalar",
-    # most churn-exposed round-3 greens (12 of 44)
-    "q_fn_bits",
-    "q_fn_cast",
-    "q_fn_condexpr",
-    "q_fn_date",
-    "q_fn_editdist",
-    "q_fn_hash",
-    "q_fn_math",
-    "q_fn_regex",
-    "q_fn_string",
-    "q_fn_trig",
-    # touched late in round 7, displacing the lowest-risk r3 rows
-    # (q_agg_approx, q_agg_collect move to the r8 rotation):
-    # q_stream_late's first-arrival NULL-late fix (fixture hash
-    # provably unchanged, in-window for belt and braces) and
-    # q_snapshot_diff's integer-cents rework (output VALUES changed —
-    # the sf0.1 sweep caught its order-dependent float sum landing on
-    # a half-cent boundary, so the old r6 green no longer stands)
-    "q_stream_late",
-    "q_snapshot_diff",
+    # the 34 rows last driver-verified in round 3 (five rounds stale)
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_sample_hash",
+    "q_sample_hash_threshold",
+    "q_sample_seeded",
+    "q_sample_stratified_hash",
+    "q_sim_topk",
+    "q_sim_pairwise",
+    "q_sim_knn_all",
+    "q_sim_lsh_bucket",
+    "q_sim_ann_ivf",
+    "q_sim_ann_ivf_refined",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    "q_dedup_clusters",
+    "q_dedup_clusters_lsh",
+    "q_dedup_survivors",
+    "q_corpus_budget",
+    "q_corpus_pack",
+    "q_text_redact",
+    "q_embed_quantize",
+    "q_agg_approx",
+    "q_agg_argmax",
+    "q_agg_collect",
+    # 15 of the 50 round-4 rows (the r10 pool holds the other 35):
+    # complete the join batch...
+    "q_join_asof",
+    "q_join_multi",
+    "q_join_range",
+    "q_join_salted",
+    # ...the sampling batch...
+    "q_sample_temperature",
+    # ...the corpus-curation batch...
+    "q_corpus_mix",
+    "q_corpus_repeat",
+    "q_corpus_split",
+    "q_decontaminate",
+    # ...the sketch/rollup aggregates...
+    "q_agg_countmin",
+    "q_agg_hll_rollup",
+    "q_agg_mode",
+    "q_rollup_hier",
+    # ...and the two r4 text rows
+    "q_text_chunk",
+    "q_text_dup_fraction",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 
