@@ -186,3 +186,82 @@ def test_query_matches_oracle(name, spark, duck):
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows)
     assert _multiset(srows, sdf.columns) == _multiset(orows, ocols)
+
+
+# The q_compaction_plan oracle as it stood r5-r7: the measures were
+# BIGINT-cast but the GROUP KEY was not, so DuckDB's HUGEINT window sum
+# made bin_id a HUGEINT -> Arrow decimal128(38,0) at the driver while
+# every local VALUE check coerced it equal to Spark's bigint. Kept as
+# the proof fixture that the type lint goes red on exactly this text.
+_PRE_FIX_COMPACTION_ORACLE = """
+    WITH files AS (
+      SELECT doc_id % 101 AS file_id,
+             sum(length(text)) AS size_bytes
+      FROM documents GROUP BY 1
+    ),
+    packed AS (
+      SELECT file_id, size_bytes,
+             (sum(size_bytes) OVER (ORDER BY file_id) - size_bytes)
+               // 10000 AS bin_id
+      FROM files
+    )
+    SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(size_bytes) * 10000 // 10000 AS BIGINT) AS fill_bp
+    FROM packed
+    GROUP BY bin_id
+    ORDER BY bin_id
+"""
+
+
+def test_type_lint_catches_the_r5_compaction_red(duck):
+    """Prove the lint closes the exact blind spot that hid the
+    q_compaction_plan driver-red for three rounds (VERDICT r8 item 2):
+    DESCRIBE the pre-fix oracle text and assert the uncast HUGEINT
+    group key is flagged by name."""
+    from pyspark.sql import types as T
+
+    from spring_and_kafka_spark.typeparity import oracle_type_issues
+
+    desc = duck.execute(f"DESCRIBE {_PRE_FIX_COMPACTION_ORACLE}").fetchall()
+    spark_schema = T.StructType(
+        [
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("n_files", T.LongType()),
+            T.StructField("total_bytes", T.LongType()),
+            T.StructField("fill_bp", T.LongType()),
+        ]
+    )
+    issues = oracle_type_issues(desc, spark_schema)
+    assert any(
+        i.startswith("bin_id:") and "HUGEINT" in i for i in issues
+    ), f"lint missed the uncast HUGEINT group key: {issues}"
+    # and ONLY the uncast key — the cast measures must stay clean
+    assert all(i.startswith("bin_id:") for i in issues), issues
+
+
+def test_output_type_parity(spark, duck):
+    """Schema-level parity for every SQL-oracled query (VERDICT r8
+    item 2): DESCRIBE the oracle against the fixture views and compare
+    column types to the Spark result schema (lazy — no jobs run for the
+    Spark side). Bans HUGEINT/UHUGEINT/DECIMAL oracle columns and Spark
+    DecimalType outright; everything else must land in the same
+    driver-proven equivalence class (integer widths are one class —
+    q_rfm/q_heavy_hitters driver-green precedent; timestamp flavors are
+    one class). Runs BEFORE value comparison in tools/selfcheck.py too;
+    this test is the pytest-side pin."""
+    from spring_and_kafka_spark.typeparity import oracle_type_issues
+
+    bad = {}
+    for name, spec in sorted(SPECS.items()):
+        if not spec.oracle:
+            continue
+        desc = duck.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        schema = spec.fn(spark, SF_SMOKE).schema
+        issues = oracle_type_issues(desc, schema)
+        if issues:
+            bad[name] = issues
+    assert not bad, (
+        f"{len(bad)} queries with cross-engine output-type divergence "
+        f"(the q_compaction_plan blind-spot class): {bad}"
+    )

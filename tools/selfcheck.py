@@ -29,6 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from spring_and_kafka_spark import registry  # noqa: E402
 from spring_and_kafka_spark.session import get_spark  # noqa: E402
 from spring_and_kafka_spark.sources.tables import TABLES  # noqa: E402
+from spring_and_kafka_spark.typeparity import oracle_type_issues  # noqa: E402
 
 
 def normalize(v):
@@ -119,6 +120,17 @@ def main() -> int:
             print(f"ok   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
+            # Schema-level gate BEFORE the value compare: the value
+            # normalizer equates HUGEINT/Decimal with int, which is
+            # exactly how the q_compaction_plan driver-red stayed
+            # locally invisible r5-r7 (VERDICT r8 item 2).
+            desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+            type_issues = oracle_type_issues(desc, sdf.schema)
+            if type_issues:
+                failures.append(name)
+                record(name, "type_mismatch", detail="; ".join(type_issues)[:300])
+                print(f"FAIL {name}: type parity: {'; '.join(type_issues)}")
+                continue
             ores = con.execute(spec.oracle)
             ocols = [d[0] for d in ores.description]
             orows = ores.fetchall()
