@@ -814,3 +814,130 @@ def test_retention_matches_brute_force(spark, data):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expected
+
+
+scd2_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 20),  # minute offset (duplicates allowed)
+        st.sampled_from(["a", "b", "c"]),  # event_type
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(scd2_events)
+def test_scd2_matches_brute_force(spark, data):
+    """The SCD type-2 history build (collapse each user's event_type
+    stream into [valid_from, valid_to) validity intervals) must match a
+    driver-side fold on arbitrary change logs — same-timestamp ties
+    (broken by event_id in both), consecutive same-type runs collapsing
+    to one interval, single-event users, and full type alternation."""
+    from spring_and_kafka_spark.operators.analytics import q_scd2
+
+    # brute force: walk each user's (ts, event_id)-ordered stream,
+    # keep change rows, close each interval with the next change's start
+    per_user = {}
+    for eid, (u, m, t) in enumerate(data):
+        per_user.setdefault(u, []).append((m, eid, t))
+    expect = set()
+    for u, rows in per_user.items():
+        rows.sort()
+        changes = []
+        prev_type = None
+        for m, eid, t in rows:
+            if prev_type is None or t != prev_type:
+                changes.append((m, t))
+            prev_type = t
+        for i, (m, t) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            expect.add((u, t, m, nxt, nxt is None))
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="scd2-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (eid, _TS0 + dt.timedelta(minutes=m), u, t, 1.0)
+                for eid, (u, m, t) in enumerate(data)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (
+                r.user_id,
+                r.event_type,
+                int((r.valid_from - _TS0).total_seconds()) // 60,
+                int((r.valid_to - _TS0).total_seconds()) // 60
+                if r.valid_to is not None
+                else None,
+                r.is_current,
+            )
+            for r in q_scd2(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect
+
+
+session_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 200),  # minute offset (gap threshold is 30 min)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(session_events)
+def test_sessionize_matches_brute_force(spark, data):
+    """Gap-based sessionization (new session strictly after a >30-minute
+    silence) must match a driver-side fold on arbitrary streams —
+    same-timestamp bursts, exact-30-minute gaps staying in-session,
+    and single-event users."""
+    from collections import defaultdict
+
+    from spring_and_kafka_spark.operators.analytics import q_sessionize
+
+    per_user = defaultdict(list)
+    for eid, (u, m) in enumerate(data):
+        per_user[u].append((m, eid))
+    expect = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        sessions = []
+        prev = None
+        for m, _eid in rows:
+            if prev is None or (m - prev) * 60_000_000 > 1_800_000_000:
+                sessions.append(0)
+            sessions[-1] += 1
+            prev = m
+        expect[u] = (len(sessions), len(rows), max(sessions))
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sess-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (eid, _TS0 + dt.timedelta(minutes=m), u, "click", 1.0)
+                for eid, (u, m) in enumerate(data)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+            for r in q_sessionize(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect
