@@ -941,3 +941,63 @@ def test_sessionize_matches_brute_force(spark, data):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expect
+
+
+streak_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 15),  # minute offset
+        st.sampled_from(["a", "bb", "c"]),  # types with distinct lengths
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(streak_events)
+def test_win_streak_matches_brute_force(spark, data):
+    """The gaps-and-islands longest-streak (rn - rn_per_type grouping)
+    must match a driver-side scan on arbitrary streams, including the
+    documented tie order between equally-long streaks (len desc, then
+    SHORTER type name, then lexical) and same-timestamp runs ordered by
+    event_id."""
+    from collections import defaultdict
+
+    from spring_and_kafka_spark.operators.windows import q_win_streak
+
+    per_user = defaultdict(list)
+    for eid, (u, m, t) in enumerate(data):
+        per_user[u].append((m, eid, t))
+    expect = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        streaks = []  # (type, len) per island
+        for _m, _eid, t in rows:
+            if streaks and streaks[-1][0] == t:
+                streaks[-1][1] += 1
+            else:
+                streaks.append([t, 1])
+        best = min(streaks, key=lambda s: (-s[1], len(s[0]), s[0]))
+        expect[u] = (best[0], best[1])
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="streak-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (eid, _TS0 + dt.timedelta(minutes=m), u, t, 1.0)
+                for eid, (u, m, t) in enumerate(data)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.user_id: (r.top_type, r.longest_streak)
+            for r in q_win_streak(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect
