@@ -31,7 +31,9 @@ from spring_and_kafka_spark.sources.tables import load_table
            replace(c_name, 'Customer', 'Cust') AS rep,
            trim('  ' || c_name || ' ') AS trimmed,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
-           concat(c_mktsegment, ':', c_name) AS tagged
+           -- || not concat(): DuckDB's concat() IGNORES NULL arguments
+           -- while Spark's concat NULL-propagates; || propagates in both
+           c_mktsegment || ':' || c_name AS tagged
     FROM customer
     """,
 )

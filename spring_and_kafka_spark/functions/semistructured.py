@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spring_and_kafka_spark.llm.similarity import load_vectors
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -26,7 +27,7 @@ from spring_and_kafka_spark.sources.tables import load_table
            round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS vsum,
            round(list_max(CAST(embedding AS DOUBLE[])), 4) AS vmax,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +39,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     switches to scientific notation below 1e-3; DuckDB never does), and
     +0.0 is added after rounding because the engines disagree on whether
     a tiny negative rounds to -0.0 or +0.0 (printf renders the sign)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     dbl = F.col("embedding").cast("array<double>")
     return e.select(
         "vec_id",

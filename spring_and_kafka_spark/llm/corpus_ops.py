@@ -16,6 +16,7 @@ from spring_and_kafka_spark.llm.dedup import (
     _CLUSTERS_PREFIX,
     q_dedup_clusters_lsh,
 )
+from spring_and_kafka_spark.llm.similarity import load_vectors
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -184,9 +185,12 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_corpus_pack",
     oracle="""
     WITH RECURSIVE docs AS (
+      -- packable docs carry a payload and a language route: NULL text
+      -- has no token count (pack_kernel would see NaN) and NULL lang
+      -- breaks the recursive equi-join on lang (NULLCHECK r9 contract)
       SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks,
              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-      FROM documents
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
     ),
     pack AS (
       SELECT lang, rn, n_toks, 0 AS bin, n_toks AS fill
@@ -217,7 +221,9 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB decomposition. The oracle replays the packing as a DuckDB
     recursive CTE; it stays exact because fixture doc_ids all fall in
     shard 0, where sharded packing ≡ pure sequential packing."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
     toks = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
     )
@@ -293,7 +299,7 @@ def pack_kernel(pdf):
 @register(
     "q_embed_quantize",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     scaled AS (
       SELECT vec_id, v,
              CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
@@ -317,7 +323,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized value, not just the scale. Rounding uses floor(x+0.5) (not
     round()) — deterministic and identical in both engines for negatives.
     Pure array expressions over the scan: no shuffle, no UDF."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(maxabs == 0, F.lit(1.0)).otherwise(maxabs / 127.0)

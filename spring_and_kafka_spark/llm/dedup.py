@@ -837,11 +837,11 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_embed",
     oracle="""
     WITH corpus AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
       UNION ALL
       SELECT vec_id + 100000,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     norms AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus
@@ -867,7 +867,9 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings")
+    from spring_and_kafka_spark.llm.similarity import load_vectors
+
+    e = load_vectors(spark, sf_dir)
     dbl = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", dbl.alias("v"))
     scaled = e.select(

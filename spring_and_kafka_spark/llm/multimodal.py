@@ -54,18 +54,32 @@ def fake_decode(payload: bytes) -> tuple[int, int, str]:
 
 
 def decode_media(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
-    """mapInPandas decode: Arrow batches in, metadata rows out."""
+    """mapInPandas decode: Arrow batches in, metadata rows out.
+
+    A MISSING payload (NULL cell — failed fetch upstream) passes through
+    as a NULL-metadata row rather than reaching the codec: the
+    dead-letter pattern every 100 TB media ingest needs, since one bad
+    object must not kill the batch (NULLCHECK r9). The codec itself
+    still raises on genuinely corrupt non-null bytes."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf[payload_col].map(fake_decode)
+            def safe(b):
+                if b is None:
+                    return (None, None, None, None)
+                w, h, fmt = fake_decode(b)
+                return (len(b), w, h, fmt)
+
+            meta = [safe(b) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": pdf[payload_col].map(len),
-                    "width": meta.map(lambda m: m[0]),
-                    "height": meta.map(lambda m: m[1]),
-                    "format": meta.map(lambda m: m[2]),
+                    # nullable extension dtypes: a None among int64s must
+                    # reach Arrow as null, not coerce the column to float
+                    "n_bytes": pd.array([m[0] for m in meta], dtype="Int64"),
+                    "width": pd.array([m[1] for m in meta], dtype="Int32"),
+                    "height": pd.array([m[2] for m in meta], dtype="Int32"),
+                    "format": [m[3] for m in meta],
                 }
             )
 
@@ -80,7 +94,10 @@ _META_ORACLE = """
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
            CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
-           CASE WHEN octet_length(encode(text)) % 2 = 0
+           -- missing payload -> NULL format: a bare CASE's ELSE branch
+           -- would silently stamp NULL payloads 'jpeg' (NULLCHECK r9)
+           CASE WHEN text IS NULL THEN NULL
+                WHEN octet_length(encode(text)) % 2 = 0
                 THEN 'png' ELSE 'jpeg' END AS format
     FROM documents
     """
@@ -99,7 +116,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_bytes"),
         (n % 640 + 1).cast("int").alias("width"),
         ((n * 7) % 480 + 1).cast("int").alias("height"),
-        F.when(n % 2 == 0, "png").otherwise("jpeg").alias("format"),
+        # missing payload -> NULL format (otherwise() would stamp 'jpeg')
+        F.when(n.isNull(), F.lit(None).cast("string"))
+        .when(n % 2 == 0, "png")
+        .otherwise("jpeg")
+        .alias("format"),
     )
 
 

@@ -330,9 +330,11 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decontaminate",
     oracle="""
     WITH tagged AS (
+      -- NULL-payload contract (the q_text_contamination lesson): only
+      -- docs with payloads enter the scrub on either engine
       SELECT doc_id, lang, text,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pfx
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     grams AS (
       SELECT doc_id, lang, pfx, unnest(list_distinct(list_transform(
@@ -374,7 +376,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined. If the test-gram set ever outgrows broadcast,
     the same plan degrades gracefully to a shuffled semi-join on the
     gram key — the code path is identical DataFrame ops either way."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-payload contract (the q_text_contamination lesson): Spark's
+    # concat_ws would mint ''-shingles from NULL text and cross-match
+    # every missing-payload doc; the scrub admits docs with payloads
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     ts = F.split("text", " ")
     grams = F.transform(

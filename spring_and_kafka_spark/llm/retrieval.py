@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from spring_and_kafka_spark.llm.similarity import cosine
+from spring_and_kafka_spark.llm.similarity import cosine, load_vectors
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -29,7 +29,7 @@ _PER_LABEL_K = 3
     "q_sim_topk_per_label",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
     ),
     pairs AS (
       SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
@@ -60,7 +60,7 @@ def q_sim_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in label size only. The rank window reuses the same hash
     partitioning (no second exchange); per-group top-k keeps only k rows
     per label out of the reducer."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     a, b = e.alias("a"), e.alias("b")

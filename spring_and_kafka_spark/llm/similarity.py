@@ -35,10 +35,25 @@ def cosine(u: Column, v: Column) -> Column:
     return F.when(denom != 0, dot(u, v) / denom)
 
 
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding scan under the NULL-payload contract (NULLCHECK sweep,
+    round 9): a NULL embedding cell — an upstream encode failure, routine
+    in a 100 TB ingest — is SKIPPED at the scan, never propagated into
+    dot products, k-means, LSH planes, or the Arrow-batched GEMM paths
+    (DuckDB's list_inner_product hard-errors on NULL and the pandas UDFs
+    would see None rows). Every oracle over this table mirrors the
+    contract with `WHERE embedding IS NOT NULL`. The filter pushes into
+    the parquet scan (IsNotNull in PushedFilters) so dense fixtures pay
+    nothing."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 @register(
     "q_sim_pairwise",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL)
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
@@ -48,7 +63,7 @@ def cosine(u: Column, v: Column) -> Column:
 )
 def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine between consecutive vectors (equi-join on id)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a = e.alias("a")
@@ -63,7 +78,7 @@ def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_topk",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
     SELECT vec_id,
            round(list_dot_product(v, qv)
@@ -82,7 +97,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query vector rides along as a broadcast single-row cross join —
     the embedding table is scanned once, orderBy().limit() plans
     TakeOrderedAndProject (no global sort at 100 TB). Tie-break: vec_id."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
@@ -119,7 +134,7 @@ def ivf_assign(
 @register(
     "q_sim_ann_ivf",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
     scored AS (
       SELECT e.vec_id, e.v, c.centroid_id,
@@ -164,7 +179,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB replays the identical algorithm (argmax via rank window;
     ties broken by centroid/vec id on both sides). Recall vs brute-force
     truth additionally asserted in unit tests."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     centroids = (
@@ -321,7 +336,7 @@ def knn_all_topk(
 @register(
     "q_sim_knn_all",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     pairs AS (
       SELECT a.vec_id AS qid, b.vec_id AS nid,
              list_dot_product(a.v, b.v)
@@ -340,7 +355,7 @@ def q_sim_knn_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale similarity-search workload, vs q_sim_topk's single query).
     Thin wrapper over :func:`knn_all_topk` with the auto-derived block
     count (bounded per-group GEMM memory at any corpus size)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return knn_all_topk(spark, e, k=3, n_blocks=None)
@@ -385,7 +400,7 @@ def ivf_train_kmeans(
 @register(
     "q_sim_ann_ivf_refined",
     oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     dims AS (SELECT unnest(range(64)) AS i),
     c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
     a1 AS (
@@ -463,7 +478,7 @@ def q_sim_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window, element-wise means via a dims cross join + ordered
     list()). Cross-engine float risk is summation order inside avg();
     cluster-assignment margins (≫1e-12) dwarf it."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     centroids = ivf_train_kmeans(e, k=16, iters=2)
@@ -502,7 +517,7 @@ _SIM_LSH_ORACLE = f"""
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     sig AS (
       SELECT vec_id,
@@ -534,7 +549,7 @@ def q_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     sin-hyperplane formulation was unverifiable. Quantization at 3
     decimals moves a bit only for |v·r| < 1e-2·‖r‖₁ relative noise,
     irrelevant for bucketing quality."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     qv = F.transform(
@@ -563,7 +578,7 @@ def q_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_centroid",
     oracle="""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
     ),
     idx AS (SELECT unnest(range(64)) AS i),
     cent AS (
@@ -592,7 +607,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     TreeAggregate-style partial (per-partition vector sums via
     VectorizedAgg) would cut it, but avg-per-dim is already map-side
     combined so the reduce stream is labels×64×partitions, not rows."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     ex = e.select("label", F.posexplode("v").alias("pos", "x"))
@@ -625,7 +640,7 @@ _PCA_ITERS = 3
     "q_embed_pca",
     oracle="""
     WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL
     ),
     dims AS (SELECT unnest(range(64)) AS i),
     -- iteration 1: s = v . v0 with v0 = (1/8, ..., 1/8)
@@ -687,7 +702,7 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed all-positive init keeps the sign deterministic in both
     engines; scores round to 4 dp against ~1e-12 cross-engine
     summation-order drift."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dim, iters = _PCA_DIM, _PCA_ITERS
@@ -734,7 +749,7 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ex AS (
       SELECT generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT CAST(pos AS INT) AS pos,
            CAST(count(*) AS BIGINT) AS n,
@@ -763,7 +778,7 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-sum order drift between the engines cannot touch the hash
     (ratio-column discipline, registry.py header); `+ 0.0` collapses
     IEEE -0.0 (semistructured.py convention)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_vectors(spark, sf_dir)
     ex = e.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "pos", "x"

@@ -199,9 +199,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
     freq AS (
+      -- profiles come from LABELED docs only: an unlabeled (NULL-lang)
+      -- doc must not mint a NULL-language profile (whose tie-break
+      -- position would also differ between engine NULL orderings)
       SELECT lang, tok, count(*) AS n,
              row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rn
-      FROM toks GROUP BY lang, tok
+      FROM toks WHERE lang IS NOT NULL GROUP BY lang, tok
     ),
     profile AS (SELECT lang AS p_lang, tok FROM freq WHERE rn <= 8),
     overlap AS (
@@ -231,7 +234,13 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = materialize(
         d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
     )
-    freq = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    # profiles from LABELED docs only (mirrors the oracle's WHERE lang
+    # IS NOT NULL): unlabeled docs are classified but never train
+    freq = (
+        toks.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
     w = W.partitionBy("lang").orderBy(F.col("n").desc(), "tok")
     profile = (
         freq.withColumn("rn", F.row_number().over(w))
@@ -346,7 +355,7 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  range(greatest(len(string_split(text, ' ')) - 3, 1)),
                  i -> array_to_string(string_split(text, ' ')[i + 1 : i + 4], ' ')
                )) AS shingle
-        FROM documents WHERE doc_id < 5
+        FROM documents WHERE doc_id < 5 AND text IS NOT NULL
       )
     ),
     doc_sh AS (
@@ -356,7 +365,7 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  range(greatest(len(string_split(text, ' ')) - 3, 1)),
                  i -> array_to_string(string_split(text, ' ')[i + 1 : i + 4], ' ')
                )) AS shingle
-        FROM documents WHERE doc_id >= 5
+        FROM documents WHERE doc_id >= 5 AND text IS NOT NULL
       )
     )
     SELECT d.doc_id, count(*) AS n_hits
@@ -371,7 +380,14 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training. The benchmark shingle set is tiny → broadcast; the
     corpus side streams through with one hash join, no shuffle of the
     corpus beyond the per-doc count."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-payload contract: Spark's greatest() and concat_ws() both
+    # SKIP NULLs, so an unfiltered NULL text would mint one ''-shingle
+    # per doc and every missing-payload doc would "contaminate" every
+    # other (71 phantom hits in the NULLCHECK sweep); DuckDB instead
+    # yields NULL shingles that never join. Both engines filter.
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     ts = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ts) - 4, F.lit(0))),
@@ -444,12 +460,17 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_fingerprint",
     oracle="""
     SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(text, ' '),
-                              t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
-             (acc, x) -> (acc * 1000003 + x) % 2147483647
-           ) AS fingerprint
+           -- NULL text has no fingerprint: without the CASE, DuckDB's
+           -- list_prepend(0, NULL) yields [0] and reduces to 0 while
+           -- Spark's aggregate(NULL, ...) NULL-propagates (NULLCHECK r9)
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                                t -> CAST(ascii(t) * 31 + length(t) AS BIGINT))),
+               (acc, x) -> (acc * 1000003 + x) % 2147483647
+             )
+           END AS fingerprint
     FROM documents
     """,
 )
@@ -1046,7 +1067,9 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(-sum((c * 1.0 / tot.n) * log2(c * 1.0 / tot.n))
                    / log2(tot.vocab * 1.0), 4) + 0.0
            END AS norm_entropy
-    FROM tc JOIN tot ON tc.source = tot.source
+    -- null-safe join: the Spark side derives totals from a WINDOW, which
+    -- keeps a NULL-source group; an equi-join here would drop it
+    FROM tc JOIN tot ON tc.source IS NOT DISTINCT FROM tot.source
     GROUP BY tc.source, tot.n, tot.vocab
     """,
     tags=("text",),

@@ -91,9 +91,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ts_simsearch",
     oracle="""
     WITH seqs AS (
+      -- list_filter mirrors Spark's collect_list, which SKIPS NULL
+      -- values: a window touching a missing reading shrinks below 8 and
+      -- is dropped by the len gate. The strip must happen HERE, not in
+      -- the WHERE, because DuckDB may evaluate scored's dot products
+      -- before the filter and list_inner_product errors on NULLs.
       SELECT user_id, event_id,
-             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+             list_filter(
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING),
+               x -> x IS NOT NULL) AS w
       FROM events
     ),
     scored AS (

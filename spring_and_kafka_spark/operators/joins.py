@@ -337,16 +337,23 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Carry the right ROW as one struct, not per-column values: the
+    # struct is non-null exactly when a right row exists, so a right row
+    # whose VALUE column is NULL still wins as the latest match (a
+    # per-column last(ignorenulls) would skip it and resurrect an older
+    # row — the NULLCHECK r9 finding). ignorenulls then only skips
+    # left-side rows, which is the intent.
+    row_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(*[F.col(f"__r_{c}") for c in right_cols]),
+    )
     filled = u.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_cols
-        ],
+        F.last(row_struct, ignorenulls=True).over(w).alias("__f"),
     )
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"__f_{c}").alias(c) for c in right_cols],
+        *[F.col(f"__f.__r_{c}").alias(c) for c in right_cols],
     )
 
 

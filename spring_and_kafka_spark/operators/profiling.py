@@ -314,7 +314,12 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_type
       FROM events CROSS JOIN bounds
     ),
-    k AS (SELECT count(DISTINCT event_type) AS n_types FROM tagged),
+    -- count(*) over SELECT DISTINCT, not count(DISTINCT ...): a NULL
+    -- event_type is a real category (both engines give it a group in c,
+    -- and the Spark side counts groups), but count(DISTINCT) would skip
+    -- it and shrink the Laplace denominator by one (NULLCHECK r9)
+    k AS (SELECT count(*) AS n_types
+          FROM (SELECT DISTINCT event_type FROM tagged)),
     c AS (
       SELECT event_type,
              sum(CASE WHEN period = 'early' THEN 1 ELSE 0 END) AS n_a,

@@ -265,7 +265,14 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(bal), 2).alias("mean_raw"),
         F.round(F.avg(clamped), 2).alias("mean_winsor"),
         F.round(F.avg(F.when(inside, bal)), 2).alias("mean_trim"),
-        F.sum(F.when(inside, 0).otherwise(1)).alias("n_clipped"),
+        # a NULL balance is MISSING, not clipped: when(inside,
+        # 0).otherwise(1) would fall through NULL between() into the
+        # otherwise branch and count it (NULLCHECK r9); the positive
+        # test mirrors the oracle's CASE, whose NULL comparison lands
+        # in ELSE 0
+        F.sum(
+            F.when((bal < F.col("p05")) | (bal > F.col("p95")), 1).otherwise(0)
+        ).alias("n_clipped"),
     )
 
 

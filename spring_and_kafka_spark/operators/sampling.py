@@ -102,16 +102,25 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
     )
     totals = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    p_lang = F.when(F.col("lang") == "en", 0.1).otherwise(0.5)
+    # a NULL-lang stratum has no sampleBy fraction (sampleBy skips keys
+    # absent from its dict), so only the plain 0.2 Bernoulli applies to
+    # it — and the stratum joins null-safely or its sampled count would
+    # silently read as 0 and fail the claim (NULLCHECK r9)
+    p_lang = (
+        F.when(F.col("t.lang").isNull(), 0.0)
+        .when(F.col("t.lang") == "en", 0.1)
+        .otherwise(0.5)
+    )
     expected = F.col("n_docs") * (0.2 + p_lang)
     sigma = F.sqrt(
         F.col("n_docs") * (0.2 * 0.8 + p_lang * (1.0 - p_lang))
     )
+    t, s = totals.alias("t"), sampled.alias("s")
     return (
-        totals.join(sampled, "lang", "left")
-        .withColumn("n_rows", F.coalesce("n_rows", F.lit(0)))
+        t.join(s, F.col("t.lang").eqNullSafe(F.col("s.lang")), "left")
+        .withColumn("n_rows", F.coalesce(F.col("s.n_rows"), F.lit(0)))
         .select(
-            "lang",
+            F.col("t.lang").alias("lang"),
             "n_docs",
             (F.abs(F.col("n_rows") - expected) <= 4 * sigma + 1).alias(
                 "within_ci"

@@ -58,9 +58,18 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_exact = e.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.countDistinct("user_id").alias("n_exact"))
-    return daily_exact.join(daily_est, ["day", "event_type"]).select(
-        "day",
-        "event_type",
+    # eqNullSafe on the type key: a NULL event_type is a real rollup
+    # group (both aggregates produce it; the oracle's single GROUP BY
+    # keeps it) — a plain equi-join would silently drop those days
+    # (NULLCHECK r9: 150 vs 180 rows)
+    ex, est = daily_exact.alias("ex"), daily_est.alias("est")
+    return ex.join(
+        est,
+        (F.col("ex.day") == F.col("est.day"))
+        & F.col("ex.event_type").eqNullSafe(F.col("est.event_type")),
+    ).select(
+        F.col("ex.day").alias("day"),
+        F.col("ex.event_type").alias("event_type"),
         "n_exact",
         (
             F.abs(F.col("n_est") - F.col("n_exact"))
@@ -257,8 +266,11 @@ def select_quantile_buckets(
     "q_agg_quantile_sketch",
     oracle="""
     WITH c AS (
+      -- quantiles skip NULL measures (standard percentile semantics):
+      -- an unfiltered NULL would mint a NULL bucket whose position in
+      -- the rank windows differs between engine NULL orderings
       SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     ),
     cg AS (
       SELECT cents,
@@ -325,7 +337,12 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     price points). Buckets are pure integer/string arithmetic on exact
     cents, so both engines agree bit-for-bit; power(10, d-1) and the
     ±0.5 midpoints are exact doubles."""
-    li = to_cents(load_table(spark, sf_dir, "lineitem"))
+    # quantiles skip NULL measures (mirrors the oracle's IS NOT NULL):
+    # a NULL cents bucket's window position differs between engine NULL
+    # orderings and would shift every cumulative rank (NULLCHECK r9)
+    li = to_cents(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("cents").isNotNull()
+    )
     cg = with_bucket_cols(
         li.groupBy("cents").agg(F.count("*").alias("cnt"))
     )

@@ -35,8 +35,15 @@ from spring_and_kafka_spark.sources.tables import load_table
 )
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (the discouraged path — each row crosses
-    the JVM↔Python pickle boundary; kept small deliberately)."""
-    shout = F.udf(lambda s: s.upper() + "!", T.StringType())
+    the JVM↔Python pickle boundary; kept small deliberately).
+
+    The None guard is part of the lesson: built-in expressions
+    NULL-propagate for free, but a Python UDF receives a raw None and
+    must answer NULL itself (matching SQL's upper(NULL) || '!' -> NULL)
+    or die on the first NULL-bearing partition (NULLCHECK r9)."""
+    shout = F.udf(
+        lambda s: None if s is None else s.upper() + "!", T.StringType()
+    )
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
     return c.select("c_custkey", shout("c_name").alias("shouted"))
 

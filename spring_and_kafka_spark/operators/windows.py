@@ -137,7 +137,8 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(percent_rank() OVER w, 6) AS pr,
            round(cume_dist() OVER w, 6) AS cd
     FROM supplier
-    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    -- NULLS FIRST = Spark's asc default (DuckDB defaults NULLS LAST)
+    WINDOW w AS (ORDER BY s_acctbal NULLS FIRST, s_suppkey)
     """,
 )
 def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +192,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey)
+                 -- NULLS FIRST pins Spark's asc default; DuckDB defaults
+                 -- NULLS LAST, so a NULL price would shift every rank
+                 -- ratio in its partition (NULLCHECK r9)
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,9 +386,13 @@ def q_win_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type AS top_type, streak_len AS longest_streak
     FROM (
       SELECT user_id, event_type, streak_len,
+             -- NULLS FIRST on both type keys: a NULL-type island is a
+             -- legal streak and Spark's asc default ranks it first at
+             -- ties; DuckDB would rank it last (NULLCHECK r9)
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY streak_len DESC,
-                                         length(event_type), event_type) AS rk
+                                         length(event_type) NULLS FIRST,
+                                         event_type NULLS FIRST) AS rk
       FROM islands
     ) WHERE rk = 1
     """,
