@@ -31,6 +31,20 @@ Conventions (hash-match discipline, SURVEY.md §5.2):
   semantics so degenerate inputs (constant series, zero totals,
   singular matrices, zero vectors) keep parity instead of crashing
   (tests/test_degenerate.py builds each shape and asserts it)
+- NULL rules (the round-9 NULLCHECK battery — tools/null_sweep.py,
+  tests/test_nullcheck.py): payload columns (text, embedding) filter
+  NULL at the operator scan in BOTH engines; any nullable window ORDER
+  BY key pins NULLS FIRST in the oracle (Spark asc defaults NULLS
+  FIRST, DuckDB NULLS LAST); joins on keys a Spark window/groupBy keeps
+  as NULL groups must be null-safe (eqNullSafe / IS NOT DISTINCT FROM);
+  oracle string concat uses || (DuckDB concat() IGNORES NULL args,
+  Spark's propagates); DuckDB greatest()/least() and count(DISTINCT x)
+  SKIP NULLs — count NULL categories via count(*) over SELECT DISTINCT;
+  Spark collect_list skips NULLs but DuckDB list() keeps them
+  (list_filter to mirror); carrying values across rows with
+  last(ignorenulls) must wrap the source ROW in a struct or a
+  legitimately-NULL value resurrects stale rows; Python UDFs receive
+  raw None and must answer NULL themselves
 - a LIMIT boundary may only rank on cross-engine-STABLE keys: integers,
   rounded doubles, or doubles built from +,* alone with matching
   association order in both engines (IEEE-deterministic — the dot
