@@ -377,3 +377,13 @@ def test_compaction_plan_two_phase_aggs_integer_div(spark):
     assert "Join" not in p and "CartesianProduct" not in p
     assert "div 10000" in p  # integer DIV, both bin_id and fill_bp
     assert "FLOOR" not in p.upper()
+
+
+def test_null_payload_filters_push_to_scan(spark):
+    # the r9 NULL-payload contract must cost nothing on dense data:
+    # the IS NOT NULL admission filters are parquet-pushed predicates
+    # (row-group statistics skip), not post-scan Filter nodes
+    p = plan(spark, "q_sim_pairwise")
+    assert "IsNotNull(embedding)" in p.split("ReadSchema")[0]
+    p = plan(spark, "q_text_contamination")
+    assert "IsNotNull(text)" in p
