@@ -50,6 +50,39 @@ def cents(col: Column | str) -> Column:
     return F.floor(c * 100 + F.lit(0.5)).cast("long")
 
 
+def finite_or_null(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize NaN and ±Infinity in the named double columns to NULL —
+    the ingest-boundary enforcement of the engine's float contract:
+    downstream operators consume FINITE-OR-NULL doubles only.
+
+    Why a contract instead of 226 NaN-hardened queries: a NaN-injection
+    diagnostic (round 9, NANCHECK.json) failed 39 of 226 queries, and
+    the failure modes are not guardable cross-engine — ANSI Spark and
+    DuckDB both hard-error casting NaN to BIGINT (every exact-cents
+    expression), stddev aggregates range-error, and the engines disagree
+    on NaN grouping/ordering (Spark groups NaNs equal and sorts them
+    greatest; DuckDB's aggregates poison to NaN instead). NULL, by
+    contrast, has fully specified cross-engine semantics that the
+    NULLCHECK battery (tools/null_sweep.py) proves all 226 queries
+    handle. So the boundary rule is: run this normalizer (or quarantine
+    on it) when ingesting any external double column; inside the engine,
+    NaN does not exist.
+
+    At 100 TB this is one narrow projection fused into the ingest scan —
+    no shuffle, no extra pass."""
+    out = df
+    for c in cols:
+        col = F.col(c)
+        out = out.withColumn(
+            c,
+            F.when(
+                F.isnan(col) | (F.abs(col) == float("inf")),
+                F.lit(None).cast("double"),
+            ).otherwise(col),
+        )
+    return out
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Compute `df` once and return a lineage-cut (or at least pinned)
     DataFrame, safe for the current deployment mode. See module doc."""

@@ -1,0 +1,90 @@
+"""The float ingest contract (DESIGN.md #19): external double columns
+are normalized FINITE-OR-NULL at the boundary (exec_utils.finite_or_null)
+because NaN/±Inf semantics are cross-engine unspecifiable — the round-9
+NaN diagnostic (NANCHECK.json) failed 39/226 queries on raw NaN input,
+with both engines hard-erroring on NaN→BIGINT casts (every exact-cents
+expression). After normalization, NaN follows the NULL path that the
+NULLCHECK battery proves all 226 queries handle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spring_and_kafka_spark.exec_utils import cents, finite_or_null
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0),
+            (2, float("nan")),
+            (3, float("inf")),
+            (4, float("-inf")),
+            (5, None),
+            (6, -2.5),
+        ],
+        "id long, x double",
+    )
+
+
+def test_normalizer_maps_nan_and_inf_to_null(spark):
+    rows = {r.id: r.x for r in finite_or_null(_frame(spark), "x").collect()}
+    assert rows[1] == 10.0 and rows[6] == -2.5
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+    assert rows[5] is None
+
+
+def test_cents_pipeline_clean_after_normalization(spark):
+    # the exact-cents cast is the expression NaN kills in BOTH engines
+    # (ANSI Spark throws CAST_INVALID_INPUT, DuckDB a Conversion Error);
+    # after the boundary normalizer it NULL-skips like any aggregate
+    df = finite_or_null(_frame(spark), "x")
+    got = df.agg(F.sum(cents("x")).alias("s")).collect()[0].s
+    assert got == 1000 + (-250)
+
+
+def test_cents_pipeline_diverges_without_normalization(spark):
+    # the raw-NaN failure mode is WORSE than a crash: Spark's
+    # floor(double) silently maps NaN to 0 cents while DuckDB raises a
+    # Conversion Error on the same expression — silent cross-engine
+    # divergence; ±Inf meanwhile ANSI-throws on the Spark side. Both
+    # are the class the finite-or-null boundary contract exists to
+    # exclude (NANCHECK.json, 39/226 on raw NaN input).
+    import duckdb
+
+    nan_df = spark.createDataFrame(
+        [(1, 10.0), (2, float("nan"))], "id long, x double"
+    )
+    got = nan_df.agg(F.sum(cents("x")).alias("s")).collect()[0].s
+    assert got == 1000  # the NaN row silently contributed 0 cents
+
+    # +Inf is silent garbage too: floor(double)->BIGINT saturates to
+    # Long.MAX (and -Inf to Long.MIN, so a mixed sum ANSI-overflows)
+    inf_df = spark.createDataFrame(
+        [(1, float("inf"))], "id long, x double"
+    )
+    got_inf = inf_df.select(cents("x").alias("c")).collect()[0].c
+    assert got_inf == (1 << 63) - 1
+
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="(?i)conversion|cast|range"):
+        con.execute(
+            "SELECT sum(CAST(floor(x * 100 + 0.5) AS BIGINT)) "
+            "FROM (VALUES (CAST('nan' AS DOUBLE))) t(x)"
+        ).fetchall()
+
+
+def test_aggregates_follow_null_path_after_normalization(spark):
+    df = finite_or_null(_frame(spark), "x")
+    row = df.agg(
+        F.avg("x").alias("m"),
+        F.count("x").alias("n_obs"),
+        F.count("*").alias("n_rows"),
+    ).collect()[0]
+    assert row.n_rows == 6 and row.n_obs == 2
+    assert not math.isnan(row.m)
+    assert abs(row.m - 3.75) < 1e-12
