@@ -949,11 +949,21 @@ _ATTRIB_WINDOW_US = 7 * 86_400_000_000  # 7-day last-touch lookback
       FROM events
     ),
     tagged AS (
+      -- ONE struct carry, not two independent last_value()s: separate
+      -- carries can pair a tagged click's k with a LATER untagged
+      -- click's timestamp, attributing through an expired lookback
+      -- (found by tests/test_property.py::
+      -- test_attribution_matches_brute_force, r9). The touchpoint is
+      -- the most recent TAGGED click — its k and us travel together.
       SELECT user_id, us, event_type, value,
-             last_value(CASE WHEN event_type = 'click' THEN k END
-                        IGNORE NULLS) OVER w AS last_click_k,
-             last_value(CASE WHEN event_type = 'click' THEN us END
-                        IGNORE NULLS) OVER w AS last_click_us
+             struct_extract(last_value(
+               CASE WHEN event_type = 'click' AND k IS NOT NULL
+                    THEN struct_pack(tus := us, tk := k) END
+               IGNORE NULLS) OVER w, 'tk') AS last_click_k,
+             struct_extract(last_value(
+               CASE WHEN event_type = 'click' AND k IS NOT NULL
+                    THEN struct_pack(tus := us, tk := k) END
+               IGNORE NULLS) OVER w, 'tus') AS last_click_us
       FROM ev
       WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -988,20 +998,27 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(us, "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # ONE struct carry (non-null iff a TAGGED click exists) — two
+    # independent last(ignorenulls) carries can pair one click's k with
+    # a later untagged click's timestamp, attributing through an
+    # expired lookback (the asof-join struct rule, found here by the
+    # r9 property test; value-neutral on fixtures, where every click
+    # is tagged)
+    touch = F.when(
+        (F.col("event_type") == "click") & k.isNotNull(),
+        F.struct(us.alias("tus"), k.alias("tk")),
+    )
     tagged = e.select(
         us.alias("us"),
         "event_type",
         "value",
-        F.last(
-            F.when(F.col("event_type") == "click", k), ignorenulls=True
-        )
-        .over(w)
-        .alias("last_click_k"),
-        F.last(
-            F.when(F.col("event_type") == "click", us), ignorenulls=True
-        )
-        .over(w)
-        .alias("last_click_us"),
+        F.last(touch, ignorenulls=True).over(w).alias("__touch"),
+    ).select(
+        "us",
+        "event_type",
+        "value",
+        F.col("__touch.tk").alias("last_click_k"),
+        F.col("__touch.tus").alias("last_click_us"),
     )
     purchases = tagged.filter(F.col("event_type") == "purchase")
     campaign = F.coalesce(

@@ -1001,3 +1001,131 @@ def test_win_streak_matches_brute_force(spark, data):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expect
+
+
+rdistinct_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 10),  # minute
+        st.sampled_from(["a", "b", "c", "d"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rdistinct_events)
+def test_running_distinct_matches_brute_force(spark, data):
+    """The running distinct-type count (collect_set over a growing frame)
+    must match a driver-side fold on arbitrary streams, including
+    same-timestamp bursts where only the (ts, event_id) tie order keeps
+    the prefix deterministic."""
+    from spring_and_kafka_spark.operators.windows import q_win_running_distinct
+
+    per_user = {}
+    for eid, (u, m, t) in enumerate(data):
+        per_user.setdefault(u, []).append((m, eid, t))
+    expect = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        seen = set()
+        for m, eid, t in rows:
+            seen.add(t)
+            expect[eid] = len(seen)
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rdist-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (eid, _TS0 + dt.timedelta(minutes=m), u, t, 1.0)
+                for eid, (u, m, t) in enumerate(data)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.event_id: r.n_types_seen
+            for r in q_win_running_distinct(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect
+
+
+attribution_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 15000),  # minute (7-day window = 10080 min)
+        st.sampled_from(["click", "purchase", "view"]),
+        st.one_of(st.none(), st.integers(0, 3)),  # campaign k (clicks)
+        st.integers(1, 50),  # whole-dollar value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(attribution_events)
+def test_attribution_matches_brute_force(spark, data):
+    """Last-touch attribution (running last-non-null click carry + 7-day
+    lookback + unattributed bucket) must match a driver-side fold —
+    including untagged clicks (props without k, which are skipped by the
+    carry in BOTH engines), lookback-boundary purchases, and users with
+    no clicks at all."""
+    import json as _json
+
+    from spring_and_kafka_spark.operators.analytics import q_attribution
+
+    week_min = 7 * 24 * 60
+    per_user = {}
+    for eid, (u, m, t, k, v) in enumerate(data):
+        per_user.setdefault(u, []).append((m, eid, t, k, v))
+    expect = {}
+    for u, rows in per_user.items():
+        rows.sort()
+        last = None  # (minute, k) of last TAGGED click
+        for m, eid, t, k, v in rows:
+            if t == "click" and k is not None:
+                last = (m, k)
+            elif t == "purchase":
+                camp = (
+                    last[1]
+                    if last is not None and m - last[0] <= week_min
+                    else -1
+                )
+                n, rev = expect.get(camp, (0, 0))
+                expect[camp] = (n + 1, rev + v)
+    expect = {c: (n, float(rev)) for c, (n, rev) in expect.items()}
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="attr-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (
+                    eid,
+                    _TS0 + dt.timedelta(minutes=m),
+                    u,
+                    t,
+                    float(v),
+                    _json.dumps({"k": k} if k is not None else {}),
+                )
+                for eid, (u, m, t, k, v) in enumerate(data)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.campaign: (r.n_purchases, r.revenue)
+            for r in q_attribution(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect
