@@ -407,7 +407,15 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered window: last(ignorenulls) over a strict-past frame per
     feature. One shuffle total regardless of feature count; adding a
     feature adds a column, not a join — the same union-merge trick the
-    oracle states with IGNORE NULLS window functions."""
+    oracle states with IGNORE NULLS window functions.
+
+    NULL reading (stated identically in both engines, NULLCHECK-green):
+    each feature is "the latest prior <type> event WITH a known value" —
+    a NULL-valued purchase is skipped in favor of the older known one.
+    Unlike q_attribution (where pairing k with a different click's
+    timestamp corrupted the lookback — the r9 struct-carry fix), these
+    carries are SEPARATE features by design, so per-column independence
+    is the semantics, not a bug."""
     e = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
