@@ -137,27 +137,38 @@ _WINDOW_PREFIX = [
     "q_agg_approx",
     "q_agg_argmax",
     "q_agg_collect",
-    # 15 of the 50 round-4 rows (the r10 pool holds the other 35):
-    # complete the join batch...
+    # Output expressions changed by the r9 NULL-robustness batch (the
+    # rotation discipline ranks changed-output queries above stale
+    # filler, so these took the 12 unchanged-r4 filler slots; every
+    # change is value-neutral on dense fixtures — pure IS NOT NULL
+    # admission filters, null-safe join forms, NULL-branch CASE arms —
+    # re-proven by full sf0.01-vanilla + sf0.1 selfcheck sweeps, but
+    # changed is changed, so they re-verify in-window). Three of the
+    # changed set were already here as r4 rows: q_join_asof (struct
+    # fill), q_decontaminate (payload filter), q_agg_hll_rollup
+    # (null-safe join).
     "q_join_asof",
-    "q_join_multi",
-    "q_join_range",
-    "q_join_salted",
-    # ...the sampling batch...
-    "q_sample_temperature",
-    # ...the corpus-curation batch...
-    "q_corpus_mix",
-    "q_corpus_repeat",
-    "q_corpus_split",
     "q_decontaminate",
-    # ...the sketch/rollup aggregates...
-    "q_agg_countmin",
     "q_agg_hll_rollup",
-    "q_agg_mode",
-    "q_rollup_hier",
-    # ...and the two r4 text rows
-    "q_text_chunk",
-    "q_text_dup_fraction",
+    "q_attribution",
+    "q_multimodal_decode",
+    "q_multimodal_meta",
+    "q_winsorize",
+    "q_agg_quantile_sketch",
+    "q_text_entropy",
+    "q_text_langid",
+    "q_text_contamination",
+    "q_text_fingerprint",
+    "q_embed_centroid",
+    "q_sim_topk_per_label",
+    "q_embed_pca",
+    # Still-changed-but-unwindowed (first picks for the r10 rotation,
+    # with the 47 r4 rows): q_embed_dim_stats / q_fn_array /
+    # q_udf_scalar (no-op-on-dense guards), and the oracle-text-only
+    # NULL pins (q_dist_shift, q_fn_string, q_ts_simsearch,
+    # q_win_ntile, q_win_dist, q_win_streak) — oracle text runs only
+    # when a row is in-window, so their new text first executes at
+    # their rotation; local two-scale sweeps back them until then.
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 
