@@ -1129,3 +1129,85 @@ def test_attribution_matches_brute_force(spark, data):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expect
+
+
+rfm_orders = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # custkey
+        st.integers(0, 30),  # order-day offset
+        st.integers(100, 99999),  # totalprice cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rfm_orders)
+def test_rfm_matches_brute_force(spark, orders):
+    """RFM quartile segmentation must match a driver-side fold using the
+    standard SQL ntile distribution (first n mod k buckets get one extra
+    row) over the documented (metric, custkey) total orders — including
+    fewer customers than buckets, heavy ties, and single-order users."""
+    from collections import defaultdict
+
+    from spring_and_kafka_spark.operators.analytics import q_rfm
+
+    per_cust = defaultdict(list)
+    for ck, day, cents_v in orders:
+        per_cust[ck].append((day, cents_v))
+
+    def ntile4(keys):
+        # keys: list of (metric..., custkey) sort keys, one per customer
+        n = len(keys)
+        order = sorted(range(n), key=lambda i: keys[i])
+        base, extra = divmod(n, 4)
+        out = [0] * n
+        pos = 0
+        for b in range(4):
+            size = base + (1 if b < extra else 0)
+            for _ in range(size):
+                if pos < n:
+                    out[order[pos]] = b + 1
+                    pos += 1
+        return out
+
+    custs = sorted(per_cust)
+    rec = [(max(d for d, _ in per_cust[c]), c) for c in custs]
+    freq = [(len(per_cust[c]), c) for c in custs]
+    mon = [(sum(v for _, v in per_cust[c]), c) for c in custs]
+    r_s, f_s, m_s = ntile4(rec), ntile4(freq), ntile4(mon)
+    seg = defaultdict(lambda: [0, 0])
+    for i, c in enumerate(custs):
+        k = (r_s[i], f_s[i], m_s[i])
+        seg[k][0] += 1
+        seg[k][1] += mon[i][0]
+    import math
+
+    expect = {
+        k: (n, math.floor(tot / n + 0.5) / 100.0)
+        for k, (n, tot) in seg.items()
+    }
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rfm-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i, ck, "O", cents_v / 100.0,
+                 _TS0 + dt.timedelta(days=day), "1-URGENT")
+                for i, (ck, day, cents_v) in enumerate(orders)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = {
+            (r.r_score, r.f_score, r.m_score): (r.n_customers, r.avg_monetary)
+            for r in q_rfm(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect
