@@ -1211,3 +1211,71 @@ def test_rfm_matches_brute_force(spark, orders):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expect
+
+
+seq_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.integers(0, 12000),  # minute (7-day window = 10080)
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(seq_events)
+def test_seq_pattern_matches_brute_force(spark, data):
+    """The signup -> click{2,} -> purchase pattern matcher must agree
+    with a driver-side scan: the binding purchase is the FIRST one with
+    >=2 clicks strictly in between (not the first purchase overall),
+    and the 7-day gate applies to that binding purchase only. Covers
+    multiple signups per user, purchases before signups, and exactly-2
+    click boundaries."""
+    from spring_and_kafka_spark.operators.analytics import q_seq_pattern
+
+    per_user = {}
+    for eid, (u, m, t) in enumerate(data):
+        per_user.setdefault(u, []).append((m, eid, t))
+    week = 7 * 24 * 60
+    expect = set()
+    for u, rows in per_user.items():
+        rows.sort()
+        for i, (sm, seid, stype) in enumerate(rows):
+            if stype != "signup":
+                continue
+            clicks = 0
+            binding = None
+            for m, eid, t in rows[i + 1 :]:
+                if t == "click":
+                    clicks += 1
+                elif t == "purchase" and clicks >= 2:
+                    binding = (m, eid, clicks)
+                    break
+            if binding is not None and binding[0] <= sm + week:
+                expect.add((u, seid, binding[1], binding[2], True))
+            else:
+                expect.add((u, seid, None, 0, False))
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="seq-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (eid, _TS0 + dt.timedelta(minutes=m), u, t, 1.0)
+                for eid, (u, m, t) in enumerate(data)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (r.user_id, r.signup_event, r.purchase_event,
+             r.clicks_between, r.matched)
+            for r in q_seq_pattern(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect
