@@ -1279,3 +1279,67 @@ def test_seq_pattern_matches_brute_force(spark, data):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expect
+
+
+cohort_orders = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # custkey
+        st.integers(0, 180),  # order-day offset (~6 months)
+        st.integers(100, 9999),  # totalprice cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(cohort_orders)
+def test_cohort_revenue_matches_brute_force(spark, orders):
+    """The cohort revenue matrix (first-order-month cohort x integer
+    month age) must match a driver-side fold — including customers whose
+    first and only order share a month, month-boundary orders, and
+    multi-order months counted once in n_customers."""
+    from collections import defaultdict
+
+    from spring_and_kafka_spark.operators.analytics import q_cohort_revenue
+
+    base = _TS0.date()
+    per_cust = defaultdict(list)
+    for ck, day, cents_v in orders:
+        d0 = base + dt.timedelta(days=day)
+        per_cust[ck].append(((d0.year, d0.month), cents_v))
+    cells = defaultdict(lambda: [set(), 0])
+    for ck, rows in per_cust.items():
+        cm = min(m for m, _ in rows)
+        for (y, m), cents_v in rows:
+            age = (y * 12 + m) - (cm[0] * 12 + cm[1])
+            cell = cells[(cm, age)]
+            cell[0].add(ck)
+            cell[1] += cents_v
+    expect = {k: (len(s), tot) for k, (s, tot) in cells.items()}
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cohort-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i, ck, "O", cents_v / 100.0,
+                 _TS0 + dt.timedelta(days=day), "1-URGENT")
+                for i, (ck, day, cents_v) in enumerate(orders)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = {
+            ((r.cohort_month.year, r.cohort_month.month), r.age_months): (
+                r.n_customers,
+                r.revenue_cents,
+            )
+            for r in q_cohort_revenue(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect
