@@ -1343,3 +1343,131 @@ def test_cohort_revenue_matches_brute_force(spark, orders):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expect
+
+
+def _pct_linear(sorted_vals, q):
+    # the (n-1)*p linear interpolation rule both engines implement
+    # (Spark percentile / percentile_cont, DuckDB quantile_cont)
+    n = len(sorted_vals)
+    if n == 1:
+        return float(sorted_vals[0])
+    pos = (n - 1) * q
+    lo = int(pos)
+    frac = pos - lo
+    hi = min(lo + 1, n - 1)
+    return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * frac
+
+
+winsor_customers = st.lists(
+    st.tuples(
+        st.sampled_from(["AUTO", "HOME"]),  # segment
+        st.integers(-5000, 99999),  # acctbal cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(winsor_customers)
+def test_winsorize_matches_brute_force(spark, custs):
+    """Winsorized/trimmed means must match a driver-side fold using the
+    (n-1)*p percentile interpolation rule — pinning that Spark
+    percentile() and the brute rule agree on tiny groups, heavy ties,
+    negatives, and single-customer segments."""
+    from collections import defaultdict
+
+    from spring_and_kafka_spark.operators.quality import q_winsorize
+
+    per_seg = defaultdict(list)
+    for seg, cents_v in custs:
+        per_seg[seg].append(cents_v / 100.0)
+    # Spark round() = HALF_UP over the SHORTEST decimal representation
+    # of the double (Java BigDecimal.valueOf); Python round() uses the
+    # exact binary value — they differ exactly ON boundary values
+    # (0.075 -> 0.08 vs 0.07), so the brute force mirrors Spark's rule
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round2(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+        )
+
+    expect = {}
+    for seg, vals in per_seg.items():
+        sv = sorted(vals)
+        p05 = _pct_linear(sv, 0.05)
+        p95 = _pct_linear(sv, 0.95)
+        wins = [min(max(v, p05), p95) for v in vals]
+        trim = [v for v in vals if p05 <= v <= p95]
+        n_clip = sum(1 for v in vals if v < p05 or v > p95)
+        expect[seg] = (
+            len(vals),
+            spark_round2(p05),
+            spark_round2(p95),
+            spark_round2(sum(vals) / len(vals)),
+            spark_round2(sum(wins) / len(wins)),
+            spark_round2(sum(trim) / len(trim)) if trim else None,
+            n_clip,
+        )
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="winsor-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i, f"Customer#{i:09d}", 0, v, seg)
+                for i, (seg, v) in enumerate(
+                    (s, c / 100.0) for s, c in custs
+                )
+            ],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        got = {
+            r.c_mktsegment: (
+                r.n, r.p05, r.p95, r.mean_raw, r.mean_winsor,
+                r.mean_trim, r.n_clipped,
+            )
+            for r in q_winsorize(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # counts exact; rounded money columns within ONE cent — Spark's
+    # percentile interpolation and a Python fold can differ by 1 ulp,
+    # which legitimately flips round( ,2) across structural boundaries
+    # on synthetic cent data (the interpolation RULE itself is pinned
+    # to 1e-9 below, so a wrong rule still fails loudly)
+    assert set(got) == set(expect)
+    for seg in got:
+        gn, gp05, gp95, graw, gwin, gtrim, gclip = got[seg]
+        en, ep05, ep95, eraw, ewin, etrim, eclip = expect[seg]
+        assert (gn, gclip) == (en, eclip), seg
+        for g, e in [(gp05, ep05), (gp95, ep95), (graw, eraw),
+                     (gwin, ewin), (gtrim, etrim)]:
+            if g is None or e is None:
+                assert g is None and e is None, seg
+            else:
+                assert abs(g - e) <= 0.0100001, (seg, g, e)
+    # pin the (n-1)*p interpolation rule itself at full precision
+    from pyspark.sql import functions as F2
+
+    vals_df = spark.createDataFrame(
+        [(seg, v) for seg, vs in per_seg.items() for v in vs],
+        "seg string, x double",
+    )
+    raw = {
+        r.seg: (r.p05, r.p95)
+        for r in vals_df.groupBy("seg")
+        .agg(
+            F2.percentile("x", F2.lit(0.05)).alias("p05"),
+            F2.percentile("x", F2.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for seg, vs in per_seg.items():
+        sv = sorted(vs)
+        assert abs(raw[seg][0] - _pct_linear(sv, 0.05)) <= 1e-9, seg
+        assert abs(raw[seg][1] - _pct_linear(sv, 0.95)) <= 1e-9, seg
