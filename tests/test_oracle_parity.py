@@ -265,3 +265,46 @@ def test_output_type_parity(spark, duck):
         f"{len(bad)} queries with cross-engine output-type divergence "
         f"(the q_compaction_plan blind-spot class): {bad}"
     )
+
+
+def test_type_lint_equivalence_classes():
+    """Unit-pin the lint's class table beyond the HUGEINT fixture:
+    integer widths are ONE class (driver-proven), timestamp flavors are
+    one class, float-vs-double and string-vs-numeric are flagged, and
+    Spark DecimalType is banned outright."""
+    from pyspark.sql import types as T
+
+    from spring_and_kafka_spark.typeparity import oracle_type_issues
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.TimestampNTZType()),
+            T.StructField("c", T.FloatType()),
+            T.StructField("d", T.LongType()),
+            T.StructField("e", T.DecimalType(14, 2)),
+        ]
+    )
+    desc = [
+        ("a", "BIGINT"),  # width skew inside the integer class: OK
+        ("b", "TIMESTAMP"),  # NTZ vs TIMESTAMP: one class, OK
+        ("c", "DOUBLE"),  # float vs double: REAL precision hazard
+        ("d", "VARCHAR"),  # numeric vs string: flagged
+        ("e", "DOUBLE"),  # Spark decimal: banned regardless of oracle
+    ]
+    issues = oracle_type_issues(desc, schema)
+    flagged = {i.split(":")[0] for i in issues}
+    assert flagged == {"c", "d", "e"}, issues
+
+
+def test_type_lint_unknown_types_fail_closed():
+    """A DuckDB type outside the class table (INTERVAL, BLOB pairing
+    with a non-binary Spark type, exotic aliases) must FAIL, not pass
+    silently — the lint is a whitelist, not a blacklist."""
+    from pyspark.sql import types as T
+
+    from spring_and_kafka_spark.typeparity import oracle_type_issues
+
+    schema = T.StructType([T.StructField("x", T.StringType())])
+    issues = oracle_type_issues([("x", "INTERVAL")], schema)
+    assert issues and issues[0].startswith("x:")
