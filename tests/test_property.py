@@ -1471,3 +1471,71 @@ def test_winsorize_matches_brute_force(spark, custs):
         sv = sorted(vs)
         assert abs(raw[seg][0] - _pct_linear(sv, 0.05)) <= 1e-9, seg
         assert abs(raw[seg][1] - _pct_linear(sv, 0.95)) <= 1e-9, seg
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+er_names = st.lists(
+    st.tuples(
+        st.integers(0, 1),  # nationkey
+        # 9-char prefix + 8-char block body + 1-2 char tail: near-dup
+        # names share the block body, tails differ by edit distance
+        st.text("xy", min_size=8, max_size=8),  # block body
+        st.text("pq", min_size=1, max_size=2),  # tail
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(er_names)
+def test_er_blocking_matches_brute_force(spark, recs):
+    """Entity-resolution blocking (block-key + nation equi-join, edit
+    distance <= 1 verify) must match a brute-force all-pairs scan
+    RESTRICTED to the same blocks — pinning both the candidate
+    generation (substr(c_name, 10, 8) block key) and the verify rule,
+    with the known limitation that cross-block near-dups are by-design
+    invisible (the blocking trade)."""
+    from spring_and_kafka_spark.operators.quality import q_er_blocking
+
+    rows = [
+        (i, f"Customer#{body}{tail}", nk, "SEG")
+        for i, (nk, body, tail) in enumerate(recs)
+    ]
+    expect = set()
+    for i, (ka, na_, nka, _) in enumerate(rows):
+        for kb, nb_, nkb, _ in rows[i + 1 :]:
+            blk_a, blk_b = na_[9:17], nb_[9:17]
+            if blk_a == blk_b and nka == nkb and _lev(na_, nb_) <= 1:
+                d = _lev(na_, nb_)
+                expect.add((ka, kb, nka, d, 1))
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="er-prop-")
+    try:
+        spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_mktsegment string",
+        ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        got = {
+            (r.custkey_a, r.custkey_b, r.nationkey, r.dist, r.same_segment)
+            for r in q_er_blocking(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect
