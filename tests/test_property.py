@@ -1605,3 +1605,67 @@ def test_graph_triangles_matches_brute_force(spark, items):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert (row.n_edges, row.n_triangles) == (len(edges), tri)
+
+
+pr_lineitems = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 6)),  # (order, part)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(pr_lineitems)
+def test_pagerank_matches_integer_replay(spark, items):
+    """The 5-round scaled-integer PageRank (rank 1.0 = 1e6, damping via
+    150000 + 85*inflow div 100, contribution = rank div outdeg) is
+    exact integer arithmetic by design — a driver-side replay must match
+    BIT-FOR-BIT on arbitrary co-order graphs: isolated nodes, sinks
+    (parts with in-edges only... impossible here since co-order edges
+    are symmetric, so this also pins that symmetry), hubs, and
+    multi-component graphs."""
+    from collections import defaultdict
+    from itertools import permutations
+
+    from spring_and_kafka_spark.operators.graph import q_graph_pagerank
+
+    per_order = defaultdict(set)
+    for ok, pk in items:
+        per_order[ok].add(pk)
+    edges = set()
+    for parts in per_order.values():
+        for u, v in permutations(sorted(parts), 2):
+            edges.add((u, v))
+    nodes = sorted({pk for _, pk in items})
+    outdeg = defaultdict(int)
+    for u, _ in edges:
+        outdeg[u] += 1
+    pr = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        inflow = defaultdict(int)
+        for u, v in edges:
+            inflow[v] += pr[u] // outdeg[u]
+        pr = {n: 150_000 + (85 * inflow.get(n, 0)) // 100 for n in nodes}
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pr-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (ok, pk, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 _TS0 + dt.timedelta(days=1))
+                for i, (ok, pk) in enumerate(items)
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        got = {
+            r.node: r.pr for r in q_graph_pagerank(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == pr
