@@ -82,93 +82,84 @@ _MODULE_SEQ: dict[str, int] = {}
 
 # The driver hash-verifies EXACTLY the first 50 exposed entries each
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
-# every query eventually owns a green CORRECTNESS row. Round-9 window
-# (VERDICT r8 items 1+4; the r8 rotation never happened, so staleness
-# is computed from CORRECTNESS_r01..r08 directly): the one query whose
-# output expression changed this round (q_compaction_plan — Spark-side
-# bin_id now integer DIV like the oracle, the ADVICE r8 item), all 34
-# rows last driver-verified in round 3 (the joins, sampling,
-# similarity and dedup batches, q_corpus_budget/pack, q_text_redact,
-# q_embed_quantize, q_agg_approx/argmax/collect), and 15 of the 50
-# round-4 rows — chosen to complete the join/sampling/corpus batches
-# plus the sketch aggregates and two text rows. After this window no
-# green row is older than r4; 35 r4 rows remain as the r10 rotation
-# pool, then 47 r5 and 45 r6. Queries not named here rank after the
-# prefix by (module rank, def order) — the safe place for additions
-# until rotated in.
+# every query eventually owns a green CORRECTNESS row.
+#
+# Round-10 window (VERDICT r9 items 1+2). The rotation pool is now
+# derived PROGRAMMATICALLY — `python -m tools.window_pool` folds
+# CORRECTNESS_r01..r09 into the last-verified map (hand-counted
+# comments were wrong in r7, r8 AND r9). Tool output this rotation:
+#   histogram: r4=46, r5=42, r6=44, r8=44, r9=50  (226 total, 0 never)
+# pinned against the committed artifacts in tests/test_registry_window.py.
+#
+# Composition, per the rotation discipline (rule order: red fixes >
+# changed output > stalest green):
+#   (a) the NINE queries whose oracle SQL / guards changed in r9 but sat
+#       outside the r9 window, so the driver has never executed their
+#       current text (the q_compaction_plan blind-spot class):
+#       q_dist_shift q_fn_string q_ts_simsearch q_win_ntile q_win_dist
+#       q_win_streak (oracle-text NULL pins) + q_embed_dim_stats
+#       q_fn_array q_udf_scalar (no-op-on-dense guards);
+#   (b) 41 of the 45 remaining r4-stale rows in tools.window_pool pool()
+#       order (stalest round first, then name). The 4 r4 rows that
+#       don't fit (q_ts_anomaly q_ts_ewma q_ts_resample
+#       q_win_running_distinct) lead the r11 pool, then 42 r5 rows.
+# After this window no green row is older than r4, and only those 4
+# r4 rows remain. Queries not named here rank after the prefix by
+# (module rank, def order) — the safe place for additions until
+# rotated in.
 _WINDOW_PREFIX = [
-    # output expression changed this round: Spark bin_id floor(/) ->
-    # integer DIV (values identical below ~4.5 PB, but rule 4 of the
-    # rotation discipline says any output-expression change re-rolls
-    # the first-check dice, so it re-verifies in-window)
-    "q_compaction_plan",
-    # the 34 rows last driver-verified in round 3 (five rounds stale)
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_sample_hash",
-    "q_sample_hash_threshold",
-    "q_sample_seeded",
-    "q_sample_stratified_hash",
-    "q_sim_topk",
-    "q_sim_pairwise",
-    "q_sim_knn_all",
-    "q_sim_lsh_bucket",
-    "q_sim_ann_ivf",
-    "q_sim_ann_ivf_refined",
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_dedup_embed",
-    "q_dedup_clusters",
-    "q_dedup_clusters_lsh",
-    "q_dedup_survivors",
-    "q_corpus_budget",
-    "q_corpus_pack",
-    "q_text_redact",
-    "q_embed_quantize",
-    "q_agg_approx",
-    "q_agg_argmax",
-    "q_agg_collect",
-    # Output expressions changed by the r9 NULL-robustness batch (the
-    # rotation discipline ranks changed-output queries above stale
-    # filler, so these took the 12 unchanged-r4 filler slots; every
-    # change is value-neutral on dense fixtures — pure IS NOT NULL
-    # admission filters, null-safe join forms, NULL-branch CASE arms —
-    # re-proven by full sf0.01-vanilla + sf0.1 selfcheck sweeps, but
-    # changed is changed, so they re-verify in-window). Three of the
-    # changed set were already here as r4 rows: q_join_asof (struct
-    # fill), q_decontaminate (payload filter), q_agg_hll_rollup
-    # (null-safe join).
-    "q_join_asof",
-    "q_decontaminate",
-    "q_agg_hll_rollup",
-    "q_attribution",
-    "q_multimodal_decode",
-    "q_multimodal_meta",
-    "q_winsorize",
-    "q_agg_quantile_sketch",
-    "q_text_entropy",
-    "q_text_langid",
-    "q_text_contamination",
-    "q_text_fingerprint",
-    "q_embed_centroid",
-    "q_sim_topk_per_label",
-    "q_embed_pca",
-    # Still-changed-but-unwindowed (first picks for the r10 rotation,
-    # with the 47 r4 rows): q_embed_dim_stats / q_fn_array /
-    # q_udf_scalar (no-op-on-dense guards), and the oracle-text-only
-    # NULL pins (q_dist_shift, q_fn_string, q_ts_simsearch,
-    # q_win_ntile, q_win_dist, q_win_streak) — oracle text runs only
-    # when a row is in-window, so their new text first executes at
-    # their rotation; local two-scale sweeps back them until then.
+    # (a) changed-in-r9, driver-never-ran-the-new-text — lead the window
+    "q_dist_shift",
+    "q_fn_string",
+    "q_ts_simsearch",
+    "q_win_ntile",
+    "q_win_dist",
+    "q_win_streak",
+    "q_embed_dim_stats",
+    "q_fn_array",
+    "q_udf_scalar",
+    # (b) 41 r4-stale rows, tools.window_pool order
+    "q_agg_countmin",
+    "q_agg_group",
+    "q_agg_mode",
+    "q_corpus_mix",
+    "q_corpus_repeat",
+    "q_corpus_split",
+    "q_fn_decimal",
+    "q_gapfill",
+    "q_graph_pagerank",
+    "q_join_multi",
+    "q_join_range",
+    "q_join_salted",
+    "q_multimodal_framesample",
+    "q_rollup_hier",
+    "q_sample_temperature",
+    "q_sessionize",
+    "q_stream_session",
+    "q_stream_slide",
+    "q_stream_tumble",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_chunk",
+    "q_text_dup_fraction",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 
