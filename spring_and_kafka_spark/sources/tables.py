@@ -9,6 +9,7 @@ pruning. Tables per /root/repo/FIXTURES.md.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -23,11 +24,72 @@ TABLES = (
     "embeddings",
 )
 
+# Known external double columns per table — the ingest surface of the
+# engine's finite-or-null float contract (exec_utils.finite_or_null).
+# NANCHECK.json (round 9) proved 39/226 queries misbehave on raw NaN,
+# with failure modes that are NOT guardable cross-engine (ANSI Spark
+# and DuckDB both hard-error casting NaN to BIGINT; Spark floor(NaN)→0
+# silently; moment aggregates poison vs range-error; NaN grouping
+# differs). NULL, by contrast, is handled by all 226 queries (NULLCHECK
+# battery). So the scan itself normalizes: inside the engine, NaN and
+# ±Inf do not exist.
+DOUBLE_COLS = {
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice",),
+    "orders": ("o_totalprice",),
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "events": ("value",),
+}
+
+# array<float> columns: a vector with ANY non-finite component is
+# useless for every consumer (dot products, centroids, quantization all
+# poison), so the contract nulls the WHOLE vector — which routes it to
+# the NULL-embedding path every operator already filters/handles
+# (the round-9 NULL-payload admission filters).
+VECTOR_COLS = {
+    "embeddings": ("embedding",),
+}
+
+
+def _enforce_float_contract(df: DataFrame, name: str) -> DataFrame:
+    """Apply the finite-or-null contract to the table's known external
+    double / vector columns (DOUBLE_COLS / VECTOR_COLS above).
+
+    Cost model at 100 TB: one narrow projection FUSED into the scan
+    stage (whole-stage codegen keeps it in the same pass over the
+    column batch) — no shuffle, no extra job. Unused columns are still
+    pruned (Catalyst prunes the projection with them). The one thing
+    it costs is parquet row-group skipping for predicates ON a
+    normalized double column (the predicate now sits above the
+    projection): measured at sf0.1 the delta is noise, and min/max
+    skipping on UNSORTED doubles rarely skips a row group anyway —
+    date/key pushdowns, the ones that matter, are untouched
+    (tests/test_plans.py::test_filter_pushdown_double_contract pins
+    the surviving shape)."""
+    from spring_and_kafka_spark.exec_utils import finite_or_null
+
+    dbl = DOUBLE_COLS.get(name, ())
+    if dbl:
+        df = finite_or_null(df, *dbl)
+    for c in VECTOR_COLS.get(name, ()):
+        col = F.col(c)
+        bad = F.exists(
+            col, lambda v: F.isnan(v) | (F.abs(v) == float("inf"))
+        )
+        df = df.withColumn(
+            c, F.when(col.isNull() | bad, F.lit(None)).otherwise(col)
+        )
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projections applied by callers are
     pushed into the Parquet reader by Catalyst (verify with
-    ``df.explain('formatted')`` → PushedFilters / ReadSchema)."""
+    ``df.explain('formatted')`` → PushedFilters / ReadSchema).
+
+    The scan enforces the engine's finite-or-null float contract on the
+    table's known double columns — see _enforce_float_contract."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
@@ -39,7 +101,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # both NTZ and LTZ. A session that still carries the legacy
         # nanosAsLong conf yields LongType instead — convert that to the
         # same NTZ wall-time (exact under the engine's UTC sessions).
-        from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -48,8 +109,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _enforce_float_contract(df, name)
+    return _enforce_float_contract(
+        spark.read.parquet(f"{sf_dir}/{name}.parquet"), name
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -78,6 +78,87 @@ def test_cents_pipeline_diverges_without_normalization(spark):
         ).fetchall()
 
 
+def _mini_fixture(tmpdir: str) -> None:
+    """A tiny fixture dir with non-finite values in contract columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "o_totalprice": pa.array(
+                    [100.0, float("nan"), float("inf"), float("-inf")],
+                    pa.float64(),
+                ),
+            }
+        ),
+        f"{tmpdir}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "embedding": pa.array(
+                    [
+                        [1.0, 2.0],
+                        [float("nan"), 1.0],
+                        [1.0, float("inf")],
+                        None,
+                    ],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        f"{tmpdir}/embeddings.parquet",
+    )
+
+
+def test_load_table_enforces_contract_on_scan(spark, tmp_path):
+    # round 10 (VERDICT r9 item 3): the contract is no longer an
+    # opt-in helper — the engine's OWN scan path normalizes, so raw
+    # external NaN/±Inf cannot reach any operator
+    from spring_and_kafka_spark.sources.tables import load_table
+
+    _mini_fixture(str(tmp_path))
+    rows = {
+        r.o_orderkey: r.o_totalprice
+        for r in load_table(spark, str(tmp_path), "orders").collect()
+    }
+    assert rows == {1: 100.0, 2: None, 3: None, 4: None}
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, str(tmp_path), "embeddings").collect()
+    }
+    # any non-finite component nulls the WHOLE vector (it would poison
+    # every dot product / centroid / quantizer downstream), routing it
+    # to the NULL-embedding admission path all consumers already handle
+    assert vecs[1] == [1.0, 2.0]
+    assert vecs[2] is None and vecs[3] is None and vecs[4] is None
+
+
+def test_duckdb_contract_views_mirror_the_scan(spark, tmp_path):
+    # the oracle side of the NaN sweep reads through the same boundary:
+    # selfcheck --contract-views must produce exactly load_table's rows
+    import duckdb
+
+    from tools.selfcheck import _contract_view_sql
+
+    _mini_fixture(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(_contract_view_sql(str(tmp_path), "orders"))
+    con.execute(_contract_view_sql(str(tmp_path), "embeddings"))
+    assert con.execute(
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey"
+    ).fetchall() == [(1, 100.0), (2, None), (3, None), (4, None)]
+    got = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    assert got[0][1] == [1.0, 2.0]
+    assert got[1][1] is None and got[2][1] is None and got[3][1] is None
+
+
 def test_aggregates_follow_null_path_after_normalization(spark):
     df = finite_or_null(_frame(spark), "x")
     row = df.agg(

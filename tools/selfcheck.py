@@ -60,10 +60,39 @@ def row_multiset(rows, col_order):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def _contract_view_sql(sf_dir: str, t: str) -> str:
+    """DuckDB view applying the engine's finite-or-null ingest contract
+    (the mirror of sources/tables.py:_enforce_float_contract): external
+    NaN/±Inf doubles become NULL; a vector with any non-finite component
+    becomes a NULL vector. Used by NaN-injection sweeps so both engines
+    read through the same ingest boundary, exactly as a 100 TB deploy
+    would (the oracle models the engine, and the engine's scan
+    normalizes)."""
+    from spring_and_kafka_spark.sources.tables import DOUBLE_COLS, VECTOR_COLS
+
+    exprs = ["*"]
+    replaced = []
+    for c in DOUBLE_COLS.get(t, ()):
+        replaced.append(
+            f"CASE WHEN isnan({c}) OR isinf({c}) THEN NULL ELSE {c} END AS {c}"
+        )
+    for c in VECTOR_COLS.get(t, ()):
+        replaced.append(
+            f"CASE WHEN len(list_filter({c}, v -> isnan(v) OR isinf(v))) > 0 "
+            f"THEN NULL ELSE {c} END AS {c}"
+        )
+    if replaced:
+        exprs = [f"* REPLACE ({', '.join(replaced)})"]
+    return (
+        f"CREATE VIEW {t} AS SELECT {exprs[0]} FROM '{sf_dir}/{t}.parquet'"
+    )
+
+
 def main() -> int:
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
-    args = [a for a in args if a != "--vanilla"]
+    contract_views = "--contract-views" in args
+    args = [a for a in args if a not in ("--vanilla", "--contract-views")]
     json_path = None
     if "--json" in args:
         i = args.index("--json")
@@ -74,9 +103,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        if contract_views:
+            con.execute(_contract_view_sql(sf_dir, t))
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
 
     if vanilla:
         from pyspark.sql import SparkSession
