@@ -486,7 +486,14 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_hist_equiwidth",
     oracle="""
     WITH b AS (
-      SELECT CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) AS bucket
+      -- NULL price -> NULL bucket. least() SKIPS NULL args in both
+      -- engines, so an unguarded least(floor(NULL/50000), 11) lands
+      -- every missing value in the TOP bucket — the r10 property
+      -- battery caught exactly that (misclassifying missing data as
+      -- the largest-value bucket)
+      SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+                  ELSE CAST(least(floor(o_totalprice / 50000), 11)
+                            AS BIGINT) END AS bucket
       FROM orders
     ),
     h AS (
@@ -508,13 +515,24 @@ def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive (bounds derive from the bucket index, so no second pass
     for min/max and the bucket count is fixed up front).
 
-    Bucketing is a map-side expression; the groupBy reduces to ≤12 rows
+    Bucketing is a map-side expression; the groupBy reduces to ≤13 rows
     before the window computes shares, so the unpartitioned window sees
-    a dozen rows, not the table. Scan → 12-row shuffle at any scale."""
+    a dozen rows, not the table. Scan → 13-row shuffle at any scale.
+
+    NULL prices form their OWN bucket (NULL id, NULL bounds) instead of
+    polluting a value bucket: both engines' least() skips NULL args, so
+    the unguarded form silently filed every missing value under the top
+    bucket — found by tests/test_property_r10.py on random inputs, the
+    exact misclassification a data-quality histogram exists to expose
+    (and reachable at scale: the ingest contract normalizes NaN to
+    NULL)."""
     o = load_table(spark, sf_dir, "orders")
-    bucket = F.least(
-        F.floor(F.col("o_totalprice") / 50000), F.lit(11)
-    ).cast("long")
+    bucket = F.when(
+        F.col("o_totalprice").isNotNull(),
+        F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(11)).cast(
+            "long"
+        ),
+    )
     h = o.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n")
     )

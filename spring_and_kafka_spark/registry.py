@@ -99,11 +99,13 @@ _MODULE_SEQ: dict[str, int] = {}
 #       q_dist_shift q_fn_string q_ts_simsearch q_win_ntile q_win_dist
 #       q_win_streak (oracle-text NULL pins) + q_embed_dim_stats
 #       q_fn_array q_udf_scalar (no-op-on-dense guards);
-#   (b) 41 of the 45 remaining r4-stale rows in tools.window_pool pool()
-#       order (stalest round first, then name). The 4 r4 rows that
-#       don't fit (q_ts_anomaly q_ts_ewma q_ts_resample
+#   (a') q_hist_equiwidth, whose output expression changed IN r10 (the
+#       NULL-bucket fix the property battery forced);
+#   (b) 40 of the 45 remaining r4-stale rows in tools.window_pool pool()
+#       order (stalest round first, then name). The 5 r4 rows that
+#       don't fit (q_tpch_q9 q_ts_anomaly q_ts_ewma q_ts_resample
 #       q_win_running_distinct) lead the r11 pool, then 42 r5 rows.
-# After this window no green row is older than r4, and only those 4
+# After this window no green row is older than r4, and only those 5
 # r4 rows remain. Queries not named here rank after the prefix by
 # (module rank, def order) — the safe place for additions until
 # rotated in.
@@ -118,7 +120,13 @@ _WINDOW_PREFIX = [
     "q_embed_dim_stats",
     "q_fn_array",
     "q_udf_scalar",
-    # (b) 41 r4-stale rows, tools.window_pool order
+    # (a') changed in r10 itself: the NULL-bucket fix the r10 property
+    # battery forced (least() skips NULLs — missing prices were filed
+    # under the TOP bucket in BOTH engines; now they form their own
+    # NULL-id bucket). Changed output re-rolls the dice, so it takes
+    # the last r4 filler slot (q_tpch_q9 returns to the r11 pool).
+    "q_hist_equiwidth",
+    # (b) 40 r4-stale rows, tools.window_pool order
     "q_agg_countmin",
     "q_agg_group",
     "q_agg_mode",
@@ -159,7 +167,6 @@ _WINDOW_PREFIX = [
     "q_tpch_q6",
     "q_tpch_q7",
     "q_tpch_q8",
-    "q_tpch_q9",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -69,10 +69,11 @@ def _enforce_float_contract(df: DataFrame, name: str) -> DataFrame:
     the surviving shape)."""
     from spring_and_kafka_spark.exec_utils import finite_or_null
 
-    dbl = DOUBLE_COLS.get(name, ())
+    present = set(df.columns)
+    dbl = [c for c in DOUBLE_COLS.get(name, ()) if c in present]
     if dbl:
         df = finite_or_null(df, *dbl)
-    for c in VECTOR_COLS.get(name, ()):
+    for c in (c for c in VECTOR_COLS.get(name, ()) if c in present):
         col = F.col(c)
         bad = F.exists(
             col, lambda v: F.isnan(v) | (F.abs(v) == float("inf"))

@@ -31,13 +31,23 @@ def read_event_stream(
     spark: SparkSession, stage_dir: str, max_files_per_trigger: int = 2
 ) -> DataFrame:
     """File-source streaming DataFrame over staged event chunks, schema
-    locked from the static table (file streams require explicit schema)."""
+    locked from the static table (file streams require explicit schema).
+
+    The finite-or-null float contract is applied here too: staged
+    chunks are already clean (stage_events writes through load_table's
+    contract-enforcing scan), but a deploy pointing this reader at RAW
+    external parquet must get the same ingest boundary the batch scan
+    guarantees — the normalization is a no-op on clean data and fuses
+    into the stream's source projection."""
+    from spring_and_kafka_spark.sources.tables import _enforce_float_contract
+
     schema = spark.read.parquet(stage_dir).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(stage_dir)
     )
+    return _enforce_float_contract(stream, "events")
 
 
 def drain_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> DataFrame:

@@ -159,6 +159,43 @@ def test_duckdb_contract_views_mirror_the_scan(spark, tmp_path):
     assert got[1][1] is None and got[2][1] is None and got[3][1] is None
 
 
+def test_stream_reader_enforces_contract_on_raw_external_parquet(spark, tmp_path):
+    # read_event_stream is the ingest boundary for streaming: staged
+    # chunks are clean (they pass through load_table), but RAW external
+    # parquet pointed at the reader must be normalized identically
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spring_and_kafka_spark.streaming.replay import (
+        drain_to_memory,
+        read_event_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    [t0, t0, t0], pa.timestamp("us")
+                ),
+                "user_id": pa.array([7, 7, 7], pa.int64()),
+                "value": pa.array(
+                    [1.5, float("nan"), float("inf")], pa.float64()
+                ),
+            }
+        ),
+        f"{tmp_path}/chunk.parquet",
+    )
+    out = drain_to_memory(
+        read_event_stream(spark, str(tmp_path)), "nan_stream_probe", spark
+    )
+    vals = {r.event_id: r.value for r in out.collect()}
+    assert vals == {1: 1.5, 2: None, 3: None}
+
+
 def test_aggregates_follow_null_path_after_normalization(spark):
     df = finite_or_null(_frame(spark), "x")
     row = df.agg(

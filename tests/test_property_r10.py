@@ -117,6 +117,303 @@ def test_holt_matches_bitwise_replay(spark, rows):
     assert got == _holt_replay(rows)
 
 
+@settings(max_examples=8, deadline=None)
+@given(holt_events)
+def test_ewma_matches_bitwise_replay(spark, rows):
+    """Same recurrence class as Holt with 1-vector state: y_i = αx_i +
+    (1-α)y_{i-1}, bit-for-bit, NULL/NaN poisoning the tail."""
+    from spring_and_kafka_spark.operators.timeseries import (
+        _EWMA_ALPHA,
+        q_ts_ewma,
+    )
+
+    dst = tempfile.mkdtemp(prefix="ewmaprop-")
+    _write_events(rows, dst)
+    by_user: dict[int, list] = {}
+    for eid, (u, m, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((m, eid, _contract(v)))
+    expected = {}
+    for evs in by_user.values():
+        evs.sort()
+        y = 0.0
+        for i, (_, eid, x) in enumerate(evs):
+            xv = float("nan") if x is None else x
+            y = xv if i == 0 else _EWMA_ALPHA * xv + (1 - _EWMA_ALPHA) * y
+            expected[eid] = (x, _round6(y))
+    got = {
+        r.event_id: (r.value, r.ewma) for r in q_ts_ewma(spark, dst).collect()
+    }
+    assert got == expected
+
+
+# ----------------------------------------------------- CUSUM identity
+
+cusum_events = st.lists(
+    # (event_type index, minute offset, value) — finite values only: the
+    # target of THIS test is the clamp↔prefix-min identity; the NULL
+    # path is the NULLCHECK battery's job
+    st.tuples(
+        st.integers(0, 1),
+        st.integers(0, 40),
+        st.floats(min_value=-50.0, max_value=200.0, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+_CUSUM_TARGET = 60_000_000
+_CUSUM_H = 200_000_000
+
+
+def _write_typed_events(rows, dst):
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [_TS0 + dt.timedelta(minutes=m) for _, m, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(
+                    [f"t{t}" for t, _, _ in rows], pa.string()
+                ),
+                "value": pa.array([v for _, _, v in rows], pa.float64()),
+            }
+        ),
+        f"{dst}/events.parquet",
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(cusum_events)
+def test_cusum_window_identity_matches_clamp_recurrence(spark, rows):
+    """q_ts_cusum computes S_t via the Lindley identity
+    S_t = P_t - min(0, min_{j<=t} P_j) as two stacked window prefixes;
+    this replays the DEFINING clamp recurrence S_t = max(0, S_{t-1}+d_t)
+    directly — random burst/decay shapes, duplicate timestamps (the
+    event_id tiebreak), all-negative and all-positive series."""
+    from spring_and_kafka_spark.operators.timeseries import q_ts_cusum
+
+    dst = tempfile.mkdtemp(prefix="cusumprop-")
+    _write_typed_events(rows, dst)
+
+    epoch = dt.datetime(1970, 1, 1)
+    by_type: dict[str, list] = {}
+    for eid, (t, m, v) in enumerate(rows):
+        # NTZ wall-time micros (UTC session): not .timestamp(), which
+        # would apply the host zone
+        us = int(
+            (_TS0 + dt.timedelta(minutes=m) - epoch).total_seconds() * 1e6
+        )
+        d = math.floor(v * 1e6 + 0.5) - _CUSUM_TARGET
+        by_type.setdefault(f"t{t}", []).append((us, eid, d))
+    expected = {}
+    for t, evs in by_type.items():
+        evs.sort()
+        s = 0
+        n_alarms, max_c, first_us = 0, None, None
+        for us, _, d in evs:
+            s = max(0, s + d)
+            max_c = s if max_c is None else max(max_c, s)
+            if s > _CUSUM_H:
+                n_alarms += 1
+                if first_us is None:
+                    first_us = us
+        expected[t] = (len(evs), n_alarms, max_c, first_us)
+    got = {
+        r.event_type: (r.n_events, r.n_alarms, r.max_cusum_micros, r.first_alarm_us)
+        for r in q_ts_cusum(spark, dst).collect()
+    }
+    assert got == expected
+
+
+# ------------------------------------------------------------ MAD
+
+mad_events = st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _pct_interp(sorted_vals, q=0.5):
+    """Linear-interpolation percentile (Spark percentile / DuckDB
+    quantile_cont definition)."""
+    n = len(sorted_vals)
+    idx = (n - 1) * q
+    lo = math.floor(idx)
+    hi = math.ceil(idx)
+    if lo == hi:
+        return float(sorted_vals[lo])
+    return sorted_vals[lo] + (idx - lo) * (sorted_vals[hi] - sorted_vals[lo])
+
+
+@settings(max_examples=10, deadline=None)
+@given(mad_events)
+def test_mad_matches_replay(spark, rows):
+    """Median/MAD interpolation replay: odd/even group sizes (the .5
+    interpolation grid), constant series (MAD 0 -> every deviation > 0
+    is an outlier), single-row groups."""
+    from spring_and_kafka_spark.operators.timeseries import q_ts_mad
+
+    dst = tempfile.mkdtemp(prefix="madprop-")
+    _write_typed_events([(t, i, v) for i, (t, v) in enumerate(rows)], dst)
+
+    by_type: dict[str, list] = {}
+    for t, v in rows:
+        by_type.setdefault(f"t{t}", []).append(math.floor(v * 1e6 + 0.5))
+    expected = {}
+    for t, vis in by_type.items():
+        med = _pct_interp(sorted(vis))
+        devs = [abs(vi - med) for vi in vis]
+        mad = _pct_interp(sorted(devs))
+        n_out = sum(1 for d in devs if d > 4.4478 * mad)
+        expected[t] = (len(vis), med, mad, n_out)
+    got = {}
+    rates = {}
+    for r in q_ts_mad(spark, dst).collect():
+        got[r.event_type] = (r.n, r.med_micros, r.mad_micros, r.n_outliers)
+        rates[r.event_type] = r.outlier_rate
+    assert got == expected
+    for t, (n, _, _, n_out) in expected.items():
+        assert abs(rates[t] - n_out / n) < 5e-7  # round(x, 6) half-up
+
+
+# ---------------------------------------------- equi-width histogram
+
+hist_prices = st.lists(
+    st.one_of(
+        _raw_value,
+        # exact bucket edges, negatives, and the overflow cap
+        st.sampled_from(
+            [0.0, 50000.0, 100000.0, -0.01, -50000.0, 550000.0, 600000.0, 1e7]
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(hist_prices)
+def test_hist_equiwidth_matches_replay(spark, prices):
+    """Bucket-boundary hammer: values exactly ON the $50k edges (floor
+    puts them in the upper bucket), negative prices (negative bucket
+    ids — lo/hi still derived from the index), the open-ended cap
+    bucket, and NULL prices (NaN/Inf through the ingest contract form a
+    NULL bucket with NULL bounds)."""
+    from spring_and_kafka_spark.operators.aggregates import q_hist_equiwidth
+
+    dst = tempfile.mkdtemp(prefix="histprop-")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+            }
+        ),
+        f"{dst}/orders.parquet",
+    )
+    counts: dict = {}
+    for p in prices:
+        x = _contract(p)
+        b = None if x is None else min(math.floor(x / 50000), 11)
+        counts[b] = counts.get(b, 0) + 1
+    total = sum(counts.values())
+    expected = {
+        b: (
+            None if b is None else b * 50000,
+            None if b is None or b >= 11 else (b + 1) * 50000,
+            n,
+        )
+        for b, n in counts.items()
+    }
+    got, shares = {}, {}
+    for r in q_hist_equiwidth(spark, dst).collect():
+        got[r.bucket] = (r.lo, r.hi, r.n)
+        shares[r.bucket] = r.share
+    assert got == expected
+    for b, (_, _, n) in expected.items():
+        assert abs(shares[b] - n / total) < 5e-5  # round(x, 4) half-up
+
+
+# -------------------------------------------------------- gap fill
+
+gap_events = st.lists(
+    # (type index incl. a None spelling, day offset -3..40, quarter-units)
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(-3, 40),
+        st.one_of(st.integers(-400, 400), st.none()),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(gap_events)
+def test_gapfill_matches_replay(spark, rows):
+    """Spine semantics replay: the 35-day fixed spine × distinct types
+    grid, zero-filled buckets, events OUTSIDE the spine contributing
+    their type but no counts, types observed only outside the spine
+    producing all-zero rows, NULL event_type grid rows never matching
+    (equi-join, not null-safe — both engines agree), and all-NULL-value
+    buckets coalescing to 0.0 while their count stays positive. Values
+    are quarter-units so sums and round(x, 2) are exact in binary."""
+    from spring_and_kafka_spark.operators.timeseries import q_gapfill
+
+    types = ["a", "b", None]
+    data = [
+        (types[t], dt.datetime(2024, 1, 1) + dt.timedelta(days=d, hours=5), None if q is None else q / 4.0)
+        for t, d, q in rows
+    ]
+    dst = tempfile.mkdtemp(prefix="gapprop-")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(data)), pa.int64()),
+                "ts": pa.array([ts for _, ts, _ in data], pa.timestamp("us")),
+                "event_type": pa.array(
+                    [t for t, _, _ in data], pa.string()
+                ),
+                "value": pa.array([v for _, _, v in data], pa.float64()),
+            }
+        ),
+        f"{dst}/events.parquet",
+    )
+
+    distinct_types = {t for t, _, _ in data}
+    spine = [
+        dt.datetime(2024, 1, 1) + dt.timedelta(days=i) for i in range(35)
+    ]
+    daily: dict = {}
+    for t, ts, v in data:
+        day = dt.datetime(ts.year, ts.month, ts.day)
+        cnt, tot, any_v = daily.get((day, t), (0, 0.0, False))
+        daily[(day, t)] = (
+            cnt + 1,
+            tot + (v if v is not None else 0.0),
+            any_v or v is not None,
+        )
+    expected = {}
+    for day in spine:
+        for t in distinct_types:
+            if t is None:
+                expected[(day, t)] = (0, 0.0)  # equi-join: NULL never matches
+                continue
+            cnt, tot, any_v = daily.get((day, t), (0, 0.0, False))
+            expected[(day, t)] = (cnt, tot if any_v else 0.0)
+    got = {
+        (r.day, r.event_type): (r.n, r.sum_value)
+        for r in q_gapfill(spark, dst).collect()
+    }
+    assert got == expected
+
+
 # -------------------------------------------------------- merge upsert
 
 

@@ -66,22 +66,25 @@ def test_window_pool_histogram_matches_committed_artifacts():
     assert histogram(lv) == {4: 46, 5: 42, 6: 44, 8: 44, 9: 50}
 
 
-def test_r10_window_is_changed_nine_plus_r4_pool():
+def test_r10_window_is_changed_nine_plus_r10_fix_plus_r4_pool():
     """The r10 window must be exactly: the nine r9-changed unwindowed
-    queries, then 41 r4-stale rows in tools.window_pool pool() order
-    (stalest round, then name) — i.e. the window is DERIVED, not
-    hand-picked."""
+    queries, then q_hist_equiwidth (output changed IN r10 — the
+    NULL-bucket fix the property battery forced), then 40 r4-stale rows
+    in tools.window_pool pool() order (stalest round, then name) — i.e.
+    the window is DERIVED, not hand-picked."""
     prefix = registry._WINDOW_PREFIX
     assert prefix[:9] == CHANGED_R9_UNWINDOWED
+    assert prefix[9] == "q_hist_equiwidth"
     lv = last_verified()
     r4_pool = [
         n
         for n in pool(lv)
         if lv[n] == 4 and n not in CHANGED_R9_UNWINDOWED
     ]
-    assert prefix[9:] == r4_pool[:41]
-    # the four r4 rows that don't fit lead the r11 pool
-    assert r4_pool[41:] == [
+    assert prefix[10:] == r4_pool[:40]
+    # the five r4 rows that don't fit lead the r11 pool
+    assert r4_pool[40:] == [
+        "q_tpch_q9",
         "q_ts_anomaly",
         "q_ts_ewma",
         "q_ts_resample",
