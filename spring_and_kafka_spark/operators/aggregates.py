@@ -505,7 +505,11 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE (bucket + 1) * 50000 END AS hi,
            n,
            round(n / CAST(sum(n) OVER () AS DOUBLE), 4) AS share
-    FROM h ORDER BY bucket
+    -- NULLS FIRST pins DuckDB's (NULLS LAST) default to Spark's
+    -- orderBy default, per the registry's cross-engine NULL rule —
+    -- order-insensitive compares never see the difference, but the
+    -- NULL bucket must not float to opposite ends of the result
+    FROM h ORDER BY bucket NULLS FIRST
     """,
 )
 def q_hist_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,89 +84,85 @@ _MODULE_SEQ: dict[str, int] = {}
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row.
 #
-# Round-10 window (VERDICT r9 items 1+2). The rotation pool is now
-# derived PROGRAMMATICALLY — `python -m tools.window_pool` folds
-# CORRECTNESS_r01..r09 into the last-verified map (hand-counted
-# comments were wrong in r7, r8 AND r9). Tool output this rotation:
-#   histogram: r4=46, r5=42, r6=44, r8=44, r9=50  (226 total, 0 never)
-# pinned against the committed artifacts in tests/test_registry_window.py.
+# Round-11 window (VERDICT r10 item 1). The rotation pool is derived
+# PROGRAMMATICALLY — `python -m tools.window_pool` folds
+# CORRECTNESS_r01..r10 into the last-verified map. Tool output this
+# rotation (through_round=10):
+#   histogram: r4=5, r5=40, r6=41, r8=40, r9=50, r10=50  (226, 0 never)
+# pinned (round-bounded, so next round's artifact can't break it) in
+# tests/test_registry_window.py.
 #
 # Composition, per the rotation discipline (rule order: red fixes >
 # changed output > stalest green):
-#   (a) the NINE queries whose oracle SQL / guards changed in r9 but sat
-#       outside the r9 window, so the driver has never executed their
-#       current text (the q_compaction_plan blind-spot class):
-#       q_dist_shift q_fn_string q_ts_simsearch q_win_ntile q_win_dist
-#       q_win_streak (oracle-text NULL pins) + q_embed_dim_stats
-#       q_fn_array q_udf_scalar (no-op-on-dense guards);
-#   (a') q_hist_equiwidth, whose output expression changed IN r10 (the
-#       NULL-bucket fix the property battery forced);
-#   (b) 40 of the 45 remaining r4-stale rows in tools.window_pool pool()
-#       order (stalest round first, then name). The 5 r4 rows that
-#       don't fit (q_tpch_q9 q_ts_anomaly q_ts_ewma q_ts_resample
-#       q_win_running_distinct) lead the r11 pool, then 42 r5 rows.
-# After this window no green row is older than r4, and only those 5
-# r4 rows remain. Queries not named here rank after the prefix by
-# (module rank, def order) — the safe place for additions until
-# rotated in.
+#   (a) q_hist_equiwidth, whose ORACLE TEXT changed in r11 (ORDER BY
+#       bucket NULLS FIRST pin, ADVICE r10 item 2 — output identical on
+#       the NULL-free sf0.01 fixture, but changed text re-enters the
+#       window so the driver executes what ships);
+#   (b) the 5 remaining r4-stale rows (q_tpch_q9 q_ts_anomaly q_ts_ewma
+#       q_ts_resample q_win_running_distinct);
+#   (c) all 40 r5-stale rows, tools.window_pool pool() order (stalest
+#       round first, then name);
+#   (d) 4 r6 rows in pool() order to fill the 50th..47th slots
+#       (q_agg_bool q_agg_distinct q_agg_having q_agg_moments); the
+#       remaining 37 r6 rows lead the r12 pool.
+# After this window no green row is older than r6. Queries not named
+# here rank after the prefix by (module rank, def order) — the safe
+# place for additions until rotated in.
 _WINDOW_PREFIX = [
-    # (a) changed-in-r9, driver-never-ran-the-new-text — lead the window
-    "q_dist_shift",
-    "q_fn_string",
-    "q_ts_simsearch",
-    "q_win_ntile",
-    "q_win_dist",
-    "q_win_streak",
-    "q_embed_dim_stats",
-    "q_fn_array",
-    "q_udf_scalar",
-    # (a') changed in r10 itself: the NULL-bucket fix the r10 property
-    # battery forced (least() skips NULLs — missing prices were filed
-    # under the TOP bucket in BOTH engines; now they form their own
-    # NULL-id bucket). Changed output re-rolls the dice, so it takes
-    # the last r4 filler slot (q_tpch_q9 returns to the r11 pool).
+    # (a) changed-in-r11 oracle text (NULLS FIRST pin) — leads the window
     "q_hist_equiwidth",
-    # (b) 40 r4-stale rows, tools.window_pool order
-    "q_agg_countmin",
-    "q_agg_group",
-    "q_agg_mode",
-    "q_corpus_mix",
-    "q_corpus_repeat",
-    "q_corpus_split",
-    "q_fn_decimal",
-    "q_gapfill",
-    "q_graph_pagerank",
-    "q_join_multi",
-    "q_join_range",
-    "q_join_salted",
-    "q_multimodal_framesample",
-    "q_rollup_hier",
-    "q_sample_temperature",
-    "q_sessionize",
-    "q_stream_session",
-    "q_stream_slide",
-    "q_stream_tumble",
-    "q_subquery_in",
-    "q_subquery_scalar",
-    "q_text_chunk",
-    "q_text_dup_fraction",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
+    # (b) the 5 r4-stale rows
+    "q_tpch_q9",
+    "q_ts_anomaly",
+    "q_ts_ewma",
+    "q_ts_resample",
+    "q_win_running_distinct",
+    # (c) all 40 r5-stale rows, tools.window_pool order
+    "q_ab_test",
+    "q_agg_corr",
+    "q_agg_string",
+    "q_agg_weighted",
+    "q_basket_pairs",
+    "q_benford",
+    "q_cohort_revenue",
+    "q_corpus_provenance",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dq_checks",
+    "q_er_blocking",
+    "q_fn_url",
+    "q_graph_degree",
+    "q_graph_triangles",
+    "q_heavy_hitters",
+    "q_interval_peak",
+    "q_join_bloom",
+    "q_join_overlap",
+    "q_join_pit",
+    "q_kanon",
+    "q_multimodal_dedup",
+    "q_pii_scan",
+    "q_profile",
+    "q_rfm",
+    "q_sample_balanced",
+    "q_scd2",
+    "q_seq_pattern",
+    "q_share_of_total",
+    "q_skyline",
+    "q_text_bm25",
+    "q_text_keyphrase",
+    "q_text_vocab_coverage",
+    "q_text_zipf",
+    "q_ts_autocorr",
+    "q_ts_cusum",
+    "q_ts_mad",
+    "q_unpivot",
+    "q_win_first_last",
+    "q_win_trend",
+    # (d) 4 r6 rows to fill 50, tools.window_pool order
+    "q_agg_bool",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_moments",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

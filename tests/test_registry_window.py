@@ -1,31 +1,40 @@
 """Well-formedness pins for the driver verification window
 (registry._WINDOW_PREFIX) — the rotation discipline's mechanical half.
-The r8 round skipped rotation entirely and the r6-r7 windows carried a
-stale accounting comment; these pins can't force a rotation, but they
-guarantee any window that IS shipped is exactly what the driver will
-verify: 50 names, no duplicates, every name registered, and the
-exposed ordering starting with the prefix byte-for-byte (the driver
-hash-checks exactly the first 50 of all_specs())."""
+The r8 round skipped rotation entirely, the r6-r7 windows carried a
+stale accounting comment, and the r10 pins froze an UNBOUNDED glob of
+CORRECTNESS_r*.json so the driver depositing the round-10 artifact
+broke them by construction (VERDICT r10 item 1). The split now is:
+
+* SNAPSHOT pins call last_verified(through_round=N) with the exact
+  artifact set the rotation was derived from — future artifacts cannot
+  retroactively change them;
+* INVARIANT pins run against the unbounded glob and assert only
+  properties that must hold whatever round it is (no never-verified
+  rows, prefix well-formed, prefix registered).
+
+These pins can't force a rotation, but they guarantee any window that
+IS shipped is exactly what the driver will verify: 50 names, no
+duplicates, every name registered, and the exposed ordering starting
+with the prefix byte-for-byte (the driver hash-checks exactly the
+first 50 of all_specs())."""
 
 from __future__ import annotations
 
 from spring_and_kafka_spark import registry
 from tools.window_pool import histogram, last_verified, pool
 
-# The nine queries whose oracle SQL / guards changed in round 9 while
-# outside the r9 window — rotation rule: changed output leads the next
-# window (ADVICE r9 item 3 made this binding).
-CHANGED_R9_UNWINDOWED = [
-    "q_dist_shift",
-    "q_fn_string",
-    "q_ts_simsearch",
-    "q_win_ntile",
-    "q_win_dist",
-    "q_win_streak",
-    "q_embed_dim_stats",
-    "q_fn_array",
-    "q_udf_scalar",
-]
+# The r11 window's derivation input is CORRECTNESS_r01..r10 — bound
+# every snapshot assert to it (VERDICT r10 item 1: unbounded pins fail
+# the moment the next round's artifact lands).
+DERIVATION_ROUND = 10
+
+# Changed in r11 while already green: q_hist_equiwidth's oracle gained
+# the ORDER BY ... NULLS FIRST pin (ADVICE r10 item 2). Changed text
+# leads the next window so the driver executes what ships.
+CHANGED_R11 = ["q_hist_equiwidth"]
+
+
+# ---------------------------------------------------------------- invariants
 
 
 def test_window_prefix_is_exactly_50_unique_registered_names():
@@ -56,37 +65,55 @@ def test_every_spec_reachable_and_ordering_total():
     assert not unranked, f"modules missing from _MODULE_ORDER: {unranked}"
 
 
-def test_window_pool_histogram_matches_committed_artifacts():
-    """Pin tools.window_pool against CORRECTNESS_r01..r09 (VERDICT r9
-    item 2): the hand-counted registry comments were wrong in r7, r8
-    and r9; the rotation input is now this derived histogram."""
+def test_no_never_verified_rows_whatever_the_artifact_set():
+    """Unbounded on purpose: adding artifacts can only move last-verified
+    rounds FORWARD, so these must hold at any future round too."""
     lv = last_verified()
     assert len(lv) == 226
     assert 0 not in lv.values(), "never-verified rows reappeared"
-    assert histogram(lv) == {4: 46, 5: 42, 6: 44, 8: 44, 9: 50}
+    specs = registry.all_specs()
+    unknown = [n for n in lv if n not in specs]
+    assert not unknown, f"artifact rows not in the registry: {unknown}"
 
 
-def test_r10_window_is_changed_nine_plus_r10_fix_plus_r4_pool():
-    """The r10 window must be exactly: the nine r9-changed unwindowed
-    queries, then q_hist_equiwidth (output changed IN r10 — the
-    NULL-bucket fix the property battery forced), then 40 r4-stale rows
-    in tools.window_pool pool() order (stalest round, then name) — i.e.
-    the window is DERIVED, not hand-picked."""
+# ---------------------------------------------- snapshots (round-bounded)
+
+
+def test_window_pool_histograms_match_their_input_rounds():
+    """The r10 derivation record (through r9) and the r11 derivation
+    record (through r10) — both bounded, so CORRECTNESS_r11.json landing
+    changes neither."""
+    assert histogram(last_verified(through_round=9)) == {
+        4: 46,
+        5: 42,
+        6: 44,
+        8: 44,
+        9: 50,
+    }
+    assert histogram(last_verified(through_round=DERIVATION_ROUND)) == {
+        4: 5,
+        5: 40,
+        6: 41,
+        8: 40,
+        9: 50,
+        10: 50,
+    }
+
+
+def test_r11_window_is_changed_plus_pool_order():
+    """The r11 window must be exactly: the r11-changed queries, then the
+    rotation pool derived from CORRECTNESS_r01..r10 in pool() order
+    (stalest round, then name) — i.e. the window is DERIVED, not
+    hand-picked. With 1 changed + 5 r4 + 40 r5 rows, the window reaches
+    4 slots into the r6 stratum."""
     prefix = registry._WINDOW_PREFIX
-    assert prefix[:9] == CHANGED_R9_UNWINDOWED
-    assert prefix[9] == "q_hist_equiwidth"
-    lv = last_verified()
-    r4_pool = [
-        n
-        for n in pool(lv)
-        if lv[n] == 4 and n not in CHANGED_R9_UNWINDOWED
-    ]
-    assert prefix[10:] == r4_pool[:40]
-    # the five r4 rows that don't fit lead the r11 pool
-    assert r4_pool[40:] == [
-        "q_tpch_q9",
-        "q_ts_anomaly",
-        "q_ts_ewma",
-        "q_ts_resample",
-        "q_win_running_distinct",
-    ]
+    assert prefix[: len(CHANGED_R11)] == CHANGED_R11
+    lv = last_verified(through_round=DERIVATION_ROUND)
+    rest = [n for n in pool(lv) if n not in CHANGED_R11]
+    assert prefix[len(CHANGED_R11) :] == rest[: 50 - len(CHANGED_R11)]
+    # sanity on the strata the derivation claims
+    strata = [lv[n] for n in prefix[1:]]
+    assert strata == sorted(strata)
+    assert strata[:5] == [4] * 5
+    assert strata[5:45] == [5] * 40
+    assert strata[45:] == [6] * 4

@@ -69,7 +69,9 @@ def build_nan_dir(dst: str) -> None:
             elif name in VECTOR_COLS.get(t, ()):
                 vals = col.to_pylist()
                 for i in range(n):
-                    if vals[i] is None:
+                    # empty (but non-NULL) lists would make the index
+                    # below divide by zero — skip them like NULLs
+                    if vals[i] is None or not vals[i]:
                         continue
                     if i % 13 == 0:
                         v = list(vals[i])

@@ -42,14 +42,24 @@ def _row_green(row: dict) -> bool:
     return True
 
 
-def last_verified(repo: str = REPO) -> dict[str, int]:
-    """Map query name -> last round it was driver-green (0 = never)."""
+def last_verified(repo: str = REPO, through_round: int | None = None) -> dict[str, int]:
+    """Map query name -> last round it was driver-green (0 = never).
+
+    ``through_round`` bounds the input artifacts: pass the round whose
+    window derivation you are pinning (e.g. the r11 window is derived
+    from CORRECTNESS_r01..r10, so ``through_round=10``). Without it the
+    driver depositing next round's artifact retroactively breaks any
+    snapshot assert (VERDICT r10 item 1 — the two red pins) — tests must
+    EITHER bound the input or assert only invariants.
+    """
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if through_round is not None and rnd > through_round:
+            continue
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
