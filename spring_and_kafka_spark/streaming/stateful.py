@@ -111,7 +111,13 @@ def _update_cusum(
     chunks = [p for p in pdfs if len(p)]
     if chunks:
         pdf = pd.concat(chunks).sort_values(["us", "event_id"])
-        pres = pre + np.cumsum(pdf["d"].to_numpy(dtype=np.int64))
+        # NULL deviations (the float contract normalizes NaN value to
+        # NULL upstream) arrive as NaN in the Arrow batch; the batch
+        # q_ts_cusum's window sum SKIPS them — the row still counts in
+        # n_events but moves the prefix by 0, which is exactly fillna(0)
+        pres = pre + np.cumsum(
+            pdf["d"].fillna(0).to_numpy(dtype=np.int64)
+        )
         minpres = np.minimum(minpre, np.minimum.accumulate(pres))
         cusums = pres - np.minimum(minpres, 0)
         alarms = cusums > _CUSUM_H
@@ -187,9 +193,19 @@ def _update_attribution(
     out = []
     if chunks:
         pdf = pd.concat(chunks).sort_values(["us", "event_id"])
-        is_click = (pdf["event_type"] == "click").to_numpy()
-        click_us = pdf["us"].where(is_click).ffill()
-        click_k = pdf["k"].where(is_click).ffill()
+        # The touchpoint is the most recent TAGGED click — its k and us
+        # travel TOGETHER, exactly the batch oracle's single struct
+        # carry (operators/analytics.py::q_attribution): two separate
+        # carries can pair a tagged click's k with a LATER untagged
+        # click's timestamp and attribute through an expired lookback
+        # (the r9 property-battery bug, reproduced on the streaming
+        # path by tests/test_streaming_nullnan.py in r11).
+        tagged = (
+            (pdf["event_type"] == "click").to_numpy()
+            & pdf["k"].notna().to_numpy()
+        )
+        click_us = pdf["us"].where(tagged).ffill()
+        click_k = pdf["k"].where(tagged).ffill()
         if last_us is not None:
             click_us = click_us.fillna(last_us)
         if last_k is not None:
@@ -206,20 +222,20 @@ def _update_attribution(
                     {
                         "user_id": np.full(purch.sum(), key[0]),
                         "us": p_us,
-                        "value": pdf["value"].to_numpy()[purch],
+                        # nullable Float64: a NULL purchase value (the
+                        # float contract nulls NaN upstream) must leave
+                        # the operator as NULL, not as a NaN double the
+                        # contract says cannot exist inside the engine
+                        "value": pd.Series(
+                            pdf["value"].to_numpy()[purch]
+                        ).astype("Float64"),
                         "campaign": campaign.astype("int64"),
                     }
                 )
             )
-        if is_click.any():
-            # Mirror the batch's IGNORE NULLS semantics: the latest
-            # click always advances last_click_us, but a click whose
-            # props lack '$.k' (NaN here) must NOT clobber the carried
-            # campaign — last_click_k advances only on non-null k.
-            last_us = int(pdf["us"].to_numpy()[is_click][-1])
-            k_clicks = pdf["k"].where(is_click).dropna()
-            if len(k_clicks):
-                last_k = int(k_clicks.iloc[-1])
+        if tagged.any():
+            last_us = int(pdf["us"].to_numpy()[tagged][-1])
+            last_k = int(pdf["k"].where(tagged).dropna().iloc[-1])
     state.update((last_us, last_k))
     yield from out or [
         pd.DataFrame(

@@ -310,10 +310,14 @@ def test_stream_attribution_equals_batch(spark, tmp_path):
 
 def test_attribution_state_tolerates_null_campaign_clicks():
     """A click whose props lack '$.k' (NaN in the Arrow batch) must not
-    crash the state update, and must advance last_click_us WITHOUT
-    clobbering the carried campaign — the batch oracle's IGNORE NULLS
-    semantics (ADVICE r5 #1: int(last_row['k']) raised on NaN and
-    killed the streaming query)."""
+    crash the state update, and must NOT advance the carried touchpoint
+    at all — the batch oracle carries (tus, tk) of the most recent
+    TAGGED click as ONE struct (IGNORE NULLS), so an untagged click
+    neither clobbers the campaign nor refreshes the lookback clock
+    (separate carries attributed through an expired lookback — the r9
+    property-battery bug, fixed on the streaming path in r11; ADVICE
+    r5 #1 is the older crash half: int(last_row['k']) raised on NaN
+    and killed the streaming query)."""
     import numpy as np
     import pandas as pd
 
@@ -346,7 +350,9 @@ def test_attribution_state_tolerates_null_campaign_clicks():
         }
     )
     list(_update_attribution((1,), iter([b1]), st))
-    assert st.value == (10, 7)  # us from last click, k carried past NaN
+    # the untagged click at us=10 moves NEITHER carry: the touchpoint
+    # stays the tagged click (us=0, k=7) as one unit
+    assert st.value == (0, 7)
     b2 = pd.DataFrame(
         {
             "user_id": [1],
@@ -374,7 +380,7 @@ def test_attribution_state_tolerates_null_campaign_clicks():
     )
     out3 = pd.concat(list(_update_attribution((2,), iter([b3]), st2)))
     assert out3["campaign"].tolist() == [-1]
-    assert st2.value == (0, None)
+    assert st2.value == (None, None)  # no tagged click ever seen
 
 
 def test_stream_maintained_mv_equals_batch(spark, tmp_path):

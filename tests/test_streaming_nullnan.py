@@ -1,0 +1,409 @@
+"""NULL/NaN-injected stream≡batch battery (VERDICT r10 item 5).
+
+The NULLCHECK / NANSWEEP batteries prove the 226 BATCH queries survive
+adversarial inputs; this file replays the same injections through the
+STREAMING stateful twins — raw parquet chunks with NaN/±Inf/NULL doubles
+and NULL props enter via ``read_event_stream`` (which applies the
+finite-or-null ingest contract, sources/tables.py) and must reproduce
+the batch answer computed by the registered query over the identical
+injected table.
+
+Scope is deliberate: injections target the FLOAT-CONTRACT columns
+(events.value, lineitem.l_extendedprice, orders.o_totalprice) and the
+semi-structured props — the columns whose ingest normalization the
+streaming path shares with the batch scan. Keys and timestamps stay
+intact: NULL-key grouping and NULL-time ordering are per-query batch
+semantics the NULLCHECK battery already pins, and an out-of-order or
+keyless stream row has no single defined stream≡batch story to assert.
+
+This battery found two real r11 bugs on first run:
+- _update_cusum crashed converting a NULL deviation to int64 (the batch
+  window-sum SKIPS NULL — i.e. fillna(0));
+- _update_attribution carried (last click us) and (last tagged k) as
+  TWO separate fills, re-arming an expired lookback with an untagged
+  click's timestamp — the exact r9 property-battery bug the batch
+  oracle fixed with a single struct carry; invisible until NULL-k
+  clicks existed, which the vanilla fixture never has.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from spring_and_kafka_spark.exec_utils import ts_micros
+from spring_and_kafka_spark.sources.tables import (
+    _enforce_float_contract,
+    load_table,
+)
+from spring_and_kafka_spark.streaming.replay import read_event_stream
+
+from .conftest import SF_SMOKE
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def _inject_floats(tbl: pa.Table, col: str) -> pa.Table:
+    """Cycle NaN / +Inf / -Inf / NULL through ~4/11 of a double column."""
+    vals = tbl.column(col).to_pylist()
+    for i in range(len(vals)):
+        m = i % 11
+        if m == 0:
+            vals[i] = NAN
+        elif m == 1:
+            vals[i] = INF
+        elif m == 2:
+            vals[i] = -INF
+        elif m == 3:
+            vals[i] = None
+    idx = tbl.schema.get_field_index(col)
+    return tbl.set_column(idx, col, pa.array(vals, type=pa.float64()))
+
+
+def _null_out(tbl: pa.Table, col: str, every: int = 7) -> pa.Table:
+    vals = tbl.column(col).to_pylist()
+    for i in range(len(vals)):
+        if i % every == 3:
+            vals[i] = None
+    idx = tbl.schema.get_field_index(col)
+    return tbl.set_column(idx, col, pa.array(vals, type=tbl.column(col).type))
+
+
+@pytest.fixture(scope="module")
+def inj_sf(tmp_path_factory) -> str:
+    """An injected sf-dir: events/lineitem/orders with NaN/±Inf/NULL in
+    their contract double columns and NULL props — the batch side reads
+    it through load_table (contract scan), the stream side replays the
+    RAW rows through read_event_stream (contract at the stream source)."""
+    d = tmp_path_factory.mktemp("inj_sf")
+    e = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    e = _inject_floats(e, "value")
+    e = _null_out(e, "props")
+    pq.write_table(e, str(d / "events.parquet"))
+    li = pq.read_table(f"{SF_SMOKE}/lineitem.parquet")
+    li = _inject_floats(li, "l_extendedprice")
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    o = pq.read_table(f"{SF_SMOKE}/orders.parquet")
+    o = _inject_floats(o, "o_totalprice")
+    pq.write_table(o, str(d / "orders.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def staged_ordered(spark, inj_sf, tmp_path_factory) -> str:
+    """Injected events staged as 6 TIME-ORDERED sequential chunk files
+    (raw — no contract applied at write), so the file source's
+    modification-time ordering replays the stream in order."""
+    stage = str(tmp_path_factory.mktemp("inj_stage") / "events")
+    raw = spark.read.parquet(f"{inj_sf}/events.parquet")
+    ranked = raw.withColumn(
+        "chunk", F.ntile(6).over(W.orderBy("ts", "event_id"))
+    )
+    for k in range(1, 7):
+        ranked.filter(F.col("chunk") == k).drop("chunk").coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+    return stage
+
+
+def test_injected_stream_applies_float_contract(spark, staged_ordered):
+    """The staged chunks really carry NaN/Inf, and read_event_stream's
+    ingest contract removes every one of them."""
+    raw = spark.read.parquet(staged_ordered)
+    dirty = raw.filter(
+        F.isnan("value") | (F.abs("value") == INF)
+    ).count()
+    assert dirty > 100  # injection actually landed
+
+    name = "nullnan_contract_probe"
+    q = (
+        read_event_stream(spark, staged_ordered, max_files_per_trigger=2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    assert out.count() == raw.count()
+    assert (
+        out.filter(F.isnan("value") | (F.abs("value") == INF)).count() == 0
+    )
+    # the contract nulls, never drops: NULL count grows by exactly the
+    # non-finite count
+    assert (
+        out.filter(F.col("value").isNull()).count()
+        == raw.filter(
+            F.col("value").isNull()
+            | F.isnan("value")
+            | (F.abs("value") == INF)
+        ).count()
+    )
+
+
+def test_cusum_stream_nullnan_equals_batch(spark, inj_sf, staged_ordered):
+    from spring_and_kafka_spark.operators.timeseries import q_ts_cusum
+    from spring_and_kafka_spark.streaming.stateful import cusum_stream
+
+    dev = read_event_stream(
+        spark, staged_ordered, max_files_per_trigger=1
+    ).select(
+        "event_type",
+        "event_id",
+        ts_micros("ts").alias("us"),
+        (
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+            - 60_000_000
+        ).alias("d"),
+    )
+    q = (
+        cusum_stream(dev)
+        .writeStream.format("memory")
+        .queryName("cusum_nullnan_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    last = {}
+    for r in spark.sql("SELECT * FROM cusum_nullnan_out").collect():
+        if (
+            r.event_type not in last
+            or r.n_events > last[r.event_type].n_events
+        ):
+            last[r.event_type] = r
+    streamed = {
+        k: (r.n_events, r.n_alarms, r.max_cusum_micros, r.first_alarm_us)
+        for k, r in last.items()
+    }
+    batch = {
+        r.event_type: (
+            r.n_events,
+            r.n_alarms,
+            r.max_cusum_micros,
+            r.first_alarm_us,
+        )
+        for r in q_ts_cusum(spark, inj_sf).collect()
+    }
+    assert streamed == batch
+
+
+def test_attribution_stream_nullnan_equals_batch(
+    spark, inj_sf, staged_ordered
+):
+    from spring_and_kafka_spark.operators.analytics import q_attribution
+    from spring_and_kafka_spark.streaming.stateful import attribution_stream
+
+    ev = read_event_stream(
+        spark, staged_ordered, max_files_per_trigger=1
+    ).select(
+        "user_id",
+        "event_id",
+        ts_micros("ts").alias("us"),
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    q = (
+        attribution_stream(ev)
+        .writeStream.format("memory")
+        .queryName("attr_nullnan_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.table("attr_nullnan_out")
+    # contract compliance: emitted purchase values are finite-or-null
+    assert out.filter(F.isnan("value")).count() == 0
+
+    streamed = {
+        r.campaign: (r.n, None if r.rev is None else round(r.rev, 2))
+        for r in spark.sql(
+            "SELECT campaign, count(*) AS n, sum(value) AS rev "
+            "FROM attr_nullnan_out GROUP BY campaign"
+        ).collect()
+    }
+    batch = {
+        r.campaign: (r.n_purchases, r.revenue)
+        for r in q_attribution(spark, inj_sf).collect()
+    }
+    assert set(streamed) == set(batch)
+    for c, (n, rev) in batch.items():
+        assert streamed[c][0] == n
+        if rev is None:
+            assert streamed[c][1] is None
+        else:
+            assert streamed[c][1] is not None
+            assert math.isclose(streamed[c][1], rev, abs_tol=0.02)
+
+
+def test_user_totals_stream_nullnan_equals_batch(
+    spark, inj_sf, staged_ordered
+):
+    from spring_and_kafka_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(
+        read_event_stream(spark, staged_ordered, max_files_per_trigger=2)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("totals_nullnan_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("totals_nullnan_out")
+    final = (
+        out.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, inj_sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .collect()
+    }
+    assert {r.user_id for r in final} == set(batch)
+    for r in final:
+        n, total = batch[r.user_id]
+        assert r.n_events == n
+        want = 0.0 if total is None else total  # pandas sum of no rows = 0
+        assert math.isclose(r.total_value, want, abs_tol=0.02)
+
+
+def test_sketch_stream_nullnan_equals_batch(spark, inj_sf, tmp_path):
+    from spring_and_kafka_spark.operators.sketches import (
+        decimal_histogram,
+        select_quantile_buckets,
+        to_cents,
+    )
+    from spring_and_kafka_spark.streaming.sketch import (
+        merged_quantiles,
+        sketch_stream,
+    )
+
+    # stage RAW injected prices; the stream applies the ingest contract
+    # itself — the deploy boundary a raw external feed crosses
+    stage = str(tmp_path / "prices")
+    spark.read.parquet(f"{inj_sf}/lineitem.parquet").select(
+        "l_extendedprice"
+    ).repartition(5).write.mode("overwrite").parquet(stage)
+    raw_stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = sketch_stream(
+        _enforce_float_contract(raw_stream, "lineitem"),
+        str(tmp_path / "state"),
+    )
+    q.awaitTermination()
+
+    streamed = {
+        r.q: r.approx_cents
+        for r in merged_quantiles(spark, str(tmp_path / "state")).collect()
+    }
+    li = load_table(spark, inj_sf, "lineitem").select("l_extendedprice")
+    oneshot = {
+        r.q: r.approx_cents
+        for r in select_quantile_buckets(
+            spark, decimal_histogram(to_cents(li))
+        )
+        .select("q", "approx_cents")
+        .collect()
+    }
+    assert streamed == oneshot
+    assert set(streamed) == {0.5, 0.9, 0.99}
+
+
+def test_mv_stream_nullnan_equals_batch(spark, inj_sf, tmp_path):
+    from spring_and_kafka_spark.operators.layout import (
+        _MV_DEL,
+        _MV_INS,
+        _MV_UPD,
+        q_mv_incremental,
+    )
+    from spring_and_kafka_spark.streaming.mv import (
+        maintained_view,
+        mv_delta_stream,
+    )
+
+    o = load_table(spark, inj_sf, "orders")
+    month_id = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast(
+        "long"
+    )
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    key = F.col("o_orderkey")
+
+    base = o.groupBy(month_id.alias("month_id")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )
+    changelog = (
+        o.filter(key % _MV_DEL == 0)
+        .select(
+            month_id.alias("month_id"),
+            F.lit(-1).cast("long").alias("d_orders"),
+            (-cents(F.col("o_totalprice"))).alias("d_cents"),
+        )
+        .unionByName(
+            o.filter((key % _MV_DEL != 0) & (key % _MV_UPD == 0)).select(
+                month_id.alias("month_id"),
+                F.lit(0).cast("long").alias("d_orders"),
+                (
+                    cents(F.col("o_totalprice") * 1.1)
+                    - cents(F.col("o_totalprice"))
+                ).alias("d_cents"),
+            )
+        )
+        .unionByName(
+            o.filter(key % _MV_INS == 0).select(
+                month_id.alias("month_id"),
+                F.lit(1).cast("long").alias("d_orders"),
+                cents(F.col("o_totalprice")).alias("d_cents"),
+            )
+        )
+    )
+    stage = str(tmp_path / "changelog")
+    changelog.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = mv_delta_stream(stream, str(tmp_path / "state"))
+    q.awaitTermination()
+
+    streamed = {
+        r["month_id"]: (r["n_orders"], r["revenue_cents"])
+        for r in maintained_view(
+            spark, base, str(tmp_path / "state")
+        ).collect()
+    }
+    batch = {
+        r["month_id"]: (r["n_orders"], r["revenue_cents"])
+        for r in q_mv_incremental(spark, inj_sf).collect()
+    }
+    assert streamed == batch
