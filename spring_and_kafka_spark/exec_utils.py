@@ -69,18 +69,22 @@ def finite_or_null(df: DataFrame, *cols: str) -> DataFrame:
     NaN does not exist.
 
     At 100 TB this is one narrow projection fused into the ingest scan —
-    no shuffle, no extra pass."""
-    out = df
-    for c in cols:
+    no shuffle, no extra pass. It is also ONE projection in the logical
+    plan, not a per-column withColumn chain: the r11 interleaved A/B
+    traced the contract's whole bench cost to DRIVER-SIDE plan analysis
+    of the deeper tree (executor time was identical with the contract
+    on or off once the plan was built), and collapsing the chain into a
+    single withColumns halves that analysis overhead (BASELINE.md r11
+    adjudication row)."""
+
+    def norm(c: str):
         col = F.col(c)
-        out = out.withColumn(
-            c,
-            F.when(
-                F.isnan(col) | (F.abs(col) == float("inf")),
-                F.lit(None).cast("double"),
-            ).otherwise(col),
-        )
-    return out
+        return F.when(
+            F.isnan(col) | (F.abs(col) == float("inf")),
+            F.lit(None).cast("double"),
+        ).otherwise(col)
+
+    return df.withColumns({c: norm(c) for c in cols})
 
 
 def materialize(df: DataFrame) -> DataFrame:
