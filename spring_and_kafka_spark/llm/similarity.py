@@ -794,3 +794,96 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.abs("x") < 0.001, 1.0).otherwise(0.0)), 4
         ).alias("near_zero_rate"),
     )
+
+
+@register(
+    "q_embed_cluster_purity",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+    scored AS (
+      SELECT e.vec_id, e.label, c.centroid_id,
+             list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, label, centroid_id AS cluster FROM (
+        SELECT vec_id, label, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    cl AS (SELECT cluster, label, count(*) AS n_lab FROM assigned GROUP BY 1, 2),
+    r AS (
+      SELECT cluster, label, n_lab,
+             sum(n_lab) OVER (PARTITION BY cluster) AS n,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n_lab DESC, label) AS rn
+      FROM cl
+    )
+    SELECT cluster, CAST(n AS BIGINT) AS n_vectors,
+           CAST(label AS INT) AS top_label,
+           -- bare IEEE division of exact integers (r7 ratio rule)
+           n_lab * 1.0 / n AS purity
+    FROM r WHERE rn = 1
+    """,
+    tags=("ann",),
+)
+def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space clustering quality: route every LABELED vector to
+    its nearest of the 16 IVF seed centroids (the same coarse quantizer
+    q_sim_ann_ivf probes), then per cluster report size, majority label,
+    and purity = majority count / cluster size. This is the eval a
+    pipeline runs before trusting the IVF cells for routing, balanced
+    sampling, or topic bucketing — low purity means the embedding space
+    (or the centroid seeding) does not separate the labels the
+    downstream mix depends on.
+
+    Shape at 100 TB: identical to the IVF assignment path — centroids
+    broadcast, one argmax pass over the vectors (max_by, no shuffle of
+    the vector side), then a map-side-combined groupBy on the
+    (16 × |labels|)-sized key and a window over that tiny aggregate.
+    NULL embeddings and NULL labels are excluded up front (the round-9
+    NULL-payload admission rule: no vote from an unlabeled or
+    failed-encode row); ties on the majority break by smaller label id
+    in both engines; purity is a bare IEEE division of exact longs."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assigned = ivf_assign(e.select("vec_id", "v"), cents)
+    cl = (
+        assigned.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("n_lab"))
+    )
+    wc = W.partitionBy("cluster")
+    r = cl.select(
+        "cluster",
+        "label",
+        "n_lab",
+        F.sum("n_lab").over(wc).alias("n"),
+        F.row_number()
+        .over(wc.orderBy(F.col("n_lab").desc(), "label"))
+        .alias("rn"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "cluster",
+        F.col("n").alias("n_vectors"),
+        F.col("label").alias("top_label"),
+        (F.col("n_lab") * 1.0 / F.col("n")).alias("purity"),
+    )

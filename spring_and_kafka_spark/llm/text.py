@@ -228,6 +228,20 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language top-8 token profile (built from
     the corpus), docs classified by max distinct-token overlap (ties →
     lexicographic lang). The profile is vocabulary-sized → broadcast."""
+    best = langid_predictions(spark, sf_dir)
+    return best.select(
+        "doc_id",
+        F.col("p_lang").alias("pred_lang"),
+        F.col("hits").cast("long").alias("hits"),
+        (F.col("p_lang") == F.col("lang")).alias("correct"),
+    )
+
+
+def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, p_lang, hits, lang): the langid classifier's winning
+    prediction per doc joined with the labeled lang — shared by
+    q_text_langid (per-doc readout) and q_langid_confusion (the
+    aggregated label-agreement matrix)."""
     d = load_table(spark, sf_dir, "documents")
     # toks feeds BOTH the profile build and the per-doc overlap — without
     # materializing, the scan + explode runs twice (it was 14 exchanges)
@@ -256,10 +270,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), "p_lang")
     best = overlap.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") == 1)
     return best.join(d.select("doc_id", "lang"), "doc_id").select(
-        "doc_id",
-        F.col("p_lang").alias("pred_lang"),
-        F.col("hits").cast("long").alias("hits"),
-        (F.col("p_lang") == F.col("lang")).alias("correct"),
+        "doc_id", "p_lang", "hits", "lang"
     )
 
 
@@ -1131,4 +1142,260 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 0.0
         ).alias("norm_entropy"),
+    )
+
+
+@register(
+    "q_langid_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT lang, tok, count(*) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rn
+      FROM toks WHERE lang IS NOT NULL GROUP BY lang, tok
+    ),
+    profile AS (SELECT lang AS p_lang, tok FROM freq WHERE rn <= 8),
+    overlap AS (
+      SELECT t.doc_id, p.p_lang, count(DISTINCT t.tok) AS hits
+      FROM (SELECT DISTINCT doc_id, tok FROM toks) t
+      JOIN profile p USING (tok)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, p_lang, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rn
+      FROM overlap
+    ),
+    pred AS (
+      SELECT d.lang, r.p_lang FROM ranked r
+      JOIN documents d ON r.doc_id = d.doc_id WHERE r.rn = 1
+    )
+    SELECT lang, p_lang AS pred_lang, CAST(count(*) AS BIGINT) AS n,
+           -- bare IEEE division (r7 ratio rule): one op over exact
+           -- integers is bit-identical cross-engine, so no round()
+           count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang) AS frac
+    FROM pred GROUP BY lang, p_lang
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-agreement (confusion) matrix for the cheap langid
+    classifier against the trusted `lang` column: per (true lang,
+    predicted lang) the doc count and its share of that true-lang row —
+    the validation readout a pipeline checks BEFORE trusting a heuristic
+    classifier to route 100 TB of unlabeled text (the reference has no
+    analog; closest is the payload type-routing of
+    src/main/java/jc/DemoApplication.java:148-158, which trusts its
+    classifier blindly).
+
+    Reuses langid_predictions (one classifier, two readouts — the
+    confusion matrix is exactly q_text_langid's stream aggregated), so
+    the heavy work stays the classifier's own: one corpus scan, a
+    broadcast profile, a doc-keyed window. The confusion rollup adds one
+    map-side-combined groupBy on a (langs × langs)-sized key plus a
+    window over that tiny aggregate. NULL true-lang docs are classified
+    but never train; they surface as a NULL-lang confusion row. The
+    share is a bare IEEE division of exact longs (no rounding needed
+    cross-engine)."""
+    pred = langid_predictions(spark, sf_dir)
+    g = pred.groupBy("lang", F.col("p_lang").alias("pred_lang")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("lang")
+    return g.select(
+        "lang",
+        "pred_lang",
+        "n",
+        (F.col("n") * 1.0 / F.sum("n").over(w)).alias("frac"),
+    )
+
+
+@register(
+    "q_text_length_filter",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE n_chars IS NOT NULL
+    ),
+    r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM d
+    ),
+    q AS (
+      SELECT lang, max(n) AS n_docs,
+             max(CASE WHEN rn = (n * 5 + 99) // 100 THEN n_chars END) AS p05,
+             max(CASE WHEN rn = (n * 95 + 99) // 100 THEN n_chars END) AS p95
+      FROM r GROUP BY lang
+    )
+    SELECT q.lang, CAST(q.n_docs AS BIGINT) AS n_docs,
+           CAST(q.p05 AS BIGINT) AS p05_chars,
+           CAST(q.p95 AS BIGINT) AS p95_chars,
+           CAST(sum(CASE WHEN d.n_chars < q.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN d.n_chars > q.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above
+    FROM d JOIN q ON d.lang IS NOT DISTINCT FROM q.lang
+    GROUP BY q.lang, q.n_docs, q.p05, q.p95
+    """,
+)
+def q_text_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT p05/p95 document-length bounds plus the count
+    of outlier docs outside them — the CCNet-style length filter whose
+    thresholds must be per-language (Chinese chars ≠ English chars).
+    Quantiles are exact rank selection (k = ceil(q·n) via integer
+    arithmetic, ties broken by doc_id), not approx_percentile: a FILTER
+    boundary that moves between runs or engines is a reproducibility
+    bug, and both engines replay the identical rank.
+
+    Shape at 100 TB: one shuffle on lang for the rank window (the
+    per-lang sort is the honest cost of an exact quantile; at extreme
+    per-lang cardinality this decomposes two-level per DESIGN.md #16),
+    then the lang-cardinality quantile table broadcasts back for the
+    outlier count — the fact table is scanned, never re-sorted, for
+    pass 2. NULL n_chars rows are excluded up front (no length signal);
+    NULL lang is a real group (the unlabeled bucket), kept via the
+    null-safe join both engines state explicitly."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .select("doc_id", "lang", "n_chars")
+    )
+    wl = W.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(wl.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(wl).alias("n"),
+    )
+    q = r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("n_chars")
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 95 + 99) div 100"),
+                F.col("n_chars"),
+            )
+        ).alias("p95"),
+    )
+    j = (
+        d.alias("d")
+        .join(
+            F.broadcast(q).alias("q"),
+            F.col("d.lang").eqNullSafe(F.col("q.lang")),
+        )
+        .select(
+            F.col("q.lang").alias("lang"),
+            "n_docs",
+            "p05",
+            "p95",
+            "n_chars",
+        )
+    )
+    return j.groupBy("lang", "n_docs", "p05", "p95").agg(
+        F.sum((F.col("n_chars") < F.col("p05")).cast("long")).alias("n_below"),
+        F.sum((F.col("n_chars") > F.col("p95")).cast("long")).alias("n_above"),
+    ).select(
+        "lang",
+        "n_docs",
+        F.col("p05").alias("p05_chars"),
+        F.col("p95").alias("p95_chars"),
+        "n_below",
+        "n_above",
+    )
+
+
+@register(
+    "q_text_js_shift",
+    oracle="""
+    WITH tok AS (
+      SELECT source, lower(t.tok) AS tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) t WHERE t.tok <> ''
+    ),
+    tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    tcs AS (
+      SELECT source, tok, c,
+             sum(c) OVER (PARTITION BY source) AS ns
+      FROM tc
+    ),
+    ct AS (
+      SELECT tok, sum(c) AS ctok, sum(sum(c)) OVER () AS ntot
+      FROM tc GROUP BY tok
+    ),
+    j AS (
+      SELECT tcs.source, tcs.ns,
+             tcs.c * 1.0 / tcs.ns AS p,
+             ct.ctok * 1.0 / ct.ntot AS q
+      FROM tcs JOIN ct USING (tok)
+    )
+    SELECT source,
+           CAST(max(ns) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           round(0.5 * sum(p * log2(p / ((p + q) / 2))
+                           + q * log2(q / ((p + q) / 2)))
+                 + 0.5 * (1 - sum(q)), 4) + 0.0 AS js_bits
+    FROM j GROUP BY source
+    """,
+)
+def q_text_js_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence (bits) between the source's
+    unigram distribution P and the whole-corpus distribution Q — the
+    text counterpart of q_dist_shift's numeric PSI: the training-mix
+    drift monitor that flags a source whose vocabulary usage has moved
+    away from the corpus it is being mixed into (0 = identical mix,
+    1 = disjoint vocabularies).
+
+    The JS sum is restricted to the source's OWN vocabulary by algebra,
+    not approximation: for tokens absent from the source, P=0 and
+    M=Q/2, so their total contribution is 0.5·Σ Q·log2(2) =
+    0.5·(1 − Σ_{t∈Vs} Q(t)) — a closed form over the source's rows.
+    Shape at 100 TB: the (source, token) count is one map-side-combined
+    groupBy; corpus counts are a second groupBy over the TYPE table
+    (vocabulary-sized, not token-stream-sized) joined back on the token
+    key, so the JS aggregate never touches |sources| × |vocab| rows —
+    only Σ_s |Vs|. Rounded to 4 dp per the entropy-family convention
+    (absorbs summation-order double drift), +0.0 collapses the
+    single-source corpus's -0.0."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tcs = tc.select(
+        "source",
+        "tok",
+        "c",
+        F.sum("c").over(W.partitionBy("source")).alias("ns"),
+    )
+    ct = tc.groupBy("tok").agg(F.sum("c").alias("ctok"))
+    ct = ct.select(
+        "tok", "ctok", F.sum("ctok").over(W.partitionBy()).alias("ntot")
+    )
+    p = F.col("c") * 1.0 / F.col("ns")
+    q = F.col("ctok") * 1.0 / F.col("ntot")
+    m = (p + q) / 2
+    j = tcs.join(ct, "tok").select(
+        "source", "ns", (p * F.log2(p / m) + q * F.log2(q / m)).alias("pq"),
+        q.alias("qv")
+    )
+    g = j.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        (
+            0.5 * F.sum("pq") + 0.5 * (1 - F.sum("qv"))
+        ).alias("js_raw"),
+    )
+    return g.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "vocab_size",
+        (F.round("js_raw", 4) + 0.0).alias("js_bits"),
     )

@@ -92,32 +92,41 @@ _MODULE_SEQ: dict[str, int] = {}
 # pinned (round-bounded, so next round's artifact can't break it) in
 # tests/test_registry_window.py.
 #
-# Composition, per the rotation discipline (rule order: red fixes >
-# changed output > stalest green):
-#   (a) q_hist_equiwidth, whose ORACLE TEXT changed in r11 (ORDER BY
+# Composition, per the rotation discipline (rule order: never-verified >
+# red fixes > changed output > stalest green):
+#   (a) the 4 queries NEW in r11 (q_embed_cluster_purity
+#       q_langid_confusion q_text_js_shift q_text_length_filter, pool()
+#       round-0 name order) — never driver-verified, so they must lead
+#       any window they can reach;
+#   (b) q_hist_equiwidth, whose ORACLE TEXT changed in r11 (ORDER BY
 #       bucket NULLS FIRST pin, ADVICE r10 item 2 — output identical on
 #       the NULL-free sf0.01 fixture, but changed text re-enters the
 #       window so the driver executes what ships);
-#   (b) the 5 remaining r4-stale rows (q_tpch_q9 q_ts_anomaly q_ts_ewma
+#   (c) the 5 remaining r4-stale rows (q_tpch_q9 q_ts_anomaly q_ts_ewma
 #       q_ts_resample q_win_running_distinct);
-#   (c) all 40 r5-stale rows, tools.window_pool pool() order (stalest
-#       round first, then name);
-#   (d) 4 r6 rows in pool() order to fill the 50th..47th slots
-#       (q_agg_bool q_agg_distinct q_agg_having q_agg_moments); the
-#       remaining 37 r6 rows lead the r12 pool.
+#   (d) all 40 r5-stale rows, tools.window_pool pool() order (stalest
+#       round first, then name) — 4+1+5+40 = 50 exactly, so the 4 new
+#       queries' slots displace the 4 r6 fills of the draft rotation
+#       (q_agg_bool q_agg_distinct q_agg_having q_agg_moments), which
+#       now lead the r12 pool with the other 37 r6 rows.
 # After this window no green row is older than r6. Queries not named
 # here rank after the prefix by (module rank, def order) — the safe
 # place for additions until rotated in.
 _WINDOW_PREFIX = [
-    # (a) changed-in-r11 oracle text (NULLS FIRST pin) — leads the window
+    # (a) new-in-r11, never verified — pool() round-0 name order
+    "q_embed_cluster_purity",
+    "q_langid_confusion",
+    "q_text_js_shift",
+    "q_text_length_filter",
+    # (b) changed-in-r11 oracle text (NULLS FIRST pin)
     "q_hist_equiwidth",
-    # (b) the 5 r4-stale rows
+    # (c) the 5 r4-stale rows
     "q_tpch_q9",
     "q_ts_anomaly",
     "q_ts_ewma",
     "q_ts_resample",
     "q_win_running_distinct",
-    # (c) all 40 r5-stale rows, tools.window_pool order
+    # (d) all 40 r5-stale rows, tools.window_pool order
     "q_ab_test",
     "q_agg_corr",
     "q_agg_string",
@@ -158,11 +167,6 @@ _WINDOW_PREFIX = [
     "q_unpivot",
     "q_win_first_last",
     "q_win_trend",
-    # (d) 4 r6 rows to fill 50, tools.window_pool order
-    "q_agg_bool",
-    "q_agg_distinct",
-    "q_agg_having",
-    "q_agg_moments",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -131,6 +131,10 @@ SECTIONS = {
         "q_dist_shift", "q_win_rolling_slope", "q_funnel_latency",
         "q_agg_gini", "q_pareto_abc",
     ],
+    "round-11 additions: classifier validation + mix-drift + filters": [
+        "q_langid_confusion", "q_text_length_filter", "q_text_js_shift",
+        "q_embed_cluster_purity",
+    ],
 }
 
 STREAMING_ONLY = [
