@@ -79,6 +79,12 @@ HEADLINE = [
     "q_text_entropy",
     "q_embed_dim_stats",
     "q_dq_freshness",
+    # round-11 additions: classifier validation, length filter,
+    # mix drift, cluster purity
+    "q_langid_confusion",
+    "q_text_length_filter",
+    "q_text_js_shift",
+    "q_embed_cluster_purity",
 ]
 
 
