@@ -426,3 +426,32 @@ def test_null_payload_filters_push_to_scan(spark):
     assert read and all("vec_id" in ln and "embedding" in ln for ln in read)
     p = plan(spark, "q_text_contamination")
     assert "IsNotNull(text)" in p.split("ReadSchema")[0]
+
+
+def test_cluster_purity_broadcasts_centroids_no_cartesian_blowup(spark):
+    # the IVF assignment must be a broadcast nested loop over the
+    # 16-row centroid table (argmax via one partial agg), never a
+    # shuffled product; the confusion-sized rollup shuffles only the
+    # (cluster, label) aggregate
+    p = plan(spark, "q_embed_cluster_purity")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_length_filter_quantiles_broadcast_back(spark):
+    # pass 2 (outlier counts) joins the lang-cardinality quantile table
+    # back by BROADCAST — the fact side is never re-shuffled for it
+    p = plan(spark, "q_text_length_filter")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_js_shift_joins_on_token_key_no_cartesian(spark):
+    # the JS aggregate joins (source, tok) counts with the TYPE table on
+    # the token key — vocabulary-sized, equi-join, no product
+    p = plan(spark, "q_text_js_shift")
+    assert "CartesianProduct" not in p
+    # the documents scan prunes to (source, text): no doc_id in any scan
+    for seg in p.split("ReadSchema")[1:]:
+        assert "doc_id" not in seg.split("\n")[0]
