@@ -1369,6 +1369,17 @@ def q_text_js_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    return js_from_counts(tc)
+
+
+def js_from_counts(tc: DataFrame) -> DataFrame:
+    """Per-source JS divergence from a (source, tok, c) count table —
+    the count table is the SUFFICIENT STATISTIC for the metric, which is
+    what makes the streaming twin (streaming/drift.py) possible: state
+    maintains counts (associative, mergeable, exactly-once by
+    partition overwrite), and this nonlinear readout runs at read time
+    over the maintained counts. Shared verbatim by q_text_js_shift so
+    stream ≡ batch is an identity on the readout, not a re-derivation."""
     tcs = tc.select(
         "source",
         "tok",

@@ -552,3 +552,49 @@ def test_stream_maintained_freshness_equals_batch(spark, tmp_path):
     shutil.rmtree(victims[-1])
     with pytest.raises(RuntimeError, match=r"batch_id=\d+ has counts/"):
         maintained_freshness(spark, torn2).collect()
+
+
+def test_stream_maintained_js_drift_equals_batch(spark, tmp_path):
+    """Documents replayed as micro-batches through the foreachBatch
+    partial-count sink must yield EXACTLY the batch q_text_js_shift
+    answer when the maintained counts are read out — the
+    sufficient-statistics rule: JS is nonlinear, so the state holds
+    mergeable (source, token) COUNTS and the divergence is computed at
+    read time by the batch query's own kernel (llm/text.py:
+    js_from_counts)."""
+    from spring_and_kafka_spark.llm.text import q_text_js_shift
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.drift import (
+        maintained_js,
+        token_delta_stream,
+    )
+
+    from .conftest import SF_SMOKE
+
+    stage = str(tmp_path / "docs")
+    load_table(spark, SF_SMOKE, "documents").select(
+        "source", "text"
+    ).repartition(6).write.mode("overwrite").parquet(stage)
+    docs = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stage)
+    )
+    q = token_delta_stream(docs, str(tmp_path / "state"))
+    q.awaitTermination()
+
+    streamed = {
+        r.source: (r.n_tokens, r.vocab_size, r.js_bits)
+        for r in maintained_js(spark, str(tmp_path / "state")).collect()
+    }
+    batch = {
+        r.source: (r.n_tokens, r.vocab_size, r.js_bits)
+        for r in q_text_js_shift(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch
+
+
+def test_maintained_js_without_stream_is_empty_not_error(spark, tmp_path):
+    from spring_and_kafka_spark.streaming.drift import maintained_js
+
+    assert maintained_js(spark, str(tmp_path / "never_ran")).count() == 0

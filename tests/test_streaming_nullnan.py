@@ -407,3 +407,47 @@ def test_mv_stream_nullnan_equals_batch(spark, inj_sf, tmp_path):
         for r in q_mv_incremental(spark, inj_sf).collect()
     }
     assert streamed == batch
+
+
+def test_drift_stream_nullnan_equals_batch(spark, inj_sf, tmp_path):
+    """NULL text (tokenizer skip) and NULL source (a real group in the
+    JS readout, carried by window partitions not joins) replayed through
+    the maintained-count drift monitor must equal the batch
+    q_text_js_shift over the identically injected table."""
+    from spring_and_kafka_spark.llm.text import q_text_js_shift
+    from spring_and_kafka_spark.streaming.drift import (
+        maintained_js,
+        token_delta_stream,
+    )
+
+    d = pq.read_table(f"{SF_SMOKE}/documents.parquet")
+    d = _null_out(d, "text", every=5)
+    d = _null_out(d, "source", every=6)
+    inj_docs = str(tmp_path / "docs_sf")
+    import os
+
+    os.makedirs(inj_docs)
+    pq.write_table(d, f"{inj_docs}/documents.parquet")
+
+    stage = str(tmp_path / "docs")
+    spark.read.parquet(f"{inj_docs}/documents.parquet").select(
+        "source", "text"
+    ).repartition(5).write.mode("overwrite").parquet(stage)
+    docs = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = token_delta_stream(docs, str(tmp_path / "state"))
+    q.awaitTermination()
+
+    streamed = {
+        r.source: (r.n_tokens, r.vocab_size, r.js_bits)
+        for r in maintained_js(spark, str(tmp_path / "state")).collect()
+    }
+    batch = {
+        r.source: (r.n_tokens, r.vocab_size, r.js_bits)
+        for r in q_text_js_shift(spark, inj_docs).collect()
+    }
+    assert streamed == batch
+    assert None in streamed  # the NULL-source group is a real row
