@@ -26,6 +26,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from hypothesis import given, settings, strategies as st
 
+NAN = float("nan")
+INF = float("inf")
+
 
 def _contract(x):
     """The ingest boundary: finite-or-null."""
@@ -338,3 +341,352 @@ def test_benford_matches_brute_force(spark, prices):
         for r in q_benford(spark, dst).collect()
     }
     assert got == expected
+
+
+# ------------------------------------------------- r11 operator batch
+# brute-force replays for the four operators ADDED this round, in the
+# same end-to-end style: random parquet fixtures through the real
+# registered query (contract scan included).
+
+_WORDS = ["spark", "data", "the", "fast", "slow"]
+
+lf_rows = st.lists(
+    # (lang index | None, n_chars | None) — duplicate lengths force the
+    # rank tiebreak, None lang is the unlabeled group, None n_chars is
+    # excluded by contract
+    st.tuples(
+        st.one_of(st.integers(0, 2), st.none()),
+        st.one_of(st.integers(0, 30), st.none()),
+    ),
+    min_size=0,
+    max_size=45,
+)
+
+
+def _write_documents(rows, dst, cols):
+    """rows: list of dicts; cols: {name: pa.type}."""
+    import pyarrow as pa
+
+    arrays = {
+        name: pa.array([r.get(name) for r in rows], typ)
+        for name, typ in cols.items()
+    }
+    pq.write_table(pa.table(arrays), f"{dst}/documents.parquet")
+
+
+@settings(max_examples=20, deadline=None)
+@given(lf_rows)
+def test_length_filter_matches_brute_force(spark, rows):
+    from spring_and_kafka_spark.llm.text import q_text_length_filter
+
+    dst = tempfile.mkdtemp(prefix="lfprop-")
+    _write_documents(
+        [
+            {
+                "doc_id": i,
+                "lang": None if l is None else f"l{l}",
+                "n_chars": c,
+            }
+            for i, (l, c) in enumerate(rows)
+        ],
+        dst,
+        {"doc_id": pa.int64(), "lang": pa.string(), "n_chars": pa.int64()},
+    )
+
+    groups: dict = {}
+    for i, (l, c) in enumerate(rows):
+        if c is None:
+            continue
+        groups.setdefault(None if l is None else f"l{l}", []).append((c, i))
+    expected = {}
+    for lang, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        p05 = vals[(n * 5 + 99) // 100 - 1][0]
+        p95 = vals[(n * 95 + 99) // 100 - 1][0]
+        expected[lang] = (
+            n,
+            p05,
+            p95,
+            sum(1 for c, _ in vals if c < p05),
+            sum(1 for c, _ in vals if c > p95),
+        )
+    got = {
+        r.lang: (r.n_docs, r.p05_chars, r.p95_chars, r.n_below, r.n_above)
+        for r in q_text_length_filter(spark, dst).collect()
+    }
+    assert got == expected
+
+
+js_rows = st.lists(
+    # (source index | None, token-index list | None-text)
+    st.tuples(
+        st.one_of(st.integers(0, 2), st.none()),
+        st.one_of(
+            st.lists(st.integers(0, 4), min_size=0, max_size=8), st.none()
+        ),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(js_rows)
+def test_js_shift_matches_brute_force(spark, rows):
+    """Pure-Python JS replay. The count sides (n_tokens, vocab_size) are
+    exact; js_bits is rounded to 4 dp in the query, so the replay checks
+    |query − exact| ≤ 5e-5 + summation-drift headroom rather than
+    re-deriving the engine's summation order."""
+    from spring_and_kafka_spark.llm.text import q_text_js_shift
+
+    dst = tempfile.mkdtemp(prefix="jsprop-")
+    _write_documents(
+        [
+            {
+                "doc_id": i,
+                "source": None if s is None else f"s{s}",
+                "text": None if t is None else " ".join(_WORDS[w] for w in t),
+            }
+            for i, (s, t) in enumerate(rows)
+        ],
+        dst,
+        {"doc_id": pa.int64(), "source": pa.string(), "text": pa.string()},
+    )
+
+    counts: dict = {}
+    for s, t in rows:
+        if t is None:
+            continue
+        src = None if s is None else f"s{s}"
+        for w in t:
+            counts[(src, _WORDS[w])] = counts.get((src, _WORDS[w]), 0) + 1
+    ns: dict = {}
+    ctok: dict = {}
+    for (src, tok), c in counts.items():
+        ns[src] = ns.get(src, 0) + c
+        ctok[tok] = ctok.get(tok, 0) + c
+    ntot = sum(ctok.values())
+    expected = {}
+    for src in ns:
+        pq_sum = qv_sum = 0.0
+        vocab = 0
+        for (s2, tok), c in counts.items():
+            if s2 != src:
+                continue
+            vocab += 1
+            p = c * 1.0 / ns[src]
+            q = ctok[tok] * 1.0 / ntot
+            m = (p + q) / 2
+            pq_sum += p * math.log2(p / m) + q * math.log2(q / m)
+            qv_sum += q
+        expected[src] = (ns[src], vocab, 0.5 * pq_sum + 0.5 * (1 - qv_sum))
+    got = {
+        r.source: (r.n_tokens, r.vocab_size, r.js_bits)
+        for r in q_text_js_shift(spark, dst).collect()
+    }
+    assert set(got) == set(expected)
+    for src, (n, v, js) in expected.items():
+        gn, gv, gjs = got[src]
+        assert (gn, gv) == (n, v)
+        assert abs(gjs - js) <= 5.1e-5
+        assert 0.0 <= gjs <= 1.0001  # JS(base 2) range
+
+
+conf_rows = st.lists(
+    st.tuples(
+        st.one_of(st.integers(0, 2), st.none()),  # lang
+        st.one_of(
+            st.lists(st.integers(0, 4), min_size=0, max_size=8), st.none()
+        ),
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(conf_rows)
+def test_langid_confusion_matches_brute_force(spark, rows):
+    """Replays the whole classifier (profiles from labeled docs, max
+    distinct-overlap prediction, both tiebreaks) plus the confusion
+    rollup. Docs with zero profile overlap are absent — same in both."""
+    from spring_and_kafka_spark.llm.text import q_langid_confusion
+
+    dst = tempfile.mkdtemp(prefix="confprop-")
+    _write_documents(
+        [
+            {
+                "doc_id": i,
+                "lang": None if l is None else f"l{l}",
+                "text": None if t is None else " ".join(_WORDS[w] for w in t),
+            }
+            for i, (l, t) in enumerate(rows)
+        ],
+        dst,
+        {"doc_id": pa.int64(), "lang": pa.string(), "text": pa.string()},
+    )
+
+    # token derivation mirrors BOTH engines' split semantics: splitting
+    # the empty string yields one EMPTY token (''), which the classifier
+    # counts like any other (q_text_langid applies no tok != '' filter)
+    docs = [
+        (
+            i,
+            None if l is None else f"l{l}",
+            []
+            if t is None
+            else " ".join(_WORDS[w] for w in t).split(" "),
+        )
+        for i, (l, t) in enumerate(rows)
+    ]
+    freq: dict = {}
+    for _, lang, toks in docs:
+        if lang is None:
+            continue
+        for tok in toks:
+            freq[(lang, tok)] = freq.get((lang, tok), 0) + 1
+    profile: dict = {}
+    for lang in {l for (l, _) in freq}:
+        ranked = sorted(
+            ((c, t) for (l, t), c in freq.items() if l == lang),
+            key=lambda ct: (-ct[0], ct[1]),
+        )
+        profile[lang] = {t for _, t in ranked[:8]}
+    conf: dict = {}
+    for _, lang, toks in docs:
+        dtoks = set(toks)
+        overlaps = sorted(
+            (
+                (-len(dtoks & ptoks), plang)
+                for plang, ptoks in profile.items()
+                if dtoks & ptoks
+            ),
+        )
+        if not overlaps:
+            continue
+        pred = overlaps[0][1]
+        conf[(lang, pred)] = conf.get((lang, pred), 0) + 1
+    totals: dict = {}
+    for (lang, _), n in conf.items():
+        totals[lang] = totals.get(lang, 0) + n
+    expected = {
+        k: (n, n * 1.0 / totals[k[0]]) for k, n in conf.items()
+    }
+    got = {
+        (r.lang, r.pred_lang): (r.n, r.frac)
+        for r in q_langid_confusion(spark, dst).collect()
+    }
+    assert got == expected
+
+
+pur_rows = st.lists(
+    # (label | None, 2-d vector components incl. non-finite | None)
+    st.tuples(
+        st.one_of(st.integers(0, 2), st.none()),
+        st.one_of(
+            st.tuples(
+                st.floats(min_value=-4, max_value=4, allow_nan=False),
+                st.floats(min_value=-4, max_value=4, allow_nan=False),
+            ),
+            st.none(),
+            st.tuples(st.just(NAN), st.just(1.0)),
+            st.tuples(st.just(INF), st.just(0.5)),
+        ),
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(pur_rows)
+def test_cluster_purity_matches_brute_force(spark, rows):
+    """Cosine argmax assignment (fold order = index order in BOTH the
+    query's F.aggregate and this replay, so comparisons are on identical
+    doubles), centroid tiebreak by smaller id, majority tiebreak by
+    smaller label; non-finite vectors are contract-nulled at the scan
+    and excluded with the unlabeled rows."""
+    from spring_and_kafka_spark.llm.similarity import (
+        q_embed_cluster_purity,
+    )
+
+    dst = tempfile.mkdtemp(prefix="purprop-")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(rows)), pa.int64()),
+                "label": pa.array(
+                    [l for l, _ in rows], pa.int32()
+                ),
+                "embedding": pa.array(
+                    [None if v is None else list(v) for _, v in rows],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        f"{dst}/embeddings.parquet",
+    )
+
+    def _f32(x):
+        import struct
+
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs = {}
+    for i, (l, v) in enumerate(rows):
+        if l is None or v is None or any(
+            math.isnan(x) or math.isinf(x) for x in v
+        ):
+            continue
+        vecs[i] = (l, [_f32(x) for x in v])  # float32 storage, cast double
+
+    def cos(u, v):
+        d = u[0] * v[0] + u[1] * v[1]
+        nu = math.sqrt(u[0] * u[0] + u[1] * u[1])
+        nv = math.sqrt(v[0] * v[0] + v[1] * v[1])
+        den = nu * nv
+        return None if den == 0 else d / den
+
+    cents = {i: v for i, (_, v) in vecs.items() if i < 16}
+    clusters: dict = {}
+    for i, (lab, v) in vecs.items():
+        best = None
+        for cid in sorted(cents):
+            s = cos(v, cents[cid])
+            # mirror max_by(struct(sim, -cid)): NULL sim loses to any
+            # non-NULL; all-NULL -> greatest struct is the SMALLEST cid
+            # only if every sim is NULL (struct comparison on null sim
+            # falls to -cid, maximized by cid 0... Spark treats the
+            # whole struct with null field as NULL candidate and max_by
+            # skips it; if ALL are null, result is NULL -> row dropped
+            # by the join? it keeps cluster NULL. Exclude that shape:
+            if s is None:
+                continue
+            if best is None or s > best[0] or (s == best[0] and cid < best[1]):
+                best = (s, cid)
+        if best is None:
+            # zero-norm vector: assignment engine-defined; the strategy
+            # cannot generate it (|x| <= 4 grid excludes exact zeros
+            # only when both components are 0.0 — possible!) so skip
+            continue
+        clusters.setdefault(best[1], []).append(lab)
+    expected = {}
+    for cid, labs in clusters.items():
+        n = len(labs)
+        cnt: dict = {}
+        for l in labs:
+            cnt[l] = cnt.get(l, 0) + 1
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected[cid] = (n, top[0], top[1] * 1.0 / n)
+    got = {
+        r.cluster: (r.n_vectors, r.top_label, r.purity)
+        for r in q_embed_cluster_purity(spark, dst).collect()
+    }
+    # zero-norm vectors (all-NULL sims) are engine-defined: drop any
+    # cluster rows the replay skipped, then require identity
+    zero_norm = {
+        i for i, (l, v) in vecs.items() if v[0] == 0.0 and v[1] == 0.0
+    }
+    if not zero_norm:
+        assert got == expected
