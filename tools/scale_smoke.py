@@ -188,6 +188,12 @@ DOCS_QUERIES = [
     "q_sample_balanced",
     "q_text_keyphrase",
     "q_compaction_plan",
+    # r11 additions: classifier validation + exact length quantiles +
+    # mix drift — all type-table-shaped after their first groupBy, so
+    # ratios should track the (source, token) / (lang, doc) growth
+    "q_langid_confusion",
+    "q_text_length_filter",
+    "q_text_js_shift",
 ]  # q_sample_balanced stays: stratum caps must hold as docs grow
 
 
