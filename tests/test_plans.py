@@ -447,11 +447,14 @@ def test_length_filter_quantiles_broadcast_back(spark):
     assert "CartesianProduct" not in p
 
 
-def test_js_shift_joins_on_token_key_no_cartesian(spark):
-    # the JS aggregate joins (source, tok) counts with the TYPE table on
-    # the token key — vocabulary-sized, equi-join, no product
+def test_js_shift_is_one_corpus_scan_stacked_windows(spark):
+    # corpus totals come from stacked windows over the ONE count table:
+    # exactly one parquet scan (the groupBy+join-back form re-derived
+    # the scan+explode on the corpus side), no join, no product
     p = plan(spark, "q_text_js_shift")
+    assert p.count("Scan parquet") == 1
     assert "CartesianProduct" not in p
+    assert "Join" not in p
     # the documents scan prunes to (source, text): no doc_id in any scan
     for seg in p.split("ReadSchema")[1:]:
         assert "doc_id" not in seg.split("\n")[0]
