@@ -451,8 +451,12 @@ def test_js_shift_is_one_corpus_scan_stacked_windows(spark):
     # corpus totals come from stacked windows over the ONE count table:
     # exactly one parquet scan (the groupBy+join-back form re-derived
     # the scan+explode on the corpus side), no join, no product
+    import re
+
     p = plan(spark, "q_text_js_shift")
-    assert p.count("Scan parquet") == 1
+    # formatted explain prints each node twice (tree + detail header);
+    # count the numbered detail headers
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
     assert "CartesianProduct" not in p
     assert "Join" not in p
     # the documents scan prunes to (source, text): no doc_id in any scan
