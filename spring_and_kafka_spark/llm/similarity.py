@@ -801,8 +801,12 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE embedding IS NOT NULL AND label IS NOT NULL
+      WHERE embedding IS NOT NULL
     ),
+    -- the quantizer is LABEL-AGNOSTIC: the same 16 seed centroids
+    -- q_sim_ann_ivf routes with (an unlabeled seed must not shrink the
+    -- index being evaluated — r11 review finding); only the VOTING
+    -- vectors require a label
     cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
     scored AS (
       SELECT e.vec_id, e.label, c.centroid_id,
@@ -810,6 +814,7 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(list_dot_product(e.v, e.v))
                 * sqrt(list_dot_product(c.cv, c.cv))) AS sim
       FROM e CROSS JOIN cents c
+      WHERE e.label IS NOT NULL
     ),
     assigned AS (
       SELECT vec_id, label, centroid_id AS cluster FROM (
@@ -845,17 +850,19 @@ def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or the centroid seeding) does not separate the labels the
     downstream mix depends on.
 
-    Shape at 100 TB: identical to the IVF assignment path — centroids
-    broadcast, one argmax pass over the vectors (max_by, no shuffle of
-    the vector side), then a map-side-combined groupBy on the
-    (16 × |labels|)-sized key and a window over that tiny aggregate.
-    NULL embeddings and NULL labels are excluded up front (the round-9
-    NULL-payload admission rule: no vote from an unlabeled or
-    failed-encode row); ties on the majority break by smaller label id
-    in both engines; purity is a bare IEEE division of exact longs."""
+    Shape at 100 TB: centroids broadcast, ONE argmax pass over the
+    vector side (max_by with the label riding through — the only
+    shuffle of per-vector data is the vec_id argmax groupBy), then a
+    map-side-combined groupBy on the (16 × |labels|)-sized key and a
+    window over that tiny aggregate. The quantizer is built from every
+    non-NULL embedding — the same index q_sim_ann_ivf routes with —
+    while only labeled vectors vote (round-9 NULL-payload admission
+    rule: no vote from an unlabeled or failed-encode row); ties on the
+    majority break by smaller label id in both engines; purity is a
+    bare IEEE division of exact longs."""
     e = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+        .filter(F.col("embedding").isNotNull())
         .select(
             "vec_id",
             "label",
@@ -865,11 +872,29 @@ def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
-    assigned = ivf_assign(e.select("vec_id", "v"), cents)
-    cl = (
-        assigned.join(e.select("vec_id", "label"), "vec_id")
-        .groupBy("cluster", "label")
-        .agg(F.count("*").alias("n_lab"))
+    # one pass over the vector side: the label rides THROUGH the
+    # broadcast-centroid argmax (constant per vec_id, so first() is
+    # exact) — an ivf_assign + join-back would shuffle the per-vector
+    # table a second time and drag the discarded embedding payload
+    # through the aggregate (r11 review finding)
+    scored = (
+        e.filter(F.col("label").isNotNull())
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "centroid_id",
+            cosine(F.col("v"), F.col("cv")).alias("sim"),
+        )
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.expr("max_by(centroid_id, struct(sim, -centroid_id))").alias(
+            "cluster"
+        ),
+        F.first("label").alias("label"),
+    )
+    cl = assigned.groupBy("cluster", "label").agg(
+        F.count("*").alias("n_lab")
     )
     wc = W.partitionBy("cluster")
     r = cl.select(

@@ -585,7 +585,12 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm = F.col("cusum") > 200_000_000
     return c.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(alarm.cast("long")).alias("n_alarms"),
+        # count(when), not sum(cast): an all-NULL-deviation key has NULL
+        # cusum on every row, and sum over all-NULL returns NULL while
+        # the oracle's CASE..ELSE 0 returns 0 — count skips the NULLs
+        # and answers 0 like the oracle (value-identical on any key
+        # with at least one non-NULL deviation; r11 review finding)
+        F.count(F.when(alarm, F.lit(1))).alias("n_alarms"),
         F.max("cusum").alias("max_cusum_micros"),
         F.min(F.when(alarm, F.col("us"))).alias("first_alarm_us"),
     )

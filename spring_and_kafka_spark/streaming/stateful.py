@@ -81,6 +81,11 @@ CUSUM_STATE_SCHEMA = T.StructType(
         T.StructField("n_alarms", T.LongType()),
         T.StructField("max_cusum", T.LongType()),
         T.StructField("first_alarm_us", T.LongType()),
+        # 0 until the key has seen ONE non-NULL deviation: a key whose
+        # history is all NULL has no cusum value at all in the batch
+        # form (every window sum is NULL), so max_cusum must read NULL,
+        # not the state's 0 seed (r11 review finding)
+        T.StructField("seen", T.LongType()),
     ]
 )
 
@@ -101,10 +106,10 @@ def _update_cusum(
     import numpy as np
 
     if state.exists:
-        pre, minpre, n, n_alarms, max_cusum, first_alarm = state.get
+        pre, minpre, n, n_alarms, max_cusum, first_alarm, seen = state.get
     else:
-        pre, minpre, n, n_alarms, max_cusum, first_alarm = (
-            0, 0, 0, 0, 0, None,
+        pre, minpre, n, n_alarms, max_cusum, first_alarm, seen = (
+            0, 0, 0, 0, 0, None, 0,
         )
     # a key's micro-batch rows may span several Arrow chunks — assemble
     # the whole batch before sorting, or the recurrence runs out of order
@@ -126,15 +131,22 @@ def _update_cusum(
         max_cusum = max(max_cusum, int(cusums.max()))
         pre = int(pres[-1])
         minpre = int(minpres[-1])
+        seen = int(seen or pdf["d"].notna().any())
         if first_alarm is None and alarms.any():
             first_alarm = int(pdf["us"].to_numpy()[np.argmax(alarms)])
-    state.update((pre, minpre, n, n_alarms, max_cusum, first_alarm))
+    state.update((pre, minpre, n, n_alarms, max_cusum, first_alarm, seen))
     yield pd.DataFrame(
         {
             "event_type": [key[0]],
             "n_events": [n],
             "n_alarms": [n_alarms],
-            "max_cusum_micros": [max_cusum],
+            # all-NULL history: the batch form's every window sum is
+            # NULL, so there is no max cusum to report (extra fillna(0)
+            # rows are otherwise harmless — every real cusum is ≥ 0,
+            # so a 0 can never change the max)
+            "max_cusum_micros": pd.array(
+                [max_cusum if seen else None], dtype="Int64"
+            ),
             "first_alarm_us": [first_alarm],
         }
     )

@@ -633,13 +633,14 @@ def test_cluster_purity_matches_brute_force(spark, rows):
 
         return struct.unpack("f", struct.pack("f", x))[0]
 
-    vecs = {}
+    finite = {}
     for i, (l, v) in enumerate(rows):
-        if l is None or v is None or any(
-            math.isnan(x) or math.isinf(x) for x in v
-        ):
+        if v is None or any(math.isnan(x) or math.isinf(x) for x in v):
             continue
-        vecs[i] = (l, [_f32(x) for x in v])  # float32 storage, cast double
+        finite[i] = (l, [_f32(x) for x in v])  # float32 storage, cast dbl
+    # the quantizer is label-agnostic (every finite vector with id < 16
+    # is a centroid); only labeled vectors vote
+    vecs = {i: (l, v) for i, (l, v) in finite.items() if l is not None}
 
     def cos(u, v):
         d = u[0] * v[0] + u[1] * v[1]
@@ -648,7 +649,7 @@ def test_cluster_purity_matches_brute_force(spark, rows):
         den = nu * nv
         return None if den == 0 else d / den
 
-    cents = {i: v for i, (_, v) in vecs.items() if i < 16}
+    cents = {i: v for i, (_, v) in finite.items() if i < 16}
     clusters: dict = {}
     for i, (lab, v) in vecs.items():
         best = None
@@ -686,7 +687,7 @@ def test_cluster_purity_matches_brute_force(spark, rows):
     # zero-norm vectors (all-NULL sims) are engine-defined: drop any
     # cluster rows the replay skipped, then require identity
     zero_norm = {
-        i for i, (l, v) in vecs.items() if v[0] == 0.0 and v[1] == 0.0
+        i for i, (l, v) in finite.items() if v[0] == 0.0 and v[1] == 0.0
     }
     if not zero_norm:
         assert got == expected

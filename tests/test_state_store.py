@@ -99,17 +99,13 @@ def test_cusum_keyed_state_resumes_from_checkpoint(spark, tmp_path):
 
     from .conftest import SF_SMOKE
 
+    from .conftest import stage_time_ordered_chunks
+
     ev = load_table(spark, SF_SMOKE, "events")
-    ranked = ev.withColumn(
-        "chunk", F.ntile(6).over(W.orderBy("ts", "event_id"))
-    )
     stage = str(tmp_path / "events")
 
     def add_chunks(lo: int, hi: int) -> None:
-        for k in range(lo, hi):
-            ranked.filter(F.col("chunk") == k).drop("chunk").coalesce(
-                1
-            ).write.mode("append").parquet(stage)
+        stage_time_ordered_chunks(ev, stage, lo=lo, hi=hi)
 
     out_dir = str(tmp_path / "out")
     ck = str(tmp_path / "ck")

@@ -101,16 +101,11 @@ def staged_ordered(spark, inj_sf, tmp_path_factory) -> str:
     """Injected events staged as 6 TIME-ORDERED sequential chunk files
     (raw — no contract applied at write), so the file source's
     modification-time ordering replays the stream in order."""
+    from .conftest import stage_time_ordered_chunks
+
     stage = str(tmp_path_factory.mktemp("inj_stage") / "events")
     raw = spark.read.parquet(f"{inj_sf}/events.parquet")
-    ranked = raw.withColumn(
-        "chunk", F.ntile(6).over(W.orderBy("ts", "event_id"))
-    )
-    for k in range(1, 7):
-        ranked.filter(F.col("chunk") == k).drop("chunk").coalesce(
-            1
-        ).write.mode("append").parquet(stage)
-    return stage
+    return stage_time_ordered_chunks(raw, stage)
 
 
 def test_injected_stream_applies_float_contract(spark, staged_ordered):
@@ -451,3 +446,100 @@ def test_drift_stream_nullnan_equals_batch(spark, inj_sf, tmp_path):
     }
     assert streamed == batch
     assert None in streamed  # the NULL-source group is a real row
+
+
+def test_cusum_all_null_key_matches_batch_and_oracle(spark, tmp_path):
+    """A key whose EVERY deviation is NULL (a fully-broken feed — all
+    NaN/Inf/NULL normalized by the contract) has no cusum value at all:
+    batch, oracle and stream must agree on (n_events=N, n_alarms=0,
+    max_cusum_micros=NULL, first_alarm_us=NULL). The r11 review found
+    both halves wrong: batch sum(cast) returned NULL n_alarms where the
+    oracle's CASE..ELSE 0 returns 0, and the stream reported its state
+    seed 0 as max_cusum. The i%11 round-robin injection can never
+    produce an all-NULL key, hence this dedicated shape."""
+    import datetime as dt
+
+    import duckdb
+
+    from spring_and_kafka_spark.operators.timeseries import q_ts_cusum
+    from spring_and_kafka_spark.streaming.stateful import cusum_stream
+
+    from .conftest import stage_time_ordered_chunks
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(12):
+        rows.append((i, t0 + dt.timedelta(minutes=i), "dead", None))
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), "live", 61.0))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    pq.write_table(tbl, f"{sf}/events.parquet")
+
+    want = {
+        "dead": (12, 0, None, None),
+        # live: d = +1e6 per event, never alarms at h=2e8
+        "live": (12, 0, 12_000_000, None),
+    }
+
+    batch = {
+        r.event_type: (
+            r.n_events, r.n_alarms, r.max_cusum_micros, r.first_alarm_us
+        )
+        for r in q_ts_cusum(spark, sf).collect()
+    }
+    assert batch == want
+
+    from spring_and_kafka_spark.registry import all_specs
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(all_specs()["q_ts_cusum"].oracle).fetchall()
+    }
+    assert oracle == want
+
+    stage = str(tmp_path / "stage")
+    stage_time_ordered_chunks(spark.read.parquet(f"{sf}/events.parquet"), stage, n_chunks=3)
+    dev = read_event_stream(spark, stage, max_files_per_trigger=1).select(
+        "event_type",
+        "event_id",
+        ts_micros("ts").alias("us"),
+        (
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+            - 60_000_000
+        ).alias("d"),
+    )
+    q = (
+        cusum_stream(dev)
+        .writeStream.format("memory")
+        .queryName("cusum_allnull_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = {}
+    for r in spark.sql("SELECT * FROM cusum_allnull_out").collect():
+        if (
+            r.event_type not in last
+            or r.n_events > last[r.event_type].n_events
+        ):
+            last[r.event_type] = r
+    streamed = {
+        k: (r.n_events, r.n_alarms, r.max_cusum_micros, r.first_alarm_us)
+        for k, r in last.items()
+    }
+    assert streamed == want
