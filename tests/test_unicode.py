@@ -56,6 +56,10 @@ _TEXT_QUERIES = [
     "q_text_repetition",
     "q_text_entropy",
     "q_text_hapax",
+    # r11 additions sharing the lower()/split() exposure class
+    "q_text_js_shift",
+    "q_langid_confusion",
+    "q_text_length_filter",
 ]
 
 
