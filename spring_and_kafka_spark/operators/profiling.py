@@ -265,8 +265,12 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("arm", F.col("user_id") % 2)
         .groupBy("user_id", "arm")
         .agg(
+            # count(when), not sum(cast): a user whose every event_type
+            # is NULL sums to NULL (NULL conv poisons the arm totals the
+            # oracle's CASE..ELSE 0 keeps at 0); count skips the NULLs
+            # and answers 0 — identical whenever one type is non-NULL
             (
-                F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+                F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14
             ).cast("int").alias("conv")
         )
     )

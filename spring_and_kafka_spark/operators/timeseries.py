@@ -502,14 +502,18 @@ def q_ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = d.join(F.broadcast(mad), "event_type")
     is_out = F.col("dev") > F.lit(4.4478) * F.col("mad")
+    # count(when), not sum(cast): a group whose every value is NULL has
+    # NULL dev/mad on every row, and sum over all-NULL returns NULL
+    # while the oracle's CASE..ELSE 0 returns 0 — count skips the NULLs
+    # and answers 0 like the oracle (value-identical whenever one
+    # non-NULL value exists; the q_ts_cusum r11 review lesson)
+    n_out = F.count(F.when(is_out, F.lit(1)))
     return j.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.min("med").alias("med_micros"),
         F.min("mad").alias("mad_micros"),
-        F.sum(is_out.cast("long")).alias("n_outliers"),
-        F.round(F.sum(is_out.cast("long")) / F.count("*"), 6).alias(
-            "outlier_rate"
-        ),
+        n_out.alias("n_outliers"),
+        F.round(n_out / F.count("*"), 6).alias("outlier_rate"),
     )
 
 

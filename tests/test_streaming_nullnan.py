@@ -543,3 +543,70 @@ def test_cusum_all_null_key_matches_batch_and_oracle(spark, tmp_path):
         for k, r in last.items()
     }
     assert streamed == want
+
+
+def test_all_null_group_sum_vs_case_alignment(spark, tmp_path):
+    """The q_ts_cusum review finding generalizes: every Spark
+    sum(cond.cast) whose oracle is CASE..ELSE 0 diverges on a group
+    where the condition is NULL on EVERY row (sum → NULL, CASE → 0).
+    The r11 audit found two more instances — q_ts_mad (a key with all
+    NULL values) and q_ab_test (a user with all NULL event types) —
+    both rewritten to count(when). This pins Spark == DuckDB oracle on
+    exactly those shapes; the i%7 NULLCHECK injection can never build
+    an all-NULL group, hence the dedicated fixture."""
+    import datetime as dt
+    import os
+
+    import duckdb
+
+    from spring_and_kafka_spark.operators.profiling import q_ab_test
+    from spring_and_kafka_spark.operators.timeseries import q_ts_mad
+    from spring_and_kafka_spark.registry import all_specs
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(10):
+        # event_type 'dead': every value NULL -> all-NULL MAD group
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "dead", None))
+        # user 3: every event_type NULL -> all-NULL conv aggregate
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 3, None, 50.0))
+        # control group: normal rows
+        rows.append((200 + i, t0 + dt.timedelta(minutes=i), 2, "live", 50.0 + i))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    specs = all_specs()
+
+    mad_spark = {
+        r.event_type: (r.n, r.n_outliers, r.outlier_rate)
+        for r in q_ts_mad(spark, sf).collect()
+    }
+    mad_oracle = {
+        r[0]: (r[1], r[4], r[5])
+        for r in con.execute(specs["q_ts_mad"].oracle).fetchall()
+    }
+    assert mad_spark == mad_oracle
+    assert mad_spark["dead"][1:] == (0, 0.0)  # not NULL
+
+    ab_spark = {
+        tuple(r[:2]) for r in q_ab_test(spark, sf).collect()
+    }
+    ab_oracle = {
+        tuple(r[:2])
+        for r in con.execute(specs["q_ab_test"].oracle).fetchall()
+    }
+    assert ab_spark == ab_oracle
