@@ -221,3 +221,73 @@ def test_drift_monitor_resumes_and_restart_is_idempotent(spark, tmp_path):
         r.source: (r.n_tokens, r.vocab_size, r.js_bits)
         for r in maintained_js(spark, state).collect()
     } == batch
+
+
+def test_attribution_keyed_state_resumes_from_checkpoint(spark, tmp_path):
+    """Same failure-recovery shape for the attribution twin: the carried
+    (touchpoint us, campaign) struct must survive a stop/restart — a
+    click landing before the outage must still win a purchase that
+    arrives after it, through the RocksDB changelog checkpoint."""
+    from pyspark.sql import functions as F
+
+    from spring_and_kafka_spark.exec_utils import ts_micros
+    from spring_and_kafka_spark.operators.analytics import q_attribution
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.replay import read_event_stream
+    from spring_and_kafka_spark.streaming.stateful import attribution_stream
+
+    from .conftest import SF_SMOKE, stage_time_ordered_chunks
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    stage = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_phase() -> None:
+        e = read_event_stream(spark, stage, max_files_per_trigger=1).select(
+            "user_id",
+            "event_id",
+            ts_micros("ts").alias("us"),
+            "event_type",
+            "value",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+
+        def on_batch(bdf, bid):
+            bdf.write.mode("overwrite").parquet(f"{out_dir}/batch_id={bid}")
+
+        q = (
+            attribution_stream(e)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage_time_ordered_chunks(ev, stage, lo=1, hi=4)
+    run_phase()  # first half, stop
+    stage_time_ordered_chunks(ev, stage, lo=4, hi=7)  # lands while down
+    run_phase()  # resume from the same checkpoint
+
+    out = spark.read.parquet(out_dir)
+    streamed = {
+        r.campaign: (r.n, None if r.rev is None else round(r.rev, 2))
+        for r in out.groupBy("campaign")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("rev"))
+        .collect()
+    }
+    batch = {
+        r.campaign: (r.n_purchases, r.revenue)
+        for r in q_attribution(spark, SF_SMOKE).collect()
+    }
+    assert set(streamed) == set(batch)
+    import math
+
+    for c, (n, rev) in batch.items():
+        assert streamed[c][0] == n
+        if rev is None:
+            assert streamed[c][1] is None
+        else:
+            assert math.isclose(streamed[c][1], rev, abs_tol=0.02)
