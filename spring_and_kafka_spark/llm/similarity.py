@@ -809,18 +809,25 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- vectors require a label
     cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
     scored AS (
+      -- NULLIF pins the zero-norm shape: sim is NULL (matching the
+      -- Spark cosine() guard) in EVERY division-by-zero mode, not just
+      -- the default (ADVICE r11)
       SELECT e.vec_id, e.label, c.centroid_id,
              list_dot_product(e.v, c.cv)
-             / (sqrt(list_dot_product(e.v, e.v))
-                * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+             / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv)), 0) AS sim
       FROM e CROSS JOIN cents c
       WHERE e.label IS NOT NULL
     ),
     assigned AS (
+      -- NULLS LAST pinned: a NULL sim loses to any non-NULL; an
+      -- all-NULL vec falls to the smallest centroid_id — the same
+      -- total order Spark's max_by(struct(sim, -centroid_id)) walks
+      -- (null struct field sorts smallest, tie falls to -centroid_id)
       SELECT vec_id, label, centroid_id AS cluster FROM (
         SELECT vec_id, label, centroid_id,
                row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, centroid_id) AS rn
+                                  ORDER BY sim DESC NULLS LAST, centroid_id) AS rn
         FROM scored
       ) WHERE rn = 1
     ),

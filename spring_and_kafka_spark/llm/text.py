@@ -1387,10 +1387,17 @@ def js_from_counts(tc: DataFrame) -> DataFrame:
     corpus side would make tc feed two consumers, and Catalyst cannot
     reuse the exchange (the corpus side stacks a second aggregation on
     it), so the batch query would scan+explode the corpus TWICE. The
-    window form is one corpus pass at any scale; the unpartitioned
-    total window moves only the vocabulary-sized type table to one
-    partition (the q_heavy_hitters precedent). Measured at sf0.1 the
-    window form is ~0.6x the double-scan (r11 within-JVM A/B)."""
+    window form is one corpus pass at any scale. Cost of the
+    unpartitioned total window, stated precisely (ADVICE r11): the
+    single-partition sort sees the whole (source, tok) COUNT table —
+    Σ_s |V_s| rows, i.e. up to (#sources × vocab), not just one
+    vocabulary — fine while the source dimension is a handful of
+    labels (the fixture and the training-mix use case: sources are
+    corpus buckets, not documents). If source cardinality ever grows
+    with the data, switch ntot to a broadcast scalar agg and ctok to
+    the tok-partitioned window's own sum — both already tok-local —
+    so nothing unpartitioned remains. Measured at sf0.1 the window
+    form is ~0.6x the double-scan (r11 within-JVM A/B)."""
     j = tc.select(
         "source",
         "c",

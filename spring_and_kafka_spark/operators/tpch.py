@@ -10,12 +10,16 @@ user gets the standard benchmark queries alongside the operator library.
 Adaptations to the fixture schema (FIXTURES.md) — the synthetic tables
 carry a column subset of official TPC-H:
 
-- No ``partsupp`` table → Q2, Q11 are inexpressible; Q9/Q16/Q20 run
-  "adapted" forms over lineitem-derived supply facts (profit without
-  ps_supplycost; supplier counts and volumes from shipped lines).
-- No ``l_commitdate``/``l_receiptdate``/``l_shipmode`` → Q12 dropped;
-  Q4's EXISTS uses a late-shipment predicate (shipped >60 days after
-  order) instead of receipt-after-commit; Q21's wait condition becomes
+- No ``partsupp`` table → Q2/Q9/Q11/Q16/Q20 run "adapted" forms over
+  lineitem-derived supply facts (Q2's supply cost = a supplier's best
+  shipped unit price; Q9's profit without ps_supplycost; Q11's stock
+  value = shipped revenue from a region's suppliers; supplier counts
+  and volumes from shipped lines). With q_agg_group serving as Q1, the
+  full 22-query suite is registered (r12).
+- No ``l_commitdate``/``l_receiptdate``/``l_shipmode`` → Q4's EXISTS
+  uses a late-shipment predicate (shipped >60 days after order) instead
+  of receipt-after-commit; Q12 groups by a derived ship-SPEED class
+  (order→ship days) instead of l_shipmode; Q21's wait condition becomes
   "F-status orders served by ≥2 suppliers".
 - No ``c_phone`` → Q22 groups by nation name and its "dormant customer"
   filter is "no order since 2000-01-01" (every fixture customer has
@@ -813,5 +817,223 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (
+      -- lineitem-derived supply facts (no partsupp): a supplier's cost
+      -- for a part is the best unit price they ever shipped it at
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem
+      WHERE l_quantity <> 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    sel AS (
+      SELECT p_partkey, p_name
+      FROM part
+      WHERE p_type = 'STANDARD' AND p_size IN (5, 10, 15, 20, 25)
+    ),
+    c AS (
+      SELECT p_partkey, p_name, s_acctbal, s_name, n_name, cost,
+             min(cost) OVER (PARTITION BY p_partkey) AS mn
+      FROM ps
+      JOIN sel ON l_partkey = p_partkey
+      JOIN eu  ON l_suppkey = s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(cost, 2) AS supply_cost
+    FROM c WHERE cost = mn
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: without partsupp the
+    supply fact is derived from shipped lines — a supplier's cost for a
+    part is min(l_extendedprice / l_quantity) over their shipments (the
+    Q9/Q16/Q20 adaptation convention), and with single-word fixture
+    p_type the '%BRASS' suffix match becomes an equality. For each
+    selected part, keep the EUROPE supplier(s) achieving the regional
+    minimum cost (the official correlated subquery, expressed as a
+    min-window over the candidate rows — one pass, no re-join).
+
+    Scale shape: the broadcast part filter prunes lineitem BEFORE the
+    (partkey, suppkey) aggregation, so the only big shuffle carries the
+    selected parts' lines only; suppliers/nation/region broadcast; the
+    min-window partitions by part (parallel by key, no global sort).
+    The LIMIT boundary ranks on raw parquet doubles (s_acctbal — stable
+    bits in both engines) with a unique (s_name, p_partkey) tie chain.
+
+    Cross-engine: l_quantity <> 0 filters NULL and zero quantities in
+    both engines (ANSI Spark would throw on /0 — registry rule); min()
+    skips NULL costs in both; a part whose candidate costs are all NULL
+    yields cost = mn = NULL, and NULL = NULL is NULL, so the row drops
+    in both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") != 0).select(
+        "l_partkey", "l_suppkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit")
+    )
+    sel = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").isin(5, 10, 15, 20, 25)
+    ).select("p_partkey", "p_name")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    ps = (
+        li.join(F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(F.min("_unit").alias("cost"))
+    )
+    cand = ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    mn = F.min("cost").over(W.partitionBy("l_partkey"))
+    return (
+        cand.withColumn("_mn", mn)
+        .filter(F.col("cost") == F.col("_mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"), "p_name",
+            F.round("cost", 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+    WITH val AS (
+      -- lineitem-derived stock value (no partsupp availability): a
+      -- part's value from a region's suppliers is their shipped revenue
+      SELECT l_partkey, sum(l_extendedprice) AS raw_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           round(raw_value, 2) AS stock_value
+    FROM val
+    WHERE raw_value > (SELECT sum(raw_value) * 0.001 FROM val)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: stock value
+    per part held by one region's suppliers, derived from shipped-line
+    revenue instead of the absent partsupp (ps_supplycost*ps_availqty);
+    the region stands in for the single nation (GERMANY) because the
+    synthetic supplier table is small enough that one of 25 nations can
+    be empty at low SF. Parts whose value exceeds 0.1% of the regional
+    total survive — the official scalar-subquery threshold shape.
+
+    Scale shape: supplier⋈nation⋈region broadcasts (the fact side never
+    shuffles for the dimension filter); ONE map-side-combined groupBy on
+    l_partkey builds val; the threshold is a scalar aggregate of val
+    crossJoin-broadcast back — val is computed once per branch off the
+    same shuffled aggregate (AQE reuses the exchange), and nothing ever
+    collects to the driver.
+
+    Cross-engine: sum() skips NULL prices in both engines; an all-NULL
+    part gives raw_value NULL, which fails `> threshold` in both; on a
+    zero-row fixture the threshold itself is NULL and the result is
+    empty in both.
+    """
+    asia_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    val = (
+        li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+    )
+    thr = val.agg((F.sum("raw_value") * 0.001).alias("_thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("raw_value") > F.col("_thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("raw_value", 2).alias("stock_value"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT
+      CASE WHEN o_orderdate IS NULL THEN 'UNKNOWN'
+           WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY THEN 'SLOW'
+           WHEN l_shipdate >= o_orderdate + INTERVAL 21 DAY THEN 'REGULAR'
+           ELSE 'FAST' END AS ship_class,
+      count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS high_line_count,
+      count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ship_class
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping mode / order priority), adapted: the fixture
+    has no l_shipmode or l_receiptdate, so the grouping key is a derived
+    ship-SPEED class — days from order to ship date (>=60 SLOW, >=21
+    REGULAR, else FAST; NULL order date = UNKNOWN, pinned explicitly so
+    a NULL never silently classifies as FAST) — and the late-receipt
+    year filter becomes a ship-year filter. The priority split is the
+    official one: URGENT/HIGH lines vs the rest per class.
+
+    Scale shape: the year filter pushes to the lineitem scan; the
+    orders side is a plain shuffle equi-join on the order key (orders
+    is NOT broadcastable at 100 TB — it scales with the fact table) and
+    the final groupBy has 4 keys, fully map-side combinable.
+
+    Cross-engine: count(CASE WHEN cond THEN 1 END) counts only TRUE in
+    both engines — a NULL o_orderpriority lands in NEITHER count (IN and
+    NOT IN are both NULL), the official Q12 semantics.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    ).select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    cls = (
+        F.when(F.col("o_orderdate").isNull(), "UNKNOWN")
+        .when(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), "SLOW")
+        .when(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 21 DAYS"), "REGULAR")
+        .otherwise("FAST")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(cls.alias("ship_class"), "o_orderpriority")
+        .groupBy("ship_class")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
         )
     )

@@ -84,89 +84,84 @@ _MODULE_SEQ: dict[str, int] = {}
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row.
 #
-# Round-11 window (VERDICT r10 item 1). The rotation pool is derived
-# PROGRAMMATICALLY — `python -m tools.window_pool` folds
-# CORRECTNESS_r01..r10 into the last-verified map. Tool output this
-# rotation (through_round=10):
-#   histogram: r4=5, r5=40, r6=41, r8=40, r9=50, r10=50  (226, 0 never)
+# Round-12 window. Rotation pool derived PROGRAMMATICALLY —
+# `python -m tools.window_pool` folds CORRECTNESS_r01..r11 into the
+# last-verified map. Tool output this rotation (through_round=11):
+#   histogram: r6=41, r8=40, r9=50, r10=49, r11=50  (230, 0 never)
 # pinned (round-bounded, so next round's artifact can't break it) in
 # tests/test_registry_window.py.
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 4 queries NEW in r11 (q_embed_cluster_purity
-#       q_langid_confusion q_text_js_shift q_text_length_filter, pool()
-#       round-0 name order) — never driver-verified, so they must lead
-#       any window they can reach;
-#   (b) q_hist_equiwidth, whose ORACLE TEXT changed in r11 (ORDER BY
-#       bucket NULLS FIRST pin, ADVICE r10 item 2 — output identical on
-#       the NULL-free sf0.01 fixture, but changed text re-enters the
-#       window so the driver executes what ships);
-#   (c) the 5 remaining r4-stale rows (q_tpch_q9 q_ts_anomaly q_ts_ewma
-#       q_ts_resample q_win_running_distinct);
-#   (d) all 40 r5-stale rows, tools.window_pool pool() order (stalest
-#       round first, then name) — 4+1+5+40 = 50 exactly, so the 4 new
-#       queries' slots displace the 4 r6 fills of the draft rotation
-#       (q_agg_bool q_agg_distinct q_agg_having q_agg_moments), which
-#       now lead the r12 pool with the other 37 r6 rows.
-# After this window no green row is older than r6. Queries not named
+#   (a) the 3 queries NEW in r12 (q_tpch_q11 q_tpch_q12 q_tpch_q2 —
+#       the suite-completing TPC-H adaptations, pool() round-0 name
+#       order) — never driver-verified, so they must lead;
+#   (b) q_embed_cluster_purity, whose ORACLE TEXT changed in r12
+#       (NULLIF zero-norm guard + NULLS LAST pin, ADVICE r11 item 3 —
+#       output identical on the zero-norm-free sf0.01 fixture, but
+#       changed text re-enters the window so the driver executes what
+#       ships);
+#   (c) all 41 r6-stale rows, tools.window_pool pool() order;
+#   (d) the 5 stalest r8 rows (q_agg_gini q_agg_global q_dq_freshness
+#       q_embed_generate q_filter_cmp) — 3+1+41+5 = 50 exactly.
+# After this window no green row is older than r8. Queries not named
 # here rank after the prefix by (module rank, def order) — the safe
 # place for additions until rotated in.
 _WINDOW_PREFIX = [
-    # (a) new-in-r11, never verified — pool() round-0 name order
+    # (a) new-in-r12, never verified — pool() round-0 name order
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q2",
+    # (b) changed-in-r12 oracle text (NULLIF + NULLS LAST zero-norm pin)
     "q_embed_cluster_purity",
-    "q_langid_confusion",
-    "q_text_js_shift",
-    "q_text_length_filter",
-    # (b) changed-in-r11 oracle text (NULLS FIRST pin)
-    "q_hist_equiwidth",
-    # (c) the 5 r4-stale rows
-    "q_tpch_q9",
-    "q_ts_anomaly",
-    "q_ts_ewma",
-    "q_ts_resample",
-    "q_win_running_distinct",
-    # (d) all 40 r5-stale rows, tools.window_pool order
-    "q_ab_test",
-    "q_agg_corr",
-    "q_agg_string",
-    "q_agg_weighted",
-    "q_basket_pairs",
-    "q_benford",
-    "q_cohort_revenue",
-    "q_corpus_provenance",
-    "q_dedup_containment",
-    "q_dedup_incremental",
-    "q_dq_checks",
-    "q_er_blocking",
-    "q_fn_url",
-    "q_graph_degree",
-    "q_graph_triangles",
-    "q_heavy_hitters",
-    "q_interval_peak",
-    "q_join_bloom",
-    "q_join_overlap",
-    "q_join_pit",
-    "q_kanon",
-    "q_multimodal_dedup",
-    "q_pii_scan",
-    "q_profile",
-    "q_rfm",
-    "q_sample_balanced",
-    "q_scd2",
-    "q_seq_pattern",
-    "q_share_of_total",
-    "q_skyline",
-    "q_text_bm25",
-    "q_text_keyphrase",
-    "q_text_vocab_coverage",
-    "q_text_zipf",
-    "q_ts_autocorr",
-    "q_ts_cusum",
-    "q_ts_mad",
-    "q_unpivot",
-    "q_win_first_last",
-    "q_win_trend",
+    # (c) all 41 r6-stale rows, tools.window_pool order
+    "q_agg_bool",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_moments",
+    "q_agg_ols2",
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_case_when",
+    "q_cube",
+    "q_distinct",
+    "q_except",
+    "q_filter_between",
+    "q_filter_bool",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_null",
+    "q_funnel_latency",
+    "q_generate",
+    "q_geo_grid_density",
+    "q_geo_nearest",
+    "q_geo_radius_join",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_mv_incremental",
+    "q_pivot",
+    "q_rollup",
+    "q_rollup_grouping",
+    "q_skew_report",
+    "q_text_hapax",
+    "q_text_inverted_index",
+    "q_topk_per_group",
+    "q_ts_holt",
+    "q_ts_seasonality",
+    "q_union",
+    "q_win_frame_range",
+    "q_win_frame_rows",
+    "q_win_lag",
+    "q_win_rank",
+    "q_win_rolling_slope",
+    "q_zonemap_prune",
+    "q_zorder_layout",
+    # (d) the 5 stalest r8 rows
+    "q_agg_gini",
+    "q_agg_global",
+    "q_dq_freshness",
+    "q_embed_generate",
+    "q_filter_cmp",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -110,9 +110,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     snapshot directories; writers create NEW directories). Call
     clear_table_cache() if a test must violate that."""
     if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+        raise KeyError(
+            f"unknown table {name!r}; expected one of {TABLES} "
+            "(note: load_table memoizes resolved scans per (session, dir, "
+            "table) — a test/tool that rewrites files under an sf_dir in "
+            "place must call clear_table_cache() or it reads stale data)"
+        )
     per_session = _TABLE_CACHE.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    # realpath, not abspath: a symlinked alias of an sf_dir must hit the
+    # same cache entry as its target (ADVICE r11 — abspath keyed symlinks
+    # separately, double-analyzing identical scans).
+    key = (os.path.realpath(sf_dir), name)
     cached = per_session.get(key)
     if cached is not None:
         return cached

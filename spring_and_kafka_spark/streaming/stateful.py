@@ -7,6 +7,16 @@ State per key is a (count, total) pair — the kernel is trivial on purpose;
 the value is the plumbing: Arrow-batched groups, explicit state schema,
 timeout handling, and identical results whether a key's events arrive in
 one micro-batch or twenty.
+
+State-schema compatibility: the state StructTypes in this module are part
+of each query's CHECKPOINT contract. Spark validates stored state rows
+against the current schema on restart, so widening one (as r11 did when
+CUSUM_STATE_SCHEMA gained ``seen``) breaks resume-from-old-checkpoint with
+a state-schema-compatibility error. Upgrades that change a state schema
+must either discard the query's checkpoint directory (replay from the
+source — the engine's sources are replayable by design) or start a NEW
+checkpoint dir versioned alongside the schema (e.g. ``.../cusum_v2``).
+Never reuse a checkpoint across a state-schema change.
 """
 
 from __future__ import annotations

@@ -462,3 +462,51 @@ def test_js_shift_is_one_corpus_scan_stacked_windows(spark):
     # the documents scan prunes to (source, text): no doc_id in any scan
     for seg in p.split("ReadSchema")[1:]:
         assert "doc_id" not in seg.split("\n")[0]
+
+
+def test_tpch_q2_broadcasts_dims_prunes_before_agg(spark):
+    # the broadcast part filter must prune lineitem BEFORE the
+    # (partkey, suppkey) aggregation — the only big shuffle carries
+    # selected parts' lines only; supplier/nation/region broadcast;
+    # the min-window partitions by part (no global sort/product)
+    p = plan(spark, "q_tpch_q2")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    import re
+
+    # the part-filter join sits below the first Exchange in the
+    # lineitem branch: no SortMergeJoin anywhere in this plan
+    assert "SortMergeJoin" not in p
+    # window partitions by part key — never an empty PARTITION BY
+    w = [ln for ln in p.splitlines() if "windowspecdefinition" in ln.lower()]
+    assert w and all("l_partkey" in ln for ln in w)
+
+
+def test_tpch_q11_single_fact_shuffle_scalar_broadcast(spark):
+    # supplier/nation/region broadcast; ONE map-side-combined groupBy
+    # on l_partkey; the threshold is a broadcast nested-loop of a
+    # 1-row aggregate, not a shuffle or a cartesian blowup
+    p = plan(spark, "q_tpch_q11")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final on l_partkey
+    # fact columns pruned: no l_quantity/l_tax in any scan schema
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "l_tax" not in head and "l_comment" not in head
+
+
+def test_tpch_q12_year_filter_pushes_groupby_combines(spark):
+    # the ship-year filter reaches the lineitem scan (timestamp
+    # min/max row-group skipping is the real 100 TB lever here) and
+    # the 4-key groupBy is map-side combinable (partial+final)
+    p = plan(spark, "q_tpch_q12")
+    assert "CartesianProduct" not in p
+    before_schema = p.split("ReadSchema")[0]
+    assert "l_shipdate" in before_schema and "PushedFilters" in p
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "l_shipdate" in m.group(1)
+    assert p.count("HashAggregate") >= 2

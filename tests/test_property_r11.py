@@ -667,10 +667,15 @@ def test_cluster_purity_matches_brute_force(spark, rows):
             if best is None or s > best[0] or (s == best[0] and cid < best[1]):
                 best = (s, cid)
         if best is None:
-            # zero-norm vector: assignment engine-defined; the strategy
-            # cannot generate it (|x| <= 4 grid excludes exact zeros
-            # only when both components are 0.0 — possible!) so skip
-            continue
+            # zero-norm vector (or all centroids zero-norm): every sim
+            # is NULL. PINNED rule (r12, ADVICE r11): NULL loses to any
+            # non-NULL and an all-NULL vec falls to the SMALLEST
+            # centroid_id — Spark's max_by(struct(sim, -cid)) walks
+            # exactly this order (verified: all-NULL -> cid 0) and the
+            # oracle pins it with NULLS LAST + the cid tiebreak.
+            if not cents:
+                continue
+            best = (None, min(cents))
         clusters.setdefault(best[1], []).append(lab)
     expected = {}
     for cid, labs in clusters.items():
@@ -684,10 +689,6 @@ def test_cluster_purity_matches_brute_force(spark, rows):
         r.cluster: (r.n_vectors, r.top_label, r.purity)
         for r in q_embed_cluster_purity(spark, dst).collect()
     }
-    # zero-norm vectors (all-NULL sims) are engine-defined: drop any
-    # cluster rows the replay skipped, then require identity
-    zero_norm = {
-        i for i, (l, v) in finite.items() if v[0] == 0.0 and v[1] == 0.0
-    }
-    if not zero_norm:
-        assert got == expected
+    # zero-norm shapes are PINNED (NULLIF oracle guard + NULLS LAST +
+    # smallest-cid fallback), not engine-defined — identity always holds
+    assert got == expected

@@ -23,10 +23,11 @@ from __future__ import annotations
 from spring_and_kafka_spark import registry
 from tools.window_pool import histogram, last_verified, pool
 
-# The r11 window's derivation input is CORRECTNESS_r01..r10 — bound
-# every snapshot assert to it (VERDICT r10 item 1: unbounded pins fail
-# the moment the next round's artifact lands).
-DERIVATION_ROUND = 10
+# Each window's derivation input is CORRECTNESS_r01..r{N-1} — bound
+# every snapshot assert to its own input set (VERDICT r10 item 1:
+# unbounded pins fail the moment the next round's artifact lands).
+R11_DERIVATION_ROUND = 10
+R12_DERIVATION_ROUND = 11
 
 # NEW in r11 (never driver-verified — must lead any window they can
 # reach, pool() round-0 name order): the r11 LLM-ops batch.
@@ -41,6 +42,14 @@ NEW_R11 = [
 # the ORDER BY ... NULLS FIRST pin (ADVICE r10 item 2). Changed text
 # follows the never-verified block so the driver executes what ships.
 CHANGED_R11 = ["q_hist_equiwidth"]
+
+# NEW in r12: the suite-completing TPC-H adaptations (pool() round-0
+# name order — '1' sorts before '2', so q11/q12 lead q2).
+NEW_R12 = ["q_tpch_q11", "q_tpch_q12", "q_tpch_q2"]
+
+# Changed in r12 while already green: q_embed_cluster_purity's oracle
+# gained the NULLIF zero-norm guard + NULLS LAST pin (ADVICE r11).
+CHANGED_R12 = ["q_embed_cluster_purity"]
 
 
 # ---------------------------------------------------------------- invariants
@@ -108,7 +117,7 @@ def test_window_pool_histograms_match_their_input_rounds():
         8: 44,
         9: 50,
     }
-    assert histogram(last_verified(through_round=DERIVATION_ROUND)) == {
+    assert histogram(last_verified(through_round=R11_DERIVATION_ROUND)) == {
         4: 5,
         5: 40,
         6: 41,
@@ -116,23 +125,49 @@ def test_window_pool_histograms_match_their_input_rounds():
         9: 50,
         10: 50,
     }
+    assert histogram(last_verified(through_round=R12_DERIVATION_ROUND)) == {
+        6: 41,
+        8: 40,
+        9: 50,
+        10: 49,
+        11: 50,
+    }
 
 
-def test_r11_window_is_new_plus_changed_plus_pool_order():
-    """The r11 window must be exactly: the never-verified r11 additions,
-    then the r11-changed queries, then the rotation pool derived from
-    CORRECTNESS_r01..r10 in pool() order (stalest round, then name) —
-    i.e. the window is DERIVED, not hand-picked. With 4 new + 1 changed
-    + 5 r4 rows, the remaining 40 slots hold the entire r5 stratum."""
-    prefix = registry._WINDOW_PREFIX
-    lead = NEW_R11 + CHANGED_R11
-    assert prefix[: len(lead)] == lead
-    lv = last_verified(through_round=DERIVATION_ROUND)
+def test_r11_window_was_new_plus_changed_plus_pool_order():
+    """The r11 derivation record, kept as history: its window was the
+    never-verified r11 additions, then the r11-changed queries, then the
+    CORRECTNESS_r01..r10 pool in pool() order. The r11 PREFIX itself has
+    rotated away — this pins only the derivation inputs (the r11 window
+    list lives in CORRECTNESS_r11.json's key order, which is immutable)."""
+    lv = last_verified(through_round=R11_DERIVATION_ROUND)
     assert not any(n in lv for n in NEW_R11), "NEW_R11 not actually new"
+    import json, os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "CORRECTNESS_r11.json")) as f:
+        r11_window = list(json.load(f))
+    lead = NEW_R11 + CHANGED_R11
+    assert r11_window[: len(lead)] == lead
+    rest = [n for n in pool(lv) if n not in lead]
+    assert r11_window[len(lead) :] == rest[: 50 - len(lead)]
+
+
+def test_r12_window_is_new_plus_changed_plus_pool_order():
+    """The r12 window must be exactly: the never-verified r12 additions,
+    then the r12-changed queries, then the rotation pool derived from
+    CORRECTNESS_r01..r11 in pool() order (stalest round, then name) —
+    i.e. the window is DERIVED, not hand-picked. With 3 new + 1 changed,
+    the remaining 46 slots hold the whole r6 stratum (41) + 5 r8 rows."""
+    prefix = registry._WINDOW_PREFIX
+    lead = NEW_R12 + CHANGED_R12
+    assert prefix[: len(lead)] == lead
+    lv = last_verified(through_round=R12_DERIVATION_ROUND)
+    assert not any(n in lv for n in NEW_R12), "NEW_R12 not actually new"
     rest = [n for n in pool(lv) if n not in lead]
     assert prefix[len(lead) :] == rest[: 50 - len(lead)]
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata[:5] == [4] * 5
-    assert strata[5:] == [5] * 40
+    assert strata[:41] == [6] * 41
+    assert strata[41:] == [8] * 5
