@@ -919,3 +919,92 @@ def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("top_label"),
         (F.col("n_lab") * 1.0 / F.col("n")).alias("purity"),
     )
+
+
+@register(
+    "q_embed_outlier",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    idx AS (SELECT unnest(range(64)) AS i),
+    cent AS (
+      SELECT label, list(c ORDER BY i) AS cv FROM (
+        SELECT label, i, avg(v[i + 1]) AS c FROM e, idx GROUP BY label, i
+      ) GROUP BY label
+    ),
+    scored AS (
+      -- NULLIF pins zero-norm cosine to NULL in every division mode
+      -- (the q_embed_cluster_purity ADVICE r11 lesson, applied at birth)
+      SELECT e.vec_id, e.label,
+             round(list_dot_product(v, cv)
+                   / NULLIF(sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(cv, cv)), 0), 4) AS cos_r
+      FROM e JOIN cent USING (label)
+    ),
+    st AS (
+      SELECT label, avg(cos_r) AS mu, stddev_samp(cos_r) AS sd
+      FROM scored GROUP BY label
+    )
+    SELECT s.vec_id, s.label, s.cos_r AS cos_centroid,
+           round(st.mu - 2 * st.sd, 4) AS cutoff
+    FROM scored s JOIN st USING (label)
+    WHERE s.cos_r < st.mu - 2 * st.sd
+    """,
+    tags=("ann",),
+)
+def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outliers: labeled vectors whose cosine to their OWN
+    label's centroid falls more than two standard deviations below that
+    label's mean coherence — the mislabeled / off-distribution detector
+    a curation pipeline runs before trusting labels for mixing or
+    eval splits (q_embed_centroid computes the raw score; this adds the
+    per-label adaptive cutoff and flags).
+
+    Shape at 100 TB: centroids via the posexplode partial-avg (map-side
+    combined, labels×64 output) broadcast back; the per-label (mean,
+    std) table is label-cardinality — tiny — and broadcasts onto the
+    scored stream, so the vector table is scanned twice and shuffled
+    never (both joins broadcast, both aggregates map-side combined).
+
+    Cross-engine: the z-statistics aggregate the ROUNDED (4 dp) cosine
+    so both engines fold identical inputs; stddev_samp of a one-vector
+    label is NULL and the comparison drops the row in both engines;
+    zero-norm cosines are NULL by the guard (Spark) and NULLIF (oracle)
+    and vanish from avg/stddev/flagging identically."""
+    e = load_vectors(spark, sf_dir).filter(F.col("label").isNotNull()).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("v"), F.col("cv")), 4).alias("cos_r"),
+    )
+    st = scored.groupBy("label").agg(
+        F.avg("cos_r").alias("mu"), F.stddev_samp("cos_r").alias("sd")
+    )
+    cutoff = F.col("mu") - 2 * F.col("sd")
+    return (
+        scored.join(F.broadcast(st), "label")
+        .filter(F.col("cos_r") < cutoff)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cos_r").alias("cos_centroid"),
+            F.round(cutoff, 4).alias("cutoff"),
+        )
+    )

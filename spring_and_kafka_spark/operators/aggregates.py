@@ -944,3 +944,99 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0,
         ).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_hist_equidepth",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.125) AS b1,
+             quantile_cont(o_totalprice, 0.25)  AS b2,
+             quantile_cont(o_totalprice, 0.375) AS b3,
+             quantile_cont(o_totalprice, 0.5)   AS b4,
+             quantile_cont(o_totalprice, 0.625) AS b5,
+             quantile_cont(o_totalprice, 0.75)  AS b6,
+             quantile_cont(o_totalprice, 0.875) AS b7
+      FROM orders
+    ),
+    b AS (
+      -- NULL price -> NULL bucket (its own row, the q_hist_equiwidth
+      -- lesson); boundary-tied rows stay in the LOWER bucket (v > b is
+      -- false on equality in both engines)
+      SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+                  ELSE 1 + CAST(o_totalprice > q.b1 AS INT)
+                         + CAST(o_totalprice > q.b2 AS INT)
+                         + CAST(o_totalprice > q.b3 AS INT)
+                         + CAST(o_totalprice > q.b4 AS INT)
+                         + CAST(o_totalprice > q.b5 AS INT)
+                         + CAST(o_totalprice > q.b6 AS INT)
+                         + CAST(o_totalprice > q.b7 AS INT) END AS bucket,
+             o_totalprice AS v
+      FROM orders, q
+    ),
+    h AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             round(min(v), 2) AS lo, round(max(v), 2) AS hi
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, n, lo, hi,
+           round(n / CAST(sum(n) OVER () AS DOUBLE), 4) AS share
+    FROM h ORDER BY bucket NULLS FIRST
+    """,
+)
+def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order value: 8 buckets cut
+    at the exact octile boundaries, with per-bucket counts, observed
+    [lo, hi] and share — the optimizer-statistics / drift-baseline
+    complement to q_hist_equiwidth's fixed-width form (equal POPULATION
+    per bucket, data-driven bounds, robust to skew no fixed grid
+    survives).
+
+    Shape at 100 TB: one exact-percentile aggregate produces a 1-row,
+    7-column boundary table (crossJoin-broadcast back — the q_winsorize
+    band pattern); bucket assignment is then a map-side expression and
+    the groupBy reduces to ≤9 rows before the share window. Exact
+    percentile needs the per-column sort; at the top scale swap
+    approx_percentile in — the bucketing expression is unchanged.
+
+    Cross-engine: both engines interpolate quantiles with the same
+    (n-1)*p rule (the q_winsorize pin), so boundaries are bit-identical
+    doubles; boundary-TIED rows stay in the lower bucket by `v > b`
+    being false on equality in both; NULL prices form their own bucket
+    (NULL id) rather than polluting a value bucket, and percentile
+    skips them in both engines; counts are exactly n/8 only when no
+    boundary ties exist — ties keep their duplicates together, the
+    honest equi-depth semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = o.agg(
+        *[
+            F.percentile("o_totalprice", F.lit((i + 1) / 8.0)).alias(f"b{i + 1}")
+            for i in range(7)
+        ]
+    )
+    v = F.col("o_totalprice")
+    bucket = F.when(
+        v.isNotNull(),
+        sum(
+            [(v > F.col(f"b{i + 1}")).cast("int") for i in range(7)],
+            F.lit(1),
+        ),
+    )
+    h = (
+        o.crossJoin(F.broadcast(qs))
+        .select(bucket.alias("bucket"), v.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (ex_cents(F.min("v")) / 100.0).alias("lo"),
+            (ex_cents(F.max("v")) / 100.0).alias("hi"),
+        )
+    )
+    total = F.sum("n").over(W.partitionBy())
+    return h.select(
+        "bucket",
+        "n",
+        "lo",
+        "hi",
+        F.round(F.col("n") / total.cast("double"), 4).alias("share"),
+    ).orderBy("bucket")

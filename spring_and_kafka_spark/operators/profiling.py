@@ -583,3 +583,76 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+_LDIV_L = 3
+
+
+@register(
+    "q_ldiversity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_div
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST({_LDIV_L} AS BIGINT) AS l,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN l_div < {_LDIV_L} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_groups,
+           CAST(sum(CASE WHEN l_div < {_LDIV_L} THEN n ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           round(sum(CASE WHEN l_div < {_LDIV_L} THEN n ELSE 0 END)
+                 * 1.0 / sum(n), 6) AS frac_at_risk,
+           CAST(min(l_div) AS BIGINT) AS min_l
+    FROM g
+    """,
+    tags=("governance",),
+)
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement to
+    q_kanon's k-anonymity: a quasi-identifier group can be large enough
+    to pass k-anonymity yet reveal its sensitive attribute if every
+    member SHARES it. Per (nation, market-segment) group over orders,
+    count distinct order priorities (the sensitive attribute); groups
+    with fewer than l={_LDIV_L} distinct values leak, and the audit
+    reports how many groups and rows sit in that state plus the global
+    minimum diversity.
+
+    Shape at 100 TB: one shuffle joins orders to customer on the
+    customer key (both sides scale — a plain equi-join, co-partitioned
+    by Spark on the key); count(DISTINCT) over the grouped spine
+    expands to the standard two-level aggregate with map-side partials;
+    the final audit is a global reduce over group-cardinality rows.
+
+    Cross-engine: count(DISTINCT x) skips NULLs in BOTH engines
+    (registry NULL rule) — a group whose priorities are all NULL has
+    l_div = 0 and counts as leaking, which is the right answer for an
+    all-missing sensitive column."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderpriority").alias("l_div"),
+        )
+    )
+    low = F.col("l_div") < _LDIV_L
+    return g.agg(
+        F.lit(_LDIV_L).cast("long").alias("l"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(low.cast("long")).alias("n_low_groups"),
+        F.sum(F.when(low, F.col("n")).otherwise(0)).alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(low, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("frac_at_risk"),
+        F.min("l_div").alias("min_l"),
+    )

@@ -93,22 +93,27 @@ _MODULE_SEQ: dict[str, int] = {}
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 3 queries NEW in r12 (q_tpch_q11 q_tpch_q12 q_tpch_q2 —
-#       the suite-completing TPC-H adaptations, pool() round-0 name
-#       order) — never driver-verified, so they must lead;
+#   (a) the 7 queries NEW in r12 (q_embed_outlier q_graph_cc
+#       q_hist_equidepth q_ldiversity q_tpch_q11 q_tpch_q12 q_tpch_q2 —
+#       the suite-completing TPC-H adaptations plus the CC / outlier /
+#       equi-depth / l-diversity batch, pool() round-0 name order) —
+#       never driver-verified, so they must lead;
 #   (b) q_embed_cluster_purity, whose ORACLE TEXT changed in r12
 #       (NULLIF zero-norm guard + NULLS LAST pin, ADVICE r11 item 3 —
 #       output identical on the zero-norm-free sf0.01 fixture, but
 #       changed text re-enters the window so the driver executes what
 #       ships);
 #   (c) all 41 r6-stale rows, tools.window_pool pool() order;
-#   (d) the 5 stalest r8 rows (q_agg_gini q_agg_global q_dq_freshness
-#       q_embed_generate q_filter_cmp) — 3+1+41+5 = 50 exactly.
+#   (d) the stalest r8 row (q_agg_gini) — 7+1+41+1 = 50 exactly.
 # After this window no green row is older than r8. Queries not named
 # here rank after the prefix by (module rank, def order) — the safe
 # place for additions until rotated in.
 _WINDOW_PREFIX = [
     # (a) new-in-r12, never verified — pool() round-0 name order
+    "q_embed_outlier",
+    "q_graph_cc",
+    "q_hist_equidepth",
+    "q_ldiversity",
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q2",
@@ -156,12 +161,8 @@ _WINDOW_PREFIX = [
     "q_win_rolling_slope",
     "q_zonemap_prune",
     "q_zorder_layout",
-    # (d) the 5 stalest r8 rows
+    # (d) the stalest r8 row
     "q_agg_gini",
-    "q_agg_global",
-    "q_dq_freshness",
-    "q_embed_generate",
-    "q_filter_cmp",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

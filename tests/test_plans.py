@@ -510,3 +510,56 @@ def test_tpch_q12_year_filter_pushes_groupby_combines(spark):
     m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
     assert m and "l_shipdate" in m.group(1)
     assert p.count("HashAggregate") >= 2
+
+
+def test_graph_cc_lineage_cut_no_cartesian(spark):
+    # the returned plan hangs off the LAST materialized label round: a
+    # lineage-cut scan (localCheckpoint in local mode), a map-side
+    # combined groupBy, and nothing else — per-round lineage must NOT
+    # accumulate into the final plan (the iterative discipline of
+    # pagerank/dedup-CC)
+    import re
+
+    p = plan(spark, "q_graph_cc")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # the checkpointed labels
+    # count detail headers, not tree echoes (the adf1286 lesson):
+    # exactly partial + final of the component-size count
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2
+    assert "Join" not in p  # all joins happened inside the loop rounds
+
+
+def test_embed_outlier_double_broadcast_no_vector_shuffle(spark):
+    # both the centroid table and the per-label stats broadcast back;
+    # the only exchanges are the tiny exploded-avg aggregations — the
+    # full-width vector rows are never shuffled
+    p = plan(spark, "q_embed_outlier")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_hist_equidepth_boundary_broadcast_single_fact_pattern(spark):
+    # the 1-row octile boundary aggregate rides back via
+    # BroadcastNestedLoopJoin (a 1-row broadcast, not a shuffle);
+    # bucket assignment is a projection; the groupBy reduces to <=9
+    # rows before the share window
+    p = plan(spark, "q_hist_equidepth")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    # orders scan prunes to the price column (+ nothing else)
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "o_orderdate" not in head and "o_orderpriority" not in head
+
+
+def test_ldiversity_distinct_expands_two_level(spark):
+    # count(DISTINCT) over the joined spine must plan as the two-level
+    # expand aggregate with map-side partials; scans prune to the 4
+    # needed columns
+    p = plan(spark, "q_ldiversity")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 3
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "o_totalprice" not in head and "c_acctbal" not in head

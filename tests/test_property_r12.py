@@ -1,0 +1,262 @@
+"""Round-12 property battery: brute-force replays for the r12 operator
+batch —
+
+- q_graph_cc: synchronized min-label propagation vs a union-find ground
+  truth on arbitrary co-order multigraphs (isolated parts, hubs, chains
+  near the round bound, multi-component shapes);
+- q_hist_equidepth: the (n-1)*p interpolated octile boundaries and the
+  ties-stay-lower bucketing rule vs a sorted-list replay, with heavy
+  duplicate blocks placed ON boundaries and NULL/NaN/Inf prices;
+- q_ldiversity: the distinct-sensitive-value audit vs direct counting,
+  including all-NULL sensitive groups (l_div = 0 must count as leaking).
+
+As in the r10/r11 batteries, every replay drives the REAL registered
+query end-to-end: each example writes a random parquet fixture and the
+query reads it through load_table, so the finite-or-null ingest contract
+is part of the replayed semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import shutil
+import tempfile
+
+from hypothesis import given, settings, strategies as st
+
+NAN = float("nan")
+INF = float("inf")
+_TS0 = dt.datetime(2024, 1, 1)
+
+
+def _write_lineitem(spark, d, items):
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             _TS0 + dt.timedelta(days=1))
+            for i, (ok, pk) in enumerate(items)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+
+cc_lineitems = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 11)),  # (order, part)
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(cc_lineitems)
+def test_graph_cc_matches_union_find(spark, items):
+    """Min-label propagation (16 synchronized rounds, early-stopped at
+    the fixed point) must produce exactly the union-find components of
+    the thinned (co-ordered >= 2 times) part graph: component id = min
+    part key, one row per component with its size. Parts outside every
+    thinned edge are NOT nodes (the query's node set is edge-derived),
+    matching the oracle's DISTINCT src FROM edges."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from spring_and_kafka_spark.operators.graph import q_graph_cc
+
+    per_order = defaultdict(set)
+    for ok, pk in items:
+        per_order[ok].add(pk)
+    pair_orders = defaultdict(int)
+    for parts in per_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            pair_orders[(u, v)] += 1
+    edges = {p for p, n in pair_orders.items() if n >= 2}
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = defaultdict(int)
+    for n in parent:
+        comp[find(n)] += 1
+
+    d = tempfile.mkdtemp(prefix="cc-prop-")
+    try:
+        _write_lineitem(spark, d, items)
+        got = {
+            r.component: r.n_nodes for r in q_graph_cc(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == dict(comp)
+
+
+prices = st.lists(
+    st.one_of(
+        st.none(),
+        st.just(NAN),
+        st.just(INF),
+        st.just(-INF),
+        # duplicate-heavy grid so octile boundaries land ON tied blocks
+        st.sampled_from([0.0, 1.0, 1.0, 2.5, 2.5, 2.5, 10.0, 10.0, -3.0,
+                         100.0, 100.0, 0.125]),
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=48,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(prices)
+def test_hist_equidepth_matches_sorted_replay(spark, vals):
+    """Octile boundaries via (n-1)*p interpolation over the FINITE
+    values (NaN/Inf are contract-nulled at the scan), ties stay in the
+    lower bucket, NULLs form their own bucket — replayed from a sorted
+    list."""
+    from spring_and_kafka_spark.operators.aggregates import q_hist_equidepth
+
+    clean = [
+        None if v is None or (isinstance(v, float) and not math.isfinite(v))
+        else v
+        for v in vals
+    ]
+    finite = sorted(v for v in clean if v is not None)
+
+    def q(p):
+        if not finite:
+            return None
+        idx = (len(finite) - 1) * p
+        lo, f = int(idx // 1), idx % 1
+        hi = min(lo + 1, len(finite) - 1)
+        return finite[lo] * (1 - f) + finite[hi] * f
+
+    bounds = [q((i + 1) / 8.0) for i in range(7)]
+    expected = {}
+    rows = []
+    for v in clean:
+        b = None if v is None else 1 + sum(1 for x in bounds if v > x)
+        rows.append((b, v))
+    from collections import defaultdict
+
+    agg = defaultdict(list)
+    for b, v in rows:
+        agg[b].append(v)
+    total = len(clean)
+    for b, vs in agg.items():
+        fin = [v for v in vs if v is not None]
+        # the cents rule: floor(x*100+0.5)/100, bit-identical engines
+        lo = math.floor(min(fin) * 100 + 0.5) / 100 if fin else None
+        hi = math.floor(max(fin) * 100 + 0.5) / 100 if fin else None
+        expected[b] = (
+            len(vs),
+            lo,
+            hi,
+            round(len(vs) / total, 4),
+        )
+
+    d = tempfile.mkdtemp(prefix="eqd-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i, 1, "O", v, _TS0, "1-URGENT")
+                for i, v in enumerate(vals)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = {
+            r.bucket: (r.n, r.lo, r.hi, r.share)
+            for r in q_hist_equidepth(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+ldiv_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # customer id -> (nation, segment) derived
+        st.sampled_from(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", None]
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ldiv_rows)
+def test_ldiversity_matches_direct_count(spark, rows):
+    """The audit row (group counts, leak counts, rows at risk, min_l)
+    replayed by direct counting. NULL priorities are skipped by the
+    distinct count in both engines, so an all-NULL group audits at
+    l_div = 0 — leaking."""
+    from collections import defaultdict
+
+    from spring_and_kafka_spark.operators.profiling import (
+        _LDIV_L,
+        q_ldiversity,
+    )
+
+    qi = lambda cust: (cust % 3, f"SEG_{cust % 2}")  # noqa: E731
+    groups = defaultdict(lambda: [0, set()])
+    for cust, prio in rows:
+        g = groups[qi(cust)]
+        g[0] += 1
+        if prio is not None:
+            g[1].add(prio)
+    n_groups = len(groups)
+    lows = [(n, len(s)) for n, s in groups.values() if len(s) < _LDIV_L]
+    exp = (
+        _LDIV_L,
+        n_groups,
+        len(lows),
+        sum(n for n, _ in lows),
+        round(sum(n for n, _ in lows) / sum(n for n, _ in groups.values()), 6),
+        min(len(s) for _, s in groups.values()),
+    )
+
+    d = tempfile.mkdtemp(prefix="ldiv-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i, cust, "O", 1.0, _TS0, prio)
+                for i, (cust, prio) in enumerate(rows)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            [
+                (c, f"cust{c}", c % 3, 0.0, f"SEG_{c % 2}")
+                for c in range(6)
+            ],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        r = q_ldiversity(spark, d).collect()[0]
+        got = (
+            r.l,
+            r.n_groups,
+            r.n_low_groups,
+            r.n_rows_at_risk,
+            r.frac_at_risk,
+            r.min_l,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == exp

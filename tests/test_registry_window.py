@@ -43,9 +43,18 @@ NEW_R11 = [
 # follows the never-verified block so the driver executes what ships.
 CHANGED_R11 = ["q_hist_equiwidth"]
 
-# NEW in r12: the suite-completing TPC-H adaptations (pool() round-0
-# name order — '1' sorts before '2', so q11/q12 lead q2).
-NEW_R12 = ["q_tpch_q11", "q_tpch_q12", "q_tpch_q2"]
+# NEW in r12: the suite-completing TPC-H adaptations plus the
+# CC / outlier / equi-depth / l-diversity batch (pool() round-0 name
+# order — '1' sorts before '2', so q11/q12 lead q2).
+NEW_R12 = [
+    "q_embed_outlier",
+    "q_graph_cc",
+    "q_hist_equidepth",
+    "q_ldiversity",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q2",
+]
 
 # Changed in r12 while already green: q_embed_cluster_purity's oracle
 # gained the NULLIF zero-norm guard + NULLS LAST pin (ADVICE r11).
@@ -157,8 +166,8 @@ def test_r12_window_is_new_plus_changed_plus_pool_order():
     """The r12 window must be exactly: the never-verified r12 additions,
     then the r12-changed queries, then the rotation pool derived from
     CORRECTNESS_r01..r11 in pool() order (stalest round, then name) —
-    i.e. the window is DERIVED, not hand-picked. With 3 new + 1 changed,
-    the remaining 46 slots hold the whole r6 stratum (41) + 5 r8 rows."""
+    i.e. the window is DERIVED, not hand-picked. With 7 new + 1 changed,
+    the remaining 42 slots hold the whole r6 stratum (41) + 1 r8 row."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R12 + CHANGED_R12
     assert prefix[: len(lead)] == lead
@@ -170,4 +179,4 @@ def test_r12_window_is_new_plus_changed_plus_pool_order():
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
     assert strata[:41] == [6] * 41
-    assert strata[41:] == [8] * 5
+    assert strata[41:] == [8] * 1
