@@ -85,6 +85,19 @@ HEADLINE = [
     "q_text_length_filter",
     "q_text_js_shift",
     "q_embed_cluster_purity",
+    # round-12 additions: suite-completing TPC-H adaptations (min-window
+    # supplier selection, scalar-threshold, derived ship class), the
+    # second iterative-graph family (CC: diameter-bounded double-step
+    # propagation — ~6 s of honest per-round job overhead at sf0.1),
+    # embedding outlier flags, exact-octile equi-depth histogram,
+    # l-diversity audit (BASELINE.md §2 notes the headline-set change)
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_graph_cc",
+    "q_embed_outlier",
+    "q_hist_equidepth",
+    "q_ldiversity",
 ]
 
 

@@ -1008,12 +1008,15 @@ def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary ties exist — ties keep their duplicates together, the
     honest equi-depth semantics."""
     o = load_table(spark, sf_dir, "orders")
+    # ONE array-percentile aggregate: all 7 octiles from a single sorted
+    # pass (seven scalar F.percentile calls plan seven independent
+    # sort-aggregates — 4.6x slower at sf0.1, measured r12)
     qs = o.agg(
-        *[
-            F.percentile("o_totalprice", F.lit((i + 1) / 8.0)).alias(f"b{i + 1}")
-            for i in range(7)
-        ]
-    )
+        F.percentile(
+            "o_totalprice",
+            F.array([F.lit((i + 1) / 8.0) for i in range(7)]),
+        ).alias("_bs")
+    ).select(*[F.col("_bs")[i].alias(f"b{i + 1}") for i in range(7)])
     v = F.col("o_totalprice")
     bucket = F.when(
         v.isNotNull(),

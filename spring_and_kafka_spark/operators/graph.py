@@ -389,27 +389,34 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.col("node").alias("lab")
         )
     )
-    for _ in range(_CC_ROUNDS):
+    def propagate(lab_df: DataFrame) -> DataFrame:
         msgs = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(lab_df, edges.src == lab_df.node)
             .groupBy(F.col("dst").alias("mnode"))
             .agg(F.min("lab").alias("ml"))
         )
+        return lab_df.join(msgs, lab_df.node == msgs.mnode, "left").select(
+            "node",
+            F.least(
+                F.col("lab"), F.coalesce(F.col("ml"), F.col("lab"))
+            ).alias("lab"),
+        )
+
+    # TWO propagation rounds per materialize + convergence check (the
+    # fixed per-job overhead dominates the tiny aggregate-cardinality
+    # label table; 8 x 2 = the oracle's 16-round cap exactly), and the
+    # convergence flag rides INSIDE the materialized frame — comparing
+    # against the pre-step labels as a column, so the check is a scan
+    # of already-checkpointed rows, not a second join+shuffle job
+    for _ in range(_CC_ROUNDS // 2):
+        old = labels
+        stepped = propagate(propagate(labels.select("node", "lab")))
         new = materialize(
-            labels.join(msgs, labels.node == msgs.mnode, "left").select(
-                "node",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("ml"), F.col("lab"))
-                ).alias("lab"),
-            )
+            stepped.alias("n")
+            .join(old.select("node", F.col("lab").alias("_prev")), "node")
+            .select("node", "lab", (F.col("lab") != F.col("_prev")).alias("_ch"))
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
+        changed = new.filter(F.col("_ch")).limit(1).count()
         labels = new
         if changed == 0:
             break

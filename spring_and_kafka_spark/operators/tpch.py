@@ -932,7 +932,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS p_partkey,
            round(raw_value, 2) AS stock_value
     FROM val
-    WHERE raw_value > (SELECT sum(raw_value) * 0.001 FROM val)
+    WHERE raw_value > (SELECT avg(raw_value) * 2 FROM val)
     """,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,8 +941,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue instead of the absent partsupp (ps_supplycost*ps_availqty);
     the region stands in for the single nation (GERMANY) because the
     synthetic supplier table is small enough that one of 25 nations can
-    be empty at low SF. Parts whose value exceeds 0.1% of the regional
-    total survive — the official scalar-subquery threshold shape.
+    be empty at low SF. Parts whose value exceeds 2x the MEAN part value
+    survive — the official scalar-subquery threshold shape; the official
+    FRACTION is 0.0001/SF (explicitly scale-adjusted by the spec), and
+    the 2x-mean form is the scale-FREE restatement: selectivity stays
+    comparable at every SF, where any fixed fraction of the total goes
+    vacuous as part cardinality grows (0 rows at sf0.1, measured r12).
 
     Scale shape: supplier⋈nation⋈region broadcasts (the fact side never
     shuffles for the dimension filter); ONE map-side-combined groupBy on
@@ -969,7 +973,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("l_extendedprice").alias("raw_value"))
     )
-    thr = val.agg((F.sum("raw_value") * 0.001).alias("_thr"))
+    thr = val.agg((F.avg("raw_value") * 2).alias("_thr"))
     return (
         val.crossJoin(F.broadcast(thr))
         .filter(F.col("raw_value") > F.col("_thr"))

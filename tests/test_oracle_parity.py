@@ -70,6 +70,14 @@ _ROUNDED_SUM_AUDITED = {
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_ts_mad",
     "q_udf_grouped_agg", "q_win_frame_range", "q_win_frame_rows",
     "q_zonemap_prune",
+    # r12: rounds sums of exact INTEGERS (counts) — safe outright,
+    # the q_kanon precedent
+    "q_ldiversity",
+    # r12: the regex can NOT see this one — round(raw_value, 2) where
+    # raw_value is a CTE alias for sum(l_extendedprice), i.e. an
+    # alias-hidden rounded float sum. Listed for the record; audited at
+    # sf0.01 (52 rows) AND sf0.1 (516 rows) hash-match, r12.
+    "q_tpch_q11",
 }
 
 
