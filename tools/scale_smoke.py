@@ -138,6 +138,21 @@ FACT_QUERIES = [
     "q_snapshot_diff",
     "q_skew_report",
     "q_mv_incremental",
+    # r12 additions: the suite-completing TPC-H adaptations (broadcast-
+    # pruned supply aggregation / scalar-threshold / derived ship class)
+    # plus equi-depth boundaries and the l-diversity spine join — all
+    # expected ~linear (one fact shuffle each)
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_hist_equidepth",
+    "q_ldiversity",
+    # q_graph_cc: same caveat as q_graph_triangles/q_graph_degree —
+    # copies replay the same PART sets under shifted order keys, so the
+    # co-order graph DENSIFIES (pairs cross the >=2 threshold and
+    # components merge); the ratio measures graph densification plus
+    # the extra propagation rounds it induces, not a plan defect
+    "q_graph_cc",
 ]
 
 
@@ -301,6 +316,23 @@ NOTES = {
         "see the preamble above); at the real fixture SFs the cap never "
         "fires, candidate volume is linear, and hot_buckets == 0 is "
         "asserted."
+    ),
+    "q_graph_cc": (
+        "same densification caveat as q_graph_triangles: copies replay "
+        "the same PART sets under shifted order keys, so co-order pairs "
+        "cross the ≥2 threshold, components MERGE, and min-label "
+        "propagation runs extra rounds on a denser graph — the ratio "
+        "measures densification-induced rounds, not a plan defect; the "
+        "per-round shape (edges⋈labels shuffle + map-side min) is "
+        "row-linear within a round."
+    ),
+    "q_hist_equidepth": (
+        "above cheap peers yet SUBLINEAR in the 10× facts — the exact "
+        "array-percentile pass is the only row-sized stage (single "
+        "sorted aggregate); bucket assignment and the ≤9-row share "
+        "window are unchanged by amplification. At the top scale the "
+        "documented swap is approx_percentile with the same bucketing "
+        "expression."
     ),
 }
 
