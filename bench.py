@@ -98,6 +98,10 @@ HEADLINE = [
     "q_embed_outlier",
     "q_hist_equidepth",
     "q_ldiversity",
+    # round-12 second batch: aggregate-as-window exact median + robust
+    # pairwise-slope trend (both on micro-unit integer daily revenue)
+    "q_win_rolling_median",
+    "q_ts_theilsen",
 ]
 
 

@@ -804,3 +804,83 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id LONG, event_id LONG, value DOUBLE, "
         "level DOUBLE, trend DOUBLE, forecast DOUBLE",
     )
+
+
+@register(
+    "q_ts_theilsen",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type, day, CAST(sum(vi) AS BIGINT) AS rev
+      FROM s GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             (b.rev - a.rev) * 1.0
+               / date_diff('day', a.day, b.day) AS slope
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 4) AS slope_micros_per_day
+    FROM p GROUP BY 1
+    """,
+)
+def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen trend per event type: the MEDIAN of all pairwise
+    day-to-day revenue slopes — the robust alternative to
+    q_win_trend's OLS slope (up to ~29% contaminated days cannot move
+    it; one bad ingest day ruins a least-squares fit). The estimator a
+    monitoring pipeline trusts on dirty daily volumes.
+
+    Cross-engine determinism: daily revenue is exact micro-unit
+    BIGINTs (q_ts_mad rule); each pairwise slope is ONE identical IEEE
+    division of exact integers in both engines, and the median
+    interpolates those identical doubles with the shared (n-1)·p rule
+    (q_winsorize pin) — rounded to 4 dp for the boundary discipline.
+    NULL-timestamp rows are excluded in both engines (day arithmetic
+    needs a day); an all-NULL-value day yields NULL rev, its pair
+    slopes are NULL, and quantile_cont/percentile skip NULLs alike
+    while count(*) counts the pair rows in both.
+
+    Shape at 100 TB: the pair expansion is over the (type, day)
+    AGGREGATE — bounded by days-per-type (time, not data volume), the
+    same O(days²) the statistics literature accepts for exact
+    Theil–Sen — never over raw events; the fact table contributes one
+    map-side-combined groupBy. The per-type day table broadcasts to
+    its own self-join."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vi"),
+        )
+    )
+    d = e.groupBy("event_type", "day").agg(F.sum("vi").alias("rev"))
+    a = d.alias("a")
+    b = d.alias("b")
+    p = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.rev") - F.col("a.rev"))
+            * 1.0
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 4).alias(
+            "slope_micros_per_day"
+        ),
+    )

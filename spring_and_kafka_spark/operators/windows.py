@@ -521,3 +521,64 @@ def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(num * 1.0 / den / 1e6 * 1e4 + F.lit(0.5)) / 1e4 + 0.0,
         ).alias("roll_slope"),
     )
+
+
+@register(
+    "q_win_rolling_median",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, day, CAST(sum(vi) AS BIGINT) AS rev_micros
+      FROM s GROUP BY 1, 2
+    )
+    SELECT event_type, day, rev_micros,
+           quantile_cont(rev_micros, 0.5) OVER (
+             PARTITION BY event_type ORDER BY day NULLS FIRST
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7_micros
+    FROM d
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily revenue per event type — the robust
+    trend line a monitoring dashboard draws instead of the mean (one
+    spike day cannot drag it; the q_ts_mad robustness argument applied
+    to the windowed form). Demonstrates aggregate-as-window-function:
+    an exact percentile evaluated over a moving ROWS frame.
+
+    Cross-engine determinism: daily revenue scales to exact micro-unit
+    BIGINTs BEFORE the window (the q_ts_mad rule), so the median
+    interpolates on integers and lands on an exact .5 grid — no float-
+    order drift inside the frame. Spark `percentile` and DuckDB
+    `quantile_cont` share the (n-1)·p interpolation rule (the
+    q_winsorize pin), both skip NULL frame members, and the window
+    ORDER BY pins NULLS FIRST (a NULL ingest day sorts first in both
+    engines instead of shifting every frame by one).
+
+    Shape at 100 TB: ONE map-side-combined groupBy onto the (type, day)
+    key — the only stage that sees row volume — then the window runs
+    over the days-sized aggregate, partitioned by event_type: each
+    partition sorts O(days) rows on one reducer, which is the correct
+    plan (the q_dq_freshness argument)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vi"),
+    )
+    d = e.groupBy("event_type", "day").agg(
+        F.sum("vi").alias("rev_micros")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        "rev_micros",
+        F.percentile("rev_micros", F.lit(0.5)).over(w).alias("med7_micros"),
+    )

@@ -93,19 +93,22 @@ _MODULE_SEQ: dict[str, int] = {}
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 7 queries NEW in r12 (q_embed_outlier q_graph_cc
-#       q_hist_equidepth q_ldiversity q_tpch_q11 q_tpch_q12 q_tpch_q2 —
-#       the suite-completing TPC-H adaptations plus the CC / outlier /
-#       equi-depth / l-diversity batch, pool() round-0 name order) —
-#       never driver-verified, so they must lead;
+#   (a) the 9 queries NEW in r12 (q_embed_outlier q_graph_cc
+#       q_hist_equidepth q_ldiversity q_tpch_q11 q_tpch_q12 q_tpch_q2
+#       q_ts_theilsen q_win_rolling_median — the suite-completing TPC-H
+#       adaptations plus the CC / outlier / equi-depth / l-diversity /
+#       robust-trend batch, pool() round-0 name order) — never
+#       driver-verified, so they must lead;
 #   (b) q_embed_cluster_purity, whose ORACLE TEXT changed in r12
 #       (NULLIF zero-norm guard + NULLS LAST pin, ADVICE r11 item 3 —
 #       output identical on the zero-norm-free sf0.01 fixture, but
 #       changed text re-enters the window so the driver executes what
 #       ships);
-#   (c) all 41 r6-stale rows, tools.window_pool pool() order;
-#   (d) the stalest r8 row (q_agg_gini) — 7+1+41+1 = 50 exactly.
-# After this window no green row is older than r8. Queries not named
+#   (c) the first 40 of the 41 r6-stale rows, tools.window_pool pool()
+#       order — 9+1+40 = 50 exactly; q_zorder_layout (the 41st r6 row)
+#       and the r8 stratum lead the r13 pool.
+# After this window one green row (q_zorder_layout) is r6-old; the rest
+# are r8+. Queries not named
 # here rank after the prefix by (module rank, def order) — the safe
 # place for additions until rotated in.
 _WINDOW_PREFIX = [
@@ -117,6 +120,8 @@ _WINDOW_PREFIX = [
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q2",
+    "q_ts_theilsen",
+    "q_win_rolling_median",
     # (b) changed-in-r12 oracle text (NULLIF + NULLS LAST zero-norm pin)
     "q_embed_cluster_purity",
     # (c) all 41 r6-stale rows, tools.window_pool order
@@ -160,9 +165,6 @@ _WINDOW_PREFIX = [
     "q_win_rank",
     "q_win_rolling_slope",
     "q_zonemap_prune",
-    "q_zorder_layout",
-    # (d) the stalest r8 row
-    "q_agg_gini",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -563,3 +563,26 @@ def test_ldiversity_distinct_expands_two_level(spark):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "o_totalprice" not in head and "c_acctbal" not in head
+
+
+def test_rolling_median_window_partitioned_after_day_agg(spark):
+    # one map-side-combined groupBy onto (type, day), then the window
+    # partitions by event_type — never an empty PARTITION BY; scans
+    # prune to the three needed columns
+    p = plan(spark, "q_win_rolling_median")
+    assert "CartesianProduct" not in p
+    w = [ln for ln in p.splitlines() if "windowspecdefinition" in ln.lower()]
+    assert w and all("event_type" in ln for ln in w)
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "props" not in head and "user_id" not in head
+
+
+def test_theilsen_pairs_over_aggregate_broadcast(spark):
+    # the pair expansion self-joins the (type, day) AGGREGATE via
+    # broadcast hash join on the type key (day < day as the residual
+    # condition) — never a cartesian product, never raw events
+    p = plan(spark, "q_ts_theilsen")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p

@@ -260,3 +260,141 @@ def test_ldiversity_matches_direct_count(spark, rows):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == exp
+
+
+ev_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["click", "view"]),
+        st.one_of(st.none(), st.integers(0, 9)),   # day (None -> NULL ts)
+        st.one_of(
+            st.none(), st.just(NAN), st.just(INF),
+            st.floats(-1e5, 1e5, allow_nan=False, allow_infinity=False),
+        ),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(
+        [
+            (
+                i,
+                None if day is None else _TS0 + dt.timedelta(days=day),
+                i % 5,
+                et,
+                v,
+                "{}",
+            )
+            for i, (et, day, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+
+def _daily(rows, keep_null_day):
+    from collections import defaultdict
+
+    daily = defaultdict(list)
+    for et, day, v in rows:
+        if day is None and not keep_null_day:
+            continue
+        vi = (
+            None
+            if v is None or (isinstance(v, float) and not math.isfinite(v))
+            else math.floor(v * 1e6 + 0.5)
+        )
+        daily[(et, day)].append(vi)
+    return {
+        k: (sum(x for x in vs if x is not None)
+            if any(x is not None for x in vs) else None)
+        for k, vs in daily.items()
+    }
+
+
+def _interp_median(vals):
+    vs = sorted(v for v in vals if v is not None)
+    if not vs:
+        return None
+    idx = (len(vs) - 1) * 0.5
+    lo, f = int(idx // 1), idx % 1
+    hi = min(lo + 1, len(vs) - 1)
+    return vs[lo] * (1 - f) + vs[hi] * f
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_rows)
+def test_rolling_median_matches_frame_replay(spark, rows):
+    """Per-type 7-row rolling median over exact micro-unit daily revenue,
+    NULL day sorted FIRST, NULL frame members skipped by the percentile
+    in both engines — replayed frame by frame."""
+    from spring_and_kafka_spark.operators.windows import (
+        q_win_rolling_median,
+    )
+
+    daily = _daily(rows, keep_null_day=True)
+    expected = {}
+    for et in {k[0] for k in daily}:
+        days = sorted(
+            (k[1] for k in daily if k[0] == et),
+            key=lambda x: (x is not None, x),  # None first, Spark asc
+        )
+        revs = [daily[(et, day)] for day in days]
+        for i, day in enumerate(days):
+            frame = revs[max(0, i - 6) : i + 1]
+            expected[(et, day)] = (revs[i], _interp_median(frame))
+
+    d = tempfile.mkdtemp(prefix="rmed-prop-")
+    try:
+        _write_events(spark, d, rows)
+        got = {
+            (r.event_type, None if r.day is None else (r.day - _TS0.date()).days):
+                (r.rev_micros, r.med7_micros)
+            for r in q_win_rolling_median(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(ev_rows)
+def test_theilsen_matches_pairwise_replay(spark, rows):
+    """Median pairwise slope on exact micro-unit daily revenue: every
+    slope one identical IEEE division, NULL-rev pairs counted but
+    skipped by the median, NULL-ts rows excluded — replayed pair by
+    pair."""
+    from spring_and_kafka_spark.operators.timeseries import q_ts_theilsen
+
+    daily = _daily(rows, keep_null_day=False)
+    expected = {}
+    for et in {k[0] for k in daily}:
+        days = sorted(k[1] for k in daily if k[0] == et)
+        pairs = []
+        for i in range(len(days)):
+            for j in range(i + 1, len(days)):
+                a, b = daily[(et, days[i])], daily[(et, days[j])]
+                pairs.append(
+                    None
+                    if a is None or b is None
+                    else (b - a) * 1.0 / (days[j] - days[i])
+                )
+        if pairs:
+            med = _interp_median(pairs)
+            expected[et] = (
+                len(pairs),
+                None if med is None else round(med, 4),
+            )
+
+    d = tempfile.mkdtemp(prefix="ts-prop-")
+    try:
+        _write_events(spark, d, rows)
+        got = {
+            r.event_type: (r.n_pairs, r.slope_micros_per_day)
+            for r in q_ts_theilsen(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected

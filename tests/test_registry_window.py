@@ -54,6 +54,8 @@ NEW_R12 = [
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q2",
+    "q_ts_theilsen",
+    "q_win_rolling_median",
 ]
 
 # Changed in r12 while already green: q_embed_cluster_purity's oracle
@@ -166,8 +168,9 @@ def test_r12_window_is_new_plus_changed_plus_pool_order():
     """The r12 window must be exactly: the never-verified r12 additions,
     then the r12-changed queries, then the rotation pool derived from
     CORRECTNESS_r01..r11 in pool() order (stalest round, then name) —
-    i.e. the window is DERIVED, not hand-picked. With 7 new + 1 changed,
-    the remaining 42 slots hold the whole r6 stratum (41) + 1 r8 row."""
+    i.e. the window is DERIVED, not hand-picked. With 9 new + 1 changed,
+    the remaining 40 slots hold the first 40 of the 41-row r6 stratum
+    (q_zorder_layout, the 41st in pool order, leads the r13 pool)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R12 + CHANGED_R12
     assert prefix[: len(lead)] == lead
@@ -178,5 +181,4 @@ def test_r12_window_is_new_plus_changed_plus_pool_order():
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata[:41] == [6] * 41
-    assert strata[41:] == [8] * 1
+    assert strata == [6] * 40

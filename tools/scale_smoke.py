@@ -68,6 +68,12 @@ QUERIES = [
     # in concurrency BY DEFINITION of the query; its ratio measures
     # output growth, not a plan defect (see the note printed below).
     "q_join_overlap",
+    # r12 second batch: both reduce to the (type, day) aggregate before
+    # any window/pair work — copies replay the same 30 days, so the
+    # post-agg stages are size-UNCHANGED and only the daily groupBy
+    # scan grows with rows
+    "q_win_rolling_median",
+    "q_ts_theilsen",
 ]
 
 
