@@ -222,3 +222,126 @@ def test_dedup_family_on_all_duplicates_corpus(spark, tmp_path):
         "q_text_dup_fraction",
     ]:
         assert_parity(spark, name, str(d), list(TABLES))
+
+
+# ---------------------------------------------------------------- round 12
+
+
+def test_theilsen_constant_revenue_slope_zero_single_day_absent(spark, tmp_path):
+    """Two degenerate trend shapes: a type with CONSTANT daily revenue
+    must report slope exactly 0.0 (every pairwise slope is 0/Δday —
+    exact in both engines), and a type seen on a SINGLE day has no
+    pairs at all and must be absent from the output (inner pair join),
+    not present with a NULL slope."""
+    rows = [
+        # 'view': 5 days, same revenue each day
+        *[(i, dt.datetime(2024, 1, 1 + i), 1, "view", 7.25) for i in range(5)],
+        # 'click': one day only
+        (99, dt.datetime(2024, 1, 3), 1, "click", 3.0),
+    ]
+    d = _write_events(spark, tmp_path, "ts-flat", rows)
+    got = assert_parity(spark, "q_ts_theilsen", d, ["events"])
+    assert got["event_type"] == ["view"]
+    assert got["slope_micros_per_day"] == [0.0]
+    assert got["n_pairs"] == [10]
+
+
+def test_rolling_median_constant_revenue_equals_revenue(spark, tmp_path):
+    """Constant daily revenue: every 7-row frame is a constant list, so
+    the rolling median must equal the revenue bit-for-bit on every row
+    (integer micro-units — no interpolation artifacts)."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, "view", 2.5) for i in range(10)
+    ]
+    d = _write_events(spark, tmp_path, "rm-flat", rows)
+    got = assert_parity(spark, "q_win_rolling_median", d, ["events"])
+    assert len(got["day"]) == 10
+    assert all(
+        m == float(r) for m, r in zip(got["med7_micros"], got["rev_micros"])
+    )
+
+
+def _write_orders(spark, tmp_path, name, rows):
+    d = tmp_path / name
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    return str(d)
+
+
+def test_equidepth_all_equal_prices_single_bucket(spark, tmp_path):
+    """All-equal prices: every octile boundary equals the value, `v > b`
+    is false on equality everywhere, so ALL rows land in bucket 1 with
+    lo == hi == the value and share 1.0 — the ties-stay-lower rule at
+    its extreme, in both engines."""
+    rows = [
+        (i, 1, "O", 123.455, dt.datetime(2024, 1, 1), "1-URGENT")
+        for i in range(20)
+    ]
+    d = _write_orders(spark, tmp_path, "eqd-const", rows)
+    got = assert_parity(spark, "q_hist_equidepth", d, ["orders"])
+    assert got["bucket"] == [1]
+    assert got["n"] == [20]
+    assert got["lo"] == got["hi"]
+    assert got["share"] == [1.0]
+
+
+def test_equidepth_all_null_prices_single_null_bucket(spark, tmp_path):
+    """All-NULL prices: the boundary aggregate is NULL, every row takes
+    the NULL bucket, min/max are NULL — one (NULL, n, NULL, NULL, 1.0)
+    row in both engines (percentile and min/max all skip NULLs)."""
+    rows = [
+        (i, 1, "O", None, dt.datetime(2024, 1, 1), "1-URGENT")
+        for i in range(7)
+    ]
+    d = _write_orders(spark, tmp_path, "eqd-null", rows)
+    got = assert_parity(spark, "q_hist_equidepth", d, ["orders"])
+    assert got["bucket"] == [None]
+    assert got["n"] == [7]
+    assert got["lo"] == [None] and got["hi"] == [None]
+    assert got["share"] == [1.0]
+
+
+def _write_lineitem_pairs(spark, tmp_path, name, order_parts):
+    """order_parts: list of (orderkey, [partkeys]) — builds the minimal
+    lineitem columns the co-order graph queries read."""
+    rows = []
+    ln = 0
+    for ok, parts in order_parts:
+        for pk in parts:
+            ln += 1
+            rows.append(
+                (ok, pk, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 dt.datetime(2024, 1, 2))
+            )
+    d = tmp_path / name
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def test_graph_cc_disjoint_cliques_and_thinning(spark, tmp_path):
+    """Two disjoint co-order pairs, each co-ordered twice (so they pass
+    the >=2 thinning), plus a pair co-ordered only ONCE (thinned away
+    entirely — its parts must not even be nodes): exactly two 2-node
+    components labeled by their min part keys, in both engines."""
+    d = _write_lineitem_pairs(
+        spark,
+        tmp_path,
+        "cc-cliques",
+        [
+            (1, [10, 11]), (2, [10, 11]),   # component {10, 11}
+            (3, [20, 21]), (4, [20, 21]),   # component {20, 21}
+            (5, [30, 31]),                   # thinned: co-ordered once
+        ],
+    )
+    got = assert_parity(spark, "q_graph_cc", d, ["lineitem"])
+    comp = dict(zip(got["component"], got["n_nodes"]))
+    assert comp == {10: 2, 20: 2}
