@@ -50,6 +50,20 @@ def cents(col: Column | str) -> Column:
     return F.floor(c * 100 + F.lit(0.5)).cast("long")
 
 
+def micros(col: Column | str) -> Column:
+    """Exact integer micro-units from a measure double: floor(x*1e6+0.5)
+    as BIGINT — the cents rule at 1e-6 resolution, used wherever a
+    non-currency measure must aggregate/percentile order-free
+    (q_ts_mad/q_ts_anomaly established the pattern; the r12 review
+    counted ~8 hand-copied instances across timeseries.py/windows.py,
+    the same drift hazard cents() was extracted to kill). New operators
+    must call this; the pre-r12 inline copies are expression-identical
+    and scheduled to migrate as their queries rotate through the
+    verification window."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 1e6 + F.lit(0.5)).cast("long")
+
+
 def finite_or_null(df: DataFrame, *cols: str) -> DataFrame:
     """Normalize NaN and ±Infinity in the named double columns to NULL —
     the ingest-boundary enforcement of the engine's float contract:

@@ -948,10 +948,17 @@ def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, avg(cos_r) AS mu, stddev_samp(cos_r) AS sd
       FROM scored GROUP BY label
     )
-    SELECT s.vec_id, s.label, s.cos_r AS cos_centroid,
-           round(st.mu - 2 * st.sd, 4) AS cutoff
-    FROM scored s JOIN st USING (label)
-    WHERE s.cos_r < st.mu - 2 * st.sd
+    SELECT vec_id, label, cos_r AS cos_centroid, cutoff
+    FROM (
+      -- the flag compares against the ROUNDED cutoff: with sd = 0
+      -- (a label whose members share one 4-dp cosine) the raw cutoff
+      -- is mu, an avg that drifts from the grid value by engine-
+      -- specific ulps — rounding both sides back to the 4-dp grid
+      -- makes the structural tie exact in both engines (r12 review)
+      SELECT s.vec_id, s.label, s.cos_r,
+             round(st.mu - 2 * st.sd, 4) AS cutoff
+      FROM scored s JOIN st USING (label)
+    ) WHERE cos_r < cutoff
     """,
     tags=("ann",),
 )
@@ -970,10 +977,14 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     never (both joins broadcast, both aggregates map-side combined).
 
     Cross-engine: the z-statistics aggregate the ROUNDED (4 dp) cosine
-    so both engines fold identical inputs; stddev_samp of a one-vector
-    label is NULL and the comparison drops the row in both engines;
-    zero-norm cosines are NULL by the guard (Spark) and NULLIF (oracle)
-    and vanish from avg/stddev/flagging identically."""
+    so both engines fold identical inputs, and the flag compares
+    against the ROUNDED cutoff — the sd = 0 shape (a label whose
+    members share one cosine) would otherwise compare a grid value
+    against an ulp-drifted mean, a structural cross-engine coin flip;
+    stddev_samp of a one-vector label is NULL and the comparison drops
+    the row in both engines; zero-norm cosines are NULL by the guard
+    (Spark) and NULLIF (oracle) and vanish from avg/stddev/flagging
+    identically."""
     e = load_vectors(spark, sf_dir).filter(F.col("label").isNotNull()).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -997,14 +1008,19 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = scored.groupBy("label").agg(
         F.avg("cos_r").alias("mu"), F.stddev_samp("cos_r").alias("sd")
     )
-    cutoff = F.col("mu") - 2 * F.col("sd")
+    # flag vs the ROUNDED cutoff: sd = 0 (all-identical cosines in a
+    # label) makes the raw cutoff mu — off the 4-dp grid by engine-
+    # specific accumulation ulps; rounding restores the exact grid
+    # double in both engines so cos_r < cutoff is false on the tie
+    # everywhere, never a cross-engine coin flip (r12 review finding)
+    cutoff = F.round(F.col("mu") - 2 * F.col("sd"), 4)
     return (
         scored.join(F.broadcast(st), "label")
-        .filter(F.col("cos_r") < cutoff)
         .select(
             "vec_id",
             "label",
             F.col("cos_r").alias("cos_centroid"),
-            F.round(cutoff, 4).alias("cutoff"),
+            cutoff.alias("cutoff"),
         )
+        .filter(F.col("cos_centroid") < F.col("cutoff"))
     )

@@ -975,8 +975,13 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders, q
     ),
     h AS (
+      -- money bounds via the repo's ONE currency rounding rule
+      -- (exec_utils.cents): floor(x*100+0.5)/100.0 — bit-identical in
+      -- both engines, where round() diverges at half-cent boundaries
+      -- (DuckDB round(-2.125, 2) = -2.13 vs the cents rule's -2.12)
       SELECT bucket, CAST(count(*) AS BIGINT) AS n,
-             round(min(v), 2) AS lo, round(max(v), 2) AS hi
+             floor(min(v) * 100 + 0.5) / 100.0 AS lo,
+             floor(max(v) * 100 + 0.5) / 100.0 AS hi
       FROM b GROUP BY bucket
     )
     SELECT bucket, n, lo, hi,

@@ -346,9 +346,13 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     may stop early once no label changes — converged labels are a
     fixed point of the propagation, so rounds j..{_CC_ROUNDS} are
     no-ops and the early-stopped result equals the {_CC_ROUNDS}-round
-    result bit for bit. {_CC_ROUNDS} ≥ the min-id node's eccentricity
-    on every fixture (max measured: 10 at sf0.01), asserted by the
-    convergence check in the loop.
+    result bit for bit. If a pathological graph needed MORE than
+    {_CC_ROUNDS} rounds, both engines would return the same
+    {_CC_ROUNDS}-round partial labeling (parity still holds; the
+    output is then "components within {_CC_ROUNDS} hops of their min
+    id" — a documented cap, not an assertion). {_CC_ROUNDS} ≥ the
+    min-id node's eccentricity on every fixture (max measured: 10 at
+    sf0.01), so on shipped data the cap never binds.
 
     Shape at 100 TB: per-round cost is one edges⋈labels shuffle on the
     node key plus a map-side-combined min-groupBy — the sparse-edge

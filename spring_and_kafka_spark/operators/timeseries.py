@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from spring_and_kafka_spark.exec_utils import ts_micros
+from spring_and_kafka_spark.exec_utils import micros, ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -860,7 +860,7 @@ def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("ts").cast("date").alias("day"),
-            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vi"),
+            micros("value").alias("vi"),
         )
     )
     d = e.groupBy("event_type", "day").agg(F.sum("vi").alias("rev"))

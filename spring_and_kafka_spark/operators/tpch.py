@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spring_and_kafka_spark.exec_utils import cents
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -855,7 +856,12 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
            round(cost, 2) AS supply_cost
     FROM c WHERE cost = mn
-    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    -- every nullable key in the LIMIT chain pins its NULL position
+    -- explicitly (registry NULL rule): under NULL injection a supplier
+    -- with NULL acctbal/name must land on the same side of the 100-row
+    -- boundary in both engines
+    ORDER BY s_acctbal DESC NULLS LAST, n_name NULLS FIRST,
+             s_name NULLS FIRST, p_partkey
     LIMIT 100
     """,
 )
@@ -910,7 +916,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("p_partkey"), "p_name",
             F.round("cost", 2).alias("supply_cost"),
         )
-        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .orderBy(
+            F.col("s_acctbal").desc_nulls_last(),
+            F.col("n_name").asc_nulls_first(),
+            F.col("s_name").asc_nulls_first(),
+            "p_partkey",
+        )
         .limit(100)
     )
 
@@ -920,8 +931,15 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH val AS (
       -- lineitem-derived stock value (no partsupp availability): a
-      -- part's value from a region's suppliers is their shipped revenue
-      SELECT l_partkey, sum(l_extendedprice) AS raw_value
+      -- part's value from a region's suppliers is their shipped
+      -- revenue, summed as EXACT integer cents (the exec_utils.cents
+      -- rule) so the value, the mean threshold, and the survival
+      -- comparison are all order-free — a float sum drifts by
+      -- association order across engines and makes the threshold a
+      -- knife edge (r12 review finding)
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS raw_cents
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
@@ -930,9 +948,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey
     )
     SELECT l_partkey AS p_partkey,
-           round(raw_value, 2) AS stock_value
+           raw_cents / 100.0 AS stock_value
     FROM val
-    WHERE raw_value > (SELECT avg(raw_value) * 2 FROM val)
+    WHERE raw_cents > (SELECT avg(raw_cents) * 2 FROM val)
     """,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,10 +973,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shuffled aggregate (AQE reuses the exchange), and nothing ever
     collects to the driver.
 
-    Cross-engine: sum() skips NULL prices in both engines; an all-NULL
-    part gives raw_value NULL, which fails `> threshold` in both; on a
-    zero-row fixture the threshold itself is NULL and the result is
-    empty in both.
+    Cross-engine: the value is an exact integer-cents sum (order-free
+    in both engines — no float-sum threshold knife edge); sum() skips
+    NULL prices in both engines; an all-NULL part gives raw_cents
+    NULL, which fails `> threshold` in both; on a zero-row fixture the
+    threshold itself is NULL and the result is empty in both.
     """
     asia_supp = (
         _t(spark, sf_dir, "supplier")
@@ -967,19 +986,26 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey")
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        cents("l_extendedprice").alias("vi"),
+    )
     val = (
         li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("raw_value"))
+        .agg(F.sum("vi").alias("raw_cents"))
     )
-    thr = val.agg((F.avg("raw_value") * 2).alias("_thr"))
+    # exact integers end-to-end: the mean threshold is one division of
+    # an exact integer sum (bit-identical across engines), and the
+    # survival comparison never sees a float-accumulation knife edge
+    thr = val.agg((F.avg("raw_cents") * 2).alias("_thr"))
     return (
         val.crossJoin(F.broadcast(thr))
-        .filter(F.col("raw_value") > F.col("_thr"))
+        .filter(F.col("raw_cents") > F.col("_thr"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("raw_value", 2).alias("stock_value"),
+            (F.col("raw_cents") / 100.0).alias("stock_value"),
         )
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from spring_and_kafka_spark.exec_utils import cents as ex_cents
+from spring_and_kafka_spark.exec_utils import micros as ex_micros
 from spring_and_kafka_spark.exec_utils import ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
@@ -566,7 +567,7 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.col("ts").cast("date").alias("day"),
-        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vi"),
+        ex_micros("value").alias("vi"),
     )
     d = e.groupBy("event_type", "day").agg(
         F.sum("vi").alias("rev_micros")

@@ -345,3 +345,41 @@ def test_graph_cc_disjoint_cliques_and_thinning(spark, tmp_path):
     got = assert_parity(spark, "q_graph_cc", d, ["lineitem"])
     comp = dict(zip(got["component"], got["n_nodes"]))
     assert comp == {10: 2, 20: 2}
+
+
+def test_embed_outlier_constant_label_no_flags(spark, tmp_path):
+    """A label whose members all share ONE cosine (vectors identical up
+    to positive scale -> same direction) has sd = 0 and cutoff = mu: the
+    structural tie the rounded-cutoff rule exists for. No row may be
+    flagged, and both engines must agree on the empty answer (the
+    unrounded comparison was an ulp-level cross-engine coin flip)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "outlier-const"
+    d.mkdir()
+    # 16 centroid seeds (ids 0..15) + 6 label-7 voters, all pointing the
+    # same direction with different norms -> identical cosine to every
+    # centroid, so identical cos_r within the label
+    vecs, labels = [], []
+    for i in range(16):
+        v = [0.0] * 64
+        v[i % 8] = 1.0
+        vecs.append(v)
+        labels.append(None)  # label-agnostic quantizer; seeds don't vote
+    for k in range(6):
+        v = [float(k + 1)] * 64
+        vecs.append(v)
+        labels.append(7)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "label": pa.array(labels, pa.int32()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = assert_parity(spark, "q_embed_outlier", str(d), ["embeddings"])
+    assert len(next(iter(got.values()), [])) == 0
