@@ -124,7 +124,8 @@ _WINDOW_PREFIX = [
     "q_win_rolling_median",
     # (b) changed-in-r12 oracle text (NULLIF + NULLS LAST zero-norm pin)
     "q_embed_cluster_purity",
-    # (c) all 41 r6-stale rows, tools.window_pool order
+    # (c) the first 40 of the 41 r6-stale rows, tools.window_pool order
+    #     (q_zorder_layout, the 41st, deliberately deferred to r13)
     "q_agg_bool",
     "q_agg_distinct",
     "q_agg_having",

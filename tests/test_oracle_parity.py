@@ -73,11 +73,6 @@ _ROUNDED_SUM_AUDITED = {
     # r12: rounds sums of exact INTEGERS (counts) — safe outright,
     # the q_kanon precedent
     "q_ldiversity",
-    # r12: the regex can NOT see this one — round(raw_value, 2) where
-    # raw_value is a CTE alias for sum(l_extendedprice), i.e. an
-    # alias-hidden rounded float sum. Listed for the record; audited at
-    # sf0.01 (52 rows) AND sf0.1 (516 rows) hash-match, r12.
-    "q_tpch_q11",
 }
 
 

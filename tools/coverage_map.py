@@ -135,7 +135,16 @@ SECTIONS = {
         "q_langid_confusion", "q_text_length_filter", "q_text_js_shift",
         "q_embed_cluster_purity",
     ],
+    "round-12 additions: TPC-H completion + graph/robust-stat/governance": [
+        "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_graph_cc",
+        "q_embed_outlier", "q_hist_equidepth", "q_ldiversity",
+        "q_win_rolling_median", "q_ts_theilsen",
+    ],
 }
+
+# Every registered query MUST appear in exactly one section —
+# tests/test_coverage_map.py fails the build otherwise (the r11/r12
+# "unmapped queries" recurrence ends here).
 
 STREAMING_ONLY = [
     ("Kafka source (earliest, rate-capped, 100 ms trigger)", "streaming/kafka.py:read_stream"),
