@@ -406,15 +406,24 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lab"),
         )
 
-    # TWO propagation rounds per materialize + convergence check (the
+    # FOUR propagation rounds per materialize + convergence check (the
     # fixed per-job overhead dominates the tiny aggregate-cardinality
-    # label table; 8 x 2 = the oracle's 16-round cap exactly), and the
-    # convergence flag rides INSIDE the materialized frame — comparing
-    # against the pre-step labels as a column, so the check is a scan
-    # of already-checkpointed rows, not a second join+shuffle job
-    for _ in range(_CC_ROUNDS // 2):
+    # label table; 4 x 4 = the oracle's 16-round cap exactly — r12 ran
+    # 2-per-materialize at 8 jobs, and halving the job count to 4 cut
+    # wall time because each round's label table is a few thousand
+    # rows: the lazy 4-round unroll is 8 shallow join/agg stages, well
+    # under the lineage-blowup depth that forces per-round cuts), and
+    # the convergence flag rides INSIDE the materialized frame —
+    # comparing against the pre-step labels as a column, so the check
+    # is a scan of already-checkpointed rows, not a second join+shuffle
+    # job. Over-stepping past the fixed point is free: converged labels
+    # are a fixed point, so extra propagations inside the block are
+    # no-ops (same argument that makes early-stop ≡ the oracle unroll).
+    for _ in range(_CC_ROUNDS // 4):
         old = labels
-        stepped = propagate(propagate(labels.select("node", "lab")))
+        stepped = labels.select("node", "lab")
+        for _k in range(4):
+            stepped = propagate(stepped)
         new = materialize(
             stepped.alias("n")
             .join(old.select("node", F.col("lab").alias("_prev")), "node")
