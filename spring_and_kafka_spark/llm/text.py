@@ -1425,3 +1425,130 @@ def js_from_counts(tc: DataFrame) -> DataFrame:
         "vocab_size",
         (F.round("js_raw", 4) + 0.0).alias("js_bits"),
     )
+
+
+# Unicode-block classes for the script-mix audit. Regex-level escapes
+# (\x{...}, \t) are written so BOTH engines' regex libraries (Java
+# util.regex, RE2) see the identical pattern; \s is deliberately NOT
+# used (Java's includes \x0B, RE2's does not — the class is spelled
+# out). Counts are len(text) - len(text with the class removed): one
+# codepoint per match in both engines (Spark length() and DuckDB
+# length() both count codepoints).
+_SCRIPT_CLASSES = {
+    "latin_n": "[A-Za-z]",
+    "digit_n": "[0-9]",
+    "space_n": "[ \\t\\n\\r]",
+    "cyr_n": "[\\x{0400}-\\x{04FF}]",
+    "cjk_n": "[\\x{4E00}-\\x{9FFF}]",
+    "mojibake_n": "[\\x{FFFD}]",
+}
+
+
+def _script_count_sql(cls: str) -> str:
+    return f"length(text) - length(regexp_replace(text, '{cls}', '', 'g'))"
+
+
+@register(
+    "q_text_script_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_cp,
+             {", ".join(
+                 f"CAST({_script_count_sql(cls)} AS BIGINT) AS {name}"
+                 for name, cls in _SCRIPT_CLASSES.items()
+             )}
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, lang, n_cp, latin_n, digit_n, space_n, cyr_n, cjk_n,
+           mojibake_n,
+           n_cp - latin_n - digit_n - space_n - cyr_n - cjk_n AS other_n,
+           CASE WHEN latin_n >= cyr_n AND latin_n >= cjk_n AND latin_n > 0
+                  THEN 'latin'
+                WHEN cyr_n >= cjk_n AND cyr_n > 0 THEN 'cyrillic'
+                WHEN cjk_n > 0 THEN 'cjk'
+                ELSE 'none' END AS dominant_script,
+           (CASE WHEN latin_n > 0 THEN 1 ELSE 0 END
+            + CASE WHEN cyr_n > 0 THEN 1 ELSE 0 END
+            + CASE WHEN cjk_n > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
+    FROM c
+    """,
+)
+def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script / confusable-text audit: per-document Unicode-block
+    histogram (Latin / Cyrillic / CJK / digit / whitespace / other
+    codepoint counts), dominant script, a mixed-script flag (≥2 letter
+    scripts present — the Cyrillic-о-in-Latin-words spam shape), and a
+    mojibake counter (U+FFFD replacement chars — the encoding-damage
+    canary). Run BEFORE langid and dedup: mixed-script spam poisons
+    n-gram language ID, and mojibake shreds shingle fingerprints.
+
+    Cross-engine determinism: counts are exact integers via the
+    len-minus-len-after-removal identity, every character class is
+    spelled out at the regex level so Java regex and RE2 parse the
+    same set (no \\s — the engines disagree on \\x0B), and dominant/
+    mixed are integer CASE logic with a fixed latin>cyrillic>cjk tie
+    order. The sf fixtures are pure ASCII, so the Unicode legs are
+    exercised by tests/test_unicode.py's synthetic mixed-script
+    battery rather than the driver fixture (counts there pin real
+    Cyrillic/CJK/mojibake inputs in both engines).
+
+    Shape at 100 TB: a pure per-row projection — ZERO shuffles, scans
+    prune to (doc_id, lang, text), and every class count is one
+    JVM-side regexp pass over the document (6 passes/doc; chars/doc is
+    bounded, so this is scan-bandwidth-bound exactly like the quality
+    scorer). NULL text filters at the scan in both engines (payload
+    NULL rule)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    cnt = {
+        name: (
+            F.length("text")
+            - F.length(F.regexp_replace("text", cls, ""))
+        ).cast("long")
+        for name, cls in _SCRIPT_CLASSES.items()
+    }
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_cp"),
+        *[expr.alias(name) for name, expr in cnt.items()],
+    )
+    present = (
+        F.when(F.col("latin_n") > 0, 1).otherwise(0)
+        + F.when(F.col("cyr_n") > 0, 1).otherwise(0)
+        + F.when(F.col("cjk_n") > 0, 1).otherwise(0)
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_cp",
+        "latin_n",
+        "digit_n",
+        "space_n",
+        "cyr_n",
+        "cjk_n",
+        "mojibake_n",
+        (
+            F.col("n_cp")
+            - F.col("latin_n")
+            - F.col("digit_n")
+            - F.col("space_n")
+            - F.col("cyr_n")
+            - F.col("cjk_n")
+        ).alias("other_n"),
+        F.when(
+            (F.col("latin_n") >= F.col("cyr_n"))
+            & (F.col("latin_n") >= F.col("cjk_n"))
+            & (F.col("latin_n") > 0),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("cyr_n") >= F.col("cjk_n")) & (F.col("cyr_n") > 0),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("cjk_n") > 0, F.lit("cjk"))
+        .otherwise(F.lit("none"))
+        .alias("dominant_script"),
+        (present >= 2).alias("is_mixed"),
+    )

@@ -436,3 +436,122 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lab").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+_KCORE_K = 2  # core threshold: nodes surviving repeated degree-<2 peel
+_KCORE_ROUNDS = 12  # ≥ peel depth on every fixture (measured fixpoint:
+# 1 round @ sf0.001, 4 @ sf0.01, 6 @ sf0.1; NULL injection only removes
+# edges, and the cap-parity argument below holds at ANY depth anyway)
+
+
+def _kcore_iter_sql(k: int) -> str:
+    return f"""
+    a{k} AS MATERIALIZED (
+      SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM edges e
+      JOIN a{k - 1} x ON e.src = x.node
+      JOIN a{k - 1} y ON e.dst = y.node
+      GROUP BY e.src HAVING count(*) >= {_KCORE_K}
+    )"""
+
+
+@register(
+    "q_graph_kcore",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eh AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM eh
+              UNION ALL SELECT v, u FROM eh),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS deg
+                        FROM edges),
+    {','.join(_kcore_iter_sql(k) for k in range(1, _KCORE_ROUNDS + 1))}
+    SELECT node, deg AS core_deg FROM a{_KCORE_ROUNDS}
+    """,
+    tags=("graph",),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core decomposition of the part co-order graph (same
+    thinned edge set as q_graph_triangles/q_graph_cc): repeatedly peel
+    every node whose degree among surviving nodes is < {_KCORE_K} until
+    a fixed point; output is each surviving node with its within-core
+    degree. The standard robustness/community filter next to
+    degree/triangles/cc/pagerank — the {_KCORE_K}-core is where cliques
+    and cycles live, and what survives here is what a co-purchase
+    community detector should even look at.
+
+    Parity by fixed point (the q_graph_cc trick verbatim): the oracle
+    unrolls exactly {_KCORE_ROUNDS} peel rounds; Spark iterates the
+    identical recurrence but may stop once the alive set stops
+    shrinking — the alive set is MONOTONE decreasing, so an unchanged
+    count across a block means every round in it was a no-op and all
+    later rounds are too; the reported deg is a pure function of the
+    alive set, so it is stable at the fixed point with it. If a
+    pathological graph needed more than {_KCORE_ROUNDS} rounds, both
+    engines return the same round-{_KCORE_ROUNDS} partial peel (a
+    documented cap, not an assertion); on shipped fixtures the deepest
+    measured peel is 6 rounds.
+
+    Shape at 100 TB: per-round cost is two semi-join-shaped hash joins
+    of the edge table against the (small, shrinking) alive set plus one
+    map-side-combined count — edges are materialized ONCE and never
+    rebuilt; the iterative discipline (lineage cut per block, driver
+    holds only a count) is the same as q_graph_cc. TWO peel rounds run
+    per materialize block (6 jobs at the {_KCORE_ROUNDS}-round cap) —
+    the alive table is small enough that job overhead, not data,
+    dominates a round.
+
+    Reference parity anchor: the reference app has no graph surface
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe); this
+    extends the beyond-the-reference analytics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    eh = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    edges = materialize(
+        eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    alive = materialize(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("deg"))
+    )
+
+    def peel(alive_df: DataFrame) -> DataFrame:
+        x = alive_df.select(F.col("node").alias("xn"))
+        y = alive_df.select(F.col("node").alias("yn"))
+        return (
+            edges.join(x, edges.src == F.col("xn"))
+            .join(y, edges.dst == F.col("yn"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+        )
+
+    n_prev = alive.count()
+    for _ in range(_KCORE_ROUNDS // 2):
+        alive = materialize(peel(peel(alive)))
+        n_new = alive.count()
+        if n_new == n_prev:
+            break
+        n_prev = n_new
+    return alive.select("node", F.col("deg").cast("long").alias("core_deg"))

@@ -884,3 +884,135 @@ def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_micros_per_day"
         ),
     )
+
+
+@register(
+    "q_ts_stl_residual",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, isodow(ts) AS dow,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vi
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, dow,
+             CASE WHEN count(vi) > 0
+                  THEN CAST(sum(vi) // count(vi) AS BIGINT) END AS dmean
+      FROM s GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT s.event_type, s.vi, s.vi - g.dmean AS r
+      FROM s JOIN g
+        ON s.event_type IS NOT DISTINCT FROM g.event_type
+       AND s.dow IS NOT DISTINCT FROM g.dow
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(vi, 0.5) AS med_v,
+             quantile_cont(r, 0.5) AS med_r
+      FROM w GROUP BY 1
+    ),
+    d AS (
+      SELECT w.event_type, w.vi, w.r, m.med_r,
+             abs(w.vi - m.med_v) AS dev_v, abs(w.r - m.med_r) AS dev_r
+      FROM w JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(dev_v, 0.5) AS mad_v,
+             quantile_cont(dev_r, 0.5) AS mad_r
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, count(*) AS n,
+           CAST(sum(CASE WHEN d.dev_v > 4.4478 * md.mad_v
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_raw,
+           CAST(sum(CASE WHEN d.dev_r > 4.4478 * md.mad_r
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_adj,
+           round(sum(CASE WHEN d.dev_v > 4.4478 * md.mad_v
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS outlier_rate_raw,
+           round(sum(CASE WHEN d.dev_r > 4.4478 * md.mad_r
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS outlier_rate_adj,
+           min(d.med_r) AS med_res_micros,
+           min(md.mad_r) AS mad_res_micros
+    FROM d JOIN md USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_ts_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted robust anomaly detection per event type: remove
+    the day-of-week component additively (residual = value − its
+    (type, dow) mean), then apply the MAD cut |r − median(r)| >
+    3·1.4826·MAD(r) on the DESEASONALIZED residual — the alert a
+    monitoring pipeline actually wants (q_ts_mad's raw cut flags every
+    high-traffic Saturday; this one flags what is anomalous FOR a
+    Saturday). Composes q_ts_seasonality's dow profile with q_ts_mad's
+    robust threshold, and reports the raw-cut counts alongside so the
+    two detectors can be compared per type in one pass.
+
+    Cross-engine determinism: values scale to exact micro-unit BIGINTs;
+    the per-(type, dow) mean uses truncating INTEGER division (Spark
+    `div` ≡ DuckDB `//`, both toward zero — verified on negatives), so
+    residuals are exact BIGINTs, both medians interpolate on integers
+    (.5/.25 grids), and the threshold multiply 4.4478·MAD is one
+    identical IEEE op per engine. NULL rules: the (type, dow) spine
+    join is NULL-SAFE (eqNullSafe / IS NOT DISTINCT FROM — a NULL ts
+    yields a NULL dow group that must rejoin its own mean, and NULL
+    event_type likewise); an all-NULL group's guarded mean keeps
+    residuals NULL, and count(when)/CASE-ELSE-0 both answer 0 outliers.
+
+    Shape at 100 TB: the seasonal profile is a ≤ types×7-row aggregate
+    broadcast back onto the fact table (deseasonalize is a projection,
+    not a shuffle — the q_ts_seasonality window-free discipline);
+    after that it is q_ts_mad's shape twice-as-wide: two grouped exact
+    percentiles over (vi, r) with tiny stats broadcast back. The fact
+    table shuffles only on event_type for the percentile groups and
+    never self-joins."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vi"),
+    )
+    g = (
+        e.groupBy("event_type", "dow")
+        .agg(F.sum("vi").alias("svi"), F.count("vi").alias("cvi"))
+        .select(
+            F.col("event_type").alias("g_type"),
+            F.col("dow").alias("g_dow"),
+            F.when(F.col("cvi") > 0, F.expr("svi div cvi")).alias("dmean"),
+        )
+    )
+    w = e.join(
+        F.broadcast(g),
+        e["event_type"].eqNullSafe(F.col("g_type"))
+        & e["dow"].eqNullSafe(F.col("g_dow")),
+    ).select("event_type", "vi", (F.col("vi") - F.col("dmean")).alias("r"))
+    med = w.groupBy("event_type").agg(
+        F.percentile("vi", F.lit(0.5)).alias("med_v"),
+        F.percentile("r", F.lit(0.5)).alias("med_r"),
+    )
+    d = w.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "vi",
+        "r",
+        "med_r",
+        F.abs(F.col("vi") - F.col("med_v")).alias("dev_v"),
+        F.abs(F.col("r") - F.col("med_r")).alias("dev_r"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.percentile("dev_v", F.lit(0.5)).alias("mad_v"),
+        F.percentile("dev_r", F.lit(0.5)).alias("mad_r"),
+    )
+    j = d.join(F.broadcast(mad), "event_type")
+    out_raw = F.col("dev_v") > F.lit(4.4478) * F.col("mad_v")
+    out_adj = F.col("dev_r") > F.lit(4.4478) * F.col("mad_r")
+    n_raw = F.count(F.when(out_raw, F.lit(1)))
+    n_adj = F.count(F.when(out_adj, F.lit(1)))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        n_raw.alias("n_out_raw"),
+        n_adj.alias("n_out_adj"),
+        F.round(n_raw / F.count("*"), 6).alias("outlier_rate_raw"),
+        F.round(n_adj / F.count("*"), 6).alias("outlier_rate_adj"),
+        F.min("med_r").alias("med_res_micros"),
+        F.min("mad_r").alias("mad_res_micros"),
+    )

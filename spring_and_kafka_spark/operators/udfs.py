@@ -2,12 +2,14 @@
 
 Reference anchor: the serde/handle lambdas are user code plugged into the
 flow (reference: src/main/java/jc/DemoApplication.java:115,148,154-157) —
-generalized here to Spark's four Python-extension points. Hierarchy of
-preference at scale:
+generalized here to Spark's five Python-extension points (scalar UDF,
+pandas_udf, grouped-agg, grouped-map, @udtf). Hierarchy of preference
+at scale:
 
 1. built-in expressions (everything else in this engine)
 2. pandas_udf / applyInPandas — Arrow-batched, vectorized (these)
-3. row-at-a-time Python UDF — demonstrated once, never in a hot path
+3. row-at-a-time Python UDF / UDTF — demonstrated once each, never in
+   a hot path
 
 Each query computes something exactly reproducible in SQL, so even the
 UDF paths get full DuckDB hash-match oracles (not just rows-only).
@@ -131,4 +133,60 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").applyInPandas(
         zscore, "o_orderkey BIGINT, o_orderstatus STRING, z DOUBLE"
+    )
+
+
+@register(
+    "q_udf_udtf",
+    oracle="""
+    WITH w AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words
+      FROM part WHERE p_partkey < 500
+    )
+    SELECT p_partkey, CAST(pos AS INT) AS pos, words[pos] AS word
+    FROM w, LATERAL unnest(generate_series(1, len(words))) AS t(pos)
+    """,
+)
+def q_udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (@udtf, Spark ≥3.4) — the fourth and last
+    §2.9 extension surface: a table function invoked per input row via
+    SQL LATERAL, yielding one row per word of the part name with its
+    1-based position. Where applyInPandas is per-GROUP (q_udf_grouped
+    _map), a UDTF is per-ROW fan-out with user-defined arity — the
+    registration form SURVEY §2.9 names (the capability itself is also
+    expressible as posexplode(split(...)), which is what a hot path
+    should use; this query exists to pin the @udtf surface and its
+    NULL/empty-string contract).
+
+    NULL contract (the q_udf_scalar lesson, extended to table
+    functions): eval() receives a raw Python None and must answer by
+    yielding NOTHING — matching the oracle, where string_split(NULL)
+    is NULL and unnesting a NULL series yields zero rows. An empty
+    string splits to one empty-string word in BOTH Python and DuckDB.
+
+    Scale shape: the UDTF runs row-at-a-time over the Python boundary —
+    acceptable here because the input is filtered to <500 rows at the
+    scan (pushed filter) and each row fans out to ≤5 words; the
+    docstring hierarchy at the module head still holds (built-in
+    posexplode beats this by the usual 10-100× and is what every other
+    operator uses)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, name):
+            if name is None:
+                return
+            for i, w in enumerate(name.split(" "), 1):
+                yield (i, w)
+
+    spark.udtf.register("split_words_13", SplitWords)
+    load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") < 500
+    ).createOrReplaceTempView("part_udtf13")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.pos, s.word
+        FROM part_udtf13 p, LATERAL split_words_13(p.p_name) s
+        """
     )

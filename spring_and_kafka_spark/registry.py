@@ -84,88 +84,86 @@ _MODULE_SEQ: dict[str, int] = {}
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row.
 #
-# Round-12 window. Rotation pool derived PROGRAMMATICALLY —
-# `python -m tools.window_pool` folds CORRECTNESS_r01..r11 into the
-# last-verified map. Tool output this rotation (through_round=11):
-#   histogram: r6=41, r8=40, r9=50, r10=49, r11=50  (230, 0 never)
+# Round-13 window. Rotation pool derived PROGRAMMATICALLY —
+# `python -m tools.window_pool` folds CORRECTNESS_r01..r12 into the
+# last-verified map. Tool output this rotation (through_round=12):
+#   histogram: r6=1, r8=40, r9=50, r10=49, r11=49, r12=50  (239, 0 never)
 # pinned (round-bounded, so next round's artifact can't break it) in
 # tests/test_registry_window.py.
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 9 queries NEW in r12 (q_embed_outlier q_graph_cc
-#       q_hist_equidepth q_ldiversity q_tpch_q11 q_tpch_q12 q_tpch_q2
-#       q_ts_theilsen q_win_rolling_median — the suite-completing TPC-H
-#       adaptations plus the CC / outlier / equi-depth / l-diversity /
-#       robust-trend batch, pool() round-0 name order) — never
-#       driver-verified, so they must lead;
-#   (b) q_embed_cluster_purity, whose ORACLE TEXT changed in r12
-#       (NULLIF zero-norm guard + NULLS LAST pin, ADVICE r11 item 3 —
-#       output identical on the zero-norm-free sf0.01 fixture, but
-#       changed text re-enters the window so the driver executes what
-#       ships);
-#   (c) the first 40 of the 41 r6-stale rows, tools.window_pool pool()
-#       order — 9+1+40 = 50 exactly; q_zorder_layout (the 41st r6 row)
-#       and the r8 stratum lead the r13 pool.
-# After this window one green row (q_zorder_layout) is r6-old; the rest
-# are r8+. Queries not named
-# here rank after the prefix by (module rank, def order) — the safe
-# place for additions until rotated in.
+#   (a) the 4 queries NEW in r13 (q_graph_kcore q_text_script_mix
+#       q_ts_stl_residual q_udf_udtf — the k-core peel, script-mix
+#       audit, seasonal-adjusted MAD, and @udtf surface, pool() round-0
+#       name order) — never driver-verified, so they must lead;
+#   (b) q_graph_cc, whose CODE changed in r13 (4 propagations per
+#       materialize block — output values identical by the fixed-point
+#       argument, but a frozen green row only covers unchanged code, so
+#       the changed operator re-enters the window);
+#   (c) the rotation pool in tools.window_pool pool() order:
+#       q_zorder_layout (the single r6-stale row, deferred from r12),
+#       all 40 r8-stale rows, then the 4 stalest r9 rows (q_agg_approx
+#       q_agg_argmax q_agg_collect q_agg_hll_rollup) — 4+1+45 = 50.
+# After this window the stalest green rows are the remaining 46 r9
+# rows — the r14 pool head. Queries not named here rank after the
+# prefix by (module rank, def order) — the safe place for additions
+# until rotated in.
 _WINDOW_PREFIX = [
-    # (a) new-in-r12, never verified — pool() round-0 name order
-    "q_embed_outlier",
+    # (a) new-in-r13, never verified — pool() round-0 name order
+    "q_graph_kcore",
+    "q_text_script_mix",
+    "q_ts_stl_residual",
+    "q_udf_udtf",
+    # (b) changed-in-r13 code (propagation cadence; same output)
     "q_graph_cc",
-    "q_hist_equidepth",
-    "q_ldiversity",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q2",
-    "q_ts_theilsen",
-    "q_win_rolling_median",
-    # (b) changed-in-r12 oracle text (NULLIF + NULLS LAST zero-norm pin)
-    "q_embed_cluster_purity",
-    # (c) the first 40 of the 41 r6-stale rows, tools.window_pool order
-    #     (q_zorder_layout, the 41st, deliberately deferred to r13)
-    "q_agg_bool",
-    "q_agg_distinct",
-    "q_agg_having",
-    "q_agg_moments",
-    "q_agg_ols2",
-    "q_agg_percentile",
-    "q_agg_stats",
-    "q_case_when",
-    "q_cube",
-    "q_distinct",
-    "q_except",
-    "q_filter_between",
-    "q_filter_bool",
-    "q_filter_in",
-    "q_filter_like",
-    "q_filter_null",
-    "q_funnel_latency",
-    "q_generate",
-    "q_geo_grid_density",
-    "q_geo_nearest",
-    "q_geo_radius_join",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_mv_incremental",
-    "q_pivot",
-    "q_rollup",
-    "q_rollup_grouping",
-    "q_skew_report",
-    "q_text_hapax",
-    "q_text_inverted_index",
-    "q_topk_per_group",
-    "q_ts_holt",
-    "q_ts_seasonality",
-    "q_union",
-    "q_win_frame_range",
-    "q_win_frame_rows",
-    "q_win_lag",
-    "q_win_rank",
-    "q_win_rolling_slope",
-    "q_zonemap_prune",
+    # (c) the rotation pool, tools.window_pool order: 1 r6 + 40 r8 +
+    #     4 r9 rows
+    "q_zorder_layout",
+    "q_agg_gini",
+    "q_agg_global",
+    "q_dq_freshness",
+    "q_embed_generate",
+    "q_filter_cmp",
+    "q_fn_bits",
+    "q_fn_cast",
+    "q_fn_condexpr",
+    "q_fn_date",
+    "q_fn_editdist",
+    "q_fn_explode",
+    "q_fn_hash",
+    "q_fn_json",
+    "q_fn_map",
+    "q_fn_math",
+    "q_fn_regex",
+    "q_fn_struct",
+    "q_fn_trig",
+    "q_funnel",
+    "q_lang_stats",
+    "q_limit",
+    "q_merge_upsert",
+    "q_pareto_abc",
+    "q_pipeline_curate",
+    "q_project",
+    "q_retention",
+    "q_scan",
+    "q_snapshot_diff",
+    "q_sort",
+    "q_stream_late",
+    "q_text_bigram_ppl",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_sentiment",
+    "q_text_tfidf",
+    "q_text_tokens",
+    "q_text_tokens_bpe",
+    "q_udf_grouped_agg",
+    "q_udf_grouped_map",
+    "q_udf_pandas",
+    "q_agg_approx",
+    "q_agg_argmax",
+    "q_agg_collect",
+    "q_agg_hll_rollup",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

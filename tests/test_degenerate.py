@@ -383,3 +383,95 @@ def test_embed_outlier_constant_label_no_flags(spark, tmp_path):
     )
     got = assert_parity(spark, "q_embed_outlier", str(d), ["embeddings"])
     assert len(next(iter(got.values()), [])) == 0
+
+
+def test_graph_kcore_pendant_chain_peels_clique_survives(spark, tmp_path):
+    """Triangle {10,11,12} with a pendant chain 12-13-14 (every edge
+    co-ordered twice, so nothing is thinned): the 2-core peel must run
+    MULTIPLE rounds — 14 (degree 1) falls first, which drops 13 to
+    degree 1 so it falls next round — and converge on exactly the
+    triangle with every core degree 2, in both engines. Exercises the
+    iterative early-stop against the oracle's fixed unroll on a shape
+    where one round is not enough."""
+    d = _write_lineitem_pairs(
+        spark,
+        tmp_path,
+        "kcore-chain",
+        [
+            (1, [10, 11, 12]), (2, [10, 11, 12]),  # triangle, twice
+            (3, [12, 13]), (4, [12, 13]),          # pendant edge
+            (5, [13, 14]), (6, [13, 14]),          # chain tail
+        ],
+    )
+    got = assert_parity(spark, "q_graph_kcore", d, ["lineitem"])
+    core = dict(zip(got["node"], got["core_deg"]))
+    assert core == {10: 2, 11: 2, 12: 2}
+
+
+def test_stl_residual_flags_nothing_on_pure_seasonal_signal(spark, tmp_path):
+    """The reason this operator exists: values constant WITHIN each
+    day-of-week but 10x higher on Saturdays. The raw MAD cut (majority
+    dev 0 -> MAD 0 -> threshold 0) flags every Saturday row; the
+    deseasonalized residual is exactly 0 everywhere, so the adjusted
+    detector flags NOTHING — and both engines agree bit for bit."""
+    rows = []
+    eid = 0
+    for week in range(6):
+        for dow in range(7):  # 2024-01-01 is a Monday; dow 5 = Saturday
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1, 12, 0, 0)
+                    + dt.timedelta(days=7 * week + dow),
+                    eid % 5,
+                    "view",
+                    100.0 if dow == 5 else 10.0,
+                )
+            )
+    d = _write_events(spark, tmp_path, "stl-seasonal", rows)
+    got = assert_parity(spark, "q_ts_stl_residual", d, ["events"])
+    assert got["n"] == [42]
+    assert got["n_out_raw"] == [6]  # every Saturday, the false alarms
+    assert got["n_out_adj"] == [0]  # deseasonalized: nothing anomalous
+    assert got["med_res_micros"] == [0.0] and got["mad_res_micros"] == [0.0]
+
+
+def test_script_mix_empty_text_and_null_text(spark, tmp_path):
+    """Empty string: zero codepoints in every class, dominant 'none',
+    not mixed. NULL text: filtered at the scan in both engines (payload
+    NULL rule) — only the empty-string row survives."""
+    d = tmp_path / "scriptmix-degenerate"
+    spark.createDataFrame(
+        [(0, "", "en", "web", 0), (1, None, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = assert_parity(spark, "q_text_script_mix", str(d), ["documents"])
+    assert got["doc_id"] == [0]
+    assert got["n_cp"] == [0] and got["other_n"] == [0]
+    assert got["dominant_script"] == ["none"]
+    assert got["is_mixed"] == [False]
+
+
+def test_udtf_null_name_yields_no_rows_empty_name_yields_one(spark, tmp_path):
+    """The UDTF NULL contract: eval(None) yields nothing (matching
+    unnest over a NULL split), and an empty p_name splits to exactly
+    one empty-string word in both Python and DuckDB."""
+    d = tmp_path / "udtf-degenerate"
+    spark.createDataFrame(
+        [
+            (1, "red copper hammer", "B", "T", 1, 1.0),
+            (2, None, "B", "T", 1, 1.0),
+            (3, "", "B", "T", 1, 1.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(d / "part.parquet"))
+    got = assert_parity(spark, "q_udf_udtf", str(d), ["part"])
+    by_key = {}
+    for k, pos, w in zip(got["p_partkey"], got["pos"], got["word"]):
+        by_key.setdefault(k, []).append((pos, w))
+    assert sorted(by_key[1]) == [(1, "red"), (2, "copper"), (3, "hammer")]
+    assert 2 not in by_key  # NULL name: zero rows
+    assert by_key[3] == [(1, "")]  # empty name: one empty word

@@ -586,3 +586,51 @@ def test_theilsen_pairs_over_aggregate_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_graph_kcore_lineage_cut_no_join_in_final_plan(spark):
+    # the returned plan is a projection over the LAST materialized
+    # alive set (localCheckpoint in local mode) — per-round peel
+    # lineage must NOT accumulate into it (the q_graph_cc discipline)
+    p = plan(spark, "q_graph_kcore")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # the checkpointed alive set
+    assert "Join" not in p  # all joins happened inside the peel rounds
+
+
+def test_ts_stl_residual_all_stats_broadcast_no_self_join(spark):
+    # the (type, dow) seasonal profile, the medians, and the MADs all
+    # ride back as broadcast joins; the fact table never sort-merge
+    # joins or self-joins, and the scan prunes to the 3 needed columns
+    p = plan(spark, "q_ts_stl_residual")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "props" not in head and "event_id" not in head
+
+
+def test_text_script_mix_zero_shuffles_pruned_scan(spark):
+    # a pure per-row projection: no exchange at all, and the documents
+    # scan prunes to (doc_id, lang, text)
+    p = plan(spark, "q_text_script_mix")
+    assert p.count("Exchange") == 0
+    assert "Join" not in p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "n_chars" not in head and "source" not in head
+
+
+def test_udf_udtf_filter_pushed_python_node_bounded(spark):
+    # the p_partkey < 500 filter reaches the parquet scan BELOW the
+    # Python UDTF node, so only the bounded slice crosses the Python
+    # boundary; the lateral join itself must not plan as a cartesian
+    # of table x function output
+    p = plan(spark, "q_udf_udtf")
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "p_partkey" in m.group(1)
+    assert "EvalPythonUDTF" in p
+    assert "CartesianProduct" not in p

@@ -28,6 +28,7 @@ from tools.window_pool import histogram, last_verified, pool
 # unbounded pins fail the moment the next round's artifact lands).
 R11_DERIVATION_ROUND = 10
 R12_DERIVATION_ROUND = 11
+R13_DERIVATION_ROUND = 12
 
 # NEW in r11 (never driver-verified — must lead any window they can
 # reach, pool() round-0 name order): the r11 LLM-ops batch.
@@ -61,6 +62,20 @@ NEW_R12 = [
 # Changed in r12 while already green: q_embed_cluster_purity's oracle
 # gained the NULLIF zero-norm guard + NULLS LAST pin (ADVICE r11).
 CHANGED_R12 = ["q_embed_cluster_purity"]
+
+# NEW in r13: k-core peel, script-mix audit, seasonal-adjusted MAD,
+# @udtf surface (pool() round-0 name order).
+NEW_R13 = [
+    "q_graph_kcore",
+    "q_text_script_mix",
+    "q_ts_stl_residual",
+    "q_udf_udtf",
+]
+
+# Changed in r13 while already green: q_graph_cc's propagation cadence
+# (4 rounds per materialize block — identical output by the fixed-point
+# argument, but changed code re-enters the window).
+CHANGED_R13 = ["q_graph_cc"]
 
 
 # ---------------------------------------------------------------- invariants
@@ -143,6 +158,14 @@ def test_window_pool_histograms_match_their_input_rounds():
         10: 49,
         11: 50,
     }
+    assert histogram(last_verified(through_round=R13_DERIVATION_ROUND)) == {
+        6: 1,
+        8: 40,
+        9: 50,
+        10: 49,
+        11: 49,
+        12: 50,
+    }
 
 
 def test_r11_window_was_new_plus_changed_plus_pool_order():
@@ -164,21 +187,42 @@ def test_r11_window_was_new_plus_changed_plus_pool_order():
     assert r11_window[len(lead) :] == rest[: 50 - len(lead)]
 
 
-def test_r12_window_is_new_plus_changed_plus_pool_order():
-    """The r12 window must be exactly: the never-verified r12 additions,
-    then the r12-changed queries, then the rotation pool derived from
-    CORRECTNESS_r01..r11 in pool() order (stalest round, then name) —
-    i.e. the window is DERIVED, not hand-picked. With 9 new + 1 changed,
-    the remaining 40 slots hold the first 40 of the 41-row r6 stratum
-    (q_zorder_layout, the 41st in pool order, leads the r13 pool)."""
-    prefix = registry._WINDOW_PREFIX
-    lead = NEW_R12 + CHANGED_R12
-    assert prefix[: len(lead)] == lead
+def test_r12_window_was_new_plus_changed_plus_pool_order():
+    """The r12 derivation record, kept as history (same treatment the
+    r11 window got when it rotated away): the r12 window list lives in
+    CORRECTNESS_r12.json's key order, which is immutable."""
     lv = last_verified(through_round=R12_DERIVATION_ROUND)
     assert not any(n in lv for n in NEW_R12), "NEW_R12 not actually new"
+    import json, os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "CORRECTNESS_r12.json")) as f:
+        r12_window = list(json.load(f))
+    lead = NEW_R12 + CHANGED_R12
+    assert r12_window[: len(lead)] == lead
+    rest = [n for n in pool(lv) if n not in lead]
+    assert r12_window[len(lead) :] == rest[: 50 - len(lead)]
+    # the strata the r12 derivation claimed: the first 40 of 41 r6 rows
+    strata = [lv[n] for n in r12_window[len(lead) :]]
+    assert strata == [6] * 40
+
+
+def test_r13_window_is_new_plus_changed_plus_pool_order():
+    """The r13 window must be exactly: the never-verified r13 additions,
+    then the r13-changed queries, then the rotation pool derived from
+    CORRECTNESS_r01..r12 in pool() order (stalest round, then name) —
+    i.e. the window is DERIVED, not hand-picked. With 4 new + 1 changed,
+    the remaining 45 slots hold q_zorder_layout (the lone r6 row,
+    deferred from r12), the full 40-row r8 stratum, and the 4 stalest
+    r9 rows."""
+    prefix = registry._WINDOW_PREFIX
+    lead = NEW_R13 + CHANGED_R13
+    assert prefix[: len(lead)] == lead
+    lv = last_verified(through_round=R13_DERIVATION_ROUND)
+    assert not any(n in lv for n in NEW_R13), "NEW_R13 not actually new"
     rest = [n for n in pool(lv) if n not in lead]
     assert prefix[len(lead) :] == rest[: 50 - len(lead)]
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [6] * 40
+    assert strata == [6] + [8] * 40 + [9] * 4

@@ -45,6 +45,13 @@ _TEXTS = [
     (3, "emoji 👩‍👩‍👧 mixed ascii text", "en"),
     (4, "tabs\tand  double  spaces here", "en"),
     (5, "plain english text for the control group", "en"),
+    # r13 script-mix battery: real Cyrillic/CJK/mojibake inputs (the sf
+    # fixtures are pure ASCII, so q_text_script_mix's Unicode legs are
+    # pinned HERE in both engines)
+    (6, "Привет мир это тест кириллицы", "ru"),
+    (7, "pаypаl sеcurity alеrt", "en"),  # Cyrillic а/е homoglyph spam
+    (8, "mixed 中文 and english text 123", "zh"),
+    (9, "broken \ufffd encoding \ufffd here", "en"),
 ]
 _DOCS = [(i, t, lang, "web", len(t)) for i, t, lang in _TEXTS]
 
@@ -60,6 +67,8 @@ _TEXT_QUERIES = [
     "q_text_js_shift",
     "q_langid_confusion",
     "q_text_length_filter",
+    # r13: the script-mix audit itself (regex char-class counting)
+    "q_text_script_mix",
 ]
 
 
@@ -80,6 +89,34 @@ def unicode_dir(spark, tmp_path_factory):
 def test_text_query_parity_on_unicode_corpus(name, spark, unicode_dir):
     # shared driver-replica harness — one copy to maintain
     assert_parity(spark, name, unicode_dir, ["documents"])
+
+
+def test_script_mix_pins_real_unicode_counts(spark, unicode_dir):
+    """Golden counts for q_text_script_mix on the mixed-script rows —
+    not just cross-engine parity but the ACTUAL classification: the
+    homoglyph row must flag is_mixed, the mojibake row must count its
+    U+FFFD chars, and dominant_script must pick the majority block."""
+    from spring_and_kafka_spark import registry
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in registry.queries()["q_text_script_mix"](
+            spark, unicode_dir
+        ).collect()
+    }
+    ru = rows[6]  # pure Cyrillic
+    assert ru["dominant_script"] == "cyrillic" and not ru["is_mixed"]
+    assert ru["latin_n"] == 0 and ru["cyr_n"] > 20
+    homoglyph = rows[7]  # Latin words with Cyrillic а/е planted
+    assert homoglyph["is_mixed"]
+    assert homoglyph["dominant_script"] == "latin"
+    assert homoglyph["cyr_n"] == 4
+    zh = rows[8]
+    assert zh["is_mixed"] and zh["cjk_n"] == 2 and zh["digit_n"] == 3
+    moji = rows[9]
+    assert moji["mojibake_n"] == 2 and moji["dominant_script"] == "latin"
+    emoji = rows[3]  # ZWJ emoji lands in other_n, never a letter class
+    assert emoji["other_n"] >= 5 and not emoji["is_mixed"]
 
 
 def test_known_case_mapping_divergences_still_hold(spark):
