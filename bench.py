@@ -102,6 +102,16 @@ HEADLINE = [
     # pairwise-slope trend (both on micro-unit integer daily revenue)
     "q_win_rolling_median",
     "q_ts_theilsen",
+    # round-13 additions: wedge-join neighborhood similarity, iterative
+    # 2-core peel, t-closeness privacy audit, seasonal-adjusted MAD,
+    # zero-shuffle script-mix projection, @udtf lateral surface
+    # (BASELINE.md §2 notes the headline-set change)
+    "q_graph_jaccard",
+    "q_graph_kcore",
+    "q_tcloseness",
+    "q_ts_stl_residual",
+    "q_text_script_mix",
+    "q_udf_udtf",
 ]
 
 

@@ -500,10 +500,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the edge table against the (small, shrinking) alive set plus one
     map-side-combined count — edges are materialized ONCE and never
     rebuilt; the iterative discipline (lineage cut per block, driver
-    holds only a count) is the same as q_graph_cc. TWO peel rounds run
-    per materialize block (6 jobs at the {_KCORE_ROUNDS}-round cap) —
-    the alive table is small enough that job overhead, not data,
-    dominates a round.
+    holds only a count) is the same as q_graph_cc. FOUR peel rounds
+    run per materialize block (3 blocks at the {_KCORE_ROUNDS}-round
+    cap; the lazy unroll is 8 shallow join/agg stages) — the alive
+    table is small enough that job overhead, not data, dominates a
+    round, the same measurement that set q_graph_cc's cadence.
 
     Reference parity anchor: the reference app has no graph surface
     (src/main/java/jc/DemoApplication.java is a Kafka pipe); this
@@ -548,10 +549,136 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     n_prev = alive.count()
-    for _ in range(_KCORE_ROUNDS // 2):
-        alive = materialize(peel(peel(alive)))
+    for _ in range(_KCORE_ROUNDS // 4):
+        stepped = alive
+        for _k in range(4):
+            stepped = peel(stepped)
+        alive = materialize(stepped)
         n_new = alive.count()
         if n_new == n_prev:
             break
         n_prev = n_new
     return alive.select("node", F.col("deg").cast("long").alias("core_deg"))
+
+
+@register(
+    "q_graph_jaccard",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eh AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM eh
+              UNION ALL SELECT v, u FROM eh),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    cand AS (
+      SELECT e1.dst AS u, e2.dst AS v,
+             CAST(count(*) AS BIGINT) AS common
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY 1, 2
+    )
+    SELECT c.u, c.v, c.common, du.d AS deg_u, dv.d AS deg_v,
+           floor(c.common * 1e6 / (du.d + dv.d - c.common) + 0.5) / 1e6
+             AS jaccard,
+           eh.u IS NOT NULL AS is_edge
+    FROM cand c
+    JOIN deg du ON du.node = c.u
+    JOIN deg dv ON dv.node = c.v
+    LEFT JOIN eh ON eh.u = c.u AND eh.v = c.v
+    """,
+    tags=("graph",),
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for every part pair sharing at
+    least one co-order neighbor (same thinned edge set as the rest of
+    the graph family): |N(u)∩N(v)| / |N(u)∪N(v)| plus an is_edge flag —
+    the classic link-prediction / entity-similarity primitive (a
+    non-adjacent pair with high Jaccard is a predicted edge; an
+    adjacent one with low Jaccard is a bridge between communities).
+
+    Candidate generation is the WEDGE join (two edges sharing a
+    center), never all-pairs: a pair appears iff it has ≥1 common
+    neighbor, and its common count IS the wedge multiplicity — one
+    grouped count over the wedge fan-out, the exact discipline of
+    q_graph_triangles (fan-out bounded by sum(deg²) on the thinned
+    graph, hub-capped upstream by the ≥2 co-order thinning). Degrees
+    join back from the per-node table (unhinted — AQE broadcasts it at
+    fixture sizes and is free to shuffle when the node dimension
+    outgrows executor memory); the direct-edge flag is a left join
+    against the undirected edge list.
+
+    Cross-engine: common/deg are exact BIGINTs; the union size
+    du+dv−common ≥ max(du,dv) ≥ 1, so the single division needs no
+    zero guard; the score rounds via the floor(x·1e6+0.5)/1e6 form —
+    identical IEEE ops in both engines, immune to the round()
+    boundary divergence (small-integer ratios DO land on half-digit
+    boundaries; the q_hist_equidepth lesson).
+
+    Reference parity anchor: no graph surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference analytics family."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    eh = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    # eh feeds three sides (both undirected halves + the is_edge probe)
+    # — cut here so the co-order build runs once
+    eh = materialize(eh)
+    edges = eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    cand = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    probe = eh.select("u", "v", F.lit(1).alias("_e"))
+    # no broadcast HINTS on deg/probe: the per-node table scales with
+    # the part dimension (auto-broadcast picks it up at fixture sizes;
+    # at 100 TB AQE decides shuffle-vs-broadcast from the real size —
+    # forcing broadcast of a billion-node degree table would be wrong)
+    j = (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .join(probe, ["u", "v"], "left")
+    )
+    union_sz = F.col("deg_u") + F.col("deg_v") - F.col("common")
+    return j.select(
+        "u",
+        "v",
+        "common",
+        "deg_u",
+        "deg_v",
+        (F.floor(F.col("common") * 1e6 / union_sz + F.lit(0.5)) / 1e6).alias(
+            "jaccard"
+        ),
+        F.col("_e").isNotNull().alias("is_edge"),
+    )

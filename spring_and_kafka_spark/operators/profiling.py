@@ -656,3 +656,128 @@ def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frac_at_risk"),
         F.min("l_div").alias("min_l"),
     )
+
+
+_TCLOSE_T = 0.2  # TVD threshold: groups farther than this from the
+# global sensitive-attribute distribution breach t-closeness
+
+
+@register(
+    "q_tcloseness",
+    oracle=f"""
+    WITH cell AS (
+      SELECT c_nationkey, c_mktsegment, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS ng
+      FROM cell GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS cs
+      FROM cell GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cs) AS BIGINT) AS n FROM marg),
+    per_group AS (
+      SELECT c.c_nationkey, c.c_mktsegment, g.ng,
+             CAST(sum(abs(c.cnt * t.n - gl.cs * g.ng)) AS BIGINT)
+               AS sum_abs,
+             CAST(sum(gl.cs) AS BIGINT) AS covered
+      FROM cell c
+      JOIN grp g USING (c_nationkey, c_mktsegment)
+      JOIN marg gl ON c.o_orderpriority IS NOT DISTINCT FROM
+                      gl.o_orderpriority
+      CROSS JOIN tot t
+      GROUP BY 1, 2, 3
+    )
+    SELECT p.c_nationkey, p.c_mktsegment, p.ng AS n,
+           floor((p.sum_abs + p.ng * (t.n - p.covered))
+                 * 1e6 / (2.0 * p.ng * t.n) + 0.5) / 1e6 AS tvd,
+           (p.sum_abs + p.ng * (t.n - p.covered))
+             > {_TCLOSE_T} * 2.0 * p.ng * t.n AS breach
+    FROM per_group p CROSS JOIN tot t
+    """,
+    tags=("governance",),
+)
+def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the privacy triple after
+    q_kanon (group too small) and q_ldiversity (group too uniform): a
+    quasi-identifier group breaches even WITH diverse values when its
+    sensitive-attribute DISTRIBUTION sits far from the global one
+    (skewness attack: "people in this group are 5× likelier to be
+    URGENT"). Per (nation, market-segment) group over orders, the
+    total-variation distance between the group's order-priority
+    distribution and the corpus-wide one, flagged against
+    t={_TCLOSE_T}.
+
+    Exactness: TVD = ½·Σ_s |P(s)−Q(s)| is rescaled onto the common
+    integer denominator n_g·n — each term becomes the exact BIGINT
+    |cnt_gs·n − cnt_s·n_g|, so the per-group SUM is order-free integer
+    arithmetic (a float Σ over categories would add in engine-specific
+    order); categories absent from a group contribute cnt_s·n_g, folded
+    in closed form as n_g·(n − covered). The single division happens
+    once at the end, scores round via floor(x·1e6+0.5)/1e6, and the
+    breach flag compares INTEGERS (scaled threshold, one IEEE multiply)
+    — never the rounded float. Overflow: cnt·n < n² must stay under
+    2^63, true through ~3·10⁹ rows; beyond that, pre-divide the global
+    counts by a fixed power of ten (documented rescale, same flag
+    semantics to 1e-6).
+
+    Shape at 100 TB: ONE shuffle of the join output to (nation,
+    segment, priority) cells; everything after re-aggregates the cell
+    table (groups, global marginals, the 1-row total) — tiny frames
+    that broadcast back onto cells. NULL priorities form their own
+    category in BOTH engines (groupBy keeps NULL groups; the marginal
+    join is null-safe), so an all-missing sensitive column audits as
+    distance-0 against itself rather than vanishing."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grp = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("ng")
+    )
+    glob = cell.groupBy("o_orderpriority").agg(F.sum("cnt").alias("cs"))
+    tot = glob.agg(F.sum("cs").alias("n"))
+    gl = glob.select(
+        F.col("o_orderpriority").alias("g_prio"), F.col("cs")
+    )
+    per_group = (
+        cell.join(F.broadcast(grp), ["c_nationkey", "c_mktsegment"])
+        .join(
+            F.broadcast(gl),
+            cell["o_orderpriority"].eqNullSafe(F.col("g_prio")),
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "ng")
+        .agg(
+            F.sum(
+                F.abs(F.col("cnt") * F.col("n") - F.col("cs") * F.col("ng"))
+            )
+            .cast("long")
+            .alias("sum_abs"),
+            F.sum("cs").cast("long").alias("covered"),
+        )
+    )
+    scaled = F.col("sum_abs") + F.col("ng") * (F.col("n") - F.col("covered"))
+    return per_group.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("ng").alias("n"),
+        (
+            F.floor(scaled * 1e6 / (2.0 * F.col("ng") * F.col("n")) + F.lit(0.5))
+            / 1e6
+        ).alias("tvd"),
+        (scaled > F.lit(_TCLOSE_T) * 2.0 * F.col("ng") * F.col("n")).alias(
+            "breach"
+        ),
+    )

@@ -93,32 +93,36 @@ _MODULE_SEQ: dict[str, int] = {}
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 4 queries NEW in r13 (q_graph_kcore q_text_script_mix
-#       q_ts_stl_residual q_udf_udtf — the k-core peel, script-mix
-#       audit, seasonal-adjusted MAD, and @udtf surface, pool() round-0
-#       name order) — never driver-verified, so they must lead;
+#   (a) the 6 queries NEW in r13 (q_graph_jaccard q_graph_kcore
+#       q_tcloseness q_text_script_mix q_ts_stl_residual q_udf_udtf —
+#       neighborhood similarity, the k-core peel, the t-closeness
+#       audit, the script-mix audit, seasonal-adjusted MAD, and the
+#       @udtf surface, pool() round-0 name order) — never
+#       driver-verified, so they must lead;
 #   (b) q_graph_cc, whose CODE changed in r13 (4 propagations per
 #       materialize block — output values identical by the fixed-point
 #       argument, but a frozen green row only covers unchanged code, so
 #       the changed operator re-enters the window);
 #   (c) the rotation pool in tools.window_pool pool() order:
 #       q_zorder_layout (the single r6-stale row, deferred from r12),
-#       all 40 r8-stale rows, then the 4 stalest r9 rows (q_agg_approx
-#       q_agg_argmax q_agg_collect q_agg_hll_rollup) — 4+1+45 = 50.
-# After this window the stalest green rows are the remaining 46 r9
+#       all 40 r8-stale rows, then the 2 stalest r9 rows (q_agg_approx
+#       q_agg_argmax) — 6+1+43 = 50.
+# After this window the stalest green rows are the remaining 48 r9
 # rows — the r14 pool head. Queries not named here rank after the
 # prefix by (module rank, def order) — the safe place for additions
 # until rotated in.
 _WINDOW_PREFIX = [
     # (a) new-in-r13, never verified — pool() round-0 name order
+    "q_graph_jaccard",
     "q_graph_kcore",
+    "q_tcloseness",
     "q_text_script_mix",
     "q_ts_stl_residual",
     "q_udf_udtf",
     # (b) changed-in-r13 code (propagation cadence; same output)
     "q_graph_cc",
     # (c) the rotation pool, tools.window_pool order: 1 r6 + 40 r8 +
-    #     4 r9 rows
+    #     2 r9 rows
     "q_zorder_layout",
     "q_agg_gini",
     "q_agg_global",
@@ -162,8 +166,6 @@ _WINDOW_PREFIX = [
     "q_udf_pandas",
     "q_agg_approx",
     "q_agg_argmax",
-    "q_agg_collect",
-    "q_agg_hll_rollup",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -475,3 +475,82 @@ def test_udtf_null_name_yields_no_rows_empty_name_yields_one(spark, tmp_path):
     assert sorted(by_key[1]) == [(1, "red"), (2, "copper"), (3, "hammer")]
     assert 2 not in by_key  # NULL name: zero rows
     assert by_key[3] == [(1, "")]  # empty name: one empty word
+
+
+def test_graph_jaccard_known_neighborhoods(spark, tmp_path):
+    """Triangle {10,11,12} plus pendant 10-13: hand-computed Jaccard
+    for every wedge pair, including the link-prediction case — (11,13)
+    and (12,13) share neighbor 10 but are NOT adjacent, and must come
+    back is_edge=false with score 1/2."""
+    d = _write_lineitem_pairs(
+        spark,
+        tmp_path,
+        "jaccard-known",
+        [
+            (1, [10, 11, 12]), (2, [10, 11, 12]),  # triangle, twice
+            (3, [10, 13]), (4, [10, 13]),          # pendant
+        ],
+    )
+    got = assert_parity(spark, "q_graph_jaccard", d, ["lineitem"])
+    rows = {
+        (u, v): (c, j, e)
+        for u, v, c, j, e in zip(
+            got["u"], got["v"], got["common"], got["jaccard"], got["is_edge"]
+        )
+    }
+    assert rows == {
+        (10, 11): (1, 0.25, True),
+        (10, 12): (1, 0.25, True),
+        (11, 12): (1, 0.333333, True),
+        (11, 13): (1, 0.5, False),  # predicted link
+        (12, 13): (1, 0.5, False),  # predicted link
+    }
+
+
+def test_tcloseness_mirror_group_zero_skewed_group_breaches(spark, tmp_path):
+    """Three QI groups over a 2-priority corpus: one all-X, one all-Y
+    (each TVD exactly 0.5 against the 50/50 global — breach), and one
+    mirroring the global mix exactly (TVD 0, no breach). Both engines
+    must agree on the exact integer-scaled distances."""
+    d = tmp_path / "tclose-known"
+    custs, orders = [], []
+    ck = 0
+    ok = 0
+    for nat, seg, prios in [
+        (1, "A", ["X"] * 4),
+        (2, "B", ["Y"] * 4),
+        (3, "C", ["X", "X", "Y", "Y"]),
+    ]:
+        for p in prios:
+            ck += 1
+            ok += 1
+            custs.append((ck, f"c{ck}", nat, 0.0, seg))
+            orders.append(
+                (ok, ck, "O", 1.0, dt.datetime(2024, 1, 2), p)
+            )
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    got = assert_parity(
+        spark, "q_tcloseness", str(d), ["orders", "customer"]
+    )
+    rows = {
+        (nat, seg): (n, tvd, br)
+        for nat, seg, n, tvd, br in zip(
+            got["c_nationkey"], got["c_mktsegment"], got["n"],
+            got["tvd"], got["breach"],
+        )
+    }
+    assert rows == {
+        (1, "A"): (4, 0.5, True),
+        (2, "B"): (4, 0.5, True),
+        (3, "C"): (4, 0.0, False),
+    }

@@ -634,3 +634,29 @@ def test_udf_udtf_filter_pushed_python_node_bounded(spark):
     assert m and "p_partkey" in m.group(1)
     assert "EvalPythonUDTF" in p
     assert "CartesianProduct" not in p
+
+
+def test_graph_jaccard_wedge_join_no_cartesian_pruned(spark):
+    # candidate pairs come from the wedge equi-join on the shared
+    # center — never an all-pairs product; lineitem scans prune to the
+    # two co-order columns
+    p = plan(spark, "q_graph_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "l_extendedprice" not in head and "l_comment" not in head
+
+
+def test_tcloseness_single_fact_shuffle_tiny_reaggs(spark):
+    # one shuffle of the orders-customer join to (nation, segment,
+    # priority) cells; the group/marginal/total re-aggregations ride
+    # back as broadcasts (the 1-row total via a broadcast nested loop);
+    # no sort-merge join anywhere past the fact join, and the orders
+    # scan prunes to the 2 needed columns
+    p = plan(spark, "q_tcloseness")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "o_totalprice" not in head and "o_orderdate" not in head

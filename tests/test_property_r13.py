@@ -1,0 +1,365 @@
+"""Round-13 property battery: brute-force replays for the r13 operator
+batch —
+
+- q_graph_kcore: the iterative 2-core peel vs a direct Python peel on
+  arbitrary co-order multigraphs (chains that need multiple rounds,
+  hubs, shapes whose core is empty);
+- q_graph_jaccard: wedge-derived common-neighbor counts and the
+  floor-form score vs explicit neighborhood sets;
+- q_tcloseness: the integer-scaled total-variation distance vs an
+  exact Fraction-free integer replay, including NULL priorities as
+  their own category;
+- q_ts_stl_residual: the deseasonalize-then-MAD pipeline vs an exact
+  integer/median replay (truncating int div, .5/.25-grid medians),
+  through the finite-or-null ingest contract;
+- q_text_script_mix: codepoint-class counts vs a direct Python
+  classification over arbitrary Unicode text.
+
+As in the r10-r12 batteries, every replay drives the REAL registered
+query end-to-end: each example writes a random parquet fixture and the
+query reads it through load_table, so the finite-or-null ingest
+contract is part of the replayed semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import shutil
+import tempfile
+from collections import defaultdict
+from itertools import combinations
+
+from hypothesis import given, settings, strategies as st
+
+NAN = float("nan")
+INF = float("inf")
+_TS0 = dt.datetime(2024, 1, 1)
+
+
+def _write_lineitem(spark, d, items):
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             _TS0 + dt.timedelta(days=1))
+            for i, (ok, pk) in enumerate(items)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+
+def _thinned_edges(items):
+    per_order = defaultdict(set)
+    for ok, pk in items:
+        per_order[ok].add(pk)
+    pair_orders = defaultdict(int)
+    for parts in per_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            pair_orders[(u, v)] += 1
+    return {p for p, n in pair_orders.items() if n >= 2}
+
+
+graph_lineitems = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 11)),  # (order, part)
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(graph_lineitems)
+def test_graph_kcore_matches_direct_peel(spark, items):
+    """The capped-unroll 2-core must equal the ACTUAL fixed-point peel
+    (the 12-round cap never binds at this graph size: <= 12 nodes), and
+    every reported core_deg must be the node's degree within the
+    surviving set."""
+    from spring_and_kafka_spark.operators.graph import q_graph_kcore
+
+    edges = _thinned_edges(items)
+    alive = {n for e in edges for n in e}
+    while True:
+        deg = defaultdict(int)
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] += 1
+                deg[v] += 1
+        nxt = {n for n in alive if deg[n] >= 2}
+        if nxt == alive:
+            break
+        alive = nxt
+    expected = {n: deg[n] for n in alive}
+
+    d = tempfile.mkdtemp(prefix="kcore-prop-")
+    try:
+        _write_lineitem(spark, d, items)
+        got = {
+            r.node: r.core_deg for r in q_graph_kcore(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(graph_lineitems)
+def test_graph_jaccard_matches_neighbor_sets(spark, items):
+    """Wedge-derived (common, deg, score, is_edge) must equal the
+    values computed from explicit neighborhood sets, with the score
+    replayed through the identical floor(x*1e6+0.5)/1e6 IEEE ops."""
+    from spring_and_kafka_spark.operators.graph import q_graph_jaccard
+
+    edges = _thinned_edges(items)
+    nbr = defaultdict(set)
+    for u, v in edges:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    expected = {}
+    for u, v in combinations(sorted(nbr), 2):
+        common = len(nbr[u] & nbr[v])
+        if common == 0:
+            continue
+        du, dv = len(nbr[u]), len(nbr[v])
+        score = math.floor(common * 1e6 / (du + dv - common) + 0.5) / 1e6
+        expected[(u, v)] = (common, du, dv, score, (u, v) in edges)
+
+    d = tempfile.mkdtemp(prefix="jacc-prop-")
+    try:
+        _write_lineitem(spark, d, items)
+        got = {
+            (r.u, r.v): (r.common, r.deg_u, r.deg_v, r.jaccard, r.is_edge)
+            for r in q_graph_jaccard(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+tclose_rows = st.lists(
+    st.tuples(
+        st.integers(1, 3),  # nation (QI 1)
+        st.sampled_from(["A", "B"]),  # segment (QI 2)
+        st.sampled_from(["X", "Y", "Z", None]),  # priority (sensitive)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(tclose_rows)
+def test_tcloseness_matches_integer_replay(spark, rows):
+    """The scaled-TVD identity sum_abs + ng*(n - covered) over exact
+    BIGINTs, replayed directly — including NULL priorities as a real
+    category and the integer-compare breach flag (never the rounded
+    float)."""
+    from spring_and_kafka_spark.operators.profiling import (
+        _TCLOSE_T,
+        q_tcloseness,
+    )
+
+    n = len(rows)
+    cell = defaultdict(int)
+    for nat, seg, prio in rows:
+        cell[(nat, seg, prio)] += 1
+    ng = defaultdict(int)
+    cs = defaultdict(int)
+    for (nat, seg, prio), cnt in cell.items():
+        ng[(nat, seg)] += cnt
+        cs[prio] += cnt
+    expected = {}
+    for (nat, seg), g_n in ng.items():
+        scaled = 0
+        for prio, c_all in cs.items():
+            c_g = cell.get((nat, seg, prio), 0)
+            scaled += abs(c_g * n - c_all * g_n)
+        tvd = math.floor(scaled * 1e6 / (2.0 * g_n * n) + 0.5) / 1e6
+        breach = scaled > _TCLOSE_T * 2.0 * g_n * n
+        expected[(nat, seg)] = (g_n, tvd, breach)
+
+    d = tempfile.mkdtemp(prefix="tclose-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i + 1, f"c{i + 1}", nat, 0.0, seg)
+                for i, (nat, seg, _) in enumerate(rows)
+            ],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        spark.createDataFrame(
+            [
+                (i + 1, i + 1, "O", 1.0, _TS0, prio)
+                for i, (_, _, prio) in enumerate(rows)
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = {
+            (r.c_nationkey, r.c_mktsegment): (r.n, r.tvd, r.breach)
+            for r in q_tcloseness(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+def _trunc_div(s: int, c: int) -> int:
+    """Spark `div` / DuckDB `//`: integer division truncating toward
+    zero (Python // floors, so negatives need the sign dance)."""
+    q = abs(s) // c
+    return q if s >= 0 else -q
+
+
+def _median(vals):
+    vs = sorted(vals)
+    if not vs:
+        return None
+    m = len(vs) // 2
+    if len(vs) % 2:
+        return float(vs[m])
+    return (vs[m - 1] + vs[m]) / 2.0
+
+
+stl_events = st.lists(
+    st.tuples(
+        st.integers(0, 27),  # day offset (spans all 7 dows)
+        st.sampled_from(["view", "click"]),
+        st.one_of(
+            st.none(),
+            st.just(NAN),
+            st.just(INF),
+            st.floats(-1000, 1000, allow_nan=False, allow_infinity=False),
+        ),
+    ),
+    min_size=1,
+    max_size=48,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(stl_events)
+def test_stl_residual_matches_integer_replay(spark, evs):
+    """Deseasonalize (truncating int div on micro-units, per (type,
+    dow)) then double-MAD, replayed exactly in Python through the
+    finite-or-null contract (NaN/Inf arrive as NULL). Integer columns
+    and the .5/.25-grid medians are compared exactly; the rounded rate
+    columns ride on the same counts so they are implied."""
+    from spring_and_kafka_spark.operators.timeseries import (
+        q_ts_stl_residual,
+    )
+
+    per_type = defaultdict(list)  # type -> [(dow, vi-or-None)]
+    for day, typ, val in evs:
+        ts = _TS0 + dt.timedelta(days=day, hours=3)
+        vi = (
+            None
+            if val is None or not math.isfinite(val)
+            else math.floor(val * 1e6 + 0.5)
+        )
+        per_type[typ].append((ts.isoweekday(), vi))
+    expected = {}
+    for typ, rows in per_type.items():
+        by_dow = defaultdict(list)
+        for dow, vi in rows:
+            if vi is not None:
+                by_dow[dow].append(vi)
+        dmean = {
+            dow: _trunc_div(sum(vs), len(vs)) for dow, vs in by_dow.items()
+        }
+        vis = [vi for _, vi in rows if vi is not None]
+        rs = [vi - dmean[dow] for dow, vi in rows if vi is not None]
+        med_v, med_r = _median(vis), _median(rs)
+        dev_v = [abs(v - med_v) for v in vis]
+        dev_r = [abs(r - med_r) for r in rs]
+        mad_v, mad_r = _median(dev_v), _median(dev_r)
+        n_out_raw = sum(1 for x in dev_v if x > 4.4478 * mad_v)
+        n_out_adj = sum(1 for x in dev_r if x > 4.4478 * mad_r)
+        expected[typ] = (len(rows), n_out_raw, n_out_adj, med_r, mad_r)
+
+    d = tempfile.mkdtemp(prefix="stl-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i, _TS0 + dt.timedelta(days=day, hours=3), i % 5, typ, val)
+                for i, (day, typ, val) in enumerate(evs)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.event_type: (
+                r.n,
+                r.n_out_raw,
+                r.n_out_adj,
+                r.med_res_micros,
+                r.mad_res_micros,
+            )
+            for r in q_ts_stl_residual(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+_SCRIPT_TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.characters(min_codepoint=0x400, max_codepoint=0x4FF),
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4E40),
+        st.sampled_from("\t\n\r�éσ\U0001F600"),
+    ),
+    max_size=60,
+)
+
+
+def _classify(text):
+    latin = sum(1 for c in text if "a" <= c <= "z" or "A" <= c <= "Z")
+    digit = sum(1 for c in text if "0" <= c <= "9")
+    space = sum(1 for c in text if c in " \t\n\r")
+    cyr = sum(1 for c in text if 0x400 <= ord(c) <= 0x4FF)
+    cjk = sum(1 for c in text if 0x4E00 <= ord(c) <= 0x9FFF)
+    moji = sum(1 for c in text if c == "�")
+    n = len(text)
+    other = n - latin - digit - space - cyr - cjk
+    if latin >= cyr and latin >= cjk and latin > 0:
+        dom = "latin"
+    elif cyr >= cjk and cyr > 0:
+        dom = "cyrillic"
+    elif cjk > 0:
+        dom = "cjk"
+    else:
+        dom = "none"
+    mixed = (latin > 0) + (cyr > 0) + (cjk > 0) >= 2
+    return (n, latin, digit, space, cyr, cjk, moji, other, dom, mixed)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_SCRIPT_TEXT, min_size=1, max_size=8))
+def test_script_mix_matches_python_classification(spark, texts):
+    """Per-codepoint classification over arbitrary Unicode (including
+    astral emoji, which must land in other_n and count ONE codepoint)
+    must match a direct Python replay — the regex len-diff trick and
+    length() both count codepoints."""
+    from spring_and_kafka_spark.llm.text import q_text_script_mix
+
+    d = tempfile.mkdtemp(prefix="scriptmix-prop-")
+    try:
+        spark.createDataFrame(
+            [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: (
+                r.n_cp, r.latin_n, r.digit_n, r.space_n, r.cyr_n,
+                r.cjk_n, r.mojibake_n, r.other_n, r.dominant_script,
+                r.is_mixed,
+            )
+            for r in q_text_script_mix(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == {i: _classify(t) for i, t in enumerate(texts)}

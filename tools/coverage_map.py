@@ -140,9 +140,9 @@ SECTIONS = {
         "q_embed_outlier", "q_hist_equidepth", "q_ldiversity",
         "q_win_rolling_median", "q_ts_theilsen",
     ],
-    "round-13 additions: graph core + seasonal anomaly + script audit + UDTF": [
-        "q_graph_kcore", "q_ts_stl_residual", "q_text_script_mix",
-        "q_udf_udtf",
+    "round-13 additions: graph similarity/core + privacy + seasonal anomaly + script audit + UDTF": [
+        "q_graph_jaccard", "q_graph_kcore", "q_tcloseness",
+        "q_ts_stl_residual", "q_text_script_mix", "q_udf_udtf",
     ],
 }
 
