@@ -554,3 +554,41 @@ def test_tcloseness_mirror_group_zero_skewed_group_breaches(spark, tmp_path):
         (2, "B"): (4, 0.5, True),
         (3, "C"): (4, 0.0, False),
     }
+
+
+def test_tcloseness_exactly_at_threshold_does_not_breach(spark, tmp_path):
+    """tvd landing EXACTLY on t=0.2 (strictly-greater semantics): two
+    complementary 7/3 groups over a 50/50 global — TVD = ½(0.2+0.2) =
+    0.2 for both. The integer-scaled compare (scaled > t·2·ng·n) must
+    answer False in BOTH engines — DuckDB evaluates the threshold in
+    exact DECIMAL, Spark in double (0.2·2·140 = 56.000000000000014),
+    and no integer lives between 56 and that double, so the knife edge
+    is structurally safe (verified: the only divergence window is
+    (t·2·ng·n, its double image), which contains no BIGINT)."""
+    d = tmp_path / "tclose-threshold"
+    custs, orders = [], []
+    k = 0
+    for nat, seg, prios in [
+        (1, "A", ["X"] * 7 + ["Y"] * 3),
+        (2, "B", ["X"] * 3 + ["Y"] * 7),
+    ]:
+        for p in prios:
+            k += 1
+            custs.append((k, f"c{k}", nat, 0.0, seg))
+            orders.append((k, k, "O", 1.0, dt.datetime(2024, 1, 2), p))
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(d / "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    got = assert_parity(
+        spark, "q_tcloseness", str(d), ["orders", "customer"]
+    )
+    assert got["tvd"] == [0.2, 0.2]
+    assert got["breach"] == [False, False]
