@@ -671,33 +671,27 @@ _TCLOSE_T = 0.2  # TVD threshold: groups farther than this from the
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2, 3
     ),
-    grp AS (
-      SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS ng
-      FROM cell GROUP BY 1, 2
+    w AS (
+      SELECT c_nationkey, c_mktsegment, cnt,
+             sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment) AS ng,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS cs,
+             sum(cnt) OVER () AS n
+      FROM cell
     ),
-    marg AS (
-      SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS cs
-      FROM cell GROUP BY 1
-    ),
-    tot AS (SELECT CAST(sum(cs) AS BIGINT) AS n FROM marg),
     per_group AS (
-      SELECT c.c_nationkey, c.c_mktsegment, g.ng,
-             CAST(sum(abs(c.cnt * t.n - gl.cs * g.ng)) AS BIGINT)
-               AS sum_abs,
-             CAST(sum(gl.cs) AS BIGINT) AS covered
-      FROM cell c
-      JOIN grp g USING (c_nationkey, c_mktsegment)
-      JOIN marg gl ON c.o_orderpriority IS NOT DISTINCT FROM
-                      gl.o_orderpriority
-      CROSS JOIN tot t
-      GROUP BY 1, 2, 3
+      SELECT c_nationkey, c_mktsegment,
+             CAST(max(ng) AS BIGINT) AS ng,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(abs(cnt * n - cs * ng)) AS BIGINT) AS sum_abs,
+             CAST(sum(cs) AS BIGINT) AS covered
+      FROM w GROUP BY 1, 2
     )
-    SELECT p.c_nationkey, p.c_mktsegment, p.ng AS n,
-           floor((p.sum_abs + p.ng * (t.n - p.covered))
-                 * 1e6 / (2.0 * p.ng * t.n) + 0.5) / 1e6 AS tvd,
-           (p.sum_abs + p.ng * (t.n - p.covered))
-             > {_TCLOSE_T} * 2.0 * p.ng * t.n AS breach
-    FROM per_group p CROSS JOIN tot t
+    SELECT c_nationkey, c_mktsegment, ng AS n,
+           floor((sum_abs + ng * (n - covered))
+                 * 1e6 / (2.0 * ng * n) + 0.5) / 1e6 AS tvd,
+           (sum_abs + ng * (n - covered))
+             > {_TCLOSE_T} * 2.0 * ng * n AS breach
+    FROM per_group
     """,
     tags=("governance",),
 )
@@ -726,12 +720,20 @@ def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics to 1e-6).
 
     Shape at 100 TB: ONE shuffle of the join output to (nation,
-    segment, priority) cells; everything after re-aggregates the cell
-    table (groups, global marginals, the 1-row total) — tiny frames
-    that broadcast back onto cells. NULL priorities form their own
-    category in BOTH engines (groupBy keeps NULL groups; the marginal
-    join is null-safe), so an all-missing sensitive column audits as
-    distance-0 against itself rather than vanishing."""
+    segment, priority) cells — the only fact-sized movement — then the
+    group size, category marginal, and grand total ride as three
+    window sums over that single tiny pass (cell is bounded by
+    |QI groups|×|categories|), so cell has exactly ONE consumer and
+    the fact join is planned once. The join-back formulation
+    re-planned the fact join per re-aggregating branch (20 parquet
+    scans in the static plan, caught by the r13 plan audit); the
+    window formulation is one scan, one fact shuffle, and window
+    shuffles of a few hundred rows. NULL priorities form their own
+    category in BOTH engines (groupBy keeps NULL groups; window
+    PARTITION BY groups NULL keys together, which is the null-safe
+    rejoin the join form would have needed eqNullSafe for), so an
+    all-missing sensitive column audits as distance-0 against itself
+    rather than vanishing."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority"
     )
@@ -743,33 +745,33 @@ def q_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    grp = cell.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.sum("cnt").alias("ng")
+    # group size, category marginal, and grand total as WINDOW sums over
+    # the one cell pass — cell has exactly one consumer, so Spark plans
+    # the fact join ONCE (the join-back formulation re-planned it per
+    # branch: 20 parquet scans in the static plan, caught by the r13
+    # plan audit). The windows shuffle only the tiny cell table; window
+    # PARTITION BY groups NULL keys together in both engines, which is
+    # precisely the null-safe rejoin the join form needed eqNullSafe for
+    w = cell.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "cnt",
+        F.sum("cnt")
+        .over(W.partitionBy("c_nationkey", "c_mktsegment"))
+        .alias("ng"),
+        F.sum("cnt").over(W.partitionBy("o_orderpriority")).alias("cs"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
     )
-    glob = cell.groupBy("o_orderpriority").agg(F.sum("cnt").alias("cs"))
-    tot = glob.agg(F.sum("cs").alias("n"))
-    gl = glob.select(
-        F.col("o_orderpriority").alias("g_prio"), F.col("cs")
-    )
-    per_group = (
-        cell.join(F.broadcast(grp), ["c_nationkey", "c_mktsegment"])
-        .join(
-            F.broadcast(gl),
-            cell["o_orderpriority"].eqNullSafe(F.col("g_prio")),
-        )
-        .crossJoin(F.broadcast(tot))
-        .groupBy("c_nationkey", "c_mktsegment", "ng")
-        .agg(
-            F.sum(
-                F.abs(F.col("cnt") * F.col("n") - F.col("cs") * F.col("ng"))
-            )
-            .cast("long")
-            .alias("sum_abs"),
-            F.sum("cs").cast("long").alias("covered"),
-        )
+    per_group = w.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("ng").cast("long").alias("ng"),
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.abs(F.col("cnt") * F.col("n") - F.col("cs") * F.col("ng")))
+        .cast("long")
+        .alias("sum_abs"),
+        F.sum("cs").cast("long").alias("covered"),
     )
     scaled = F.col("sum_abs") + F.col("ng") * (F.col("n") - F.col("covered"))
-    return per_group.crossJoin(F.broadcast(tot)).select(
+    return per_group.select(
         "c_nationkey",
         "c_mktsegment",
         F.col("ng").alias("n"),
