@@ -112,6 +112,8 @@ HEADLINE = [
     "q_ts_stl_residual",
     "q_text_script_mix",
     "q_udf_udtf",
+    "q_seq_markov",
+    "q_hist_log2",
 ]
 
 

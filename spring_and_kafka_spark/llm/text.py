@@ -1552,3 +1552,76 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dominant_script"),
         (present >= 2).alias("is_mixed"),
     )
+
+
+@register(
+    "q_hist_log2",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN n_chars > 0
+                  THEN CAST(length(printf('%b', n_chars)) - 1 AS BIGINT)
+             END AS bucket
+      FROM documents
+    ),
+    h AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+      FROM b GROUP BY bucket
+    ),
+    w AS (
+      SELECT bucket, n_docs, sum(n_docs) OVER () AS total FROM h
+    )
+    SELECT bucket,
+           CASE WHEN bucket IS NOT NULL
+                THEN CAST(2 ** bucket AS BIGINT) END AS lo,
+           CASE WHEN bucket IS NOT NULL
+                THEN CAST(2 ** (bucket + 1) - 1 AS BIGINT) END AS hi,
+           n_docs,
+           floor(n_docs * 1e6 / total + 0.5) / 1e6 AS share
+    FROM w
+    """,
+)
+def q_hist_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of document lengths: bucket k holds docs
+    with 2^k ≤ n_chars < 2^(k+1) — the long-tail readout every corpus
+    report leads with (doc lengths are heavy-tailed, so linear buckets
+    like q_hist_equiwidth's flatten the tail into one bar; exponential
+    buckets resolve it). Non-positive or NULL lengths land in a NULL
+    bucket row rather than vanishing (the q_hist_equiwidth NULL-bucket
+    lesson).
+
+    Cross-engine determinism: floor(log2(n)) is computed WITHOUT libm —
+    Spark counts the bits of bin(n), DuckDB of printf('%b', n); both
+    are exact integer bit-lengths, where a float log2 is 1-ulp
+    hazardous exactly AT the powers of two that define every bucket
+    edge. Bounds come from integer shifts/powers, the share from the
+    floor(x·1e6+0.5)/1e6 form on the integer ratio.
+
+    Shape at 100 TB: one map-side-combined aggregation to ≤ ~40 bucket
+    rows (pure projection before it — scans prune to n_chars alone),
+    then the total rides as a window sum over those rows (single
+    consumer, no rejoin). Nothing else moves."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("n_chars") > 0,
+            (F.length(F.bin(F.col("n_chars"))) - 1).cast("long"),
+        ).alias("bucket")
+    )
+    h = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = h.select(
+        "bucket", "n_docs", F.sum("n_docs").over(W.partitionBy()).alias("total")
+    )
+    return w.select(
+        "bucket",
+        F.expr(
+            "CASE WHEN bucket IS NOT NULL"
+            " THEN shiftleft(1L, cast(bucket AS INT)) END"
+        ).alias("lo"),
+        F.expr(
+            "CASE WHEN bucket IS NOT NULL"
+            " THEN shiftleft(1L, cast(bucket AS INT) + 1) - 1L END"
+        ).alias("hi"),
+        "n_docs",
+        (
+            F.floor(F.col("n_docs") * 1e6 / F.col("total") + F.lit(0.5)) / 1e6
+        ).alias("share"),
+    )

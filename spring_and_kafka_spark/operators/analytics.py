@@ -1322,3 +1322,91 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+@register(
+    "q_seq_markov",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+             ) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS curr_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT prev_type, curr_type, n,
+             sum(n) OVER (PARTITION BY prev_type) AS row_total
+      FROM t
+    )
+    SELECT prev_type, curr_type, n,
+           floor(n * 1e6 / row_total + 0.5) / 1e6 AS p
+    FROM w
+    """,
+)
+def q_seq_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each user's time-ordered events, count prev→curr event-type
+    transitions and normalize per source state — the user-journey
+    readout behind "what do people do after an error?", and the
+    empirical transition model a session simulator or next-event
+    predictor starts from.
+
+    Cross-engine determinism: the lag ordering key (ts, event_id) pins
+    NULLS FIRST in the oracle (Spark asc default ≡ pinned DuckDB — the
+    registry NULL rule). lag() makes a boundary NULL (first event per
+    user) indistinguishable from a data NULL (previous event's type
+    missing), so WHERE prev_type IS NOT NULL drops BOTH — transitions
+    out of a missing state are uncountable in this formulation and are
+    dropped identically in both engines (documented trade; transitions
+    INTO a missing state keep their row via curr_type NULL, the honest
+    count). Probabilities use the floor(x·1e6+0.5)/1e6 form on an
+    n/row_total integer ratio (engine round() diverges exactly on
+    half-digit boundaries, which small-integer ratios DO hit).
+
+    Shape at 100 TB: one shuffle to (user) for the lag window —
+    sessions are user-bounded so the sort is within-key and skew-free —
+    then a map-side-combined count to ≤ |types|² rows; the per-source
+    normalizer rides as a window sum over that tiny matrix (the
+    q_tcloseness single-consumer discipline: no rejoin, no re-plan of
+    the fact window). Scans prune to (user_id, ts, event_id,
+    event_type)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ordered = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        )
+        .alias("prev_type"),
+    )
+    t = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = t.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        F.sum("n").over(W.partitionBy("prev_type")).alias("row_total"),
+    )
+    return w.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        (
+            F.floor(F.col("n") * 1e6 / F.col("row_total") + F.lit(0.5)) / 1e6
+        ).alias("p"),
+    )

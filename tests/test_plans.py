@@ -666,3 +666,30 @@ def test_tcloseness_single_fact_join_window_reaggs(spark):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "o_totalprice" not in head and "o_orderdate" not in head
+
+
+def test_seq_markov_single_fact_window_no_join(spark):
+    # one user-partitioned lag window over the fact table, a map-side
+    # combined count to <= |types|^2 rows, and a window-sum normalizer
+    # over that tiny matrix — no join anywhere, and the events scan
+    # prunes to the 4 needed columns
+    p = plan(spark, "q_seq_markov")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Window") >= 2  # the fact lag + the tiny normalizer
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "props" not in head and "value" not in head
+
+
+def test_hist_log2_projection_single_agg_no_libm(spark):
+    # pure projection (bit-length bucketing, no log2 libm call) into
+    # one map-side-combined aggregation; documents scan prunes to
+    # n_chars alone — text never leaves the parquet reader
+    p = plan(spark, "q_hist_log2")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "LOG2" not in p.upper().replace("LOG2E", "")
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head and "lang" not in head

@@ -13,7 +13,11 @@ batch —
   integer/median replay (truncating int div, .5/.25-grid medians),
   through the finite-or-null ingest contract;
 - q_text_script_mix: codepoint-class counts vs a direct Python
-  classification over arbitrary Unicode text.
+  classification over arbitrary Unicode text;
+- q_seq_markov: lag-per-user transition counts vs a sorted-stream
+  replay (NULL event types, duplicate-timestamp ties);
+- q_hist_log2: bit-length bucketing vs int.bit_length(), with NULL
+  and non-positive lengths in the NULL bucket.
 
 As in the r10-r12 batteries, every replay drives the REAL registered
 query end-to-end: each example writes a random parquet fixture and the
@@ -363,3 +367,101 @@ def test_script_mix_matches_python_classification(spark, texts):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == {i: _classify(t) for i, t in enumerate(texts)}
+
+
+markov_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 10_000),  # microsecond offset (tie-able)
+        st.sampled_from(["a", "b", "c", None]),  # event_type incl NULL
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(markov_events)
+def test_seq_markov_matches_python_replay(spark, evs):
+    """lag-per-user transition counts vs a direct Python replay over the
+    (ts, event_id)-sorted stream — including NULL event types (counted
+    as transitions INTO a missing state; transitions OUT of one are
+    dropped with the boundary row, the documented lag ambiguity) and
+    duplicate timestamps broken by event_id."""
+    from spring_and_kafka_spark.operators.analytics import q_seq_markov
+
+    rows = [
+        (i, _TS0 + dt.timedelta(microseconds=us), u, typ, 1.0)
+        for i, (u, us, typ) in enumerate(evs)
+    ]
+    per_user = defaultdict(list)
+    for eid, ts, u, typ, _ in rows:
+        per_user[u].append((ts, eid, typ))
+    trans = defaultdict(int)
+    for seq in per_user.values():
+        seq.sort(key=lambda r: (r[0], r[1]))
+        for (_, _, prev), (_, _, curr) in zip(seq, seq[1:]):
+            if prev is not None:
+                trans[(prev, curr)] += 1
+    row_tot = defaultdict(int)
+    for (prev, _), n in trans.items():
+        row_tot[prev] += n
+    expected = {
+        k: (n, math.floor(n * 1e6 / row_tot[k[0]] + 0.5) / 1e6)
+        for k, n in trans.items()
+    }
+
+    d = tempfile.mkdtemp(prefix="markov-prop-")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (r.prev_type, r.curr_type): (r.n, r.p)
+            for r in q_seq_markov(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(), st.integers(-5, 5000)), min_size=1, max_size=40,
+))
+def test_hist_log2_matches_bitlength_replay(spark, lens):
+    """Bit-length bucketing vs Python int.bit_length(), including the
+    NULL bucket for missing and non-positive lengths, exact power
+    bounds, and the floor-form share."""
+    from spring_and_kafka_spark.llm.text import q_hist_log2
+
+    buckets = defaultdict(int)
+    for n in lens:
+        buckets[n.bit_length() - 1 if n is not None and n > 0 else None] += 1
+    total = len(lens)
+    expected = {
+        b: (
+            (1 << b) if b is not None else None,
+            ((1 << (b + 1)) - 1) if b is not None else None,
+            c,
+            math.floor(c * 1e6 / total + 0.5) / 1e6,
+        )
+        for b, c in buckets.items()
+    }
+
+    d = tempfile.mkdtemp(prefix="log2-prop-")
+    try:
+        spark.createDataFrame(
+            [(i, "t", "en", "web", n) for i, n in enumerate(lens)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.bucket: (r.lo, r.hi, r.n_docs, r.share)
+            for r in q_hist_log2(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected

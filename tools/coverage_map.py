@@ -140,8 +140,9 @@ SECTIONS = {
         "q_embed_outlier", "q_hist_equidepth", "q_ldiversity",
         "q_win_rolling_median", "q_ts_theilsen",
     ],
-    "round-13 additions: graph similarity/core + privacy + seasonal anomaly + script audit + UDTF": [
+    "round-13 additions: graph similarity/core + privacy + sequence/seasonal analytics + corpus audits + UDTF": [
         "q_graph_jaccard", "q_graph_kcore", "q_tcloseness",
+        "q_seq_markov", "q_hist_log2",
         "q_ts_stl_residual", "q_text_script_mix", "q_udf_udtf",
     ],
 }
