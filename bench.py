@@ -114,6 +114,7 @@ HEADLINE = [
     "q_udf_udtf",
     "q_seq_markov",
     "q_hist_log2",
+    "q_embed_recall_eval",
 ]
 
 

@@ -1024,3 +1024,198 @@ def q_embed_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_centroid") < F.col("cutoff"))
     )
+
+
+_RECALL_K = 10  # recall@k
+_RECALL_NQ = 8  # evaluated query sample: vec_id < 8
+_RECALL_NPROBE = 4  # probed clusters per query (of 16 centroids)
+
+
+def _recall_cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@register(
+    "q_embed_recall_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id < 16),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_RECALL_NQ}),
+    assigned AS (
+      SELECT vec_id, v, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_recall_cos_sql('e.v', 'c.cv')} DESC NULLS LAST,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    exact_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_recall_cos_sql('e.v', 'q.qv')} DESC NULLS LAST,
+                          e.vec_id) AS rn
+        FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    probe AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, c.centroid_id AS cluster,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_recall_cos_sql('c.cv', 'q.qv')} DESC NULLS LAST,
+                          c.centroid_id) AS rn
+        FROM cents c CROSS JOIN qs q
+      ) WHERE rn <= {_RECALL_NPROBE}
+    ),
+    ann_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY {_recall_cos_sql('a.v', 'q.qv')} DESC NULLS LAST,
+                          a.vec_id) AS rn
+        FROM assigned a JOIN probe p ON a.cluster = p.cluster
+        JOIN qs q ON q.qid = p.qid
+        WHERE a.vec_id <> p.qid
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    h AS (
+      SELECT x.qid, CAST(count(*) AS BIGINT) AS hits
+      FROM exact_top x JOIN ann_top a
+        ON x.qid = a.qid AND x.vec_id = a.vec_id
+      GROUP BY 1
+    ),
+    nt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_true
+           FROM exact_top GROUP BY 1),
+    na AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_ann
+           FROM ann_top GROUP BY 1)
+    SELECT q.qid,
+           coalesce(nt.n_true, 0) AS n_true,
+           coalesce(na.n_ann, 0) AS n_ann,
+           coalesce(h.hits, 0) AS hits,
+           CASE WHEN coalesce(nt.n_true, 0) > 0
+                THEN floor(coalesce(h.hits, 0) * 1e6
+                           / nt.n_true + 0.5) / 1e6 END AS recall
+    FROM qs q
+    LEFT JOIN nt ON nt.qid = q.qid
+    LEFT JOIN na ON na.qid = q.qid
+    LEFT JOIN h ON h.qid = q.qid
+    """,
+    tags=("ann", "eval"),
+)
+def q_embed_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_RECALL_K} evaluation of the IVF index against exact
+    brute force, per query — the eval harness that closes the ANN loop:
+    q_sim_ann_ivf ships the index, this measures what it misses. For
+    each of {_RECALL_NQ} sample queries, the exact cosine top-{_RECALL_K}
+    (ground truth) is intersected with the IVF top-{_RECALL_K}
+    ({_RECALL_NPROBE} of 16 clusters probed); output is per-query truth
+    size, candidate size, hit count, and recall — the number an index
+    tuner watches while trading nprobe against latency.
+
+    Determinism at the LIMIT edges (the registry top-k rule): every
+    row_number ranks on raw cosine — IEEE +,*,sqrt,/ are all correctly
+    rounded and engine-identical (unlike libm log/trig) — with vec_id
+    as the total tie-break and NULLS LAST pinned on both sides
+    (zero-norm vectors cosine to NULL under the guarded helper; DuckDB
+    and Spark agree on DESC NULLS LAST but the oracle pins it anyway).
+    Recall uses the floor(x·1e6+0.5)/1e6 form on the integer hit ratio.
+
+    Shape at 100 TB: the EXACT side is deliberately bounded — recall is
+    evaluated on a {_RECALL_NQ}-query sample (broadcast), so ground
+    truth costs one pass of the corpus per batch of sample queries
+    (corpus × {_RECALL_NQ} cosines, window-ranked per query), the
+    standard offline-eval budget; it is never an all-pairs product. The
+    ANN side reuses the index shapes: broadcast-centroid assignment
+    (one corpus pass), probe selection on the 16-row centroid table,
+    candidates = the probed quarter of the corpus. The per-query
+    top-{_RECALL_K} sets and the recall join are a few dozen rows."""
+    e = load_vectors(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    qs = e.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    assigned = ivf_assign(e, centroids)
+
+    def topk(scored: DataFrame, k: int) -> DataFrame:
+        w = W.partitionBy("qid").orderBy(
+            F.col("sim").desc_nulls_last(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
+
+    exact_top = topk(
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim")),
+        _RECALL_K,
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            F.col("centroid_id").alias("cluster"),
+            cosine(F.col("cv"), F.col("qv")).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("sim").desc_nulls_last(), F.col("cluster")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _RECALL_NPROBE)
+        .select("qid", "cluster")
+    )
+    ann_top = topk(
+        assigned.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qs), "qid")
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim")),
+        _RECALL_K,
+    )
+    # one FULL OUTER join of the two top-k sets, then one groupBy —
+    # exact_top and ann_top each get exactly ONE consumer, so their
+    # corpus passes are planned once (three separate count-joins
+    # re-planned each top per consumer: 36 windows in the static plan,
+    # the q_tcloseness single-consumer lesson applied here)
+    fo = exact_top.withColumn("ex", F.lit(1)).join(
+        ann_top.withColumn("an", F.lit(1)),
+        ["qid", "vec_id"],
+        "full",
+    )
+    stats = fo.groupBy("qid").agg(
+        F.count("ex").alias("n_true"),
+        F.count("an").alias("n_ann"),
+        F.count(F.when(F.col("ex").isNotNull() & F.col("an").isNotNull(), 1))
+        .alias("hits"),
+    )
+    return qs.select("qid").join(F.broadcast(stats), "qid", "left").select(
+        "qid",
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        F.when(
+            F.coalesce("n_true", F.lit(0)) > 0,
+            F.floor(
+                F.coalesce("hits", F.lit(0)) * 1e6 / F.col("n_true")
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("recall"),
+    )

@@ -592,3 +592,38 @@ def test_tcloseness_exactly_at_threshold_does_not_breach(spark, tmp_path):
     )
     assert got["tvd"] == [0.2, 0.2]
     assert got["breach"] == [False, False]
+
+
+def test_embed_recall_eval_tiny_corpus_full_recall(spark, tmp_path):
+    """Three vectors: every vec_id doubles as centroid and query, every
+    cluster is probed, so ANN candidates == exact candidates and recall
+    must be exactly 1.0 with n_true = 2 (< k — the truth set smaller
+    than k path), in both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "recall-tiny"
+    d.mkdir()
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(["a", "a", "b"]),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    got = assert_parity(
+        spark, "q_embed_recall_eval", str(d), ["embeddings"]
+    )
+    assert got["n_true"] == [2, 2, 2]
+    assert got["hits"] == [2, 2, 2]
+    assert got["recall"] == [1.0, 1.0, 1.0]

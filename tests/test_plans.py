@@ -693,3 +693,19 @@ def test_hist_log2_projection_single_agg_no_libm(spark):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "text" not in head and "lang" not in head
+
+
+def test_embed_recall_eval_single_consumer_tops(spark):
+    # the query sample, centroids, and probe map ride as broadcasts;
+    # the ONLY sort-merge join is the full-outer of the two tiny top-k
+    # sets (<= nq*k rows each, full outer cannot broadcast) — the
+    # corpus-sized sides never SMJ, and each top-k subplan is planned
+    # exactly once (the three-count form re-planned them per consumer:
+    # 36 windows / 8 SMJs in the static plan before the restructure)
+    import re
+
+    p = plan(spark, "q_embed_recall_eval")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) <= 1
+    assert "BroadcastNestedLoopJoin" in p  # corpus x 8-query sample
+    assert p.count("Window") <= 20  # re-planned tops blew this to 36
