@@ -115,6 +115,8 @@ HEADLINE = [
     "q_seq_markov",
     "q_hist_log2",
     "q_embed_recall_eval",
+    "q_graph_bfs",
+    "q_er_score",
 ]
 
 

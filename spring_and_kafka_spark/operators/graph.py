@@ -682,3 +682,135 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("_e").isNotNull().alias("is_edge"),
     )
+
+
+_BFS_ROUNDS = 12  # ≥ max hops-to-anchor on every fixture (same bound
+# class as _CC_ROUNDS: CC eccentricity measured ≤ 10 at sf0.01); the
+# fixed-point parity argument makes the cap safe at ANY depth anyway
+_BFS_ANCHOR = 100  # anchor set: thinned-graph nodes with part key < 100
+
+
+def _bfs_iter_sql(k: int) -> str:
+    return f"""
+    r{k} AS MATERIALIZED (
+      SELECT r.node,
+             CAST(least(r.dist, m.md) AS BIGINT) AS dist
+      FROM r{k - 1} r LEFT JOIN (
+        SELECT e.dst AS node, min(rr.dist + 1) AS md
+        FROM edges e JOIN r{k - 1} rr ON e.src = rr.node
+        GROUP BY e.dst
+      ) m ON m.node = r.node
+    )"""
+
+
+@register(
+    "q_graph_bfs",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eh AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM eh
+              UNION ALL SELECT v, u FROM eh),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS MATERIALIZED (
+      SELECT node, CASE WHEN node < {_BFS_ANCHOR}
+                        THEN CAST(0 AS BIGINT) END AS dist
+      FROM nodes
+    ),
+    {','.join(_bfs_iter_sql(k) for k in range(1, _BFS_ROUNDS + 1))}
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM r{_BFS_ROUNDS} GROUP BY dist
+    """,
+    tags=("graph",),
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance on the part co-order graph (same
+    thinned edge set as the rest of the graph family): distance = min
+    hops from the anchor set (part keys < {_BFS_ANCHOR} that appear as
+    graph nodes), reported as a hop histogram with a NULL row for
+    unreachable nodes — the reachability/propagation primitive next to
+    CC (membership), k-core (robustness), and PageRank (importance):
+    "how many co-purchase hops is the catalog from the anchor SKUs"
+    is the expansion-planning readout.
+
+    Parity by fixed point (the q_graph_cc/q_graph_kcore argument, third
+    instantiation): the oracle unrolls exactly {_BFS_ROUNDS}
+    synchronized relaxation rounds; Spark iterates the identical
+    recurrence and may stop early once no distance changes — distances
+    are MONOTONE non-increasing (start ∞ = NULL, only ever lowered), so
+    an unchanged round is a fixed point and all later rounds are
+    no-ops. least()/min() skip NULLs identically in both engines
+    (verified: least(3, NULL) = 3 in Spark AND DuckDB), so NULL is a
+    faithful ∞.
+
+    Shape at 100 TB: per-round cost is one edges⋈frontier shuffle plus
+    a map-side-combined min-groupBy — the sparse iterative discipline
+    shared with CC (FOUR relaxation rounds per materialize block, 3
+    blocks at the cap; lineage cut per block; the driver holds only a
+    changed count). Synchronized relaxation needs eccentricity rounds —
+    the documented trade vs pointer-doubling's denser intermediates."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    eh = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    edges = materialize(
+        eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    dist = materialize(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.when(F.col("node") < _BFS_ANCHOR, F.lit(0))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
+
+    def relax(dist_df: DataFrame) -> DataFrame:
+        msgs = (
+            edges.join(dist_df, edges.src == dist_df.node)
+            .groupBy(F.col("dst").alias("mnode"))
+            .agg(F.min(F.col("dist") + 1).alias("md"))
+        )
+        return dist_df.join(msgs, dist_df.node == msgs.mnode, "left").select(
+            "node", F.least(F.col("dist"), F.col("md")).cast("long").alias("dist")
+        )
+
+    for _ in range(_BFS_ROUNDS // 4):
+        old = dist
+        stepped = dist.select("node", "dist")
+        for _k in range(4):
+            stepped = relax(stepped)
+        new = materialize(
+            stepped.alias("n")
+            .join(old.select("node", F.col("dist").alias("_prev")), "node")
+            .select(
+                "node",
+                "dist",
+                (~F.col("dist").eqNullSafe(F.col("_prev"))).alias("_ch"),
+            )
+        )
+        changed = new.filter(F.col("_ch")).limit(1).count()
+        dist = new
+        if changed == 0:
+            break
+    return dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))

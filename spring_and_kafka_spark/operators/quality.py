@@ -503,3 +503,133 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dod_ratio"
         ),
     )
+
+
+@register(
+    "q_er_score",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+             substr(c_name, 10, 8) AS blk
+      FROM customer
+    ),
+    cand AS (
+      SELECT a.c_custkey AS custkey_a, b2.c_custkey AS custkey_b,
+             CAST(levenshtein(a.c_name, b2.c_name) AS INT) AS lev,
+             CAST(greatest(length(a.c_name), length(b2.c_name)) AS INT)
+               AS maxlen,
+             a.c_mktsegment IS NOT DISTINCT FROM b2.c_mktsegment
+               AS same_segment,
+             abs(a.bal_cents - b2.bal_cents) AS bal_diff_cents
+      FROM b a JOIN b b2
+        ON a.blk = b2.blk AND a.c_nationkey = b2.c_nationkey
+       AND a.c_custkey < b2.c_custkey
+      WHERE levenshtein(a.c_name, b2.c_name) <= 3
+    )
+    SELECT custkey_a, custkey_b, lev,
+           CASE WHEN maxlen > 0
+                THEN floor((maxlen - lev) * 1e6 / maxlen + 0.5) / 1e6
+           END AS name_sim,
+           same_segment, bal_diff_cents,
+           CASE WHEN lev <= 1 AND same_segment
+                     AND bal_diff_cents <= 50000 THEN 'strong'
+                WHEN lev <= 2 AND (same_segment
+                     OR bal_diff_cents <= 50000) THEN 'possible'
+                ELSE 'weak' END AS tier
+    FROM cand
+    """,
+    tags=("governance", "dedup"),
+)
+def q_er_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution match scoring — the stage after q_er_blocking:
+    that operator finds near-exact name twins (edit distance ≤ 1); this
+    one scores the WIDER candidate set (edit distance ≤ 3 within the
+    same block) with the composite evidence an ER adjudicator uses —
+    normalized name similarity, segment agreement, account-balance
+    proximity — and classifies each pair into strong / possible / weak
+    tiers. The tier table is what feeds a manual-review queue or a
+    downstream clustering threshold.
+
+    Cross-engine determinism: levenshtein agrees between the JVM and
+    DuckDB (pinned since q_er_blocking); name_sim is the floor-form of
+    the exact integer ratio (maxlen − lev)/maxlen; balance proximity
+    compares exact integer cents; segment agreement is NULL-SAFE
+    equality (IS NOT DISTINCT FROM / eqNullSafe — a NULL segment must
+    read "unknown equals unknown", not poison the tier CASE) and the
+    tier CASE therefore branches on non-NULL booleans except
+    bal_diff_cents, whose NULL (missing balance) falls through a WHEN
+    identically in both engines (NULL condition = not matched).
+
+    Shape at 100 TB: candidate generation is the blocked self-join
+    (block key + nation equi-join, never all-pairs — the q_er_blocking
+    shape), with the ≤3 edit-distance band evaluated only inside
+    blocks; scoring is a pure projection on the candidate rows. One
+    shuffle on the block key; the customer scan prunes to the 5 needed
+    columns."""
+    b = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+        F.substring("c_name", 10, 8).alias("blk"),
+    )
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b2.c_name"))
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.blk") == F.col("b2.blk"))
+            & (F.col("a.c_nationkey") == F.col("b2.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b2.c_custkey")),
+        )
+        .filter(lev <= 3)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b2.c_custkey").alias("custkey_b"),
+            lev.cast("int").alias("lev"),
+            F.greatest(
+                F.length("a.c_name"), F.length("b2.c_name")
+            )
+            .cast("int")
+            .alias("maxlen"),
+            F.col("a.c_mktsegment")
+            .eqNullSafe(F.col("b2.c_mktsegment"))
+            .alias("same_segment"),
+            F.abs(F.col("a.bal_cents") - F.col("b2.bal_cents")).alias(
+                "bal_diff_cents"
+            ),
+        )
+    )
+    return cand.select(
+        "custkey_a",
+        "custkey_b",
+        "lev",
+        F.when(
+            F.col("maxlen") > 0,
+            F.floor(
+                (F.col("maxlen") - F.col("lev")) * 1e6 / F.col("maxlen")
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("name_sim"),
+        "same_segment",
+        "bal_diff_cents",
+        F.when(
+            (F.col("lev") <= 1)
+            & F.col("same_segment")
+            & (F.col("bal_diff_cents") <= 50000),
+            F.lit("strong"),
+        )
+        .when(
+            (F.col("lev") <= 2)
+            & (F.col("same_segment") | (F.col("bal_diff_cents") <= 50000)),
+            F.lit("possible"),
+        )
+        .otherwise(F.lit("weak"))
+        .alias("tier"),
+    )

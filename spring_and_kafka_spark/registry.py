@@ -93,10 +93,11 @@ _MODULE_SEQ: dict[str, int] = {}
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 9 queries NEW in r13 (q_embed_recall_eval
-#       q_graph_jaccard q_graph_kcore q_hist_log2 q_seq_markov
-#       q_tcloseness q_text_script_mix q_ts_stl_residual q_udf_udtf —
-#       the IVF recall@k eval, neighborhood similarity, the k-core
+#   (a) the 11 queries NEW in r13 (q_embed_recall_eval q_er_score
+#       q_graph_bfs q_graph_jaccard q_graph_kcore q_hist_log2
+#       q_seq_markov q_tcloseness q_text_script_mix q_ts_stl_residual
+#       q_udf_udtf — the IVF recall@k eval, ER candidate scoring,
+#       multi-source BFS hops, neighborhood similarity, the k-core
 #       peel, the log2 length histogram, the Markov transition matrix,
 #       the t-closeness audit, the script-mix audit, seasonal-adjusted
 #       MAD, and the @udtf surface, pool() round-0 name order) — never
@@ -107,15 +108,18 @@ _MODULE_SEQ: dict[str, int] = {}
 #       the changed operator re-enters the window);
 #   (c) the rotation pool in tools.window_pool pool() order:
 #       q_zorder_layout (the single r6-stale row, deferred from r12)
-#       and the first 39 of the 40 r8-stale rows — 9+1+40 = 50 exactly
-#       (q_udf_pandas, the 40th r8 row in pool order, defers to r14).
-# After this window the stalest green rows are q_udf_pandas (r8) then
+#       and the first 37 of the 40 r8-stale rows — 11+1+38 = 50 exactly
+#       (q_udf_grouped_agg q_udf_grouped_map q_udf_pandas, r8 rows
+#       38-40 in pool order, defer to r14).
+# After this window the stalest green rows are those 3 r8 rows then
 # the 50 r9 rows — the r14 pool head. Queries not named here rank after the
 # prefix by (module rank, def order) — the safe place for additions
 # until rotated in.
 _WINDOW_PREFIX = [
     # (a) new-in-r13, never verified — pool() round-0 name order
     "q_embed_recall_eval",
+    "q_er_score",
+    "q_graph_bfs",
     "q_graph_jaccard",
     "q_graph_kcore",
     "q_hist_log2",
@@ -126,7 +130,7 @@ _WINDOW_PREFIX = [
     "q_udf_udtf",
     # (b) changed-in-r13 code (propagation cadence; same output)
     "q_graph_cc",
-    # (c) the rotation pool, tools.window_pool order: 1 r6 + 39 r8
+    # (c) the rotation pool, tools.window_pool order: 1 r6 + 37 r8
     "q_zorder_layout",
     "q_agg_gini",
     "q_agg_global",
@@ -165,8 +169,6 @@ _WINDOW_PREFIX = [
     "q_text_tfidf",
     "q_text_tokens",
     "q_text_tokens_bpe",
-    "q_udf_grouped_agg",
-    "q_udf_grouped_map",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

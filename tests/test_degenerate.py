@@ -627,3 +627,23 @@ def test_embed_recall_eval_tiny_corpus_full_recall(spark, tmp_path):
     assert got["n_true"] == [2, 2, 2]
     assert got["hits"] == [2, 2, 2]
     assert got["recall"] == [1.0, 1.0, 1.0]
+
+
+def test_graph_bfs_chain_distances_and_unreachable(spark, tmp_path):
+    """Chain 50-150-151 (anchor 50 < 100 seeds distance 0) plus a
+    disjoint pair {200, 201} with no anchor: the hop histogram must be
+    {0: 1, 1: 1, 2: 1, NULL: 2} — multi-round relaxation AND the
+    unreachable-∞ NULL row, in both engines."""
+    d = _write_lineitem_pairs(
+        spark,
+        tmp_path,
+        "bfs-chain",
+        [
+            (1, [50, 150]), (2, [50, 150]),
+            (3, [150, 151]), (4, [150, 151]),
+            (5, [200, 201]), (6, [200, 201]),
+        ],
+    )
+    got = assert_parity(spark, "q_graph_bfs", d, ["lineitem"])
+    hist = dict(zip(got["dist"], got["n_nodes"]))
+    assert hist == {0: 1, 1: 1, 2: 1, None: 2}

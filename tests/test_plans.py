@@ -709,3 +709,29 @@ def test_embed_recall_eval_single_consumer_tops(spark):
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) <= 1
     assert "BroadcastNestedLoopJoin" in p  # corpus x 8-query sample
     assert p.count("Window") <= 20  # re-planned tops blew this to 36
+
+
+def test_graph_bfs_lineage_cut_no_join_in_final_plan(spark):
+    # same pin class as cc/kcore: the returned plan is the hop
+    # histogram over the LAST materialized distance table — per-round
+    # relaxation lineage must not accumulate
+    p = plan(spark, "q_graph_bfs")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p
+    assert "Join" not in p
+
+
+def test_er_score_single_blocked_self_join(spark):
+    # candidate generation is ONE blocked equi self-join (block key +
+    # nation) — never a cartesian of customers; the edit-distance band
+    # is a post-join filter inside the same stage
+    import re
+
+    p = plan(spark, "q_er_score")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    joins = re.findall(
+        r"^\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+        p, re.M,
+    )
+    assert len(joins) == 1

@@ -465,3 +465,138 @@ def test_hist_log2_matches_bitlength_replay(spark, lens):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expected
+
+
+bfs_lineitems = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(96, 108)),  # parts straddle
+    min_size=1,                                          # the <100 anchor cut
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(bfs_lineitems)
+def test_graph_bfs_matches_python_bfs(spark, items):
+    """Capped synchronized relaxation vs an actual Python BFS from the
+    anchor set (part keys < 100 among thinned-graph nodes) — hop
+    histogram including the NULL unreachable row."""
+    from spring_and_kafka_spark.operators.graph import (
+        _BFS_ANCHOR,
+        q_graph_bfs,
+    )
+
+    edges = _thinned_edges(items)
+    nbr = defaultdict(set)
+    for u, v in edges:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    dist = {n: (0 if n < _BFS_ANCHOR else None) for n in nbr}
+    frontier = [n for n, d0 in dist.items() if d0 == 0]
+    hops = 0
+    while frontier:
+        hops += 1
+        nxt = []
+        for n in frontier:
+            for m in nbr[n]:
+                if dist[m] is None:
+                    dist[m] = hops
+                    nxt.append(m)
+        frontier = nxt
+    hist = defaultdict(int)
+    for v in dist.values():
+        hist[v] += 1
+
+    d = tempfile.mkdtemp(prefix="bfs-prop-")
+    try:
+        _write_lineitem(spark, d, items)
+        got = {r.dist: r.n_nodes for r in q_graph_bfs(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == dict(hist)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+er_names = st.lists(
+    st.tuples(
+        st.sampled_from(["Customer#abcd0001", "Customer#abcd0002",
+                         "Customer#abxd0001", "Customer#zzzz9999",
+                         "Customer#abcd00", "short"]),
+        st.integers(1, 2),  # nation
+        st.sampled_from(["A", "B", None]),  # segment
+        st.one_of(st.none(), st.floats(-500, 2000, allow_nan=False,
+                                       allow_infinity=False)),
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(er_names)
+def test_er_score_matches_python_replay(spark, custs):
+    """Blocked candidate generation + composite scoring vs a direct
+    Python replay: DP levenshtein, floor-form name similarity, exact
+    integer cents, NULL-safe segment equality, and the tier CASE with
+    a NULL balance falling through a WHEN."""
+    from spring_and_kafka_spark.operators.quality import q_er_score
+
+    rows = [
+        (i + 1, name, nat, bal, seg)
+        for i, (name, nat, seg, bal) in enumerate(custs)
+    ]
+    expected = {}
+    recs = [
+        (ck, nm, nat,
+         None if bal is None else math.floor(bal * 100 + 0.5),
+         seg, nm[9:17])
+        for ck, nm, nat, bal, seg in rows
+    ]
+    for x in recs:
+        for y in recs:
+            if not (x[0] < y[0] and x[5] == y[5] and x[2] == y[2]):
+                continue
+            lev = _lev(x[1], y[1])
+            if lev > 3:
+                continue
+            maxlen = max(len(x[1]), len(y[1]))
+            sim = (
+                math.floor((maxlen - lev) * 1e6 / maxlen + 0.5) / 1e6
+                if maxlen > 0 else None
+            )
+            same_seg = x[4] == y[4]
+            bd = (None if x[3] is None or y[3] is None
+                  else abs(x[3] - y[3]))
+            if lev <= 1 and same_seg and bd is not None and bd <= 50000:
+                tier = "strong"
+            elif lev <= 2 and (same_seg or (bd is not None and bd <= 50000)):
+                tier = "possible"
+            else:
+                tier = "weak"
+            expected[(x[0], y[0])] = (lev, sim, same_seg, bd, tier)
+
+    d = tempfile.mkdtemp(prefix="erscore-prop-")
+    try:
+        spark.createDataFrame(
+            [(ck, nm, nat, bal, seg) for ck, nm, nat, bal, seg in rows],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        got = {
+            (r.custkey_a, r.custkey_b): (
+                r.lev, r.name_sim, r.same_segment, r.bal_diff_cents, r.tier
+            )
+            for r in q_er_score(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected

@@ -63,12 +63,14 @@ NEW_R12 = [
 # gained the NULLIF zero-norm guard + NULLS LAST pin (ADVICE r11).
 CHANGED_R12 = ["q_embed_cluster_purity"]
 
-# NEW in r13: IVF recall@k eval, neighborhood Jaccard, k-core peel,
-# log2 length histogram, Markov transition matrix, t-closeness audit,
-# script-mix audit, seasonal-adjusted MAD, @udtf surface (pool()
-# round-0 name order).
+# NEW in r13: IVF recall@k eval, ER candidate scoring, multi-source
+# BFS hops, neighborhood Jaccard, k-core peel, log2 length histogram,
+# Markov transition matrix, t-closeness audit, script-mix audit,
+# seasonal-adjusted MAD, @udtf surface (pool() round-0 name order).
 NEW_R13 = [
     "q_embed_recall_eval",
+    "q_er_score",
+    "q_graph_bfs",
     "q_graph_jaccard",
     "q_graph_kcore",
     "q_hist_log2",
@@ -218,10 +220,10 @@ def test_r13_window_is_new_plus_changed_plus_pool_order():
     """The r13 window must be exactly: the never-verified r13 additions,
     then the r13-changed queries, then the rotation pool derived from
     CORRECTNESS_r01..r12 in pool() order (stalest round, then name) —
-    i.e. the window is DERIVED, not hand-picked. With 9 new + 1 changed,
-    the remaining 40 slots hold q_zorder_layout (the lone r6 row,
-    deferred from r12) and the first 39 of the 40 r8-stale rows — 50
-    exactly (q_udf_pandas, the 40th, leads the r14 pool)."""
+    i.e. the window is DERIVED, not hand-picked. With 11 new + 1
+    changed, the remaining 38 slots hold q_zorder_layout (the lone r6
+    row, deferred from r12) and the first 37 of the 40 r8-stale rows —
+    50 exactly (the three UDF-surface r8 rows lead the r14 pool)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R13 + CHANGED_R13
     assert prefix[: len(lead)] == lead
@@ -232,4 +234,4 @@ def test_r13_window_is_new_plus_changed_plus_pool_order():
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [6] + [8] * 39
+    assert strata == [6] + [8] * 37

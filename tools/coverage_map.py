@@ -141,7 +141,8 @@ SECTIONS = {
         "q_win_rolling_median", "q_ts_theilsen",
     ],
     "round-13 additions: graph similarity/core + privacy + sequence/seasonal analytics + corpus audits + UDTF": [
-        "q_graph_jaccard", "q_graph_kcore", "q_tcloseness",
+        "q_graph_jaccard", "q_graph_kcore", "q_graph_bfs",
+        "q_tcloseness", "q_er_score",
         "q_seq_markov", "q_hist_log2", "q_embed_recall_eval",
         "q_ts_stl_residual", "q_text_script_mix", "q_udf_udtf",
     ],
