@@ -1572,9 +1572,9 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket,
            CASE WHEN bucket IS NOT NULL
-                THEN CAST(2 ** bucket AS BIGINT) END AS lo,
+                THEN (CAST(1 AS BIGINT) << bucket) END AS lo,
            CASE WHEN bucket IS NOT NULL
-                THEN CAST(2 ** (bucket + 1) - 1 AS BIGINT) END AS hi,
+                THEN (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS hi,
            n_docs,
            floor(n_docs * 1e6 / total + 0.5) / 1e6 AS share
     FROM w
@@ -1593,7 +1593,9 @@ def q_hist_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark counts the bits of bin(n), DuckDB of printf('%b', n); both
     are exact integer bit-lengths, where a float log2 is 1-ulp
     hazardous exactly AT the powers of two that define every bucket
-    edge. Bounds come from integer shifts/powers, the share from the
+    edge. Bounds come from INTEGER shifts in BOTH engines (Spark
+    shiftleft, DuckDB BIGINT << — a double 2**(b+1) is inexact past
+    2^53, the ADVICE r13 asymmetry), the share from the
     floor(x·1e6+0.5)/1e6 form on the integer ratio.
 
     Shape at 100 TB: one map-side-combined aggregation to ≤ ~40 bucket

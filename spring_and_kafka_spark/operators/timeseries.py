@@ -920,22 +920,23 @@ def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, quantile_cont(dev_v, 0.5) AS mad_v,
              quantile_cont(dev_r, 0.5) AS mad_r
       FROM d GROUP BY 1
+    ),
+    agg AS (
+      SELECT d.event_type, count(*) AS n,
+             CAST(sum(CASE WHEN d.dev_v > 4.4478 * md.mad_v
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_out_raw,
+             CAST(sum(CASE WHEN d.dev_r > 4.4478 * md.mad_r
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_out_adj,
+             min(d.med_r) AS med_res_micros,
+             min(md.mad_r) AS mad_res_micros
+      FROM d JOIN md USING (event_type)
+      GROUP BY 1
     )
-    SELECT d.event_type, count(*) AS n,
-           CAST(sum(CASE WHEN d.dev_v > 4.4478 * md.mad_v
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_raw,
-           CAST(sum(CASE WHEN d.dev_r > 4.4478 * md.mad_r
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_adj,
-           round(sum(CASE WHEN d.dev_v > 4.4478 * md.mad_v
-                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-             AS outlier_rate_raw,
-           round(sum(CASE WHEN d.dev_r > 4.4478 * md.mad_r
-                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-             AS outlier_rate_adj,
-           min(d.med_r) AS med_res_micros,
-           min(md.mad_r) AS mad_res_micros
-    FROM d JOIN md USING (event_type)
-    GROUP BY 1
+    SELECT event_type, n, n_out_raw, n_out_adj,
+           floor(n_out_raw * 1e6 / n + 0.5) / 1e6 AS outlier_rate_raw,
+           floor(n_out_adj * 1e6 / n + 0.5) / 1e6 AS outlier_rate_adj,
+           med_res_micros, mad_res_micros
+    FROM agg
     """,
 )
 def q_ts_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,12 +1008,24 @@ def q_ts_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_adj = F.col("dev_r") > F.lit(4.4478) * F.col("mad_r")
     n_raw = F.count(F.when(out_raw, F.lit(1)))
     n_adj = F.count(F.when(out_adj, F.lit(1)))
-    return j.groupBy("event_type").agg(
+    agg = j.groupBy("event_type").agg(
         F.count("*").alias("n"),
         n_raw.alias("n_out_raw"),
         n_adj.alias("n_out_adj"),
-        F.round(n_raw / F.count("*"), 6).alias("outlier_rate_raw"),
-        F.round(n_adj / F.count("*"), 6).alias("outlier_rate_adj"),
         F.min("med_r").alias("med_res_micros"),
         F.min("mad_r").alias("mad_res_micros"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_out_raw",
+        "n_out_adj",
+        (
+            F.floor(F.col("n_out_raw") * 1e6 / F.col("n") + F.lit(0.5)) / 1e6
+        ).alias("outlier_rate_raw"),
+        (
+            F.floor(F.col("n_out_adj") * 1e6 / F.col("n") + F.lit(0.5)) / 1e6
+        ).alias("outlier_rate_adj"),
+        "med_res_micros",
+        "mad_res_micros",
     )

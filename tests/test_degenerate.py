@@ -647,3 +647,54 @@ def test_graph_bfs_chain_distances_and_unreachable(spark, tmp_path):
     got = assert_parity(spark, "q_graph_bfs", d, ["lineitem"])
     hist = dict(zip(got["dist"], got["n_nodes"]))
     assert hist == {0: 1, 1: 1, 2: 1, None: 2}
+
+
+def test_graph_jaccard_planted_hub_cap_drops_hub_wedges(spark, tmp_path):
+    """Planted hub (the r13 `weak`-grade fix): a star whose center has
+    degree 300 > _JACCARD_CENTER_CAP=256 plus a small low-degree
+    triangle. The cap must drop EVERY wedge through the hub — without
+    it the star alone emits C(300,2) = 44,850 candidate pairs, the
+    Θ(deg²) blow-up the guard exists for — while the triangle's wedges
+    (center degree 2) survive untouched. Both engines must agree on
+    the capped answer (the cap is interpolated into the oracle), and
+    deg_u/deg_v stay FULL degrees, not capped ones."""
+    hub = 1
+    star = [
+        (2 * i + off, [hub, 1000 + i])
+        for i in range(300)
+        for off in (1, 2)  # each spoke co-ordered twice -> real edge
+    ]
+    tri = [(100000 + k, [2001, 2002, 2003]) for k in (1, 2)]
+    d = _write_lineitem_pairs(spark, tmp_path, "jaccard-hub", star + tri)
+    got = assert_parity(spark, "q_graph_jaccard", d, ["lineitem"])
+    pairs = sorted(zip(got["u"], got["v"]))
+    # ONLY the triangle's three pairs: every spoke-spoke pair's sole
+    # common neighbor is the capped hub, and hub-spoke pairs have no
+    # common neighbor at all (spokes are degree-1)
+    assert pairs == [(2001, 2002), (2001, 2003), (2002, 2003)]
+    assert got["common"] == [1, 1, 1]
+    assert got["deg_u"] == [2, 2, 2] and got["deg_v"] == [2, 2, 2]
+    assert all(abs(j - 0.333333) < 1e-9 for j in got["jaccard"])
+    assert got["is_edge"] == [True, True, True]
+
+
+def test_graph_jaccard_cap_is_load_bearing(spark, tmp_path, monkeypatch):
+    """Counterfactual pin that the hub guard actually fires: with the
+    cap monkeypatched above the planted hub's degree, the same star
+    explodes to C(300,2) spoke-spoke pairs + the 3 triangle rows —
+    proving the production cap removes exactly the quadratic fan-out
+    (Spark side only; the oracle string froze the production cap at
+    registration, which is the point of interpolating it)."""
+    from spring_and_kafka_spark.operators import graph as graph_mod
+
+    hub = 1
+    star = [
+        (2 * i + off, [hub, 1000 + i])
+        for i in range(300)
+        for off in (1, 2)
+    ]
+    tri = [(100000 + k, [2001, 2002, 2003]) for k in (1, 2)]
+    d = _write_lineitem_pairs(spark, tmp_path, "jaccard-hub-cf", star + tri)
+    monkeypatch.setattr(graph_mod, "_JACCARD_CENTER_CAP", 1000)
+    n = SPECS["q_graph_jaccard"].fn(spark, d).count()
+    assert n == 300 * 299 // 2 + 3

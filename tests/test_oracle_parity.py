@@ -73,9 +73,9 @@ _ROUNDED_SUM_AUDITED = {
     # r12: rounds sums of exact INTEGERS (counts) — safe outright,
     # the q_kanon precedent
     "q_ldiversity",
-    # r13: same integer-count class (outlier_rate_* = round(sum(0/1
-    # CASE) / count(*), 6)); hash-matched at sf0.01 AND sf0.1, r13
-    "q_ts_stl_residual",
+    # r13's q_ts_stl_residual was here; r14 (ADVICE r13 medium) moved
+    # its rates to the floor(k·1e6/n+0.5)/1e6 form on the aggregated
+    # BIGINTs, so the oracle no longer rounds over a sum at all.
 }
 
 

@@ -639,10 +639,13 @@ def test_udf_udtf_filter_pushed_python_node_bounded(spark):
 def test_graph_jaccard_wedge_join_no_cartesian_pruned(spark):
     # candidate pairs come from the wedge equi-join on the shared
     # center — never an all-pairs product; lineitem scans prune to the
-    # two co-order columns
+    # two co-order columns; the hub guard (r14) plans as a LeftSemi
+    # against the degree-capped center set, so wedge fan-out is
+    # structurally bounded before the self-join
     p = plan(spark, "q_graph_jaccard")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "l_extendedprice" not in head and "l_comment" not in head
