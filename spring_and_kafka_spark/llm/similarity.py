@@ -1219,3 +1219,276 @@ def q_embed_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6,
         ).alias("recall"),
     )
+
+
+_PQ_M = 4  # subspaces (64-dim embeddings -> 4 x 16-dim subvectors)
+_PQ_SUBDIM = 16
+_PQ_K = 16  # codewords per subspace: seed vectors vec_id < 16
+_PQ_NQ = 8  # evaluated query sample: vec_id < 8
+_PQ_TOPK = 10  # recall@k of the ADC ranking
+
+
+@register(
+    "q_embed_pq_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    subs AS (
+      SELECT e.vec_id, ms.m,
+             list_slice(e.v, ms.m*{_PQ_SUBDIM}+1,
+                        ms.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS sub
+      FROM e CROSS JOIN ms
+    ),
+    cb AS (
+      SELECT ms.m, e.vec_id AS centroid_id,
+             list_slice(e.v, ms.m*{_PQ_SUBDIM}+1,
+                        ms.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS csub
+      FROM e CROSS JOIN ms WHERE e.vec_id < {_PQ_K}
+    ),
+    codes AS (
+      SELECT vec_id, m, csub FROM (
+        SELECT s.vec_id, s.m, c.csub,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_dot_product(c.csub, c.csub)
+                          - 2*list_dot_product(s.sub, c.csub) ASC NULLS LAST,
+                          c.centroid_id
+               ) AS rn
+        FROM subs s JOIN cb c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(csub ORDER BY m)) AS r
+      FROM codes GROUP BY vec_id
+    ),
+    dist AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vec,
+             CASE WHEN count(*) > 0 THEN CAST(
+               sum(CAST(floor(
+                 ((list_dot_product(e.v, e.v)
+                   - 2*list_dot_product(e.v, r.r))
+                  + list_dot_product(r.r, r.r)) * 1e6 + 0.5) AS BIGINT))
+               // count(*) AS BIGINT) END AS mean_sq_err_micros
+      FROM e JOIN recon r USING (vec_id)
+    ),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_PQ_NQ}),
+    exact_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_recall_cos_sql('e.v', 'q.qv')} DESC NULLS LAST,
+                          e.vec_id
+               ) AS rn
+        FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {_PQ_TOPK}
+    ),
+    pq_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, r.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_recall_cos_sql('r.r', 'q.qv')} DESC NULLS LAST,
+                          r.vec_id
+               ) AS rn
+        FROM recon r CROSS JOIN qs q WHERE r.vec_id <> q.qid
+      ) WHERE rn <= {_PQ_TOPK}
+    ),
+    fo AS (
+      SELECT coalesce(x.qid, p.qid) AS qid,
+             CASE WHEN x.qid IS NOT NULL THEN 1 END AS ex,
+             CASE WHEN p.qid IS NOT NULL THEN 1 END AS pq
+      FROM exact_top x FULL JOIN pq_top p
+        ON p.qid = x.qid AND p.vec_id = x.vec_id
+    ),
+    stats AS (
+      SELECT qid, CAST(count(ex) AS BIGINT) AS n_true,
+             CAST(count(pq) AS BIGINT) AS n_pq,
+             CAST(count(CASE WHEN ex IS NOT NULL AND pq IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS hits
+      FROM fo GROUP BY 1
+    )
+    SELECT q.qid,
+           coalesce(s.n_true, 0) AS n_true,
+           coalesce(s.n_pq, 0) AS n_pq,
+           coalesce(s.hits, 0) AS hits,
+           CASE WHEN coalesce(s.n_true, 0) > 0
+                THEN floor(coalesce(s.hits, 0) * 1e6
+                           / s.n_true + 0.5) / 1e6 END AS recall,
+           d.n_vec, d.mean_sq_err_micros
+    FROM qs q
+    LEFT JOIN stats s ON s.qid = q.qid
+    CROSS JOIN dist d
+    """,
+    tags=("ann", "eval"),
+)
+def q_embed_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization eval — the memory-budget knob a 100 TB
+    vector store tunes, closing the ANN-eval pair started by
+    q_embed_recall_eval: vectors are PQ-encoded (M={_PQ_M} subspaces x
+    K={_PQ_K} codewords of {_PQ_SUBDIM} dims, codebooks = the
+    deterministic seed vectors vec_id < {_PQ_K} per the IVF centroid
+    precedent), and the output reports (a) corpus-level mean squared
+    reconstruction error and (b) per-query recall@{_PQ_TOPK} of the
+    ADC ranking (cosine against RECONSTRUCTIONS) vs the exact ranking.
+
+    Cross-engine determinism: subspace assignment ranks on
+    dot(c,c) - 2*dot(sub,c) (argmin of L2² with the constant
+    dot(sub,sub) dropped — ties identical to full-L2 ties), every dot
+    a sequential left fold in BOTH engines (the `dot` helper mirrors
+    DuckDB's list_dot_product accumulation order), tie-break
+    centroid_id; the reconstruction concatenates codewords in
+    subspace order (array_sort(collect_list(struct(m, csub))) ≡
+    list(csub ORDER BY m) — m is unique per vector, so the sort is
+    total); distortion is floor(d2·1e6+0.5) per VECTOR into BIGINT
+    micro-units summed order-free, mean via truncating integer
+    division (div ≡ //); recall reuses the q_embed_recall_eval
+    skeleton (raw-cosine ranking is IEEE-deterministic, vec_id
+    tie-break, NULLS LAST pinned — a zero-norm reconstruction cosines
+    to NULL under the guarded helper in both engines; the floor form
+    on the integer hit ratio).
+
+    Shape at 100 TB (single-consumer discipline, the r13 lesson): the
+    codebook is M·K = {_PQ_M}·{_PQ_K} tiny rows built from the seed
+    slice and broadcast; encoding is ONE corpus pass (explode to M
+    subvectors, broadcast-join the codebook, one map-side argmin
+    groupBy per (vec, m) and one groupBy to reconcatenate — shuffle
+    keys are (vec_id, m)/(vec_id), never all-pairs); distortion rides
+    the reconstruction join as one global aggregate (1 row,
+    broadcast-crossed onto the output); the eval side is bounded to
+    the broadcast {_PQ_NQ}-query sample exactly like
+    q_embed_recall_eval — corpus x {_PQ_NQ} cosines, window-ranked,
+    then ONE full-outer join of the two top-k sets.
+
+    Reference parity anchor: no vector surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference LLM-data family."""
+    e = load_vectors(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ms = F.explode(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1))
+    ).alias("m")
+    subs = e.select(
+        "vec_id",
+        ms,
+        "v",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(v, m*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})").alias("sub"),
+    )
+    cb = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("centroid_id"), ms, "v")
+        .select(
+            "m",
+            "centroid_id",
+            F.expr(f"slice(v, m*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})").alias("csub"),
+        )
+    )
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "centroid_id",
+        "csub",
+        (dot(F.col("csub"), F.col("csub")) - 2 * dot(F.col("sub"), F.col("csub"))).alias(
+            "score"
+        ),
+    )
+    codes = scored.groupBy("vec_id", "m").agg(
+        F.expr("min_by(csub, struct(score, centroid_id))").alias("csub")
+    )
+    recon = codes.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "csub"))),
+                lambda x: x["csub"],
+            )
+        ).alias("r")
+    )
+    er = e.join(recon, "vec_id").select(
+        "vec_id",
+        "r",
+        F.floor(
+            (
+                (dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), F.col("r")))
+                + dot(F.col("r"), F.col("r"))
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qerr_micros"),
+    )
+    # er feeds both the distortion aggregate and the ADC ranking — cut
+    # would be overkill (each consumer prunes different columns); the
+    # corpus pass is shared up to the recon groupBy
+    dist = er.agg(
+        F.count(F.lit(1)).alias("n_vec"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.expr("sum(qerr_micros) div count(*)"),
+        )
+        .cast("long")
+        .alias("mean_sq_err_micros"),
+    )
+    qs = e.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+
+    def topk(scored_df: DataFrame) -> DataFrame:
+        w = W.partitionBy("qid").orderBy(
+            F.col("sim").desc_nulls_last(), F.col("vec_id")
+        )
+        return (
+            scored_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _PQ_TOPK)
+            .select("qid", "vec_id")
+        )
+
+    exact_top = topk(
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim"))
+    )
+    pq_top = topk(
+        er.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("r"), F.col("qv")).alias("sim"))
+    )
+    fo = exact_top.withColumn("ex", F.lit(1)).join(
+        pq_top.withColumn("pq", F.lit(1)),
+        ["qid", "vec_id"],
+        "full",
+    )
+    stats = fo.groupBy("qid").agg(
+        F.count("ex").alias("n_true"),
+        F.count("pq").alias("n_pq"),
+        F.count(
+            F.when(F.col("ex").isNotNull() & F.col("pq").isNotNull(), 1)
+        ).alias("hits"),
+    )
+    return (
+        qs.select("qid")
+        .join(F.broadcast(stats), "qid", "left")
+        .crossJoin(F.broadcast(dist))
+        .select(
+            "qid",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pq", F.lit(0)).alias("n_pq"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.when(
+                F.coalesce("n_true", F.lit(0)) > 0,
+                F.floor(
+                    F.coalesce("hits", F.lit(0)) * 1e6 / F.col("n_true")
+                    + F.lit(0.5)
+                )
+                / 1e6,
+            ).alias("recall"),
+            "n_vec",
+            "mean_sq_err_micros",
+        )
+    )

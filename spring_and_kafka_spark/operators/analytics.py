@@ -1418,3 +1418,104 @@ def q_seq_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n") * 1e6 / F.col("row_total") + F.lit(0.5)) / 1e6
         ).alias("p"),
     )
+
+
+_MARKOV_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, the q_stream_session gap
+
+
+@register(
+    "q_seq_markov_session",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER w AS prev_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_MARKOV_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                            event_type NULLS FIRST)
+    ),
+    t AS (
+      SELECT prev_type, event_type AS curr_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE brk = 0 AND prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    w2 AS (
+      SELECT prev_type, curr_type, n,
+             sum(n) OVER (PARTITION BY prev_type) AS row_total
+      FROM t
+    )
+    SELECT prev_type, curr_type, n,
+           floor(n * 1e6 / row_total + 0.5) / 1e6 AS p
+    FROM w2
+    """,
+)
+def q_seq_markov_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION Markov transition matrix — q_seq_markov's twin with
+    the q_stream_session boundary: transitions are counted only between
+    consecutive events of the same user separated by ≤ 30 minutes, so a
+    signup→purchase pair spanning a week of absence no longer counts as
+    one "journey step". The lifetime matrix (q_seq_markov) minus this
+    one is exactly the cross-session transition mass — the readout a
+    journey analyst compares to see which flows are within-visit habits
+    vs across-visit returns.
+
+    ONE window pass does both jobs (no second sessionize-then-lag
+    shuffle): the user-keyed lag window yields prev_type AND the
+    session-break flag (gap > 30 min or no/NULL predecessor timestamp,
+    the q_stream_session rule) from the same sort; a transition is kept
+    iff the CURRENT row is not a session start. Ordering key is the
+    q_seq_markov total key (ts, event_id, event_type), each pinned
+    NULLS FIRST. NULL-ts rows sort first per user and each one breaks —
+    an event that cannot be placed in time cannot be sessionized, so it
+    contributes no transition in EITHER direction (identical CASE in
+    both engines); boundary-vs-data NULL prev_type drops per the
+    q_seq_markov documented trade. Probabilities via the
+    floor(x·1e6+0.5)/1e6 form on the n/row_total integer ratio.
+
+    Shape at 100 TB: identical to q_seq_markov — one shuffle to
+    (user_id) for the window (sessions are user-bounded, skew-free),
+    one map-side-combined count to ≤ |types|² rows, the per-source
+    normalizer as a window sum over that tiny matrix (single-consumer
+    discipline). Scans prune to (user_id, ts, event_id, event_type)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc(), F.col("event_type").asc()
+    )
+    prev_ts = F.lag("ts").over(w)
+    ordered = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.when(
+            prev_ts.isNull()
+            | (ts_micros("ts") - ts_micros(prev_ts) > _MARKOV_SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    t = (
+        ordered.filter((F.col("brk") == 0) & F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w2 = t.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        F.sum("n").over(W.partitionBy("prev_type")).alias("row_total"),
+    )
+    return w2.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        (
+            F.floor(F.col("n") * 1e6 / F.col("row_total") + F.lit(0.5)) / 1e6
+        ).alias("p"),
+    )

@@ -22,6 +22,7 @@ driver's frozen 50-slot verification window prefix.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spring_and_kafka_spark.exec_utils import materialize
@@ -847,3 +848,259 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "q_graph_lcc",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eh AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM eh e1
+      JOIN eh e2 ON e2.u = e1.v
+      JOIN eh e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tn AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+           FROM tn GROUP BY 1),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM eh UNION ALL SELECT v FROM eh
+      ) GROUP BY 1
+    )
+    SELECT d.node, d.deg, coalesce(tc.n_tri, 0) AS n_tri,
+           CASE WHEN d.deg >= 2
+                THEN floor(2 * coalesce(tc.n_tri, 0) * 1e6
+                           / (d.deg * (d.deg - 1)) + 0.5) / 1e6
+           END AS lcc
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+    """,
+    tags=("graph",),
+)
+def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node on the part co-order graph:
+    lcc(n) = 2·T(n) / (deg(n)·(deg(n)−1)) where T(n) counts triangles
+    incident to n — the node-local density statistic next to
+    degree/k-core/Jaccard (a high-degree, low-lcc node is a broker
+    between communities; high-lcc marks cliquish neighborhoods), and
+    q_graph_triangles' global count made per-node.
+
+    Spark path reuses the triangles discipline verbatim: DEGREE-oriented
+    wedges (every edge points low-degree → high-degree, ties by id), so
+    each triangle is enumerated exactly once as (x,y,z) with fan-out
+    Σ min_deg² instead of Σ deg² — the structural hub mitigation; the
+    per-node count then explodes each triangle to its three corners and
+    counts — a 3× multiplier on the (small) triangle set, not on the
+    wedge fan-out. The oracle orients by id instead: per-node INCIDENT
+    counts are orientation-invariant (each triangle contributes to its
+    three corners under any orientation), so both agree while physical
+    fan-out differs. Nodes in no triangle keep a row via the left join
+    from the degree table (coalesce 0).
+
+    Cross-engine: deg/n_tri are exact BIGINTs; deg ≥ 1 on every node
+    (it exists because it has an edge), lcc is defined only for
+    deg ≥ 2 — the CASE guard answers NULL below that in BOTH engines
+    (ANSI Spark would throw on the /0 a bare division hits at deg=1);
+    the ratio rounds via the floor(x·1e6+0.5)/1e6 form (exact-integer
+    ratios land ON half-digit boundaries; engine round() diverges
+    there).
+
+    Shape at 100 TB: two wedge-class shuffles (oriented wedge build +
+    closing-edge semi join) over the thinned edge set, one explode of
+    the triangle set, two small grouped counts, one node-keyed left
+    join. No iteration, no cartesian, no unbounded hub fan-out.
+
+    Reference parity anchor: no graph surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference analytics family."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    # und feeds the degree build AND the orientation join — cut once
+    und = materialize(und)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    directed = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    # three differently-partitioned consumers (wedge e1, wedge e2,
+    # closing) — ReuseExchange can't dedup them, cut (the triangles
+    # lesson)
+    directed = materialize(directed)
+    e1 = directed.alias("e1")
+    e2 = directed.alias("e2")
+    wedges = e1.join(e2, F.col("e2.s") == F.col("e1.t")).select(
+        F.col("e1.s").alias("x"),
+        F.col("e1.t").alias("y"),
+        F.col("e2.t").alias("z"),
+    )
+    closing = directed.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    tri = wedges.join(closing, ["x", "z"], "left_semi")
+    corners = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+    )
+    tc = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    j = deg.join(tc, "node", "left")
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return j.select(
+        "node",
+        "deg",
+        n_tri.alias("n_tri"),
+        F.when(
+            F.col("deg") >= 2,
+            F.floor(
+                2 * n_tri * 1e6 / (F.col("deg") * (F.col("deg") - 1))
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("lcc"),
+    )
+
+
+@register(
+    "q_graph_degree_dist",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eh AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM eh UNION ALL SELECT v FROM eh
+      ) GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(length(printf('%b', d)) - 1 AS BIGINT) AS bucket
+      FROM deg
+    ),
+    h AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM b GROUP BY bucket
+    ),
+    w AS (
+      SELECT bucket, n_nodes, sum(n_nodes) OVER () AS total FROM h
+    )
+    SELECT bucket,
+           (CAST(1 AS BIGINT) << bucket) AS lo,
+           (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi,
+           n_nodes,
+           floor(n_nodes * 1e6 / total + 0.5) / 1e6 AS share
+    FROM w
+    """,
+    tags=("graph",),
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two degree histogram of the part co-order graph — the
+    power-law readout that JUSTIFIES this repo's hub-guard discipline
+    (_JACCARD_CENTER_CAP, _SHINGLE_DF_CAP, degree-oriented wedges): one
+    look at the tail buckets tells an operator whether the skew caps
+    will fire at their data's scale, and it is the first plot every
+    graph paper draws. Bucket k holds nodes with 2^k ≤ deg < 2^(k+1).
+
+    Cross-engine determinism is q_hist_log2's verbatim: floor(log2(d))
+    via exact integer bit-length in BOTH engines (Spark bin(), DuckDB
+    printf('%b') — no libm at the power-of-two bucket edges), bounds
+    via BIGINT shifts, share via the floor(x·1e6+0.5)/1e6 form on the
+    integer ratio. deg ≥ 1 structurally (a node exists because it has
+    an edge), so no NULL bucket is possible and no guard is needed —
+    unlike n_chars, which can be 0/NULL.
+
+    Shape at 100 TB: the thinned-edge build (co-partitioned self-join
+    on l_orderkey, per-order fan-out bounded by order size), one
+    grouped count to the node-degree table, then a map-side-combined
+    aggregation to ≤ ~40 bucket rows with the total riding as a window
+    sum over those rows (single consumer, no rejoin). Nothing else
+    moves.
+
+    Reference parity anchor: no graph surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference analytics family."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    buckets = deg.select(
+        (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("bucket")
+    )
+    h = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = h.select(
+        "bucket",
+        "n_nodes",
+        F.sum("n_nodes").over(W.partitionBy()).alias("total"),
+    )
+    return w.select(
+        "bucket",
+        F.expr("shiftleft(1L, cast(bucket AS INT))").alias("lo"),
+        F.expr("shiftleft(1L, cast(bucket AS INT) + 1) - 1L").alias("hi"),
+        "n_nodes",
+        (
+            F.floor(F.col("n_nodes") * 1e6 / F.col("total") + F.lit(0.5)) / 1e6
+        ).alias("share"),
+    )
