@@ -117,6 +117,11 @@ HEADLINE = [
     "q_embed_recall_eval",
     "q_graph_bfs",
     "q_er_score",
+    # r14 additions
+    "q_graph_lcc",
+    "q_graph_degree_dist",
+    "q_embed_pq_eval",
+    "q_seq_markov_session",
 ]
 
 

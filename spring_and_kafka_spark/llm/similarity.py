@@ -139,14 +139,16 @@ def ivf_assign(
     scored AS (
       SELECT e.vec_id, e.v, c.centroid_id,
              list_dot_product(e.v, c.cv)
-             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+             / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv)), 0) AS sim
       FROM e CROSS JOIN cents c
     ),
     assigned AS (
       SELECT vec_id, v, centroid_id AS cluster FROM (
         SELECT vec_id, v, centroid_id,
                row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, centroid_id) AS rn
+                                  ORDER BY sim DESC NULLS LAST,
+                                           centroid_id) AS rn
         FROM scored
       ) WHERE rn = 1
     ),
@@ -154,18 +156,20 @@ def ivf_assign(
     probe AS (
       SELECT centroid_id AS cluster FROM cents CROSS JOIN q
       ORDER BY list_dot_product(cv, qv)
-               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
-               centroid_id
+               / NULLIF(sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product(qv, qv)), 0)
+               DESC NULLS LAST, centroid_id
       LIMIT 4
     )
     SELECT vec_id, round(raw_sim, 6) AS cos_sim FROM (
       SELECT a.vec_id,
              list_dot_product(a.v, q.qv)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS raw_sim
+             / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(q.qv, q.qv)), 0) AS raw_sim
       FROM assigned a JOIN probe p ON a.cluster = p.cluster
       CROSS JOIN q
       WHERE a.vec_id <> 0
-    ) ORDER BY raw_sim DESC, vec_id LIMIT 10
+    ) ORDER BY raw_sim DESC NULLS LAST, vec_id LIMIT 10
     """,
     tags=("ann",),
 )
@@ -408,8 +412,9 @@ def ivf_train_kmeans(
         SELECT e.vec_id, e.v, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  list_dot_product(e.v, c.cv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-                 DESC, c.centroid_id) AS rn
+                 / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv)), 0)
+                 DESC NULLS LAST, c.centroid_id) AS rn
         FROM e CROSS JOIN c0 c
       ) WHERE rn = 1
     ),
@@ -426,8 +431,9 @@ def ivf_train_kmeans(
         SELECT e.vec_id, e.v, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  list_dot_product(e.v, c.cv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-                 DESC, c.centroid_id) AS rn
+                 / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv)), 0)
+                 DESC NULLS LAST, c.centroid_id) AS rn
         FROM e CROSS JOIN c1 c
       ) WHERE rn = 1
     ),
@@ -444,8 +450,9 @@ def ivf_train_kmeans(
         SELECT e.vec_id, e.v, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  list_dot_product(e.v, c.cv)
-                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-                 DESC, c.centroid_id) AS rn
+                 / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv)), 0)
+                 DESC NULLS LAST, c.centroid_id) AS rn
         FROM e CROSS JOIN c2 c
       ) WHERE rn = 1
     ),
@@ -453,18 +460,20 @@ def ivf_train_kmeans(
     probe AS (
       SELECT centroid_id AS cluster FROM c2 CROSS JOIN q
       ORDER BY list_dot_product(cv, qv)
-               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
-               centroid_id
+               / NULLIF(sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product(qv, qv)), 0)
+               DESC NULLS LAST, centroid_id
       LIMIT 4
     )
     SELECT vec_id, round(raw_sim, 6) AS cos_sim FROM (
       SELECT a.vec_id,
              list_dot_product(a.v, q.qv)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS raw_sim
+             / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(q.qv, q.qv)), 0) AS raw_sim
       FROM a3 a JOIN probe p ON a.cluster = p.cluster
       CROSS JOIN q
       WHERE a.vec_id <> 0
-    ) ORDER BY raw_sim DESC, vec_id LIMIT 10
+    ) ORDER BY raw_sim DESC NULLS LAST, vec_id LIMIT 10
     """,
     tags=("ann",),
 )
@@ -588,8 +597,9 @@ def q_sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            round(list_dot_product(v, cv)
-                 / (sqrt(list_dot_product(v, v))
-                    * sqrt(list_dot_product(cv, cv))), 4) AS cos_centroid
+                 / NULLIF(sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(cv, cv)), 0), 4)
+             AS cos_centroid
     FROM e JOIN cent USING (label)
     """,
 )

@@ -84,91 +84,97 @@ _MODULE_SEQ: dict[str, int] = {}
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row.
 #
-# Round-13 window. Rotation pool derived PROGRAMMATICALLY —
-# `python -m tools.window_pool` folds CORRECTNESS_r01..r12 into the
-# last-verified map. Tool output this rotation (through_round=12):
-#   histogram: r6=1, r8=40, r9=50, r10=49, r11=49, r12=50  (239, 0 never)
+# Round-14 window. Rotation pool derived PROGRAMMATICALLY —
+# `python -m tools.window_pool` folds CORRECTNESS_r01..r13 into the
+# last-verified map. Tool output this rotation (through_round=13):
+#   histogram: r8=3, r9=50, r10=49, r11=49, r12=49, r13=50  (250, 0 never)
 # pinned (round-bounded, so next round's artifact can't break it) in
 # tests/test_registry_window.py.
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 11 queries NEW in r13 (q_embed_recall_eval q_er_score
-#       q_graph_bfs q_graph_jaccard q_graph_kcore q_hist_log2
-#       q_seq_markov q_tcloseness q_text_script_mix q_ts_stl_residual
-#       q_udf_udtf — the IVF recall@k eval, ER candidate scoring,
-#       multi-source BFS hops, neighborhood similarity, the k-core
-#       peel, the log2 length histogram, the Markov transition matrix,
-#       the t-closeness audit, the script-mix audit, seasonal-adjusted
-#       MAD, and the @udtf surface, pool() round-0 name order) — never
-#       driver-verified, so they must lead;
-#   (b) q_graph_cc, whose CODE changed in r13 (4 propagations per
-#       materialize block — output values identical by the fixed-point
-#       argument, but a frozen green row only covers unchanged code, so
-#       the changed operator re-enters the window);
-#   (c) the rotation pool in tools.window_pool pool() order:
-#       q_zorder_layout (the single r6-stale row, deferred from r12)
-#       and the first 37 of the 40 r8-stale rows — 11+1+38 = 50 exactly
-#       (q_udf_grouped_agg q_udf_grouped_map q_udf_pandas, r8 rows
-#       38-40 in pool order, defer to r14).
-# After this window the stalest green rows are those 3 r8 rows then
-# the 50 r9 rows — the r14 pool head. Queries not named here rank after the
-# prefix by (module rank, def order) — the safe place for additions
-# until rotated in.
+#   (a) the 4 queries NEW in r14 (q_embed_pq_eval q_graph_degree_dist
+#       q_graph_lcc q_seq_markov_session — the PQ distortion/recall
+#       eval, the power-law degree histogram, the local clustering
+#       coefficient, and the session-bounded Markov matrix, pool()
+#       round-0 name order) — never driver-verified, so they lead;
+#   (b) the 7 queries whose OUTPUT expression changed in r14 (name
+#       order): q_embed_centroid q_sim_ann_ivf q_sim_ann_ivf_refined
+#       (NULLIF zero-norm pins + NULLS LAST, the r13 rotation backlog
+#       discharged as those rows rotated in), q_graph_jaccard (the
+#       _JACCARD_CENTER_CAP hub guard, VERDICT r13 item 1),
+#       q_hist_log2 (oracle BIGINT shifts), q_seq_markov (event_type
+#       ordering tiebreak), q_ts_stl_residual (floor-form rates) —
+#       all ADVICE r13 items;
+#   (c) the rotation pool in tools.window_pool pool() order: the 3
+#       r8-stale rows deferred since r13 (q_udf_grouped_agg
+#       q_udf_grouped_map q_udf_pandas) + the first 36 of the 50
+#       r9-stale rows not already taken by (b) — 4+7+3+36 = 50
+#       exactly.
+# After this window the stalest green rows are the 11 remaining r9
+# rows (q_sim_knn_all q_sim_lsh_bucket q_sim_pairwise q_sim_topk
+# q_sim_topk_per_label q_text_contamination q_text_entropy
+# q_text_fingerprint q_text_langid q_text_redact q_winsorize) then
+# the 49 r10 rows — the r15 pool head. NOTE for r15: q_sim_pairwise
+# and q_sim_topk still carry bare-division cosine oracles — pin them
+# with NULLIF when they rotate in (the q_embed_centroid precedent).
+# Queries not named here rank after the prefix by (module rank, def
+# order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
-    # (a) new-in-r13, never verified — pool() round-0 name order
-    "q_embed_recall_eval",
-    "q_er_score",
-    "q_graph_bfs",
+    # (a) new-in-r14, never verified — pool() round-0 name order
+    "q_embed_pq_eval",
+    "q_graph_degree_dist",
+    "q_graph_lcc",
+    "q_seq_markov_session",
+    # (b) output expression changed in r14 (ADVICE r13 + hub cap +
+    # zero-norm pins), name order
+    "q_embed_centroid",
     "q_graph_jaccard",
-    "q_graph_kcore",
     "q_hist_log2",
     "q_seq_markov",
-    "q_tcloseness",
-    "q_text_script_mix",
+    "q_sim_ann_ivf",
+    "q_sim_ann_ivf_refined",
     "q_ts_stl_residual",
-    "q_udf_udtf",
-    # (b) changed-in-r13 code (propagation cadence; same output)
-    "q_graph_cc",
-    # (c) the rotation pool, tools.window_pool order: 1 r6 + 37 r8
-    "q_zorder_layout",
-    "q_agg_gini",
-    "q_agg_global",
-    "q_dq_freshness",
-    "q_embed_generate",
-    "q_filter_cmp",
-    "q_fn_bits",
-    "q_fn_cast",
-    "q_fn_condexpr",
-    "q_fn_date",
-    "q_fn_editdist",
-    "q_fn_explode",
-    "q_fn_hash",
-    "q_fn_json",
-    "q_fn_map",
-    "q_fn_math",
-    "q_fn_regex",
-    "q_fn_struct",
-    "q_fn_trig",
-    "q_funnel",
-    "q_lang_stats",
-    "q_limit",
-    "q_merge_upsert",
-    "q_pareto_abc",
-    "q_pipeline_curate",
-    "q_project",
-    "q_retention",
-    "q_scan",
-    "q_snapshot_diff",
-    "q_sort",
-    "q_stream_late",
-    "q_text_bigram_ppl",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_sentiment",
-    "q_text_tfidf",
-    "q_text_tokens",
-    "q_text_tokens_bpe",
+    # (c) the rotation pool, tools.window_pool order: 3 r8 + 36 r9
+    "q_udf_grouped_agg",
+    "q_udf_grouped_map",
+    "q_udf_pandas",
+    "q_agg_approx",
+    "q_agg_argmax",
+    "q_agg_collect",
+    "q_agg_hll_rollup",
+    "q_agg_quantile_sketch",
+    "q_attribution",
+    "q_compaction_plan",
+    "q_corpus_budget",
+    "q_corpus_pack",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_clusters_lsh",
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_survivors",
+    "q_embed_pca",
+    "q_embed_quantize",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_theta",
+    "q_multimodal_decode",
+    "q_multimodal_meta",
+    "q_sample_hash",
+    "q_sample_hash_threshold",
+    "q_sample_seeded",
+    "q_sample_stratified_hash",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -698,3 +698,47 @@ def test_graph_jaccard_cap_is_load_bearing(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(graph_mod, "_JACCARD_CENTER_CAP", 1000)
     n = SPECS["q_graph_jaccard"].fn(spark, d).count()
     assert n == 300 * 299 // 2 + 3
+
+
+def test_ann_zero_norm_vectors_null_cosine_parity(spark, tmp_path):
+    """Zero-norm vectors (an all-zero embedding — a dead encoder output,
+    routine at ingest scale) hit every cosine denominator in the ANN
+    family. The r14 NULLIF pins (rotation backlog, r13) make the oracle
+    answer NULL in every DuckDB division mode, matching Spark's guarded
+    `cosine`; rankings pin NULLS LAST with id tie-breaks. Fixture
+    plants a zero-norm CENTROID seed (vec_id 5: its column of
+    assignment sims is NULL — must never win an argmax unless all are
+    NULL) and a zero-norm CORPUS vector (vec_id 20: all-NULL sim row —
+    assignment must fall through to the min centroid id in BOTH
+    engines, the struct-ordering/NULLS-LAST agreement)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "zero-norm"
+    d.mkdir()
+    vecs, labels = [], []
+    for i in range(24):
+        v = [0.0] * 64
+        if i not in (5, 20):
+            v[i % 8] = 1.0
+            v[(i * 3) % 64] = float(i % 5 + 1)
+        vecs.append(v)
+        labels.append(i % 3)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    for q in (
+        "q_embed_centroid",
+        "q_sim_ann_ivf",
+        "q_sim_ann_ivf_refined",
+        "q_embed_pq_eval",
+    ):
+        got = assert_parity(spark, q, str(d), ["embeddings"])
+        assert len(next(iter(got.values()), [])) > 0, q

@@ -738,3 +738,63 @@ def test_er_score_single_blocked_self_join(spark):
         p, re.M,
     )
     assert len(joins) == 1
+
+
+def test_graph_lcc_oriented_wedges_no_cartesian_pruned(spark):
+    # q_graph_triangles' physical shape with a per-node readout: the
+    # closing edge is a LeftSemi against the oriented edge set, no
+    # all-pairs product anywhere, and lineitem scans prune to the two
+    # co-order columns
+    p = plan(spark, "q_graph_lcc")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "l_extendedprice" not in head and "l_comment" not in head
+
+
+def test_graph_degree_dist_no_extra_shuffles_pruned(spark):
+    # edge build (co-partitioned self-join) -> degree count -> bucket
+    # projection -> one map-side-combined agg; the total rides as a
+    # window sum over the <= ~40 bucket rows (single consumer, no
+    # rejoin) and no libm log2 appears
+    p = plan(spark, "q_graph_degree_dist")
+    assert "CartesianProduct" not in p
+    assert "LOG2" not in p.upper().replace("LOG2E", "")
+    # formatted plans list each node twice (tree + details): 2 == ONE
+    # Window node (the tiny-bucket total)
+    assert p.count("Window") == 2
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "l_extendedprice" not in head and "l_comment" not in head
+
+
+def test_embed_pq_eval_broadcast_codebook_single_consumer(spark):
+    # the codebook, query sample, per-query stats, and 1-row distortion
+    # aggregate all ride as broadcasts; the ONLY sort-merge join is the
+    # full-outer of the two tiny top-k sets (the q_embed_recall_eval
+    # single-consumer discipline) — corpus-sized sides never SMJ
+    import re
+
+    p = plan(spark, "q_embed_pq_eval")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) <= 1
+    assert "BroadcastNestedLoopJoin" in p  # corpus x 8-query sample
+    assert p.count("Window") <= 20  # re-planned tops are the hazard
+
+
+def test_seq_markov_session_one_window_pass_no_join(spark):
+    # the session-break flag and prev_type come from the SAME
+    # user-partitioned window pass (no second sessionize shuffle), then
+    # the tiny-matrix normalizer window — no join anywhere; events scan
+    # prunes to the 4 needed columns
+    p = plan(spark, "q_seq_markov_session")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    # 4 = TWO Window nodes (fact lag + tiny normalizer), each listed
+    # twice in the formatted plan (tree + details)
+    assert p.count("Window") == 4
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "props" not in head and "value" not in head

@@ -29,6 +29,7 @@ from tools.window_pool import histogram, last_verified, pool
 R11_DERIVATION_ROUND = 10
 R12_DERIVATION_ROUND = 11
 R13_DERIVATION_ROUND = 12
+R14_DERIVATION_ROUND = 13
 
 # NEW in r11 (never driver-verified — must lead any window they can
 # reach, pool() round-0 name order): the r11 LLM-ops batch.
@@ -85,6 +86,30 @@ NEW_R13 = [
 # (4 rounds per materialize block — identical output by the fixed-point
 # argument, but changed code re-enters the window).
 CHANGED_R13 = ["q_graph_cc"]
+
+# NEW in r14: PQ distortion/recall eval, power-law degree histogram,
+# local clustering coefficient, session-bounded Markov matrix (pool()
+# round-0 name order).
+NEW_R14 = [
+    "q_embed_pq_eval",
+    "q_graph_degree_dist",
+    "q_graph_lcc",
+    "q_seq_markov_session",
+]
+
+# Changed in r14 while already green (name order): the NULLIF
+# zero-norm pins on the three cosine oracles rotating in (the r13
+# rotation backlog), the q_graph_jaccard hub cap (VERDICT r13 item 1),
+# and the three ADVICE r13 fixes.
+CHANGED_R14 = [
+    "q_embed_centroid",
+    "q_graph_jaccard",
+    "q_hist_log2",
+    "q_seq_markov",
+    "q_sim_ann_ivf",
+    "q_sim_ann_ivf_refined",
+    "q_ts_stl_residual",
+]
 
 
 # ---------------------------------------------------------------- invariants
@@ -175,6 +200,14 @@ def test_window_pool_histograms_match_their_input_rounds():
         11: 49,
         12: 50,
     }
+    assert histogram(last_verified(through_round=R14_DERIVATION_ROUND)) == {
+        8: 3,
+        9: 50,
+        10: 49,
+        11: 49,
+        12: 49,
+        13: 50,
+    }
 
 
 def test_r11_window_was_new_plus_changed_plus_pool_order():
@@ -216,22 +249,42 @@ def test_r12_window_was_new_plus_changed_plus_pool_order():
     assert strata == [6] * 40
 
 
-def test_r13_window_is_new_plus_changed_plus_pool_order():
-    """The r13 window must be exactly: the never-verified r13 additions,
-    then the r13-changed queries, then the rotation pool derived from
-    CORRECTNESS_r01..r12 in pool() order (stalest round, then name) —
-    i.e. the window is DERIVED, not hand-picked. With 11 new + 1
-    changed, the remaining 38 slots hold q_zorder_layout (the lone r6
-    row, deferred from r12) and the first 37 of the 40 r8-stale rows —
-    50 exactly (the three UDF-surface r8 rows lead the r14 pool)."""
-    prefix = registry._WINDOW_PREFIX
-    lead = NEW_R13 + CHANGED_R13
-    assert prefix[: len(lead)] == lead
+def test_r13_window_was_new_plus_changed_plus_pool_order():
+    """The r13 derivation record, kept as history (same treatment the
+    r11/r12 windows got when they rotated away): the r13 window list
+    lives in CORRECTNESS_r13.json's key order, which is immutable."""
     lv = last_verified(through_round=R13_DERIVATION_ROUND)
     assert not any(n in lv for n in NEW_R13), "NEW_R13 not actually new"
+    import json, os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "CORRECTNESS_r13.json")) as f:
+        r13_window = list(json.load(f))
+    lead = NEW_R13 + CHANGED_R13
+    assert r13_window[: len(lead)] == lead
+    rest = [n for n in pool(lv) if n not in lead]
+    assert r13_window[len(lead) :] == rest[: 50 - len(lead)]
+    # the strata the r13 derivation claimed: the lone r6 row + 37 r8
+    strata = [lv[n] for n in r13_window[len(lead) :]]
+    assert strata == [6] + [8] * 37
+
+
+def test_r14_window_is_new_plus_changed_plus_pool_order():
+    """The r14 window must be exactly: the never-verified r14 additions,
+    then the r14 changed-output queries (name order), then the rotation
+    pool derived from CORRECTNESS_r01..r13 in pool() order (stalest
+    round, then name) — i.e. the window is DERIVED, not hand-picked.
+    With 4 new + 7 changed, the remaining 39 slots hold the 3 r8 UDF
+    rows deferred since r13 and the first 36 r9 rows not already taken
+    by the changed block — 50 exactly (11 r9 rows lead the r15 pool)."""
+    prefix = registry._WINDOW_PREFIX
+    lead = NEW_R14 + CHANGED_R14
+    assert prefix[: len(lead)] == lead
+    lv = last_verified(through_round=R14_DERIVATION_ROUND)
+    assert not any(n in lv for n in NEW_R14), "NEW_R14 not actually new"
     rest = [n for n in pool(lv) if n not in lead]
     assert prefix[len(lead) :] == rest[: 50 - len(lead)]
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [6] + [8] * 37
+    assert strata == [8] * 3 + [9] * 36

@@ -146,6 +146,10 @@ SECTIONS = {
         "q_seq_markov", "q_hist_log2", "q_embed_recall_eval",
         "q_ts_stl_residual", "q_text_script_mix", "q_udf_udtf",
     ],
+    "round-14 additions: node-local graph stats + PQ eval + session journeys": [
+        "q_graph_lcc", "q_graph_degree_dist", "q_embed_pq_eval",
+        "q_seq_markov_session",
+    ],
 }
 
 # Every registered query MUST appear in exactly one section —
