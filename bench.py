@@ -117,11 +117,20 @@ HEADLINE = [
     "q_embed_recall_eval",
     "q_graph_bfs",
     "q_er_score",
-    # r14 additions
+    # round-14 additions: per-node triangle density (oriented wedge
+    # reuse), power-of-two degree histogram, PQ distortion/recall eval,
+    # session-bounded Markov matrix, integer-moment degree
+    # assortativity, sign-sketch Hamming top-k (zero-shuffle signature
+    # build), RRF fusion of the exact and sketch rankers, NDCG@10
+    # sketch-ranking eval (BASELINE.md §2 notes the headline-set change)
     "q_graph_lcc",
     "q_graph_degree_dist",
     "q_embed_pq_eval",
     "q_seq_markov_session",
+    "q_graph_assortativity",
+    "q_sim_hamming_topk",
+    "q_embed_rrf",
+    "q_embed_ndcg_eval",
 ]
 
 

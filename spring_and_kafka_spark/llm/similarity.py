@@ -10,6 +10,8 @@ DuckDB oracle hash-matches.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -1501,4 +1503,426 @@ def q_embed_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vec",
             "mean_sq_err_micros",
         )
+    )
+
+
+_HAM_K = 10  # returned neighbors
+_HAM_WORDS = 2  # ceil(dim/32) 32-bit signature words (64-dim fixtures)
+
+
+def _sig_expr_sql(col: str, off: int) -> str:
+    """Spark SQL for one 32-bit word of the sign-bit signature: bit i set
+    iff component off+i > 0 — a zip_with/aggregate bitwise-OR fold, all
+    codegen, no UDF. Built per 32-bit word because DuckDB's BIGINT shift
+    errors at 1<<63 (its twin below packs the same words)."""
+    return (
+        f"aggregate(zip_with(slice({col}, {off + 1}, 32), sequence(0, 31), "
+        "(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, "
+        "(acc, b) -> acc | b)"
+    )
+
+
+# DuckDB twin of _sig_expr_sql: unnest + subscripts, bit_or per word.
+_SIG_CTE = """sig AS (
+      SELECT vec_id,
+             CAST(bit_or(CASE WHEN i < 32 AND x > 0
+                              THEN CAST(1 AS BIGINT) << i
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS lo,
+             CAST(bit_or(CASE WHEN i >= 32 AND x > 0
+                              THEN CAST(1 AS BIGINT) << (i - 32)
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hi
+      FROM (SELECT vec_id, unnest(v) AS x,
+                   generate_subscripts(v, 1) - 1 AS i FROM e)
+      GROUP BY vec_id
+    )"""
+
+
+def _signatures(e: DataFrame) -> DataFrame:
+    """Sign-bit signature table: (vec_id, lo, hi) — 64 dims packed into
+    two 32-bit words (bit set iff component > 0). One projection over
+    the scan, zero shuffle."""
+    return e.select(
+        "vec_id",
+        F.expr(_sig_expr_sql("v", 0)).alias("lo"),
+        F.expr(_sig_expr_sql("v", 32)).alias("hi"),
+    )
+
+
+@register(
+    "q_sim_hamming_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    {_SIG_CTE}
+    SELECT s.vec_id,
+           CAST(bit_count(xor(s.lo, q.lo))
+                + bit_count(xor(s.hi, q.hi)) AS INT) AS hamming
+    FROM sig s, (SELECT lo, hi FROM sig WHERE vec_id = 0) q
+    WHERE s.vec_id <> 0
+    ORDER BY bit_count(xor(s.lo, q.lo)) + bit_count(xor(s.hi, q.hi)),
+             s.vec_id
+    LIMIT {_HAM_K}
+    """,
+    tags=("ann",),
+)
+def q_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch nearest neighbors: sign-binarize every embedding
+    (bit i = component i > 0 — the classic 1-bit/dimension compression,
+    64× smaller than float32) and rank by Hamming distance to the query
+    sketch. This is the cheapest ANN tier below int8 (q_embed_quantize)
+    and PQ (q_embed_pq_eval): at 100 TB the 8-byte sketch column fits
+    where the vectors never will, and XOR+popcount is the fastest
+    distance a CPU computes. For unit-norm vectors the expected Hamming
+    distance is monotone in angular distance (the SimHash bound —
+    llm/dedup.py applies the same sketch to text shingles; this is its
+    embedding-column form).
+
+    Cross-engine: the signature fold is a zip_with/aggregate bitwise OR
+    in Spark and an unnest+bit_or GROUP BY in DuckDB — identical words
+    because sign tests on DOUBLE are exact; packed as TWO 32-bit words
+    in BIGINTs since DuckDB's left-shift errors at 1<<63. Distances are
+    small exact INTs, ranking ties broken by vec_id, so the LIMIT edge
+    is fully deterministic (no float anywhere past the sign test).
+
+    Shape at 100 TB: one projection pass builds sketches (zero
+    shuffle), the query sketch broadcasts, and the top-k plans
+    TakeOrderedAndProject (per-partition heap, no global sort). The
+    brute-force scan over sketches is itself the production pattern
+    (sketch scan → shortlist → exact re-rank on the shortlist only).
+    """
+    e = load_vectors(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = _signatures(e)
+    q = sig.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    return (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(_HAM_K)
+    )
+
+
+_RRF_C = 60  # the standard RRF constant (Cormack et al.)
+_RRF_LIST = 50  # per-ranker candidate list length
+_RRF_K = 10  # fused results returned
+
+
+@register(
+    "q_embed_rrf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    {_SIG_CTE},
+    cosl AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY sim DESC NULLS LAST, vec_id)
+                  AS INT) AS ra
+      FROM (
+        SELECT e.vec_id,
+               list_dot_product(e.v, q.qv)
+               / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv)), 0) AS sim
+        FROM e, q WHERE e.vec_id <> 0
+        ORDER BY sim DESC NULLS LAST, e.vec_id LIMIT {_RRF_LIST}
+      )
+    ),
+    haml AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY hamming, vec_id) AS INT)
+               AS rb
+      FROM (
+        SELECT s.vec_id,
+               bit_count(xor(s.lo, sq.lo)) + bit_count(xor(s.hi, sq.hi))
+                 AS hamming
+        FROM sig s, (SELECT lo, hi FROM sig WHERE vec_id = 0) sq
+        WHERE s.vec_id <> 0
+        ORDER BY hamming, s.vec_id LIMIT {_RRF_LIST}
+      )
+    ),
+    f AS (
+      SELECT coalesce(c.vec_id, h.vec_id) AS vec_id, c.ra, h.rb,
+             coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + c.ra),
+                      CAST(0 AS DOUBLE))
+             + coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + h.rb),
+                        CAST(0 AS DOUBLE)) AS score
+      FROM cosl c FULL OUTER JOIN haml h ON h.vec_id = c.vec_id
+    )
+    SELECT vec_id, ra AS rank_cos, rb AS rank_ham,
+           floor(score * 1e9 + 0.5) / 1e9 AS rrf
+    FROM f ORDER BY score DESC, vec_id LIMIT {_RRF_K}
+    """,
+    tags=("ann", "retrieval"),
+)
+def q_embed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings for query
+    vector 0 — the exact-cosine ranker and the sign-sketch Hamming
+    ranker (q_sim_hamming_topk's) — score(d) = Σ_lists 1/(60 + rank_d),
+    the standard zero-tuning ensemble (Cormack et al.) a production
+    retrieval stack uses to merge dense, sparse, and sketch channels
+    before re-ranking. Emitting both per-list ranks alongside the fused
+    score makes the disagreement visible: a doc high on cosine but
+    absent from the sketch list is exactly the case the 1-bit
+    compression loses.
+
+    RRF here is the TOP-LIST form (fusion over each ranker's top-50,
+    absent → contributes 0), which is both the textbook definition and
+    the only scalable one: global ranks would demand a total sort of
+    the corpus per ranker, top-lists are TakeOrderedAndProject heaps.
+
+    Determinism at every edge (the registry top-k rule): the cosine
+    list ranks on the raw IEEE dot-product expression (deterministic,
+    NULLS LAST pinned for zero-norm vectors — NULLIF guard mirrors the
+    Spark cosine helper); the Hamming list is exact integers; both
+    row_numbers tie-break on vec_id; the fused score is built from ≤2
+    IEEE divisions of exact integers summed once — bit-identical across
+    engines — so ORDER BY score at the LIMIT edge cannot flake; output
+    rounds via the floor(x·1e9+0.5)/1e9 form (1e9: scores live near
+    1/60, 6 digits would collapse neighbors).
+
+    Shape at 100 TB: each ranker produces its list with one corpus pass
+    ending in a per-partition heap; the fusion is a full-outer join of
+    two 50-row lists (broadcast, trivially) — each list built ONCE with
+    a single consumer (the q_tcloseness lesson)."""
+    e = load_vectors(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos50 = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("v"), F.col("qv")).alias("sim"))
+        .orderBy(F.col("sim").desc_nulls_last(), "vec_id")
+        .limit(_RRF_LIST)
+    )
+    cosr = cos50.select(
+        "vec_id",
+        F.row_number()
+        .over(W.orderBy(F.col("sim").desc_nulls_last(), "vec_id"))
+        .cast("int")
+        .alias("ra"),
+    )
+    sig = _signatures(e)
+    sq = sig.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham50 = (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(sq))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            ).alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_RRF_LIST)
+    )
+    hamr = ham50.select(
+        "vec_id",
+        F.row_number()
+        .over(W.orderBy("hamming", "vec_id"))
+        .cast("int")
+        .alias("rb"),
+    )
+    fo = cosr.join(hamr, "vec_id", "full")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("ra")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("rb")), F.lit(0.0))
+    return (
+        fo.select(
+            "vec_id",
+            F.col("ra").alias("rank_cos"),
+            F.col("rb").alias("rank_ham"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(_RRF_K)
+        .select(
+            "vec_id",
+            "rank_cos",
+            "rank_ham",
+            (F.floor(F.col("score") * 1e9 + F.lit(0.5)) / 1e9).alias("rrf"),
+        )
+    )
+
+
+_NDCG_NQ = 8  # evaluated query sample: vec_id < 8
+_NDCG_K = 10  # NDCG@k of the sketch ranking
+# Discount table 1/log2(pos+1), pos = 1..k — materialized ONCE in Python
+# and embedded as shortest-round-trip literals in BOTH engines, so no
+# libm runs at query time anywhere (JVM log vs DuckDB log divergence,
+# ulp-level, is structural at fixed positions — literals remove it).
+_NDCG_DISC = [1.0 / math.log2(p + 1) for p in range(1, _NDCG_K + 1)]
+# Ideal DCG in micros: gains are 11-rank (10..1) in ideal order; each
+# term floors exactly as the per-candidate terms do, so ndcg == 1.0 is
+# reachable bit-exactly when the sketch list equals the exact list.
+_NDCG_IDCG_MICROS = sum(
+    math.floor((_NDCG_K - p) * _NDCG_DISC[p] * 1e6 + 0.5)
+    for p in range(_NDCG_K)
+)
+_NDCG_DISC_SQL = "[" + ", ".join(repr(d) for d in _NDCG_DISC) + "]"
+
+
+@register(
+    "q_embed_ndcg_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_NDCG_NQ}),
+    {_SIG_CTE},
+    qsig AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM sig
+             WHERE vec_id < {_NDCG_NQ}),
+    exact_top AS (
+      SELECT qid, vec_id, CAST({_NDCG_K} + 1 - rn AS BIGINT) AS rel
+      FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_recall_cos_sql('e.v', 'q.qv')} DESC NULLS LAST,
+                          e.vec_id) AS rn
+        FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {_NDCG_K}
+    ),
+    ham_top AS (
+      SELECT qid, vec_id, CAST(rn AS INT) AS pos FROM (
+        SELECT q.qid, s.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY bit_count(xor(s.lo, q.qlo))
+                          + bit_count(xor(s.hi, q.qhi)), s.vec_id) AS rn
+        FROM sig s CROSS JOIN qsig q WHERE s.vec_id <> q.qid
+      ) WHERE rn <= {_NDCG_K}
+    ),
+    terms AS (
+      SELECT h.qid,
+             CAST(floor((coalesce(x.rel, 0)
+                         * (CAST({_NDCG_DISC_SQL} AS DOUBLE[]))[h.pos])
+                        * 1e6 + 0.5) AS BIGINT) AS tm
+      FROM ham_top h LEFT JOIN exact_top x
+        ON x.qid = h.qid AND x.vec_id = h.vec_id
+    ),
+    d AS (SELECT qid, CAST(sum(tm) AS BIGINT) AS dcg_micros
+          FROM terms GROUP BY qid)
+    SELECT q.qid,
+           coalesce(d.dcg_micros, 0) AS dcg_micros,
+           floor(CAST(coalesce(d.dcg_micros, 0) AS DOUBLE) * 1e6
+                 / {_NDCG_IDCG_MICROS} + 0.5) / 1e6 AS ndcg
+    FROM qs q LEFT JOIN d ON d.qid = q.qid
+    """,
+    tags=("ann", "eval"),
+)
+def q_embed_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{_NDCG_K} of the sign-sketch Hamming ranking against exact-
+    cosine ground truth, per query — the rank-AWARE eval that completes
+    the ANN triptych: q_embed_recall_eval asks "did the index find the
+    true set", q_embed_pq_eval asks "what did quantization distort",
+    this asks "did the cheap ranker put the right things FIRST" (a
+    sketch that finds all ten but inverts their order scores the same
+    recall yet much lower NDCG). Graded relevance is derived from the
+    exact ranking (rel = {_NDCG_K}+1−exact_rank for the true top-
+    {_NDCG_K}, else 0), DCG sums rel·disc(pos) over the sketch's top-
+    {_NDCG_K}, normalized by the ideal DCG.
+
+    Cross-engine determinism — total, by construction: the discount
+    table 1/log2(pos+1) is computed ONCE in Python and embedded as
+    shortest-round-trip double literals in both plans, so NO libm runs
+    at query time (JVM vs DuckDB log differ at ulp level, and at fixed
+    positions such divergence would be structural, not measure-zero —
+    the q_text_keyphrase lesson applied at its root). Each DCG term is
+    floored to integer micros — one IEEE multiply chain on exact
+    inputs — and the per-query DCG is then a sum of INTEGERS, immune to
+    float accumulation order (the only other way to pin a float sum is
+    a sorted-list fold; integers need no fold). ndcg is the integer
+    ratio dcg/idcg in the floor(x·1e6+0.5)/1e6 form; idcg is a nonzero
+    compile-time constant, so no zero guard is needed. Both rankings
+    tie-break on vec_id; cosine NULLS LAST pinned (zero-norm → NULL
+    under the guarded helper).
+
+    Shape at 100 TB: ground truth is bounded to the {_NDCG_NQ}-query
+    broadcast sample (one corpus pass, never all-pairs — the
+    recall_eval budget); the sketch side scans 8-byte signatures; each
+    top list is a per-partition heap; the term join and per-query sum
+    touch ≤ {_NDCG_NQ}·{_NDCG_K} rows. exact_top and ham_top each have
+    exactly ONE consumer (the single-consumer lesson)."""
+    e = load_vectors(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qs = e.filter(F.col("vec_id") < _NDCG_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    exact_top = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("sim").desc_nulls_last(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _NDCG_K)
+        .select(
+            "qid",
+            "vec_id",
+            (F.lit(_NDCG_K + 1) - F.col("rn")).cast("long").alias("rel"),
+        )
+    )
+    sig = _signatures(e)
+    qsig = sig.filter(F.col("vec_id") < _NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham_top = (
+        sig.crossJoin(F.broadcast(qsig))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            ).alias("hamming"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy("hamming", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= _NDCG_K)
+        .select("qid", "vec_id", F.col("rn").cast("int").alias("pos"))
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("pos")
+    )
+    terms = ham_top.join(exact_top, ["qid", "vec_id"], "left").select(
+        "qid",
+        F.floor(
+            (F.coalesce(F.col("rel"), F.lit(0)) * disc) * 1e6 + F.lit(0.5)
+        ).alias("tm"),
+    )
+    d = terms.groupBy("qid").agg(F.sum("tm").alias("dcg_micros"))
+    dcg = F.coalesce(F.col("dcg_micros"), F.lit(0))
+    return qs.select("qid").join(F.broadcast(d), "qid", "left").select(
+        "qid",
+        dcg.alias("dcg_micros"),
+        (
+            F.floor(
+                dcg.cast("double") * 1e6 / F.lit(_NDCG_IDCG_MICROS)
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("ndcg"),
     )

@@ -1104,3 +1104,126 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_nodes") * 1e6 / F.col("total") + F.lit(0.5)) / 1e6
         ).alias("share"),
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eh AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM eh UNION ALL SELECT v FROM eh
+      ) GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS e,
+             CAST(sum(a.d + b.d) AS BIGINT) AS s1,
+             CAST(sum(a.d * a.d + b.d * b.d) AS BIGINT) AS s2,
+             CAST(sum(a.d * b.d) AS BIGINT) AS sp
+      FROM eh JOIN deg a ON a.node = eh.u JOIN deg b ON b.node = eh.v
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT nn.n_nodes, m.e AS n_edges,
+           CASE WHEN (2 * m.e * m.s2 - m.s1 * m.s1) <> 0
+                THEN floor(CAST(4 * m.e * m.sp - m.s1 * m.s1 AS DOUBLE)
+                           * 1e6 / (2 * m.e * m.s2 - m.s1 * m.s1)
+                           + 0.5) / 1e6
+           END AS assortativity
+    FROM m, nn
+    """,
+    tags=("graph",),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the part co-order graph: the
+    Pearson correlation of endpoint degrees over the edge list — the
+    one-number summary of whether hubs attach to hubs (r > 0, social
+    networks) or to leaves (r < 0, co-purchase / technological graphs).
+    Together with q_graph_degree_dist it is the skew dashboard that
+    tells an operator whether this repo's hub caps
+    (_JACCARD_CENTER_CAP, degree-oriented wedges) will fire at their
+    data's scale: a disassortative power-law graph concentrates wedge
+    fan-out on exactly the hub keys the caps guard.
+
+    Integer-exact cross-engine: over the SYMMETRIC directed edge list
+    (each undirected edge counted in both directions) the moment sums
+    collapse to per-undirected-edge terms — n = 2E, Σx = Σ(du+dv),
+    Σx² = Σ(du²+dv²), Σxy = 2Σ(du·dv) — all exact BIGINTs (no float
+    aggregation order anywhere), and by symmetry Σx = Σy, Σx² = Σy², so
+    r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) = (4E·Σdudv − s1²)/(2E·Σ(d²) − s1²).
+    The final value is ONE IEEE division of exact integers (cast to
+    double; exact below 2^53 — at 100 TB the sums promote to DECIMAL in
+    both engines before this expression overflows BIGINT, the same
+    escalation note as the other integer-moment operators), rounded via
+    the floor(x·1e6+0.5)/1e6 form. A regular graph (all degrees equal)
+    zeroes the variance denominator: the CASE guard answers NULL in
+    BOTH engines instead of ANSI Spark's DIVIDE_BY_ZERO throw
+    (tests/test_degenerate.py shape).
+
+    Shape at 100 TB: the thinned-edge build, one grouped count to the
+    degree table, two node-keyed hash joins of edges against degrees
+    (shuffle on node id, the unavoidable pair), then a map-side-combined
+    global aggregate to ONE row. No iteration, no window, no all-pairs.
+
+    Reference parity anchor: no graph surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference analytics family."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    # und feeds the degree build AND the moment join — cut once (the
+    # q_graph_lcc lesson); deg feeds du, dv AND the node count
+    und = materialize(und)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg = materialize(deg)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    m = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).alias("e"),
+            F.sum(F.col("du") + F.col("dv")).alias("s1"),
+            F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias(
+                "s2"
+            ),
+            F.sum(F.col("du") * F.col("dv")).alias("sp"),
+        )
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    num = 4 * F.col("e") * F.col("sp") - F.col("s1") * F.col("s1")
+    den = 2 * F.col("e") * F.col("s2") - F.col("s1") * F.col("s1")
+    return nn.crossJoin(F.broadcast(m)).select(
+        "n_nodes",
+        F.col("e").alias("n_edges"),
+        F.when(
+            den != 0,
+            F.floor(num.cast("double") * 1e6 / den + F.lit(0.5)) / 1e6,
+        ).alias("assortativity"),
+    )

@@ -742,3 +742,40 @@ def test_ann_zero_norm_vectors_null_cosine_parity(spark, tmp_path):
     ):
         got = assert_parity(spark, q, str(d), ["embeddings"])
         assert len(next(iter(got.values()), [])) > 0, q
+
+
+def test_sketch_retrieval_zero_norm_query_parity(spark, tmp_path):
+    """A ZERO-NORM query vector (vec 0 all zeros — a dead encoder on
+    the query side) degrades every cosine in the r14 sketch-retrieval
+    family to NULL while the Hamming side stays fully defined (the
+    zero sketch is a valid signature): q_sim_hamming_topk ranks
+    normally, q_embed_rrf's cosine list collapses to an all-NULL-sim
+    ranking (NULLS LAST -> pure vec_id order, pinned in both engines),
+    and q_embed_ndcg_eval's qid-0 ground truth likewise falls back to
+    vec_id order. Parity must hold on all three — no DIVIDE_BY_ZERO
+    throw anywhere."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "zero-q"
+    d.mkdir()
+    vecs = []
+    for i in range(24):
+        v = [0.0] * 64
+        if i != 0:
+            v[i % 8] = 1.0
+            v[(i * 5) % 64] = -float(i % 3 + 1)
+        vecs.append(v)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    for q in ("q_sim_hamming_topk", "q_embed_rrf", "q_embed_ndcg_eval"):
+        got = assert_parity(spark, q, str(d), ["embeddings"])
+        assert len(next(iter(got.values()), [])) > 0, q

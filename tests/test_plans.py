@@ -798,3 +798,64 @@ def test_seq_markov_session_one_window_pass_no_join(spark):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "props" not in head and "value" not in head
+
+
+def test_graph_assortativity_integer_moments_one_row_out(spark):
+    # edge build -> degree table -> two node-keyed hash joins -> ONE
+    # map-side-combined global aggregate; the node count rides as a
+    # broadcast 1-row cross (scalar pattern) — no cartesian, no window,
+    # and the lineitem scan prunes to the two edge columns
+    p = plan(spark, "q_graph_assortativity")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "l_extendedprice" not in head and "l_comment" not in head
+
+
+def test_sim_hamming_topk_heap_no_global_sort_no_smj(spark):
+    # the sketch build is a zero-shuffle projection; the query sketch
+    # broadcasts (1-row BNLJ, the scalar pattern); top-k plans
+    # TakeOrderedAndProject (per-partition heap), never a global Sort
+    # or a shuffle join; the scan prunes label
+    import re
+
+    p = plan(spark, "q_sim_hamming_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row query sketch
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "label" not in head
+
+
+def test_embed_rrf_two_heaps_tiny_fusion_join(spark):
+    # each ranker list ends in a TakeOrderedAndProject heap (one corpus
+    # pass each, single consumer); the fusion is a join of two 50-row
+    # lists and the final top-10 is a third heap — no global sort, no
+    # cartesian
+    p = plan(spark, "q_embed_rrf")
+    assert p.count("TakeOrderedAndProject") >= 3
+    assert "CartesianProduct" not in p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "label" not in head
+
+
+def test_embed_ndcg_eval_single_consumer_tops(spark):
+    # ground truth and sketch tops are each planned ONCE (the
+    # q_embed_recall_eval single-consumer lesson): two per-qid ranking
+    # windows only, corpus x 8-query sample rides as BNLJ broadcasts,
+    # and at most one SMJ (the tiny term join)
+    import re
+
+    p = plan(spark, "q_embed_ndcg_eval")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) <= 1
+    # exactly TWO ranking Window nodes (re-planned tops are the
+    # hazard), each preceded by WindowGroupLimit — the rn<=k filter
+    # pushed into a per-partition heap, so no full per-qid sort ships
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 2
+    assert "WindowGroupLimit" in p

@@ -13,7 +13,14 @@ batch —
   m-ordered reconstruction, micro-unit distortion, ADC-vs-exact
   recall@k — vs a pure-Python replay using the identical left-fold
   dot products, (score, centroid_id) argmin, NULLS-LAST cosine
-  ranking, and truncating-integer mean.
+  ranking, and truncating-integer mean;
+- q_graph_assortativity: the integer-moment Pearson formula vs an
+  explicit degree-table replay (regular/empty graphs -> NULL);
+- q_sim_hamming_topk / q_embed_rrf / q_embed_ndcg_eval: the sign-bit
+  signature, XOR-popcount ranking, reciprocal-rank fusion, and
+  integer-micros DCG vs bit-for-bit Python replays (the NDCG replay
+  re-derives the discount table with math.log2, independently of the
+  module's embedded literals).
 
 As in the r10-r13 batteries, every replay drives the REAL registered
 query end-to-end: each example writes a random parquet fixture and the
@@ -314,6 +321,212 @@ def test_embed_pq_eval_matches_python_replay(spark, vecs):
                 r.mean_sq_err_micros,
             )
             for r in q_embed_pq_eval(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(graph_lineitems)
+def test_graph_assortativity_matches_integer_moments(spark, items):
+    """(n_nodes, n_edges, assortativity) must equal the explicit
+    integer-moment formula over the thinned edge set: with symmetric
+    double counting, r = (4E·Σdudv − s1²) / (2E·Σ(du²+dv²) − s1²),
+    floor-form rounded; zero variance (regular graph, including the
+    empty graph) must be NULL, never a /0 throw."""
+    from spring_and_kafka_spark.operators.graph import q_graph_assortativity
+
+    edges = _thinned_edges(items)
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    e_cnt = len(edges)
+    s1 = sum(deg[u] + deg[v] for u, v in edges)
+    s2 = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in edges)
+    sp = sum(deg[u] * deg[v] for u, v in edges)
+    num = 4 * e_cnt * sp - s1 * s1
+    den = 2 * e_cnt * s2 - s1 * s1
+    expected_r = (
+        None if den == 0
+        else math.floor(float(num) * 1e6 / den + 0.5) / 1e6
+    )
+    d = tempfile.mkdtemp(prefix="assort-prop-")
+    try:
+        _write_lineitem(spark, d, items)
+        rows = q_graph_assortativity(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert len(rows) == 1
+    got = rows[0]
+    assert got.n_nodes == len(deg)
+    assert got.n_edges == e_cnt
+    assert got.assortativity == expected_r
+
+
+def _sig_py(v):
+    """Python replay of the sign-bit signature (two 32-bit words)."""
+    lo = hi = 0
+    for i, x in enumerate(v[:64]):
+        if x > 0:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return lo, hi
+
+
+def _ham_py(a, b):
+    return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+def _write_vecs(d, vecs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(pq_vectors)
+def test_sim_hamming_topk_matches_python(spark, vecs):
+    """The sign-sketch top-k must equal a bit-for-bit Python replay:
+    signature bit i = v[i] > 0, distance = popcount of the XOR, ranking
+    (hamming ASC, vec_id). A NULL query vector (vec 0 absent after the
+    scan filter) must yield zero rows, not a crash."""
+    from spring_and_kafka_spark.llm.similarity import q_sim_hamming_topk
+
+    e = [(i, v) for i, v in enumerate(vecs) if v is not None]
+    sigs = {vid: _sig_py(v) for vid, v in e}
+    if 0 in sigs:
+        cands = sorted(
+            ((vid, _ham_py(s, sigs[0])) for vid, s in sigs.items()
+             if vid != 0),
+            key=lambda t: (t[1], t[0]),
+        )[:10]
+    else:
+        cands = []
+    d = tempfile.mkdtemp(prefix="ham-prop-")
+    try:
+        _write_vecs(d, vecs)
+        got = [
+            (r.vec_id, r.hamming)
+            for r in q_sim_hamming_topk(spark, d).collect()
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert sorted(got, key=lambda t: (t[1], t[0])) == cands
+
+
+def _rank_list(cands, n):
+    """(vid, score-keyed rank) for the top n under the given key order;
+    cands already sorted."""
+    return {vid: i + 1 for i, (vid, _) in enumerate(cands[:n])}
+
+
+@settings(max_examples=8, deadline=None)
+@given(pq_vectors)
+def test_embed_rrf_matches_python_fusion(spark, vecs):
+    """RRF replay: cosine top-50 (NULLS LAST, vec_id ties) and Hamming
+    top-50 ranked in Python, fused with 1/(60+rank) (absent -> 0), the
+    final top-10 by (score DESC, vec_id) with floor(x·1e9+0.5)/1e9
+    output — every float op replays bit-for-bit."""
+    from spring_and_kafka_spark.llm.similarity import q_embed_rrf
+
+    e = [(i, v) for i, v in enumerate(vecs) if v is not None]
+    vmap = dict(e)
+    if 0 in vmap:
+        qv = vmap[0]
+        cos_sorted = sorted(
+            ((vid, _cos(v, qv)) for vid, v in e if vid != 0),
+            key=lambda r: (r[1] is None, -(r[1] or 0.0), r[0]),
+        )
+        ra = _rank_list(cos_sorted, 50)
+        sigs = {vid: _sig_py(v) for vid, v in e}
+        ham_sorted = sorted(
+            ((vid, _ham_py(s, sigs[0])) for vid, s in sigs.items()
+             if vid != 0),
+            key=lambda t: (t[1], t[0]),
+        )
+        rb = _rank_list(ham_sorted, 50)
+        fused = []
+        for vid in set(ra) | set(rb):
+            score = (1.0 / (60 + ra[vid]) if vid in ra else 0.0) + (
+                1.0 / (60 + rb[vid]) if vid in rb else 0.0
+            )
+            fused.append((vid, ra.get(vid), rb.get(vid), score))
+        fused.sort(key=lambda t: (-t[3], t[0]))
+        expected = [
+            (vid, a, b, math.floor(s * 1e9 + 0.5) / 1e9)
+            for vid, a, b, s in fused[:10]
+        ]
+    else:
+        expected = []
+    d = tempfile.mkdtemp(prefix="rrf-prop-")
+    try:
+        _write_vecs(d, vecs)
+        got = [
+            (r.vec_id, r.rank_cos, r.rank_ham, r.rrf)
+            for r in q_embed_rrf(spark, d).collect()
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert sorted(got) == sorted(expected)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pq_vectors)
+def test_embed_ndcg_matches_python_replay(spark, vecs):
+    """NDCG replay: rel = 11−exact_rank over the cosine top-10, DCG
+    terms floor(rel·disc(pos)·1e6+0.5) over the Hamming top-10 summed
+    as INTEGERS, idcg from the identical per-term floors — the test
+    re-derives the discount table with math.log2, independently of the
+    module's embedded literals."""
+    from spring_and_kafka_spark.llm.similarity import q_embed_ndcg_eval
+
+    disc = [1.0 / math.log2(p + 1) for p in range(1, 11)]
+    idcg = sum(
+        math.floor((10 - p) * disc[p] * 1e6 + 0.5) for p in range(10)
+    )
+    e = [(i, v) for i, v in enumerate(vecs) if v is not None]
+    sigs = {vid: _sig_py(v) for vid, v in e}
+    expected = {}
+    for qid, qv in e:
+        if qid >= 8:
+            continue
+        cos_sorted = sorted(
+            ((vid, _cos(v, qv)) for vid, v in e if vid != qid),
+            key=lambda r: (r[1] is None, -(r[1] or 0.0), r[0]),
+        )
+        rel = {vid: 11 - (i + 1)
+               for i, (vid, _) in enumerate(cos_sorted[:10])}
+        ham_sorted = sorted(
+            ((vid, _ham_py(s, sigs[qid])) for vid, s in sigs.items()
+             if vid != qid),
+            key=lambda t: (t[1], t[0]),
+        )
+        dcg = sum(
+            math.floor((rel.get(vid, 0) * disc[i]) * 1e6 + 0.5)
+            for i, (vid, _) in enumerate(ham_sorted[:10])
+        )
+        ndcg = math.floor(float(dcg) * 1e6 / idcg + 0.5) / 1e6
+        expected[qid] = (dcg, ndcg)
+    d = tempfile.mkdtemp(prefix="ndcg-prop-")
+    try:
+        _write_vecs(d, vecs)
+        got = {
+            r.qid: (r.dcg_micros, r.ndcg)
+            for r in q_embed_ndcg_eval(spark, d).collect()
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)

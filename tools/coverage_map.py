@@ -149,6 +149,8 @@ SECTIONS = {
     "round-14 additions: node-local graph stats + PQ eval + session journeys": [
         "q_graph_lcc", "q_graph_degree_dist", "q_embed_pq_eval",
         "q_seq_markov_session",
+        "q_graph_assortativity", "q_sim_hamming_topk", "q_embed_rrf",
+        "q_embed_ndcg_eval",
     ],
 }
 
