@@ -131,6 +131,15 @@ HEADLINE = [
     "q_sim_hamming_topk",
     "q_embed_rrf",
     "q_embed_ndcg_eval",
+    # round-14 second batch: IVF cell-balance audit (one
+    # broadcast-centroid pass + k-row windows), lexical diversity
+    # (two gram-keyed pre-aggregated shuffles), integer-moment lead/lag
+    # cross-correlation, gaps-and-islands streaks (one user-keyed
+    # shuffle reused by window + both groupBys)
+    "q_embed_ivf_balance",
+    "q_text_diversity",
+    "q_ts_crosscorr",
+    "q_user_streak",
 ]
 
 

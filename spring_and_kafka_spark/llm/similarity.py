@@ -1926,3 +1926,102 @@ def q_embed_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("ndcg"),
     )
+
+
+@register(
+    "q_embed_ivf_balance",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(e.v, c.cv)
+             / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv)), 0) AS sim
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC NULLS LAST,
+                                           centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY 1
+    ),
+    w AS (
+      SELECT cluster, n_vecs,
+             CAST(sum(n_vecs) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS ncl,
+             CAST(max(n_vecs) OVER () AS BIGINT) AS mx
+      FROM counts
+    )
+    SELECT cluster, n_vecs,
+           floor(n_vecs * 1e6 / total + 0.5) / 1e6 AS share,
+           floor(mx * ncl * 1e6 / total + 0.5) / 1e6 AS imbalance,
+           n_vecs * ncl > 2 * total AS hot
+    FROM w
+    """,
+    tags=("ann", "eval"),
+)
+def q_embed_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance audit: per-cluster vector counts, share, the
+    global imbalance factor (largest cell over the mean cell), and a
+    hot-cell flag (> 2× mean) — the index-health readout that decides
+    whether an IVF layout survives its data. A skewed coarse quantizer
+    concentrates probes on hot cells: probe latency follows the LARGEST
+    probed cell, not the mean, so at 100 TB an imbalance factor of 4
+    quietly makes the p99 of q_sim_ann_ivf 4× its median. This is the
+    same skew dashboard the graph family ships (q_graph_degree_dist →
+    hub caps), applied to the ANN index; the remedy it triggers is
+    re-seeding or splitting hot cells.
+
+    Cross-engine: assignment replays q_sim_ann_ivf's argmax exactly
+    (broadcast-centroid cosines, max_by/rank-window with NULLS LAST +
+    centroid tiebreak); all outputs are exact BIGINT counts or
+    floor-form ratios of them — imbalance = max·k/total is the integer
+    restatement of max/mean, so no float aggregation order exists
+    anywhere. total > 0 structurally (a counts row exists only if a
+    vector was assigned), so no zero guard is needed.
+
+    Shape at 100 TB: one broadcast-centroid pass over the corpus (the
+    q_sim_ann_ivf assignment shuffle, reduced map-side to ≤k rows),
+    then window sums over the k-row cell table (single consumer, no
+    rejoin — the q_tcloseness lesson). Nothing else moves."""
+    e = load_vectors(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    counts = (
+        ivf_assign(e, centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    w = W.partitionBy()
+    withg = counts.select(
+        "cluster",
+        "n_vecs",
+        F.sum("n_vecs").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("ncl"),
+        F.max("n_vecs").over(w).alias("mx"),
+    )
+    return withg.select(
+        "cluster",
+        "n_vecs",
+        (
+            F.floor(F.col("n_vecs") * 1e6 / F.col("total") + F.lit(0.5)) / 1e6
+        ).alias("share"),
+        (
+            F.floor(
+                F.col("mx") * F.col("ncl") * 1e6 / F.col("total") + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("imbalance"),
+        (F.col("n_vecs") * F.col("ncl") > 2 * F.col("total")).alias("hot"),
+    )

@@ -1627,3 +1627,130 @@ def q_hist_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_docs") * 1e6 / F.col("total") + F.lit(0.5)) / 1e6
         ).alias("share"),
     )
+
+
+@register(
+    "q_text_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_toks,
+             CAST(count(*) AS BIGINT) AS n_uniq_toks
+      FROM uni GROUP BY 1
+    ),
+    bi AS (
+      SELECT source, bg, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks
+      ) GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_uniq_bigrams
+      FROM bi GROUP BY 1
+    )
+    SELECT u.source, u.n_toks, u.n_uniq_toks,
+           CASE WHEN u.n_toks > 0
+                THEN floor(u.n_uniq_toks * 1e6 / u.n_toks + 0.5) / 1e6
+           END AS distinct_1,
+           coalesce(b.n_bigrams, 0) AS n_bigrams,
+           coalesce(b.n_uniq_bigrams, 0) AS n_uniq_bigrams,
+           CASE WHEN coalesce(b.n_bigrams, 0) > 0
+                THEN floor(b.n_uniq_bigrams * 1e6 / b.n_bigrams + 0.5)
+                     / 1e6
+           END AS distinct_2
+    FROM u LEFT JOIN b ON b.source = u.source
+    """,
+)
+def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: distinct-1 and distinct-2 ratios
+    (unique unigrams/bigrams over total — the "distinct-n" metric from
+    the NLG diversity literature) — the templated-content detector a
+    corpus mix runs next to q_text_zipf: a crawl that re-serves boiler-
+    plate shows a normal Zipf slope per doc but a collapsing bigram
+    ratio at the source grain, which is exactly where dedup budgets
+    (q_corpus_budget) should then be spent.
+
+    Tokenization is the module contract (lower + whitespace split,
+    empty tokens removed — here BEFORE bigram pairing, so 'a  b' pairs
+    (a,b) in both engines); bigrams come from an index transform over
+    the filtered token ARRAY (1-based element_at mirroring DuckDB's
+    1-based list indexing; a <2-token doc contributes zero bigrams via
+    the size guard — DuckDB's exclusive range(1,1) does the same).
+    All counts are exact BIGINTs from groupBy; ratios use the
+    floor(x·1e6+0.5)/1e6 form with zero-denominator guards (an
+    empty-text-only source has n_toks = 0).
+
+    Shape at 100 TB: two explode→(source, gram) pre-aggregated
+    groupBys (map-side combine collapses repeats before the shuffle —
+    the shuffle moves DISTINCT grams per source, not token instances),
+    each reduced again to |sources| rows, then one tiny join. At web
+    scale the gram key should be a 64-bit hash (xxhash64) so the
+    shuffle moves 8-byte keys; kept as raw strings here so the oracle
+    is exactly co-expressible (the q_corpus_provenance trade).
+
+    Reference parity anchor: no text surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference LLM-data family."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        "source",
+        F.filter(
+            F.split(F.lower("text"), " "), lambda x: x != ""
+        ).alias("t"),
+    )
+    uni = (
+        toks.select("source", F.explode("t").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u = uni.groupBy("source").agg(
+        F.sum("c").alias("n_toks"), F.count(F.lit(1)).alias("n_uniq_toks")
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        toks.select("source", F.explode(bigrams).alias("bg"))
+        .groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b = bi.groupBy("source").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_uniq_bigrams"),
+    )
+    n_bi = F.coalesce("n_bigrams", F.lit(0))
+    n_ubi = F.coalesce("n_uniq_bigrams", F.lit(0))
+    return u.join(b, "source", "left").select(
+        "source",
+        "n_toks",
+        "n_uniq_toks",
+        F.when(
+            F.col("n_toks") > 0,
+            F.floor(F.col("n_uniq_toks") * 1e6 / F.col("n_toks") + F.lit(0.5))
+            / 1e6,
+        ).alias("distinct_1"),
+        n_bi.alias("n_bigrams"),
+        n_ubi.alias("n_uniq_bigrams"),
+        F.when(
+            n_bi > 0,
+            F.floor(n_ubi * 1e6 / n_bi + F.lit(0.5)) / 1e6,
+        ).alias("distinct_2"),
+    )

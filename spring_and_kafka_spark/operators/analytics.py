@@ -1519,3 +1519,75 @@ def q_seq_markov_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n") * 1e6 / F.col("row_total") + F.lit(0.5)) / 1e6
         ).alias("p"),
     )
+
+
+@register(
+    "q_user_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    islands AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS island
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS n_active_days,
+           CAST(max(run_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY 1
+    """,
+    tags=("analytics",),
+)
+def q_user_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands pattern (active days → islands keyed by
+    day − row_number → run lengths), the engagement metric every DAU
+    dashboard ships and the one window shape the §2.5 family did not
+    yet cover (q_sessionize islands by TIME GAP within a day; this
+    islands by CALENDAR DAY across the whole history).
+
+    Cross-engine: the island key is a DATE minus an integer row_number
+    — exact date arithmetic in both engines; row_number is
+    deterministic because (user_id, day) is DISTINCT before ranking,
+    so the ORDER BY day total-orders each partition. Every output is
+    an exact BIGINT count; no floats exist anywhere in the operator.
+    NULL user_ids (anonymous events) are dropped at the scan in both
+    engines — a streak is per-identity by definition.
+
+    Shape at 100 TB: the fact scan pre-aggregates to (user, day)
+    distinct grain map-side, then ONE user-keyed shuffle serves the
+    ranking window AND both groupBys (same key — no re-partition
+    between them; Catalyst reuses the exchange). Run/streak tables are
+    strictly smaller than the day grain. The window never sees more
+    rows per partition than a user has active days, so no skew beyond
+    the busiest user.
+
+    Reference parity anchor: no analytics surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference analytics family."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), rn.cast("int")).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

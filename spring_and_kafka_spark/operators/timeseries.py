@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from spring_and_kafka_spark.exec_utils import micros, ts_micros
+from spring_and_kafka_spark.exec_utils import materialize, micros, ts_micros
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -1028,4 +1028,119 @@ def q_ts_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("outlier_rate_adj"),
         "med_res_micros",
         "mad_res_micros",
+    )
+
+
+@register(
+    "q_ts_crosscorr",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag_days),
+    paired AS (
+      SELECT CAST(l.lag_days AS INT) AS lag_days, d1.x AS x, d2.y AS y
+      FROM lags l
+      JOIN d d1 ON true
+      JOIN d d2 ON d2.day = d1.day + CAST(l.lag_days AS INT)
+    ),
+    m AS (
+      SELECT lag_days,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM paired GROUP BY 1
+    )
+    SELECT lag_days, n_pairs,
+           CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                 AND (n_pairs * syy - sy * sy) > 0
+                THEN floor(CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1e6
+                           / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n_pairs * syy - sy * sy
+                                          AS DOUBLE)))
+                           + 0.5) / 1e6
+           END AS xcorr
+    FROM m
+    """,
+    tags=("timeseries",),
+)
+def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the daily 'view' and 'purchase' event
+    series at lags −3..+3 days — the lead/lag probe behind every
+    conversion-latency question (a positive-lag peak means views LEAD
+    purchases by that many days; q_ts_autocorr is this operator's
+    self-paired special case). Both series come from ONE conditional
+    aggregation pass over events (no second scan, no union), so a day
+    appears iff it has any event, identically in both engines.
+
+    Cross-engine determinism — the q_graph_assortativity discipline:
+    daily counts are exact BIGINTs, so the per-lag moment sums (n, Σx,
+    Σy, Σxy, Σx², Σy²) are exact integers whatever the aggregation
+    order; Pearson r is then formed from those integers with IEEE
+    sqrt/mult/div only (all correctly rounded, engine-identical) and
+    rounded via the floor(x·1e6+0.5)/1e6 form. A constant series
+    (variance 0 on either side — weekends with no purchases fixture-
+    degenerate) answers NULL through the CASE guard instead of ANSI
+    Spark's DIVIDE_BY_ZERO.
+
+    Shape at 100 TB: the fact scan collapses to |days| rows in one
+    map-side-combined groupBy; the 7-lag table broadcasts; lag pairing
+    is an equi-join on the shifted DATE key (never a global-order
+    window funneling the series through one partition); the moment
+    reduction is 7 output rows. Scales as one shuffle of day-grain
+    data."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    # d feeds BOTH sides of the lag pairing — cut once so the fact
+    # table is scanned/aggregated one time, not two (the q_graph_lcc
+    # multi-consumer lesson; d is |days| rows, trivially checkpointable)
+    d = materialize(d)
+    lags = spark.range(-3, 4).select(
+        F.col("id").cast("int").alias("lag_days")
+    )
+    d1 = d.alias("d1")
+    d2 = d.alias("d2")
+    paired = (
+        d1.crossJoin(F.broadcast(lags))
+        .join(d2, F.col("d2.day") == F.expr("date_add(d1.day, lag_days)"))
+        .select("lag_days", F.col("d1.x").alias("x"), F.col("d2.y").alias("y"))
+    )
+    m = paired.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "lag_days",
+        "n_pairs",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(
+                num.cast("double")
+                * 1e6
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("xcorr"),
     )

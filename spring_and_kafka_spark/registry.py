@@ -93,14 +93,17 @@ _MODULE_SEQ: dict[str, int] = {}
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 8 queries NEW in r14 (q_embed_ndcg_eval q_embed_pq_eval
-#       q_embed_rrf q_graph_assortativity q_graph_degree_dist
-#       q_graph_lcc q_seq_markov_session q_sim_hamming_topk — the ANN
-#       eval pair, RRF fusion, degree assortativity, the power-law
-#       degree histogram, the local clustering coefficient, the
-#       session-bounded Markov matrix, and the sign-sketch Hamming
-#       top-k, pool() round-0 name order) — never driver-verified, so
-#       they lead;
+#   (a) the 12 queries NEW in r14 (q_embed_ivf_balance
+#       q_embed_ndcg_eval q_embed_pq_eval q_embed_rrf
+#       q_graph_assortativity q_graph_degree_dist q_graph_lcc
+#       q_seq_markov_session q_sim_hamming_topk q_text_diversity
+#       q_ts_crosscorr q_user_streak — the ANN eval/balance suite, RRF
+#       fusion, degree assortativity, the power-law degree histogram,
+#       the local clustering coefficient, the session-bounded Markov
+#       matrix, the sign-sketch Hamming top-k, lexical diversity,
+#       lead/lag cross-correlation, and the gaps-and-islands streak,
+#       pool() round-0 name order) — never driver-verified, so they
+#       lead;
 #   (b) the 7 queries whose OUTPUT expression changed in r14 (name
 #       order): q_embed_centroid q_sim_ann_ivf q_sim_ann_ivf_refined
 #       (NULLIF zero-norm pins + NULLS LAST, the r13 rotation backlog
@@ -111,23 +114,24 @@ _MODULE_SEQ: dict[str, int] = {}
 #       all ADVICE r13 items;
 #   (c) the rotation pool in tools.window_pool pool() order: the 3
 #       r8-stale rows deferred since r13 (q_udf_grouped_agg
-#       q_udf_grouped_map q_udf_pandas) + the first 32 of the 50
-#       r9-stale rows not already taken by (b) — 8+7+3+32 = 50
+#       q_udf_grouped_map q_udf_pandas) + the first 28 of the 50
+#       r9-stale rows not already taken by (b) — 12+7+3+28 = 50
 #       exactly.
-# After this window the stalest green rows are the 15 remaining r9
-# rows (q_sample_hash q_sample_hash_threshold q_sample_seeded
-# q_sample_stratified_hash — displaced when the second r14 batch of 4
-# new ops took their slots — then q_sim_knn_all q_sim_lsh_bucket
-# q_sim_pairwise q_sim_topk q_sim_topk_per_label q_text_contamination
-# q_text_entropy q_text_fingerprint q_text_langid q_text_redact
-# q_winsorize) then the 49 r10 rows — the r15 pool head. NOTE for
-# r15: q_sim_pairwise and q_sim_topk still carry bare-division cosine
-# oracles — pin them with NULLIF when they rotate in (the
-# q_embed_centroid precedent).
+# After this window the stalest green rows are the 19 remaining r9
+# rows (q_join_semi q_join_theta q_multimodal_decode q_multimodal_meta
+# q_sample_hash q_sample_hash_threshold q_sample_seeded
+# q_sample_stratified_hash — displaced as the r14 new-op batches took
+# their slots — then q_sim_knn_all q_sim_lsh_bucket q_sim_pairwise
+# q_sim_topk q_sim_topk_per_label q_text_contamination q_text_entropy
+# q_text_fingerprint q_text_langid q_text_redact q_winsorize) then
+# the 49 r10 rows — the r15 pool head. NOTE for r15: q_sim_pairwise
+# and q_sim_topk still carry bare-division cosine oracles — pin them
+# with NULLIF when they rotate in (the q_embed_centroid precedent).
 # Queries not named here rank after the prefix by (module rank, def
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
     # (a) new-in-r14, never verified — pool() round-0 name order
+    "q_embed_ivf_balance",
     "q_embed_ndcg_eval",
     "q_embed_pq_eval",
     "q_embed_rrf",
@@ -136,6 +140,9 @@ _WINDOW_PREFIX = [
     "q_graph_lcc",
     "q_seq_markov_session",
     "q_sim_hamming_topk",
+    "q_text_diversity",
+    "q_ts_crosscorr",
+    "q_user_streak",
     # (b) output expression changed in r14 (ADVICE r13 + hub cap +
     # zero-norm pins), name order
     "q_embed_centroid",
@@ -177,10 +184,6 @@ _WINDOW_PREFIX = [
     "q_join_inner",
     "q_join_left",
     "q_join_right",
-    "q_join_semi",
-    "q_join_theta",
-    "q_multimodal_decode",
-    "q_multimodal_meta",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -859,3 +859,64 @@ def test_embed_ndcg_eval_single_consumer_tops(spark):
     # pushed into a per-partition heap, so no full per-qid sort ships
     assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 2
     assert "WindowGroupLimit" in p
+
+
+def test_ts_crosscorr_single_fact_pass_broadcast_lags(spark):
+    # the day aggregate is materialized once (lineage cut: no second
+    # fact scan reaches the final plan), the 7-row lag table and the
+    # day self-join ride as broadcasts, moments reduce map-side — no
+    # cartesian, no window, scan pruned to (ts, event_type)
+    import re
+
+    p = plan(spark, "q_ts_crosscorr")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 0
+    assert "Scan parquet" not in p  # lineage cut: checkpointed day table
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "props" not in head and "value" not in head
+
+
+def test_text_diversity_preagg_gram_shuffles_pruned(spark):
+    # each gram family is a two-level aggregation (map-side combine on
+    # (source, gram) BEFORE the shuffle — the shuffle moves distinct
+    # grams, not token instances); the final join is source-keyed over
+    # |sources| rows; the documents scan prunes to (text, source)
+    p = plan(spark, "q_text_diversity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "n_chars" not in head and "lang" not in head
+
+
+def test_embed_ivf_balance_one_window_broadcast_centroids(spark):
+    # ONE Window node (all three grand stats share the empty-partition
+    # spec over <= 16 cell rows), centroid assignment rides the
+    # broadcast BNLJ, no cartesian, label pruned from the scan
+    import re
+
+    p = plan(spark, "q_embed_ivf_balance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "label" not in head
+
+
+def test_user_streak_no_join_two_shuffles_pruned(spark):
+    # gaps-and-islands entirely join-free: (user, day) distinct agg,
+    # ONE user-keyed window, then both downstream groupBys reuse the
+    # user partitioning (HashPartitioning(user) satisfies the
+    # (user, island) clustering requirement) — exactly two exchanges;
+    # events scan prunes to (ts, user_id)
+    import re
+
+    p = plan(spark, "q_user_streak")
+    assert "Join" not in p
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
+    for seg in p.split("ReadSchema")[1:]:
+        head = seg.split("\n")[0]
+        assert "props" not in head and "event_type" not in head

@@ -20,7 +20,14 @@ batch —
   signature, XOR-popcount ranking, reciprocal-rank fusion, and
   integer-micros DCG vs bit-for-bit Python replays (the NDCG replay
   re-derives the discount table with math.log2, independently of the
-  module's embedded literals).
+  module's embedded literals);
+- q_ts_crosscorr: per-lag Pearson vs explicit integer moments
+  (constant series -> NULL, click-only days carry (0,0) counts);
+- q_text_diversity: distinct-1/2 ratios vs a tokenization-contract
+  replay (zero-token sources have no row in either engine);
+- q_user_streak: gaps-and-islands runs vs a sorted-days replay;
+- q_embed_ivf_balance: cell counts/shares/imbalance vs the assignment
+  argmax replay (NULLS LAST, ties to the lowest centroid id).
 
 As in the r10-r13 batteries, every replay drives the REAL registered
 query end-to-end: each example writes a random parquet fixture and the
@@ -527,6 +534,246 @@ def test_embed_ndcg_matches_python_replay(spark, vecs):
         got = {
             r.qid: (r.dcg_micros, r.ndcg)
             for r in q_embed_ndcg_eval(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+xcorr_events = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # day offset
+        st.sampled_from(["view", "purchase", "click"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(xcorr_events)
+def test_ts_crosscorr_matches_integer_moments(spark, evs):
+    """Per-lag (n_pairs, xcorr) vs explicit integer moments over the
+    day-count pairs — constant series (variance 0) must be NULL; a day
+    exists iff ANY event landed on it (click-only days carry (0, 0)
+    counts that legitimately enter the moments)."""
+    from spring_and_kafka_spark.operators.timeseries import q_ts_crosscorr
+
+    days = {}
+    for day, typ in evs:
+        x, y = days.get(day, (0, 0))
+        days[day] = (x + (typ == "view"), y + (typ == "purchase"))
+    expected = {}
+    for lag in range(-3, 4):
+        pairs = [
+            (days[t][0], days[t + lag][1])
+            for t in days
+            if (t + lag) in days
+        ]
+        if not pairs:
+            continue
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        xc = (
+            math.floor(
+                float(n * sxy - sx * sy) * 1e6
+                / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+                + 0.5
+            )
+            / 1e6
+            if vx > 0 and vy > 0
+            else None
+        )
+        expected[lag] = (n, xc)
+    rows = [
+        (i, _TS0 + dt.timedelta(days=day, minutes=i), 1, typ, 1.0)
+        for i, (day, typ) in enumerate(evs)
+    ]
+    d = tempfile.mkdtemp(prefix="xcorr-prop-")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.lag_days: (r.n_pairs, r.xcorr)
+            for r in q_ts_crosscorr(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+diversity_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["web", "books"]),  # source
+        st.one_of(
+            st.none(),  # NULL text — dropped at the scan
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", ""]), max_size=6
+            ).map(" ".join),
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(diversity_docs)
+def test_text_diversity_matches_python_replay(spark, docs):
+    """distinct-1/distinct-2 per source vs a direct replay of the module
+    tokenization contract (lower, whitespace split, empties removed
+    BEFORE bigram pairing) — double-space runs must pair across the
+    removed empty, <2-token docs contribute no bigrams, and a source
+    with ZERO tokens (only empty/NULL texts) has no row at all: the
+    explode/unnest of its empty token arrays yields nothing in BOTH
+    engines."""
+    from spring_and_kafka_spark.llm.text import q_text_diversity
+
+    uni, bi = defaultdict(list), defaultdict(list)
+    for src, text in docs:
+        if text is None:
+            continue
+        toks = [t for t in text.lower().split(" ") if t]
+        uni[src].extend(toks)
+        bi[src].extend(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    expected = {}
+    for src in uni:
+        nt, nu = len(uni[src]), len(set(uni[src]))
+        if nt == 0:
+            continue  # no gram rows -> no source row, in either engine
+        nb, nub = len(bi[src]), len(set(bi[src]))
+        expected[src] = (
+            nt,
+            nu,
+            math.floor(nu * 1e6 / nt + 0.5) / 1e6 if nt else None,
+            nb,
+            nub,
+            math.floor(nub * 1e6 / nb + 0.5) / 1e6 if nb else None,
+        )
+    rows = [
+        (i, text, "en", src, len(text) if text else None)
+        for i, (src, text) in enumerate(docs)
+    ]
+    d = tempfile.mkdtemp(prefix="div-prop-")
+    try:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.source: (
+                r.n_toks, r.n_uniq_toks, r.distinct_1,
+                r.n_bigrams, r.n_uniq_bigrams, r.distinct_2,
+            )
+            for r in q_text_diversity(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+streak_days = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 12)),  # (user, day)
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(streak_days)
+def test_user_streak_matches_python_replay(spark, pairs):
+    """Gaps-and-islands replay: per-user sorted distinct days split
+    into consecutive runs; (n_active_days, longest_streak, n_streaks)
+    must match exactly (all BIGINT, no floats to diverge)."""
+    from spring_and_kafka_spark.operators.analytics import q_user_streak
+
+    per_user = defaultdict(set)
+    for u, day in pairs:
+        per_user[u].add(day)
+    expected = {}
+    for u, ds in per_user.items():
+        sd = sorted(ds)
+        runs = []
+        cur = 1
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        expected[u] = (len(sd), max(runs), len(runs))
+    rows = [
+        (i, _TS0 + dt.timedelta(days=day, seconds=i), u, "view", 1.0)
+        for i, (u, day) in enumerate(pairs)
+    ]
+    d = tempfile.mkdtemp(prefix="streak-prop-")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.user_id: (r.n_active_days, r.longest_streak, r.n_streaks)
+            for r in q_user_streak(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(pq_vectors)
+def test_embed_ivf_balance_matches_python_replay(spark, vecs):
+    """Cell counts, shares, imbalance, and hot flags vs a replay of the
+    q_sim_ann_ivf assignment argmax (highest cosine, NULLS LAST, ties
+    to the LOWEST centroid id) — all-NULL sim rows (zero-norm vectors)
+    must fall through to centroid 0's slot deterministically."""
+    from spring_and_kafka_spark.llm.similarity import q_embed_ivf_balance
+
+    e = [(i, v) for i, v in enumerate(vecs) if v is not None]
+    cents = [(cid, v) for cid, v in e if cid < 16]
+    counts = defaultdict(int)
+    for vid, v in e:
+        best = min(
+            cents,
+            key=lambda c: (
+                _cos(v, c[1]) is None,
+                -(_cos(v, c[1]) or 0.0),
+                c[0],
+            ),
+        )[0]
+        counts[best] += 1
+    total = sum(counts.values())
+    ncl = len(counts)
+    mx = max(counts.values()) if counts else 0
+    expected = {
+        cl: (
+            n,
+            math.floor(n * 1e6 / total + 0.5) / 1e6,
+            math.floor(mx * ncl * 1e6 / total + 0.5) / 1e6,
+            n * ncl > 2 * total,
+        )
+        for cl, n in counts.items()
+    }
+    d = tempfile.mkdtemp(prefix="ivfbal-prop-")
+    try:
+        _write_vecs(d, vecs)
+        got = {
+            r.cluster: (r.n_vecs, r.share, r.imbalance, r.hot)
+            for r in q_embed_ivf_balance(spark, d).collect()
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -151,6 +151,8 @@ SECTIONS = {
         "q_seq_markov_session",
         "q_graph_assortativity", "q_sim_hamming_topk", "q_embed_rrf",
         "q_embed_ndcg_eval",
+        "q_embed_ivf_balance", "q_text_diversity", "q_ts_crosscorr",
+        "q_user_streak",
     ],
 }
 
