@@ -140,6 +140,13 @@ HEADLINE = [
     "q_text_diversity",
     "q_ts_crosscorr",
     "q_user_streak",
+    # round-14 third batch: brand-partition modularity (integer Q over
+    # the thinned co-order graph), join-key skew audit (one
+    # map-side-combined pass per key column), near-dup threshold curve
+    # (bounded-sample fold-cosine pairs, one conditional agg)
+    "q_graph_modularity",
+    "q_skew_audit",
+    "q_embed_threshold_curve",
 ]
 
 

@@ -2025,3 +2025,109 @@ def q_embed_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("imbalance"),
         (F.col("n_vecs") * F.col("ncl") > 2 * F.col("total")).alias("hot"),
     )
+
+
+_CURVE_N = 1000  # bounded sample: vec_id < 1000 (rates are scale-free)
+_CURVE_TS = [0.8, 0.9, 0.95, 0.99]
+
+
+@register(
+    "q_embed_threshold_curve",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND vec_id < {_CURVE_N}),
+    pairs AS (
+      SELECT a.v AS av, b.v AS bv,
+             list_dot_product(a.v, b.v)
+             / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)), 0) AS sim
+      FROM e a JOIN e b ON b.vec_id > a.vec_id
+    ),
+    agg AS (
+      SELECT CAST(count(CASE WHEN sim IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_scored,
+             {', '.join(
+                 f"CAST(count(CASE WHEN sim >= CAST({t} AS DOUBLE) "
+                 f"THEN 1 END) AS BIGINT) AS c{i}"
+                 for i, t in enumerate(_CURVE_TS)
+             )}
+      FROM pairs
+    )
+    SELECT CAST(t.threshold AS DOUBLE) AS threshold, a.n_scored,
+           t.n_pairs,
+           CASE WHEN a.n_scored > 0
+                THEN floor(t.n_pairs * 1e6 / a.n_scored + 0.5) / 1e6
+           END AS dup_rate
+    FROM agg a CROSS JOIN (
+      {' UNION ALL '.join(
+          f"SELECT CAST({t} AS DOUBLE) AS threshold, "
+          f"(SELECT c{i} FROM agg) AS n_pairs"
+          for i, t in enumerate(_CURVE_TS)
+      )}
+    ) t
+    """,
+    tags=("ann", "eval"),
+)
+def q_embed_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate threshold curve: for each candidate cosine cutoff
+    (0.8 / 0.9 / 0.95 / 0.99 — _CURVE_TS), the number and rate of
+    vector pairs at or above it — the tuning curve an embedding-dedup
+    operator reads BEFORE committing a threshold (q_dedup_embed ships
+    one fixed cutoff; this shows what each alternative would delete).
+    Computed on a bounded uniform sample (_CURVE_N vectors — the
+    production pattern: a pair RATE is scale-free, so the curve is
+    estimated on a sample and the chosen threshold applied to the full
+    corpus via the LSH/GEMM paths).
+
+    Cross-engine: every cosine is the guarded sequential-fold helper
+    (zip_with/aggregate — the SAME accumulation order as DuckDB's
+    list_dot_product), so pair sims are bit-identical and a threshold
+    comparison can never flip on a ulp (the reason this query does NOT
+    reuse the numpy-GEMM kernel: BLAS sums in a different order, and a
+    count-above-cutoff is exactly the boundary a 1-ulp divergence
+    flips). Thresholds are pinned CAST(x AS DOUBLE) literals on both
+    sides; zero-norm vectors cosine to NULL and are excluded from
+    n_scored and every count; counts are exact BIGINTs and the rate is
+    floor-form.
+
+    Shape at 100 TB: the sample is id-bounded at the scan (pushed
+    predicate), the pair space is sample², never corpus², and the
+    4-threshold readout is ONE conditional aggregation over the pair
+    stream (no per-threshold rescan) unpivoted to 4 rows."""
+    e = load_vectors(spark, sf_dir).filter(F.col("vec_id") < _CURVE_N).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col("b.vec_id") > F.col("a.vec_id")).select(
+        cosine(F.col("a.v"), F.col("b.v")).alias("sim")
+    )
+    agg = pairs.agg(
+        F.count(F.when(F.col("sim").isNotNull(), 1)).alias("n_scored"),
+        *[
+            F.count(F.when(F.col("sim") >= F.lit(t), 1)).alias(f"c{i}")
+            for i, t in enumerate(_CURVE_TS)
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("threshold"),
+                    F.col(f"c{i}").alias("n_pairs"),
+                )
+                for i, t in enumerate(_CURVE_TS)
+            ]
+        )
+    ).alias("r")
+    return agg.select("n_scored", rows).select(
+        F.col("r.threshold").alias("threshold"),
+        "n_scored",
+        F.col("r.n_pairs").alias("n_pairs"),
+        F.when(
+            F.col("n_scored") > 0,
+            F.floor(F.col("r.n_pairs") * 1e6 / F.col("n_scored") + F.lit(0.5))
+            / 1e6,
+        ).alias("dup_rate"),
+    )

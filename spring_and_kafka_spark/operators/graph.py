@@ -1227,3 +1227,157 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(num.cast("double") * 1e6 / den + F.lit(0.5)) / 1e6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "q_graph_modularity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eh AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM eh UNION ALL SELECT v FROM eh
+      ) GROUP BY 1
+    ),
+    nb AS (
+      SELECT deg.node, deg.d, p.p_brand AS com
+      FROM deg JOIN part p ON p.p_partkey = deg.node
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eh),
+    internal AS (
+      SELECT bu.com, CAST(count(*) AS BIGINT) AS e_in
+      FROM eh
+      JOIN nb bu ON bu.node = eh.u
+      JOIN nb bv ON bv.node = eh.v
+      WHERE bu.com = bv.com
+      GROUP BY 1
+    ),
+    coms AS (
+      SELECT com, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS d_sum
+      FROM nb GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.com, c.n_nodes, c.d_sum,
+             coalesce(i.e_in, 0) AS e_in,
+             4 * m.m * coalesce(i.e_in, 0) - c.d_sum * c.d_sum AS t
+      FROM coms c LEFT JOIN internal i ON i.com = c.com CROSS JOIN m
+    )
+    SELECT com, n_nodes, d_sum, e_in,
+           floor(CAST(sum(t) OVER () AS DOUBLE) * 1e6
+                 / (4 * m.m * m.m) + 0.5) / 1e6 AS modularity
+    FROM terms CROSS JOIN m
+    """,
+    tags=("graph",),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition on the part co-order
+    graph: Q = Σ_c (e_c/m − (d_c/2m)²) — does the co-purchase structure
+    follow the catalog's brand boundaries? (Q near 0: brands are not
+    communities; Q > 0.3: strong brand-local purchasing.) Completes the
+    graph family's community side: q_graph_cc finds the components,
+    this SCORES a labeled partition against the edge structure — the
+    metric every community-detection pipeline optimizes, usable with
+    any node attribute as the candidate partition.
+
+    Integer-exact cross-engine (the q_graph_assortativity discipline):
+    multiply Q by 4m² and every term is an exact BIGINT —
+    Q·4m² = Σ_c (4m·e_c − d_c²) — so the per-community terms sum as
+    INTEGERS (no float accumulation order), and Q is ONE IEEE division
+    of exact integers, floor-form rounded. m ≥ 1 whenever any term row
+    exists (a community row requires a node, a node requires an edge),
+    so no zero guard is needed. Output keeps the per-community
+    readout (n_nodes, degree mass, internal edges) with the global Q
+    riding as a window sum over the |brands| rows (single consumer —
+    the q_embed_ivf_balance shape).
+
+    Shape at 100 TB: the thinned-edge build, one grouped count to
+    degrees, a node-keyed brand-lookup join (dimension-sized — at TPC-H
+    geometry `part` broadcasts after AQE sizes it), the internal-edge
+    count as two node-keyed hash joins against the same lookup, then
+    everything collapses to |brands| rows. No iteration, no window over
+    fact-sized data, no cartesian.
+
+    Reference parity anchor: no graph surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference analytics family."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("mm"))
+        .filter(F.col("mm") >= 2)
+        .select("u", "v")
+    )
+    # und feeds degrees, the edge count AND the internal-edge join; deg
+    # feeds the brand lookup — cut both once (the q_graph_lcc lesson)
+    und = materialize(und)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
+    )
+    nb = materialize(deg.join(part, "node"))
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    bu = nb.select(F.col("node").alias("u"), F.col("com").alias("cu"))
+    bv = nb.select(F.col("node").alias("v"), F.col("com").alias("cv"))
+    internal = (
+        und.join(bu, "u")
+        .join(bv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("com"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    coms = nb.groupBy("com").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("d_sum")
+    )
+    e_in = F.coalesce(F.col("e_in"), F.lit(0))
+    terms = (
+        coms.join(internal, "com", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "com",
+            "n_nodes",
+            "d_sum",
+            e_in.alias("e_in"),
+            (4 * F.col("m") * e_in - F.col("d_sum") * F.col("d_sum")).alias(
+                "t"
+            ),
+            "m",
+        )
+    )
+    return terms.select(
+        "com",
+        "n_nodes",
+        "d_sum",
+        "e_in",
+        (
+            F.floor(
+                F.sum("t").over(W.partitionBy()).cast("double")
+                * 1e6
+                / (4 * F.col("m") * F.col("m"))
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("modularity"),
+    )

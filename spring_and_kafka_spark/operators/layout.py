@@ -467,3 +467,108 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+def _key_skew_sql(table: str, col: str) -> str:
+    return f"""
+      SELECT '{table}.{col}' AS key_col,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_rows
+      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM {table}
+            WHERE {col} IS NOT NULL GROUP BY {col})"""
+
+
+@register(
+    "q_skew_audit",
+    oracle=f"""
+    WITH per_key AS (
+      {_key_skew_sql('lineitem', 'l_partkey')}
+      UNION ALL
+      {_key_skew_sql('lineitem', 'l_suppkey')}
+      UNION ALL
+      {_key_skew_sql('orders', 'o_custkey')}
+      UNION ALL
+      {_key_skew_sql('events', 'user_id')}
+    )
+    SELECT key_col, n_rows, n_keys, max_rows,
+           floor(max_rows * 1e6 / n_rows + 0.5) / 1e6 AS top_share,
+           floor(max_rows * n_keys * 1e6 / n_rows + 0.5) / 1e6 AS skew,
+           max_rows * n_keys > 4 * n_rows AS hot
+    FROM per_key
+    """,
+    tags=("layout",),
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew audit: for each hot join key in the schema
+    (lineitem.l_partkey, lineitem.l_suppkey, orders.o_custkey,
+    events.user_id) — row count, key cardinality, the heaviest key's row
+    count and share, and the skew factor (max over mean rows-per-key,
+    in the exact max·k/total integer form) with a >4× hot flag. This is
+    the pre-flight the engine's own skew machinery keys off: a flagged
+    column is the input that makes `salted_join` (operators/skew.py)
+    and AQE skew-join worth their overhead, and the same readout the
+    q_embed_ivf_balance / q_graph_degree_dist dashboards give the ANN
+    index and the graph family — completing the skew triptych for
+    relational keys. At 100 TB a shuffle join on a key whose heaviest
+    value owns 5% of the table stalls its stage on one reducer; this
+    query prices that BEFORE the join runs.
+
+    Cross-engine: per-key counts, maxima, totals and cardinalities are
+    exact BIGINTs; the two ratios use the floor(x·1e6+0.5)/1e6 form;
+    NULL keys are excluded (a NULL never routes to a join anyway —
+    Spark and DuckDB both drop them from inner equi-joins) so n_rows is
+    the JOINABLE row count. n_rows ≥ 1 whenever a key group exists, so
+    no zero guard is needed.
+
+    Shape at 100 TB: each audit is one map-side-combined groupBy
+    (shuffle moves distinct keys with partial counts, not rows)
+    re-aggregated to ONE row; the union is 4 rows. The per-key tables
+    are never joined to anything. Scales as the cheapest possible pass
+    over each audited column — exactly one shuffle per key column, each
+    pruned to that column.
+
+    Reference parity anchor: no relational surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference warehouse family."""
+
+    def audit(table: str, col: str) -> DataFrame:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per_key.agg(
+            F.lit(f"{table}.{col}").alias("key_col"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_rows"),
+        )
+
+    u = (
+        audit("lineitem", "l_partkey")
+        .unionByName(audit("lineitem", "l_suppkey"))
+        .unionByName(audit("orders", "o_custkey"))
+        .unionByName(audit("events", "user_id"))
+    )
+    return u.select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_rows",
+        (
+            F.floor(F.col("max_rows") * 1e6 / F.col("n_rows") + F.lit(0.5))
+            / 1e6
+        ).alias("top_share"),
+        (
+            F.floor(
+                F.col("max_rows") * F.col("n_keys") * 1e6 / F.col("n_rows")
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("skew"),
+        (F.col("max_rows") * F.col("n_keys") > 4 * F.col("n_rows")).alias(
+            "hot"
+        ),
+    )

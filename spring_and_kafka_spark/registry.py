@@ -93,17 +93,18 @@ _MODULE_SEQ: dict[str, int] = {}
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 12 queries NEW in r14 (q_embed_ivf_balance
+#   (a) the 15 queries NEW in r14 (q_embed_ivf_balance
 #       q_embed_ndcg_eval q_embed_pq_eval q_embed_rrf
-#       q_graph_assortativity q_graph_degree_dist q_graph_lcc
-#       q_seq_markov_session q_sim_hamming_topk q_text_diversity
-#       q_ts_crosscorr q_user_streak — the ANN eval/balance suite, RRF
-#       fusion, degree assortativity, the power-law degree histogram,
-#       the local clustering coefficient, the session-bounded Markov
-#       matrix, the sign-sketch Hamming top-k, lexical diversity,
-#       lead/lag cross-correlation, and the gaps-and-islands streak,
-#       pool() round-0 name order) — never driver-verified, so they
-#       lead;
+#       q_embed_threshold_curve q_graph_assortativity
+#       q_graph_degree_dist q_graph_lcc q_graph_modularity
+#       q_seq_markov_session q_sim_hamming_topk q_skew_audit
+#       q_text_diversity q_ts_crosscorr q_user_streak — the ANN
+#       eval/balance/threshold suite, RRF fusion, degree assortativity
+#       + degree histogram + local clustering + brand modularity, the
+#       session-bounded Markov matrix, the sign-sketch Hamming top-k,
+#       the join-key skew audit, lexical diversity, lead/lag
+#       cross-correlation, and the gaps-and-islands streak, pool()
+#       round-0 name order) — never driver-verified, so they lead;
 #   (b) the 7 queries whose OUTPUT expression changed in r14 (name
 #       order): q_embed_centroid q_sim_ann_ivf q_sim_ann_ivf_refined
 #       (NULLIF zero-norm pins + NULLS LAST, the r13 rotation backlog
@@ -114,15 +115,16 @@ _MODULE_SEQ: dict[str, int] = {}
 #       all ADVICE r13 items;
 #   (c) the rotation pool in tools.window_pool pool() order: the 3
 #       r8-stale rows deferred since r13 (q_udf_grouped_agg
-#       q_udf_grouped_map q_udf_pandas) + the first 28 of the 50
-#       r9-stale rows not already taken by (b) — 12+7+3+28 = 50
+#       q_udf_grouped_map q_udf_pandas) + the first 25 of the 50
+#       r9-stale rows not already taken by (b) — 15+7+3+25 = 50
 #       exactly.
-# After this window the stalest green rows are the 19 remaining r9
-# rows (q_join_semi q_join_theta q_multimodal_decode q_multimodal_meta
-# q_sample_hash q_sample_hash_threshold q_sample_seeded
-# q_sample_stratified_hash — displaced as the r14 new-op batches took
-# their slots — then q_sim_knn_all q_sim_lsh_bucket q_sim_pairwise
-# q_sim_topk q_sim_topk_per_label q_text_contamination q_text_entropy
+# After this window the stalest green rows are the 22 remaining r9
+# rows (q_join_inner q_join_left q_join_right q_join_semi q_join_theta
+# q_multimodal_decode q_multimodal_meta q_sample_hash
+# q_sample_hash_threshold q_sample_seeded q_sample_stratified_hash —
+# displaced as the r14 new-op batches took their slots — then
+# q_sim_knn_all q_sim_lsh_bucket q_sim_pairwise q_sim_topk
+# q_sim_topk_per_label q_text_contamination q_text_entropy
 # q_text_fingerprint q_text_langid q_text_redact q_winsorize) then
 # the 49 r10 rows — the r15 pool head. NOTE for r15: q_sim_pairwise
 # and q_sim_topk still carry bare-division cosine oracles — pin them
@@ -135,11 +137,14 @@ _WINDOW_PREFIX = [
     "q_embed_ndcg_eval",
     "q_embed_pq_eval",
     "q_embed_rrf",
+    "q_embed_threshold_curve",
     "q_graph_assortativity",
     "q_graph_degree_dist",
     "q_graph_lcc",
+    "q_graph_modularity",
     "q_seq_markov_session",
     "q_sim_hamming_topk",
+    "q_skew_audit",
     "q_text_diversity",
     "q_ts_crosscorr",
     "q_user_streak",
@@ -181,9 +186,6 @@ _WINDOW_PREFIX = [
     "q_join_broadcast",
     "q_join_cross",
     "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_right",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

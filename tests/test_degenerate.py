@@ -779,3 +779,63 @@ def test_sketch_retrieval_zero_norm_query_parity(spark, tmp_path):
     for q in ("q_sim_hamming_topk", "q_embed_rrf", "q_embed_ndcg_eval"):
         got = assert_parity(spark, q, str(d), ["embeddings"])
         assert len(next(iter(got.values()), [])) > 0, q
+
+
+def test_skew_audit_planted_hot_key_and_null_exclusion(spark, tmp_path):
+    """A planted 80%-hot key must flag `hot` with the exact max·k/total
+    skew factor, a uniform key must not, and NULL keys must be excluded
+    from n_rows in BOTH engines (parity asserted on the same fixture)."""
+    import datetime as dt
+
+    d = tmp_path / "skew"
+    d.mkdir()
+    # lineitem: l_partkey hot (8 of 10 rows on key 1), l_suppkey uniform,
+    # one NULL in each audited column
+    rows = []
+    for i in range(10):
+        pk = 1 if i < 8 else 100 + i
+        rows.append(
+            (i, pk if i != 9 else None, (i % 5) if i != 8 else None,
+             1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1))
+        )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(i, i % 3, "O", 1.0, dt.datetime(2024, 1, 1), "p", 0, "c")
+         for i in range(6)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string, o_shippriority int, o_comment string",
+    ).write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    # events: user 7 owns 10 rows, users 100..108 one each — max·k =
+    # 10·10 = 100 > 4·19 = 76, the flag MUST fire
+    ev = [(i, dt.datetime(2024, 1, 1, i % 24), 7, "view", 1.0)
+          for i in range(10)]
+    ev += [(100 + i, dt.datetime(2024, 1, 2, i), 100 + i, "view", 1.0)
+           for i in range(9)]
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = assert_parity(
+        spark, "q_skew_audit", str(d), ["lineitem", "orders", "events"]
+    )
+    by_col = dict(zip(got["key_col"], zip(
+        got["n_rows"], got["n_keys"], got["max_rows"], got["hot"]
+    )))
+    # 9 non-NULL partkeys (the NULL row is excluded): hot key 1 has 8
+    # rows but only 2 keys exist -> max·k = 16 < 4·9 = 36: high share
+    # alone is NOT skew when the key space is tiny (two reducers split
+    # 9 rows 8:1 — no stall), so the flag stays off
+    assert by_col["lineitem.l_partkey"] == (9, 2, 8, False)
+    # uniform orders: 3 keys x 2 rows, max·k = 6 == total -> skew 1.0
+    assert by_col["orders.o_custkey"] == (6, 3, 2, False)
+    # planted hot user: flag fires
+    assert by_col["events.user_id"] == (19, 10, 10, True)

@@ -920,3 +920,48 @@ def test_user_streak_no_join_two_shuffles_pruned(spark):
     for seg in p.split("ReadSchema")[1:]:
         head = seg.split("\n")[0]
         assert "props" not in head and "event_type" not in head
+
+
+def test_graph_modularity_one_window_no_cartesian(spark):
+    # all heavy inputs (edges, brand-annotated degrees) are lineage-cut
+    # once (zero parquet scans survive into the final plan); the 1-row
+    # edge-count total rides as broadcast BNLJ scalars; exactly ONE
+    # Window (the integer term sum over the |brands| rows); node-keyed
+    # joins only — no cartesian product
+    import re
+
+    p = plan(spark, "q_graph_modularity")
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
+    assert "Scan parquet" not in p  # lineage cuts hold
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row m scalar
+
+
+def test_skew_audit_unioned_single_column_scans_no_join(spark):
+    # four audits = four independently pruned single-column scans, each
+    # a two-level aggregation to ONE row, unioned — no join anywhere
+    import re
+
+    p = plan(spark, "q_skew_audit")
+    assert "Join" not in p
+    assert len(re.findall(r"^\(\d+\) Union", p, re.M)) == 1
+    heads = [seg.split("\n")[0] for seg in p.split("ReadSchema")[1:]]
+    assert heads, "no scans found"
+    for head in heads:
+        # every scan reads exactly its audited key column
+        assert head.count(":") == 2, head  # 'struct<col:type>' one col
+
+
+def test_embed_threshold_curve_pushed_sample_single_agg(spark):
+    # the sample bound reaches the parquet scan as a pushed predicate;
+    # the pair space is the bounded sample self-join (BNLJ on the
+    # broadcast side — sample^2 by design, never corpus^2); all four
+    # thresholds come from ONE conditional aggregation (no rescan per
+    # threshold) followed by a 4-row explode
+    import re
+
+    p = plan(spark, "q_embed_threshold_curve")
+    assert "LessThan(vec_id,1000)" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+    assert "Generate" in p  # the 4-row unpivot explode

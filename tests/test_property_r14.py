@@ -27,7 +27,11 @@ batch —
   replay (zero-token sources have no row in either engine);
 - q_user_streak: gaps-and-islands runs vs a sorted-days replay;
 - q_embed_ivf_balance: cell counts/shares/imbalance vs the assignment
-  argmax replay (NULLS LAST, ties to the lowest centroid id).
+  argmax replay (NULLS LAST, ties to the lowest centroid id);
+- q_graph_modularity: per-community terms and global Q vs the integer
+  identity Q·4m² = Σ_c (4m·e_c − d_c²);
+- q_embed_threshold_curve: per-threshold pair counts vs a fold-cosine
+  replay (zero-norm pairs excluded from every count).
 
 As in the r10-r13 batteries, every replay drives the REAL registered
 query end-to-end: each example writes a random parquet fixture and the
@@ -774,6 +778,105 @@ def test_embed_ivf_balance_matches_python_replay(spark, vecs):
         got = {
             r.cluster: (r.n_vecs, r.share, r.imbalance, r.hot)
             for r in q_embed_ivf_balance(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+def _write_part(spark, d, part_ids):
+    spark.createDataFrame(
+        [
+            (pk, f"part {pk}", f"Brand#{pk % 3}", "TYPE", 1, 10.0)
+            for pk in sorted(part_ids)
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+
+
+@settings(max_examples=10, deadline=None)
+@given(graph_lineitems)
+def test_graph_modularity_matches_integer_replay(spark, items):
+    """Per-community (n_nodes, d_sum, e_in) and the global Q vs the
+    explicit integer identity Q·4m² = Σ_c (4m·e_c − d_c²) over the
+    thinned edges with brand = Brand#(partkey % 3)."""
+    from spring_and_kafka_spark.operators.graph import q_graph_modularity
+
+    edges = _thinned_edges(items)
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    brand = {n: f"Brand#{n % 3}" for n in deg}
+    m = len(edges)
+    e_in = defaultdict(int)
+    for u, v in edges:
+        if brand[u] == brand[v]:
+            e_in[brand[u]] += 1
+    coms = defaultdict(lambda: [0, 0])  # com -> [n_nodes, d_sum]
+    for n, dd in deg.items():
+        coms[brand[n]][0] += 1
+        coms[brand[n]][1] += dd
+    total_t = sum(
+        4 * m * e_in.get(c, 0) - ds * ds for c, (_, ds) in coms.items()
+    )
+    q = (
+        math.floor(float(total_t) * 1e6 / (4 * m * m) + 0.5) / 1e6
+        if m
+        else None
+    )
+    expected = {
+        c: (nn, ds, e_in.get(c, 0), q) for c, (nn, ds) in coms.items()
+    }
+    d = tempfile.mkdtemp(prefix="mod-prop-")
+    try:
+        _write_lineitem(spark, d, items)
+        _write_part(spark, d, set(deg) or {0})
+        got = {
+            r.com: (r.n_nodes, r.d_sum, r.e_in, r.modularity)
+            for r in q_graph_modularity(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(pq_vectors)
+def test_embed_threshold_curve_matches_python_replay(spark, vecs):
+    """Per-threshold pair counts vs a fold-cosine replay — zero-norm
+    pairs (None cosine) are excluded from n_scored and every count;
+    the four threshold rows always exist (conditional agg, not a
+    join)."""
+    from spring_and_kafka_spark.llm.similarity import (
+        _CURVE_TS,
+        q_embed_threshold_curve,
+    )
+
+    e = [(i, v) for i, v in enumerate(vecs) if v is not None and i < 1000]
+    sims = [
+        _cos(a[1], b[1])
+        for i, a in enumerate(e)
+        for b in e[i + 1 :]
+    ]
+    n_scored = sum(1 for s in sims if s is not None)
+    expected = {}
+    for t in _CURVE_TS:
+        n_pairs = sum(1 for s in sims if s is not None and s >= t)
+        expected[t] = (
+            n_scored,
+            n_pairs,
+            math.floor(n_pairs * 1e6 / n_scored + 0.5) / 1e6
+            if n_scored
+            else None,
+        )
+    d = tempfile.mkdtemp(prefix="curve-prop-")
+    try:
+        _write_vecs(d, vecs)
+        got = {
+            r.threshold: (r.n_scored, r.n_pairs, r.dup_rate)
+            for r in q_embed_threshold_curve(spark, d).collect()
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -88,21 +88,25 @@ NEW_R13 = [
 CHANGED_R13 = ["q_graph_cc"]
 
 # NEW in r14: IVF cell-balance audit, NDCG@k sketch-ranking eval, PQ
-# distortion/recall eval, RRF fusion, degree assortativity, power-law
-# degree histogram, local clustering coefficient, session-bounded
-# Markov matrix, sign-sketch Hamming top-k, lexical diversity,
-# lead/lag cross-correlation, gaps-and-islands streaks (pool() round-0
-# name order).
+# distortion/recall eval, RRF fusion, near-dup threshold curve, degree
+# assortativity, power-law degree histogram, local clustering
+# coefficient, brand-partition modularity, session-bounded Markov
+# matrix, sign-sketch Hamming top-k, join-key skew audit, lexical
+# diversity, lead/lag cross-correlation, gaps-and-islands streaks
+# (pool() round-0 name order).
 NEW_R14 = [
     "q_embed_ivf_balance",
     "q_embed_ndcg_eval",
     "q_embed_pq_eval",
     "q_embed_rrf",
+    "q_embed_threshold_curve",
     "q_graph_assortativity",
     "q_graph_degree_dist",
     "q_graph_lcc",
+    "q_graph_modularity",
     "q_seq_markov_session",
     "q_sim_hamming_topk",
+    "q_skew_audit",
     "q_text_diversity",
     "q_ts_crosscorr",
     "q_user_streak",
@@ -285,9 +289,9 @@ def test_r14_window_is_new_plus_changed_plus_pool_order():
     then the r14 changed-output queries (name order), then the rotation
     pool derived from CORRECTNESS_r01..r13 in pool() order (stalest
     round, then name) — i.e. the window is DERIVED, not hand-picked.
-    With 12 new + 7 changed, the remaining 31 slots hold the 3 r8 UDF
-    rows deferred since r13 and the first 28 r9 rows not already taken
-    by the changed block — 50 exactly (19 r9 rows lead the r15 pool)."""
+    With 15 new + 7 changed, the remaining 28 slots hold the 3 r8 UDF
+    rows deferred since r13 and the first 25 r9 rows not already taken
+    by the changed block — 50 exactly (22 r9 rows lead the r15 pool)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R14 + CHANGED_R14
     assert prefix[: len(lead)] == lead
@@ -298,4 +302,4 @@ def test_r14_window_is_new_plus_changed_plus_pool_order():
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [8] * 3 + [9] * 28
+    assert strata == [8] * 3 + [9] * 25

@@ -153,6 +153,7 @@ SECTIONS = {
         "q_embed_ndcg_eval",
         "q_embed_ivf_balance", "q_text_diversity", "q_ts_crosscorr",
         "q_user_streak",
+        "q_graph_modularity", "q_skew_audit", "q_embed_threshold_curve",
     ],
 }
 
