@@ -147,6 +147,10 @@ HEADLINE = [
     "q_graph_modularity",
     "q_skew_audit",
     "q_embed_threshold_curve",
+    # round-14 fourth batch: the n-gram Jaccard twin of the embed
+    # threshold curve (integer cross-multiplied comparisons, one
+    # conditional agg over the df-capped pair stream)
+    "q_dedup_threshold_curve",
 ]
 
 

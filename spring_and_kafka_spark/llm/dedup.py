@@ -1109,3 +1109,142 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_matches(
         corpus, is_new=lambda doc_id: doc_id >= 100000
     )
+
+
+# Jaccard tuning-curve thresholds as EXACT rationals (p, q): the
+# comparison c/(na+nb-c) >= p/q cross-multiplies to c*q >= p*(na+nb-c)
+# — pure BIGINT arithmetic, zero float anywhere in the counting path.
+_JCURVE_TS = [(1, 2), (3, 5), (7, 10), (4, 5)]
+
+
+@register(
+    "q_dedup_threshold_curve",
+    oracle=f"""
+    WITH {_PLANTED_CORPUS_SQL},
+    {shingle_ctes_sql()},
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(count(*) AS BIGINT) AS c
+      FROM shj a JOIN shj b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.c, sa.n + sb.n - c.c AS u
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_considered,
+             {', '.join(
+                 f"CAST(count(CASE WHEN c * {q} >= {p} * u THEN 1 END)"
+                 f" AS BIGINT) AS c{i}"
+                 for i, (p, q) in enumerate(_JCURVE_TS)
+             )}
+      FROM scored
+    )
+    SELECT CAST(t.threshold AS DOUBLE) AS threshold, a.n_considered,
+           t.n_pairs,
+           CASE WHEN a.n_considered > 0
+                THEN floor(t.n_pairs * 1e6 / a.n_considered + 0.5) / 1e6
+           END AS pair_rate
+    FROM agg a CROSS JOIN (
+      {' UNION ALL '.join(
+          f"SELECT CAST({p} AS DOUBLE) / {q} AS threshold, "
+          f"(SELECT c{i} FROM agg) AS n_pairs"
+          for i, (p, q) in enumerate(_JCURVE_TS)
+      )}
+    ) t
+    """,
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold tuning curve on the planted corpus: for each
+    candidate cutoff (0.5 / 0.6 / 0.7 / 0.8 — _JCURVE_TS), how many of
+    the shingle-sharing pairs would be declared near-duplicates, and at
+    what rate — the n-gram twin of q_embed_threshold_curve, and the
+    number that justifies _NGRAM_JACCARD before q_dedup_ngram /
+    q_dedup_near commit to it (a curve that cliffs between 0.5 and 0.6
+    says the corpus separates cleanly; a flat one says the threshold is
+    arbitrary and LSH banding should be retuned).
+
+    Integer-exact by construction — one step FURTHER than the embed
+    curve's fold-cosine discipline: thresholds are rationals p/q and
+    each comparison cross-multiplies to c·q ≥ p·(|A|+|B|−c) on exact
+    BIGINT shingle counts, so there is NO float anywhere in the
+    counting path (the output threshold/rate columns are single IEEE
+    divisions for display only). The considered-pair universe is
+    "shares ≥ 1 surviving shingle" — the same df-capped universe the
+    dedup family verifies against (_SHINGLE_DF_CAP mirrored in the shj
+    CTE), so the curve prices exactly the pairs those operators would
+    examine.
+
+    Shape at 100 TB: identical to q_dedup_ngram's documented
+    ground-truth cost class — the df-capped shingle equi-join, with
+    the per-pair stream reduced by ONE conditional aggregation (all
+    four thresholds in one pass, no rescan) to a single row, then a
+    4-row unpivot. Production would run it on a document sample (the
+    q_embed_threshold_curve budget note); the LSH path (q_dedup_near)
+    remains the full-corpus scale route."""
+    corpus = planted_corpus(spark, sf_dir)
+    sh = materialize(shingles(spread(corpus), 3))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    shj = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = shj.alias("a")
+    b = shj.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    scored = (
+        common.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .select("c", (F.col("na") + F.col("nb") - F.col("c")).alias("u"))
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_considered"),
+        *[
+            F.count(
+                F.when(F.col("c") * q >= p * F.col("u"), 1)
+            ).alias(f"c{i}")
+            for i, (p, q) in enumerate(_JCURVE_TS)
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.lit(float(p)) / q).alias("threshold"),
+                    F.col(f"c{i}").alias("n_pairs"),
+                )
+                for i, (p, q) in enumerate(_JCURVE_TS)
+            ]
+        )
+    ).alias("r")
+    return agg.select("n_considered", rows).select(
+        F.col("r.threshold").alias("threshold"),
+        "n_considered",
+        F.col("r.n_pairs").alias("n_pairs"),
+        F.when(
+            F.col("n_considered") > 0,
+            F.floor(
+                F.col("r.n_pairs") * 1e6 / F.col("n_considered") + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("pair_rate"),
+    )

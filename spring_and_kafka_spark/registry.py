@@ -93,18 +93,19 @@ _MODULE_SEQ: dict[str, int] = {}
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green):
-#   (a) the 15 queries NEW in r14 (q_embed_ivf_balance
-#       q_embed_ndcg_eval q_embed_pq_eval q_embed_rrf
-#       q_embed_threshold_curve q_graph_assortativity
+#   (a) the 16 queries NEW in r14 (q_dedup_threshold_curve
+#       q_embed_ivf_balance q_embed_ndcg_eval q_embed_pq_eval
+#       q_embed_rrf q_embed_threshold_curve q_graph_assortativity
 #       q_graph_degree_dist q_graph_lcc q_graph_modularity
 #       q_seq_markov_session q_sim_hamming_topk q_skew_audit
-#       q_text_diversity q_ts_crosscorr q_user_streak — the ANN
-#       eval/balance/threshold suite, RRF fusion, degree assortativity
-#       + degree histogram + local clustering + brand modularity, the
-#       session-bounded Markov matrix, the sign-sketch Hamming top-k,
-#       the join-key skew audit, lexical diversity, lead/lag
-#       cross-correlation, and the gaps-and-islands streak, pool()
-#       round-0 name order) — never driver-verified, so they lead;
+#       q_text_diversity q_ts_crosscorr q_user_streak — the two
+#       dedup/ANN threshold curves, the eval/balance suite, RRF
+#       fusion, degree assortativity + degree histogram + local
+#       clustering + brand modularity, the session-bounded Markov
+#       matrix, the sign-sketch Hamming top-k, the join-key skew
+#       audit, lexical diversity, lead/lag cross-correlation, and the
+#       gaps-and-islands streak, pool() round-0 name order) — never
+#       driver-verified, so they lead;
 #   (b) the 7 queries whose OUTPUT expression changed in r14 (name
 #       order): q_embed_centroid q_sim_ann_ivf q_sim_ann_ivf_refined
 #       (NULLIF zero-norm pins + NULLS LAST, the r13 rotation backlog
@@ -115,11 +116,11 @@ _MODULE_SEQ: dict[str, int] = {}
 #       all ADVICE r13 items;
 #   (c) the rotation pool in tools.window_pool pool() order: the 3
 #       r8-stale rows deferred since r13 (q_udf_grouped_agg
-#       q_udf_grouped_map q_udf_pandas) + the first 25 of the 50
-#       r9-stale rows not already taken by (b) — 15+7+3+25 = 50
+#       q_udf_grouped_map q_udf_pandas) + the first 24 of the 50
+#       r9-stale rows not already taken by (b) — 16+7+3+24 = 50
 #       exactly.
-# After this window the stalest green rows are the 22 remaining r9
-# rows (q_join_inner q_join_left q_join_right q_join_semi q_join_theta
+# After this window the stalest green rows are the 23 remaining r9
+# rows (q_join_full q_join_inner q_join_left q_join_right q_join_semi q_join_theta
 # q_multimodal_decode q_multimodal_meta q_sample_hash
 # q_sample_hash_threshold q_sample_seeded q_sample_stratified_hash —
 # displaced as the r14 new-op batches took their slots — then
@@ -133,6 +134,7 @@ _MODULE_SEQ: dict[str, int] = {}
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
     # (a) new-in-r14, never verified — pool() round-0 name order
+    "q_dedup_threshold_curve",
     "q_embed_ivf_balance",
     "q_embed_ndcg_eval",
     "q_embed_pq_eval",
@@ -185,7 +187,6 @@ _WINDOW_PREFIX = [
     "q_join_asof",
     "q_join_broadcast",
     "q_join_cross",
-    "q_join_full",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

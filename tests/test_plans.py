@@ -965,3 +965,19 @@ def test_embed_threshold_curve_pushed_sample_single_agg(spark):
     assert "CartesianProduct" not in p
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
     assert "Generate" in p  # the 4-row unpivot explode
+
+
+def test_dedup_threshold_curve_single_agg_no_rescan(spark):
+    # the df-capped shingle pipeline is materialized once (no parquet
+    # scan survives); sizes ride as broadcasts over the pair stream;
+    # all four thresholds come from ONE conditional aggregation (one
+    # final 1-row agg, then the 4-row explode) — no per-threshold
+    # rescan, no cartesian, no window
+    import re
+
+    p = plan(spark, "q_dedup_threshold_curve")
+    assert "CartesianProduct" not in p
+    assert "Scan parquet" not in p  # shingles lineage-cut
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 0
+    assert "Generate" in p  # the 4-row unpivot explode
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) <= 1

@@ -31,7 +31,10 @@ batch —
 - q_graph_modularity: per-community terms and global Q vs the integer
   identity Q·4m² = Σ_c (4m·e_c − d_c²);
 - q_embed_threshold_curve: per-threshold pair counts vs a fold-cosine
-  replay (zero-norm pairs excluded from every count).
+  replay (zero-norm pairs excluded from every count);
+- q_dedup_threshold_curve: per-threshold Jaccard pair counts vs a
+  set-based planted-corpus replay (integer cross-multiplied
+  comparisons, short-doc whole-text shingles).
 
 As in the r10-r13 batteries, every replay drives the REAL registered
 query end-to-end: each example writes a random parquet fixture and the
@@ -877,6 +880,85 @@ def test_embed_threshold_curve_matches_python_replay(spark, vecs):
         got = {
             r.threshold: (r.n_scored, r.n_pairs, r.dup_rate)
             for r in q_embed_threshold_curve(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+diversity_corpus = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(["x", "y", "zz", "w"]),
+                 min_size=0, max_size=8).map(" ".join),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(diversity_corpus)
+def test_dedup_threshold_curve_matches_python_replay(spark, texts):
+    """Per-threshold pair counts vs a set-based replay of the planted
+    corpus (doc ∪ last-token-dropped twin), 3-gram shingles with the
+    short-doc whole-text rule, df-capped universe, and the integer
+    cross-multiplied comparison c·q ≥ p·(|A|+|B|−c)."""
+    from spring_and_kafka_spark.llm.dedup import (
+        _JCURVE_TS,
+        q_dedup_threshold_curve,
+    )
+    import re as _re
+
+    def shingle_set(text):
+        toks = text.split(" ")
+        n = 3
+        out = set()
+        for i in range(max(len(toks) - n, 0) + 1):
+            out.add(" ".join(toks[i : i + n]))
+        return out
+
+    corpus = {}
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        corpus[i] = t
+        corpus[i + 100000] = _re.sub(r"\s+\S+$", "", t)
+    sets = {
+        d: shingle_set(t) for d, t in corpus.items() if t is not None and t != ""
+    }
+    ids = sorted(sets)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sets[a] & sets[b])
+            if c >= 1:
+                pairs.append((c, len(sets[a]) + len(sets[b]) - c))
+    n_considered = len(pairs)
+    expected = {}
+    for p_, q_ in _JCURVE_TS:
+        np_ = sum(1 for c, u in pairs if c * q_ >= p_ * u)
+        expected[p_ / q_] = (
+            n_considered,
+            np_,
+            math.floor(np_ * 1e6 / n_considered + 0.5) / 1e6
+            if n_considered
+            else None,
+        )
+    rows = [
+        (i, t, "en", "web", len(t) if t is not None else None)
+        for i, t in enumerate(texts)
+    ]
+    d = tempfile.mkdtemp(prefix="jcurve-prop-")
+    try:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.threshold: (r.n_considered, r.n_pairs, r.pair_rate)
+            for r in q_dedup_threshold_curve(spark, d).collect()
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)

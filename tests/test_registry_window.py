@@ -95,6 +95,7 @@ CHANGED_R13 = ["q_graph_cc"]
 # diversity, lead/lag cross-correlation, gaps-and-islands streaks
 # (pool() round-0 name order).
 NEW_R14 = [
+    "q_dedup_threshold_curve",
     "q_embed_ivf_balance",
     "q_embed_ndcg_eval",
     "q_embed_pq_eval",
@@ -289,9 +290,9 @@ def test_r14_window_is_new_plus_changed_plus_pool_order():
     then the r14 changed-output queries (name order), then the rotation
     pool derived from CORRECTNESS_r01..r13 in pool() order (stalest
     round, then name) — i.e. the window is DERIVED, not hand-picked.
-    With 15 new + 7 changed, the remaining 28 slots hold the 3 r8 UDF
-    rows deferred since r13 and the first 25 r9 rows not already taken
-    by the changed block — 50 exactly (22 r9 rows lead the r15 pool)."""
+    With 16 new + 7 changed, the remaining 27 slots hold the 3 r8 UDF
+    rows deferred since r13 and the first 24 r9 rows not already taken
+    by the changed block — 50 exactly (23 r9 rows lead the r15 pool)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R14 + CHANGED_R14
     assert prefix[: len(lead)] == lead
@@ -302,4 +303,4 @@ def test_r14_window_is_new_plus_changed_plus_pool_order():
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [8] * 3 + [9] * 25
+    assert strata == [8] * 3 + [9] * 24

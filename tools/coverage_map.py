@@ -154,6 +154,7 @@ SECTIONS = {
         "q_embed_ivf_balance", "q_text_diversity", "q_ts_crosscorr",
         "q_user_streak",
         "q_graph_modularity", "q_skew_audit", "q_embed_threshold_curve",
+        "q_dedup_threshold_curve",
     ],
 }
 
