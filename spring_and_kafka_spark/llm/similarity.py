@@ -52,6 +52,28 @@ def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Well-formed fixed-dimension vector contract for the sketch/PQ family:
+# exactly 64 components, none NULL. DuckDB's list_dot_product hard-errors
+# on NULL elements and on dimension mismatch (and the signature CTE's
+# BIGINT shift would overflow past dim 64), while Spark's zip_with pads
+# and folds NULL — so a corrupt row (sparse-encode bug, truncated write)
+# must be excluded at the scan in BOTH engines, exactly like the
+# finite-or-null ingest contract excludes NaN (r14 review finding).
+# Zero-norm vectors remain INCLUDED (valid shape; cosine answers NULL).
+_WF_DIM = 64
+_WF_SQL = (
+    "embedding IS NOT NULL AND len(embedding) = 64 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+
+
+def _well_formed(e: DataFrame) -> DataFrame:
+    """Spark twin of _WF_SQL over a frame carrying `v` (cast embedding)."""
+    return e.filter(
+        (F.size("v") == _WF_DIM) & ~F.exists("v", lambda x: x.isNull())
+    )
+
+
 @register(
     "q_sim_pairwise",
     oracle="""
@@ -1244,7 +1266,7 @@ _PQ_TOPK = 10  # recall@k of the ADC ranking
     "q_embed_pq_eval",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE embedding IS NOT NULL),
+               FROM embeddings WHERE {_WF_SQL}),
     ms AS (SELECT unnest(range({_PQ_M})) AS m),
     subs AS (
       SELECT e.vec_id, ms.m,
@@ -1377,8 +1399,13 @@ def q_embed_pq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity anchor: no vector surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference LLM-data family."""
-    e = load_vectors(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # a NULL subspace score (corrupt vector) would rank FIRST in
+    # Spark's min_by struct ordering and LAST in the oracle — the
+    # well-formed contract excludes such rows in both engines
+    e = _well_formed(
+        load_vectors(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     ms = F.explode(
         F.sequence(F.lit(0), F.lit(_PQ_M - 1))
@@ -1540,8 +1567,12 @@ _SIG_CTE = """sig AS (
 def _signatures(e: DataFrame) -> DataFrame:
     """Sign-bit signature table: (vec_id, lo, hi) — 64 dims packed into
     two 32-bit words (bit set iff component > 0). One projection over
-    the scan, zero shuffle."""
-    return e.select(
+    the scan, zero shuffle. EMPTY arrays are excluded to mirror the
+    DuckDB twin exactly: _SIG_CTE's unnest emits no row for a
+    zero-length list, while the Spark fold would emit (0, 0) — a
+    phantom all-zero sketch the oracle never sees (r14 review
+    finding)."""
+    return e.filter(F.size("v") > 0).select(
         "vec_id",
         F.expr(_sig_expr_sql("v", 0)).alias("lo"),
         F.expr(_sig_expr_sql("v", 32)).alias("hi"),
@@ -1552,7 +1583,7 @@ def _signatures(e: DataFrame) -> DataFrame:
     "q_sim_hamming_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE embedding IS NOT NULL),
+               FROM embeddings WHERE {_WF_SQL}),
     {_SIG_CTE}
     SELECT s.vec_id,
            CAST(bit_count(xor(s.lo, q.lo))
@@ -1590,8 +1621,10 @@ def q_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force scan over sketches is itself the production pattern
     (sketch scan → shortlist → exact re-rank on the shortlist only).
     """
-    e = load_vectors(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = _well_formed(
+        load_vectors(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     sig = _signatures(e)
     q = sig.filter(F.col("vec_id") == 0).select(
@@ -1619,7 +1652,7 @@ _RRF_K = 10  # fused results returned
     "q_embed_rrf",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE embedding IS NOT NULL),
+               FROM embeddings WHERE {_WF_SQL}),
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     {_SIG_CTE},
     cosl AS (
@@ -1692,8 +1725,10 @@ def q_embed_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ending in a per-partition heap; the fusion is a full-outer join of
     two 50-row lists (broadcast, trivially) — each list built ONCE with
     a single consumer (the q_tcloseness lesson)."""
-    e = load_vectors(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = _well_formed(
+        load_vectors(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     cos50 = (
@@ -1777,7 +1812,7 @@ _NDCG_DISC_SQL = "[" + ", ".join(repr(d) for d in _NDCG_DISC) + "]"
     "q_embed_ndcg_eval",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE embedding IS NOT NULL),
+               FROM embeddings WHERE {_WF_SQL}),
     qs AS (SELECT vec_id AS qid, v AS qv FROM e
            WHERE vec_id < {_NDCG_NQ}),
     {_SIG_CTE},
@@ -1853,8 +1888,10 @@ def q_embed_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     top list is a per-partition heap; the term join and per-query sum
     touch ≤ {_NDCG_NQ}·{_NDCG_K} rows. exact_top and ham_top each have
     exactly ONE consumer (the single-consumer lesson)."""
-    e = load_vectors(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = _well_formed(
+        load_vectors(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     qs = e.filter(F.col("vec_id") < _NDCG_NQ).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")

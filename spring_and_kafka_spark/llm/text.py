@@ -1670,7 +1670,7 @@ def q_hist_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN floor(b.n_uniq_bigrams * 1e6 / b.n_bigrams + 0.5)
                      / 1e6
            END AS distinct_2
-    FROM u LEFT JOIN b ON b.source = u.source
+    FROM u LEFT JOIN b ON b.source IS NOT DISTINCT FROM u.source
     """,
 )
 def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,8 +1689,11 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based list indexing; a <2-token doc contributes zero bigrams via
     the size guard — DuckDB's exclusive range(1,1) does the same).
     All counts are exact BIGINTs from groupBy; ratios use the
-    floor(x·1e6+0.5)/1e6 form with zero-denominator guards (an
-    empty-text-only source has n_toks = 0).
+    floor(x·1e6+0.5)/1e6 form with a zero-denominator guard on the
+    bigram ratio (a source with tokens but no ≥2-token doc has
+    n_bigrams = 0). A source with ZERO tokens emits no row at all —
+    exploding its empty token arrays yields nothing in either engine —
+    and a NULL source is a legitimate group, rejoined null-safely.
 
     Shape at 100 TB: two explode→(source, gram) pre-aggregated
     groupBys (map-side combine collapses repeats before the shuffle —
@@ -1738,7 +1741,15 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_bi = F.coalesce("n_bigrams", F.lit(0))
     n_ubi = F.coalesce("n_uniq_bigrams", F.lit(0))
-    return u.join(b, "source", "left").select(
+    # the NULL-source group (untagged docs) is a legitimate grain in
+    # both gram tables — the rejoin must be NULL-SAFE or its bigram
+    # stats silently vanish to 0 in both engines (r14 review finding);
+    # the b side's key is renamed first so the surviving `source`
+    # column unambiguously resolves to u's
+    b = b.withColumnRenamed("source", "b_source")
+    return u.join(
+        b, F.col("source").eqNullSafe(F.col("b_source")), "left"
+    ).drop("b_source").select(
         "source",
         "n_toks",
         "n_uniq_toks",

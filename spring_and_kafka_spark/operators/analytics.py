@@ -1526,7 +1526,7 @@ def q_seq_markov_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH days AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-      FROM events WHERE user_id IS NOT NULL
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     islands AS (
       SELECT user_id, day,
@@ -1559,8 +1559,11 @@ def q_user_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic because (user_id, day) is DISTINCT before ranking,
     so the ORDER BY day total-orders each partition. Every output is
     an exact BIGINT count; no floats exist anywhere in the operator.
-    NULL user_ids (anonymous events) are dropped at the scan in both
-    engines — a streak is per-identity by definition.
+    NULL user_ids (anonymous events) and NULL timestamps (unplaceable
+    events) are dropped at the scan in both engines — a streak is
+    per-identity per-day by definition, and a NULL ts would otherwise
+    form a phantom single-day island inflating n_active_days/n_streaks
+    by one (r14 review finding).
 
     Shape at 100 TB: the fact scan pre-aggregates to (user, day)
     distinct grain map-side, then ONE user-keyed shuffle serves the
@@ -1574,7 +1577,7 @@ def q_user_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference analytics family."""
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
     days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
     rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))

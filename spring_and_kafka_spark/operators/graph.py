@@ -850,16 +850,52 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
-@register(
-    "q_graph_lcc",
-    oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+
+
+# The thinned co-order edge universe shared by the node-statistic family
+# (lcc, degree histogram, assortativity, modularity — extracted r14 after
+# the fourth hand copy; the older iterative operators' inline copies
+# migrate as they rotate through the verification window, the
+# exec_utils.cents precedent: hand-copied instances are a drift hazard).
+_CO_ORDER_EDGES_SQL = """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     eh AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
+    )"""
+
+
+def _co_order_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thinned undirected co-order part edges (u < v, sharing >= 2
+    orders) — the Spark twin of _CO_ORDER_EDGES_SQL. Returned
+    UNMATERIALIZED; multi-consumer callers cut it themselves (the
+    q_graph_lcc lesson)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+
+
+@register(
+    "q_graph_lcc",
+    oracle=f"""
+    WITH {_CO_ORDER_EDGES_SQL},
     tri AS (
       SELECT e1.u AS x, e1.v AS y, e2.v AS z
       FROM eh e1
@@ -923,25 +959,7 @@ def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity anchor: no graph surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference analytics family."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    und = _co_order_und(spark, sf_dir)
     # und feeds the degree build AND the orientation join — cut once
     und = materialize(und)
     deg = (
@@ -950,6 +968,9 @@ def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # deg feeds du, dv AND the final left join — cut once (the
+    # assortativity discipline, applied here after the r14 review)
+    deg = materialize(deg)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     directed = (
@@ -1002,14 +1023,8 @@ def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_graph_degree_dist",
-    oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    eh AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
+    oracle=f"""
+    WITH {_CO_ORDER_EDGES_SQL},
     deg AS (
       SELECT node, count(*) AS d FROM (
         SELECT u AS node FROM eh UNION ALL SELECT v FROM eh
@@ -1061,25 +1076,7 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity anchor: no graph surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference analytics family."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    und = _co_order_und(spark, sf_dir)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -1108,14 +1105,8 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_graph_assortativity",
-    oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    eh AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
+    oracle=f"""
+    WITH {_CO_ORDER_EDGES_SQL},
     deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
         SELECT u AS node FROM eh UNION ALL SELECT v FROM eh
@@ -1173,25 +1164,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity anchor: no graph surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference analytics family."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    und = _co_order_und(spark, sf_dir)
     # und feeds the degree build AND the moment join — cut once (the
     # q_graph_lcc lesson); deg feeds du, dv AND the node count
     und = materialize(und)
@@ -1231,14 +1204,8 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_graph_modularity",
-    oracle="""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    eh AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
+    oracle=f"""
+    WITH {_CO_ORDER_EDGES_SQL},
     deg AS (
       SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
         SELECT u AS node FROM eh UNION ALL SELECT v FROM eh
@@ -1306,25 +1273,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity anchor: no graph surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference analytics family."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("mm"))
-        .filter(F.col("mm") >= 2)
-        .select("u", "v")
-    )
+    und = _co_order_und(spark, sf_dir)
     # und feeds degrees, the edge count AND the internal-edge join; deg
     # feeds the brand lookup — cut both once (the q_graph_lcc lesson)
     und = materialize(und)

@@ -159,7 +159,7 @@ _WINDOW_PREFIX = [
     "q_sim_ann_ivf",
     "q_sim_ann_ivf_refined",
     "q_ts_stl_residual",
-    # (c) the rotation pool, tools.window_pool order: 3 r8 + 36 r9
+    # (c) the rotation pool, tools.window_pool order: 3 r8 + 24 r9
     "q_udf_grouped_agg",
     "q_udf_grouped_map",
     "q_udf_pandas",

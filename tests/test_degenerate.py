@@ -839,3 +839,96 @@ def test_skew_audit_planted_hot_key_and_null_exclusion(spark, tmp_path):
     assert by_col["orders.o_custkey"] == (6, 3, 2, False)
     # planted hot user: flag fires
     assert by_col["events.user_id"] == (19, 10, 10, True)
+
+
+def test_vector_edge_shapes_parity_r14_review(spark, tmp_path):
+    """The two latent vector-shape hazards from the r14 review, now
+    structural contracts: (a) a NULL-ELEMENT vector (sparse encode bug
+    — passes the finite-or-null contract since exists() is NULL) must
+    not flip q_embed_pq_eval's subspace argmin (Spark min_by ranks NULL
+    scores FIRST, the oracle ranked them LAST — both engines now
+    exclude such vectors at the scan); (b) an EMPTY-ARRAY vector must
+    not become a phantom all-zero sketch (the Spark fold emits (0,0),
+    DuckDB's unnest emits nothing — _signatures now excludes empties).
+    Parity asserted on a fixture planting both shapes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "vec-shapes"
+    d.mkdir()
+    vecs, ids = [], []
+    for i in range(20):
+        v = [0.0] * 64
+        v[i % 8] = 1.0
+        v[(i * 7) % 64] = -2.0 if i % 2 else 1.5
+        vecs.append(v)
+        ids.append(i)
+    vecs[3] = [1.0] * 32 + [None] + [0.5] * 31  # NULL element
+    vecs[11] = []  # empty array
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    for q in (
+        "q_embed_pq_eval",
+        "q_sim_hamming_topk",
+        "q_embed_rrf",
+        "q_embed_ndcg_eval",
+    ):
+        got = assert_parity(spark, q, str(d), ["embeddings"])
+        assert len(next(iter(got.values()), [])) > 0, q
+    # the empty vector must be absent from the hamming ranking entirely
+    got = assert_parity(spark, "q_sim_hamming_topk", str(d), ["embeddings"])
+    assert 11 not in got["vec_id"]
+
+
+def test_diversity_null_source_keeps_bigrams(spark, tmp_path):
+    """NULL-source docs (untagged provenance) form a legitimate group:
+    the gram rejoin is null-safe, so the NULL-source row must carry its
+    REAL bigram counts, not the silent 0 a null-unsafe join produces in
+    both engines at once (r14 review finding — invisible to parity,
+    caught only by a value assert)."""
+    d = tmp_path / "nullsrc"
+    d.mkdir()
+    rows = [
+        (0, "alpha beta gamma", "en", None, 16),
+        (1, "alpha beta", "en", None, 10),
+        (2, "delta epsilon", "en", "web", 13),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = assert_parity(spark, "q_text_diversity", str(d), ["documents"])
+    by_src = dict(zip(got["source"], zip(got["n_bigrams"], got["n_uniq_bigrams"])))
+    assert by_src[None] == (3, 2)  # 'alpha beta' x2 + 'beta gamma'
+    assert by_src["web"] == (1, 1)
+
+
+def test_user_streak_null_ts_not_a_phantom_day(spark, tmp_path):
+    """An event with NULL ts must not add a phantom island: a user with
+    a clean 3-day streak plus one NULL-ts event reports (3, 3, 1), not
+    (4, 3, 2)."""
+    import datetime as dt
+
+    d = tmp_path / "nullts"
+    d.mkdir()
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 7, "view", 1.0) for i in range(3)
+    ] + [(99, None, 7, "view", 1.0)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = assert_parity(spark, "q_user_streak", str(d), ["events"])
+    assert got["n_active_days"] == [3]
+    assert got["longest_streak"] == [3]
+    assert got["n_streaks"] == [1]

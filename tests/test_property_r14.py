@@ -619,7 +619,7 @@ def test_ts_crosscorr_matches_integer_moments(spark, evs):
 
 diversity_docs = st.lists(
     st.tuples(
-        st.sampled_from(["web", "books"]),  # source
+        st.sampled_from(["web", "books", None]),  # source (NULL = untagged)
         st.one_of(
             st.none(),  # NULL text — dropped at the scan
             st.lists(
