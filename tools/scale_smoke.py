@@ -74,6 +74,14 @@ QUERIES = [
     # scan grows with rows
     "q_win_rolling_median",
     "q_ts_theilsen",
+    # r14 additions: day-grain integer-moment lead/lag correlation (one
+    # fact scan to |days| rows, materialized once), session-bounded
+    # Markov (one user-keyed window), gaps-and-islands streaks (ONE
+    # user-keyed shuffle reused by window + both groupBys — copies add
+    # USERS, not days per user, so per-key work is constant)
+    "q_ts_crosscorr",
+    "q_seq_markov_session",
+    "q_user_streak",
 ]
 
 
@@ -159,6 +167,15 @@ FACT_QUERIES = [
     # components merge); the ratio measures graph densification plus
     # the extra propagation rounds it induces, not a plan defect
     "q_graph_cc",
+    # r14 node-statistic family — same densification caveat as
+    # q_graph_triangles (copies replay the same parts, edges cross the
+    # >=2 threshold): lcc's oriented wedges, the degree histogram, the
+    # integer-moment assortativity, the brand modularity
+    "q_graph_lcc",
+    "q_graph_degree_dist",
+    "q_graph_assortativity",
+    "q_graph_modularity",
+    "q_skew_audit",
 ]
 
 
@@ -215,6 +232,12 @@ DOCS_QUERIES = [
     "q_langid_confusion",
     "q_text_length_filter",
     "q_text_js_shift",
+    # r14: distinct-gram diversity (shuffle moves DISTINCT grams per
+    # source — sublinear in docs on a bounded vocabulary) and the
+    # Jaccard threshold curve (q_dedup_ngram's declared ground-truth
+    # pair class, included for the same contrast)
+    "q_text_diversity",
+    "q_dedup_threshold_curve",
 ]  # q_sample_balanced stays: stratum caps must hold as docs grow
 
 
@@ -331,6 +354,35 @@ NOTES = {
         "measures densification-induced rounds, not a plan defect; the "
         "per-round shape (edges⋈labels shuffle + map-side min) is "
         "row-linear within a round."
+    ),
+    "q_graph_lcc": (
+        "same densification caveat as q_graph_triangles — wedge work is "
+        "Σ min_deg², which grows with the squared degree of a densifying "
+        "graph; orientation still bounds it by the low-degree endpoint."
+    ),
+    "q_graph_degree_dist": (
+        "the edge build densifies (q_graph_triangles caveat); the "
+        "histogram itself stays ~40 rows at any scale."
+    ),
+    "q_graph_assortativity": (
+        "densification caveat; the moment reduction is ONE row at any "
+        "scale, so the ratio is the edge build's."
+    ),
+    "q_graph_modularity": (
+        "densification caveat; brand table and term sum are "
+        "|brands|-sized at any scale."
+    ),
+    "q_dedup_threshold_curve": (
+        "the df-capped shingle pair stream — q_dedup_ngram's declared "
+        "ground-truth cost class, included as contrast exactly like it; "
+        "production runs it on a doc sample."
+    ),
+    "q_text_diversity": (
+        "amplified copies are token-SHUFFLED but share the 31-token "
+        "vocabulary, so distinct unigrams/bigrams per source plateau "
+        "while instance counts grow — the two-level aggregation's "
+        "map-side combine is what keeps the shuffle bounded; the ratio "
+        "tracks the scan."
     ),
     "q_hist_equidepth": (
         "above cheap peers yet SUBLINEAR in the 10× facts — the exact "
