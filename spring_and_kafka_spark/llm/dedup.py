@@ -1115,12 +1115,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # comparison c/(na+nb-c) >= p/q cross-multiplies to c*q >= p*(na+nb-c)
 # — pure BIGINT arithmetic, zero float anywhere in the counting path.
 _JCURVE_TS = [(1, 2), (3, 5), (7, 10), (4, 5)]
+# Bounded doc sample for the curve (the q_embed_threshold_curve budget):
+# a pair RATE is scale-free, so the curve is estimated on an id-bounded
+# sample and the chosen threshold applied to the full corpus by the LSH
+# path. Covers ALL docs at sf0.01 (hash-identical to the unbounded
+# form there); caps the pair space structurally at every larger scale.
+_JCURVE_DOC_CAP = 1000
+_JCURVE_CORPUS_SQL = f"""corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_JCURVE_DOC_CAP}
+      UNION ALL
+      SELECT doc_id + 100000, regexp_replace(text, '\\s+\\S+$', '')
+      FROM documents WHERE doc_id < {_JCURVE_DOC_CAP}
+    )"""
 
 
 @register(
     "q_dedup_threshold_curve",
     oracle=f"""
-    WITH {_PLANTED_CORPUS_SQL},
+    WITH {_JCURVE_CORPUS_SQL},
     {shingle_ctes_sql()},
     common AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -1179,14 +1191,23 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE), so the curve prices exactly the pairs those operators would
     examine.
 
-    Shape at 100 TB: identical to q_dedup_ngram's documented
-    ground-truth cost class — the df-capped shingle equi-join, with
-    the per-pair stream reduced by ONE conditional aggregation (all
-    four thresholds in one pass, no rescan) to a single row, then a
-    4-row unpivot. Production would run it on a document sample (the
-    q_embed_threshold_curve budget note); the LSH path (q_dedup_near)
-    remains the full-corpus scale route."""
-    corpus = planted_corpus(spark, sf_dir)
+    Shape at 100 TB: the pair space is structurally BOUNDED — the
+    curve runs on an id-bounded doc sample (_JCURVE_DOC_CAP, pushed
+    into the parquet scan) exactly like q_embed_threshold_curve's
+    1000-vector budget, because a pair RATE is scale-free: estimate on
+    the sample, apply the chosen threshold to the full corpus via the
+    LSH path (q_dedup_near). Within the sample the machinery is
+    q_dedup_ngram's ground-truth class (df-capped shingle equi-join),
+    reduced by ONE conditional aggregation (all four thresholds in one
+    pass, no rescan) to a single row, then a 4-row unpivot."""
+    base = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _JCURVE_DOC_CAP
+    ).select("doc_id", "text")
+    perturbed = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = base.unionByName(perturbed)
     sh = materialize(shingles(spread(corpus), 3))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = (

@@ -146,7 +146,7 @@ SECTIONS = {
         "q_seq_markov", "q_hist_log2", "q_embed_recall_eval",
         "q_ts_stl_residual", "q_text_script_mix", "q_udf_udtf",
     ],
-    "round-14 additions: node-local graph stats + PQ eval + session journeys": [
+    "round-14 additions: graph node statistics + sketch retrieval/eval suite + threshold tuning curves + skew audit + sequence/diversity/streak analytics": [
         "q_graph_lcc", "q_graph_degree_dist", "q_embed_pq_eval",
         "q_seq_markov_session",
         "q_graph_assortativity", "q_sim_hamming_topk", "q_embed_rrf",
