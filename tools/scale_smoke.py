@@ -373,9 +373,10 @@ NOTES = {
         "|brands|-sized at any scale."
     ),
     "q_dedup_threshold_curve": (
-        "the df-capped shingle pair stream — q_dedup_ngram's declared "
-        "ground-truth cost class, included as contrast exactly like it; "
-        "production runs it on a doc sample."
+        "~flat BY CONSTRUCTION: the curve runs on an id-bounded doc "
+        "sample (_JCURVE_DOC_CAP) before planting — a pair rate is "
+        "scale-free, so amplification only grows the part of the scan "
+        "the pushed bound discards."
     ),
     "q_text_diversity": (
         "amplified copies are token-SHUFFLED but share the 31-token "
