@@ -80,13 +80,17 @@ def _well_formed(e: DataFrame) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL)
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)), 0),
                  6) AS cos_sim
     FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
     """,
 )
 def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise cosine between consecutive vectors (equi-join on id)."""
+    """Pairwise cosine between consecutive vectors (equi-join on id).
+    The oracle's NULLIF pin mirrors the guarded `cosine` helper on
+    zero-norm vectors (the q_embed_centroid precedent, discharged here
+    as the r15 rotation backlog was pre-paid in r14)."""
     e = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -106,12 +110,14 @@ def q_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
     SELECT vec_id,
            round(list_dot_product(v, qv)
-                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 / NULLIF(sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(qv, qv)), 0),
                  6) AS cos_sim
     FROM e, q WHERE vec_id <> 0
     ORDER BY list_dot_product(v, qv)
-             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
-             vec_id
+             / NULLIF(sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(qv, qv)), 0)
+             DESC NULLS LAST, vec_id
     LIMIT 10
     """,
 )
@@ -120,7 +126,9 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query vector rides along as a broadcast single-row cross join —
     the embedding table is scanned once, orderBy().limit() plans
-    TakeOrderedAndProject (no global sort at 100 TB). Tie-break: vec_id."""
+    TakeOrderedAndProject (no global sort at 100 TB). Tie-break: vec_id;
+    zero-norm vectors cosine to NULL under the guarded helper, pinned
+    NULLS LAST on both sides (the NULLIF backlog discharged in r14)."""
     e = load_vectors(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -130,7 +138,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", sim.alias("raw_sim"))
-        .orderBy(F.col("raw_sim").desc(), "vec_id")
+        .orderBy(F.col("raw_sim").desc_nulls_last(), "vec_id")
         .limit(10)
         .select("vec_id", F.round("raw_sim", 6).alias("cos_sim"))
     )

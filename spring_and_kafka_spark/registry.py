@@ -106,30 +106,32 @@ _MODULE_SEQ: dict[str, int] = {}
 #       audit, lexical diversity, lead/lag cross-correlation, and the
 #       gaps-and-islands streak, pool() round-0 name order) — never
 #       driver-verified, so they lead;
-#   (b) the 7 queries whose OUTPUT expression changed in r14 (name
+#   (b) the 9 queries whose OUTPUT expression changed in r14 (name
 #       order): q_embed_centroid q_sim_ann_ivf q_sim_ann_ivf_refined
-#       (NULLIF zero-norm pins + NULLS LAST, the r13 rotation backlog
-#       discharged as those rows rotated in), q_graph_jaccard (the
-#       _JACCARD_CENTER_CAP hub guard, VERDICT r13 item 1),
+#       q_sim_pairwise q_sim_topk (NULLIF zero-norm pins + NULLS LAST
+#       — the r13 rotation backlog discharged, plus the two flagged
+#       r15 backlog oracles pre-paid late in r14), q_graph_jaccard
+#       (the _JACCARD_CENTER_CAP hub guard, VERDICT r13 item 1),
 #       q_hist_log2 (oracle BIGINT shifts), q_seq_markov (event_type
 #       ordering tiebreak), q_ts_stl_residual (floor-form rates) —
-#       all ADVICE r13 items;
+#       the last four all ADVICE r13 items;
 #   (c) the rotation pool in tools.window_pool pool() order: the 3
 #       r8-stale rows deferred since r13 (q_udf_grouped_agg
-#       q_udf_grouped_map q_udf_pandas) + the first 24 of the 50
-#       r9-stale rows not already taken by (b) — 16+7+3+24 = 50
+#       q_udf_grouped_map q_udf_pandas) + the first 22 of the 50
+#       r9-stale rows not already taken by (b) — 16+9+3+22 = 50
 #       exactly.
 # After this window the stalest green rows are the 23 remaining r9
-# rows (q_join_full q_join_inner q_join_left q_join_right q_join_semi q_join_theta
+# rows (q_join_broadcast q_join_cross q_join_full q_join_inner
+# q_join_left q_join_right q_join_semi q_join_theta
 # q_multimodal_decode q_multimodal_meta q_sample_hash
 # q_sample_hash_threshold q_sample_seeded q_sample_stratified_hash —
 # displaced as the r14 new-op batches took their slots — then
-# q_sim_knn_all q_sim_lsh_bucket q_sim_pairwise q_sim_topk
-# q_sim_topk_per_label q_text_contamination q_text_entropy
-# q_text_fingerprint q_text_langid q_text_redact q_winsorize) then
-# the 49 r10 rows — the r15 pool head. NOTE for r15: q_sim_pairwise
-# and q_sim_topk still carry bare-division cosine oracles — pin them
-# with NULLIF when they rotate in (the q_embed_centroid precedent).
+# q_sim_knn_all q_sim_lsh_bucket q_sim_topk_per_label
+# q_text_contamination q_text_entropy q_text_fingerprint
+# q_text_langid q_text_redact q_winsorize) then the 49 r10 rows — the
+# r15 pool head. (The q_sim_pairwise/q_sim_topk NULLIF backlog flagged
+# here in r13 was pre-paid in r14: both rotated into (b) with their
+# pins.)
 # Queries not named here rank after the prefix by (module rank, def
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
@@ -158,6 +160,8 @@ _WINDOW_PREFIX = [
     "q_seq_markov",
     "q_sim_ann_ivf",
     "q_sim_ann_ivf_refined",
+    "q_sim_pairwise",
+    "q_sim_topk",
     "q_ts_stl_residual",
     # (c) the rotation pool, tools.window_pool order: 3 r8 + 24 r9
     "q_udf_grouped_agg",
@@ -185,8 +189,6 @@ _WINDOW_PREFIX = [
     "q_embed_quantize",
     "q_join_anti",
     "q_join_asof",
-    "q_join_broadcast",
-    "q_join_cross",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -124,6 +124,8 @@ CHANGED_R14 = [
     "q_seq_markov",
     "q_sim_ann_ivf",
     "q_sim_ann_ivf_refined",
+    "q_sim_pairwise",
+    "q_sim_topk",
     "q_ts_stl_residual",
 ]
 
@@ -290,8 +292,8 @@ def test_r14_window_is_new_plus_changed_plus_pool_order():
     then the r14 changed-output queries (name order), then the rotation
     pool derived from CORRECTNESS_r01..r13 in pool() order (stalest
     round, then name) — i.e. the window is DERIVED, not hand-picked.
-    With 16 new + 7 changed, the remaining 27 slots hold the 3 r8 UDF
-    rows deferred since r13 and the first 24 r9 rows not already taken
+    With 16 new + 9 changed, the remaining 25 slots hold the 3 r8 UDF
+    rows deferred since r13 and the first 22 r9 rows not already taken
     by the changed block — 50 exactly (23 r9 rows lead the r15 pool)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R14 + CHANGED_R14
@@ -303,4 +305,4 @@ def test_r14_window_is_new_plus_changed_plus_pool_order():
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [8] * 3 + [9] * 24
+    assert strata == [8] * 3 + [9] * 22
