@@ -739,6 +739,10 @@ def test_ann_zero_norm_vectors_null_cosine_parity(spark, tmp_path):
         "q_sim_ann_ivf",
         "q_sim_ann_ivf_refined",
         "q_embed_pq_eval",
+        # the r15-backlog pins pre-paid late in r14: both engines must
+        # rank the zero-norm rows NULLS LAST through the NULLIF guard
+        "q_sim_topk",
+        "q_sim_pairwise",
     ):
         got = assert_parity(spark, q, str(d), ["embeddings"])
         assert len(next(iter(got.values()), [])) > 0, q
