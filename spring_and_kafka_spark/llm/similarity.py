@@ -2081,7 +2081,7 @@ _CURVE_TS = [0.8, 0.9, 0.95, 0.99]
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings
-               WHERE embedding IS NOT NULL AND vec_id < {_CURVE_N}),
+               WHERE {_WF_SQL} AND vec_id < {_CURVE_N}),
     pairs AS (
       SELECT a.v AS av, b.v AS bv,
              list_dot_product(a.v, b.v)
@@ -2134,14 +2134,21 @@ def q_embed_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips). Thresholds are pinned CAST(x AS DOUBLE) literals on both
     sides; zero-norm vectors cosine to NULL and are excluded from
     n_scored and every count; counts are exact BIGINTs and the rate is
-    floor-form.
+    floor-form. The sample scan carries the _WF_SQL well-formed
+    contract (64 components, none NULL) like the rest of the
+    sketch/eval family: a NULL-element or truncated vector in the
+    sample would hard-error DuckDB's list_dot_product while Spark's
+    fold silently NULLs the sim out of n_scored (r14 ADVICE item,
+    closed r15; pinned in test_vector_edge_shapes_parity_r14_review).
 
     Shape at 100 TB: the sample is id-bounded at the scan (pushed
     predicate), the pair space is sample², never corpus², and the
     4-threshold readout is ONE conditional aggregation over the pair
     stream (no per-threshold rescan) unpivoted to 4 rows."""
-    e = load_vectors(spark, sf_dir).filter(F.col("vec_id") < _CURVE_N).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = _well_formed(
+        load_vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < _CURVE_N)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     a = e.alias("a")
     b = e.alias("b")

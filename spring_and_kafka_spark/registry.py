@@ -163,7 +163,7 @@ _WINDOW_PREFIX = [
     "q_sim_pairwise",
     "q_sim_topk",
     "q_ts_stl_residual",
-    # (c) the rotation pool, tools.window_pool order: 3 r8 + 24 r9
+    # (c) the rotation pool, tools.window_pool order: 3 r8 + 22 r9
     "q_udf_grouped_agg",
     "q_udf_grouped_map",
     "q_udf_pandas",

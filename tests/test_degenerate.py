@@ -884,6 +884,7 @@ def test_vector_edge_shapes_parity_r14_review(spark, tmp_path):
         "q_sim_hamming_topk",
         "q_embed_rrf",
         "q_embed_ndcg_eval",
+        "q_embed_threshold_curve",  # r14 ADVICE: joined _WF_SQL in r15
     ):
         got = assert_parity(spark, q, str(d), ["embeddings"])
         assert len(next(iter(got.values()), [])) > 0, q
