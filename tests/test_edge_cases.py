@@ -410,3 +410,59 @@ def test_pareto_abc_partitions_and_ordering(spark):
     mean_a = rows["A"]["revenue"] / rows["A"]["n_customers"]
     mean_c = rows["C"]["revenue"] / rows["C"]["n_customers"]
     assert mean_a > mean_c
+
+
+def test_empty_rollup_carveout_boundary():
+    """Pin the empty-sweep rollup carve-out's EXACT boundary (r14
+    verdict process note): the accepted divergence is the four
+    rollup-family queries at precisely (spark=0, oracle=1) rows with
+    identical column sets — nothing else. If either the allowlist or
+    the predicate silently widens, this fails."""
+    from tools.empty_sweep import (
+        EXPECTED_EMPTY_DIVERGENCE,
+        accept_empty_rollup_divergence as ok,
+    )
+
+    assert EXPECTED_EMPTY_DIVERGENCE == {
+        "q_rollup",
+        "q_rollup_grouping",
+        "q_cube",
+        "q_grouping_sets",
+    }
+    cols = ["a", "b"]
+    for name in sorted(EXPECTED_EMPTY_DIVERGENCE):
+        assert ok(name, cols, ["b", "a"], 0, 1)  # the one accepted shape
+        assert not ok(name, cols, cols, 0, 2)  # extra oracle rows
+        assert not ok(name, cols, cols, 1, 1)  # spark emitted rows
+        assert not ok(name, cols, cols, 0, 0)  # both empty = plain match path
+        assert not ok(name, cols, ["a", "c"], 0, 1)  # column drift
+    assert not ok("q_agg_group", cols, cols, 0, 1)  # not in the allowlist
+
+
+def test_empty_rollup_divergence_is_real(spark, tmp_path):
+    """Pin the ENGINE SEMANTICS the carve-out models: over an empty
+    relation Spark's rollup() emits 0 rows while standard SQL GROUP BY
+    ROLLUP emits the grand-total row (DuckDB: 1 row). If a Spark
+    upgrade ever aligns with the standard, this fails and the
+    carve-out must be deleted rather than left to mask a regression."""
+    import duckdb
+
+    from spring_and_kafka_spark import registry
+
+    d = tmp_path / "empty-rollup"
+    d.mkdir()
+    for t in ("customer", "nation", "region"):
+        schema = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").schema
+        spark.createDataFrame([], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"{t}.parquet"))
+    spec = registry.all_specs()["q_rollup"]
+    assert spec.fn(spark, str(d)).count() == 0
+    con = duckdb.connect()
+    for t in ("customer", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    orows = con.execute(spec.oracle).fetchall()
+    assert len(orows) == 1  # the grand-total grouping row

@@ -44,6 +44,24 @@ EXPECTED_EMPTY_DIVERGENCE = {
 }
 
 
+def accept_empty_rollup_divergence(
+    name: str, scols, ocols, n_spark: int, n_oracle: int
+) -> bool:
+    """THE special case, and the whole special case: one of the four
+    rollup-family queries, identical column sets, Spark 0 rows vs
+    DuckDB's lone grand-total row. Anything else — more rows, a column
+    drift, any other query — falls through to the normal comparator.
+    Factored out so tests/test_edge_cases.py can pin the predicate's
+    exact boundary (r14 verdict process note: the carve-out must not
+    silently widen)."""
+    return (
+        name in EXPECTED_EMPTY_DIVERGENCE
+        and sorted(scols) == sorted(ocols)
+        and n_spark == 0
+        and n_oracle == 1
+    )
+
+
 def build_empty_dir(spark, limit: int = 0) -> str:
     """limit=0 → empty tables; limit=N → the N first rows of each table
     by its first column (deterministic; FK coherence not preserved, so
@@ -117,11 +135,8 @@ def main() -> int:
         oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
         # accepted at any --limit: a selective filter can drain the
         # input before the rollup, reproducing the empty-relation case
-        if (
-            name in EXPECTED_EMPTY_DIVERGENCE
-            and sorted(scols) == sorted(ocols)
-            and len(srows) == 0
-            and len(orows) == 1
+        if accept_empty_rollup_divergence(
+            name, scols, ocols, len(srows), len(orows)
         ):
             results[name] = {"status": "known_rollup_divergence"}
             print(f"ok   {name}: known empty-rollup divergence (0 vs 1 row)")
