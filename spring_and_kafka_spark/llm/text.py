@@ -1765,3 +1765,368 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(n_ubi * 1e6 / n_bi + F.lit(0.5)) / 1e6,
         ).alias("distinct_2"),
     )
+
+
+_BP_SEG = 8  # tumbling segment width (words) for boilerplate detection
+_BP_MIN_SRC = 3  # a segment in >= 3 distinct sources is a template
+
+
+@register(
+    "q_text_boilerplate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    seg AS (
+      SELECT doc_id, source,
+             array_to_string(ts[start_tok + 1 : start_tok + {_BP_SEG}], ' ')
+               AS seg
+      FROM (SELECT doc_id, source, ts,
+                   unnest(generate_series(0, greatest(n - 1, 0), {_BP_SEG}))
+                     AS start_tok
+            FROM d)
+    ),
+    flag AS (
+      SELECT seg,
+             count(DISTINCT coalesce(source, chr(1))) >= {_BP_MIN_SRC}
+               AS boiler
+      FROM seg GROUP BY seg
+    )
+    SELECT s.source,
+           CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(CASE WHEN f.boiler THEN 1 END) AS BIGINT) AS n_boiler,
+           floor(count(CASE WHEN f.boiler THEN 1 END) * 1e6 / count(*) + 0.5)
+             / 1e6 AS boiler_rate
+    FROM seg s JOIN flag f USING (seg)
+    GROUP BY s.source
+    """,
+    tags=("text", "quality"),
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source template (boilerplate) detection, the C4/CCNet line-
+    dedup step adapted to a corpus without line structure: split each
+    doc into tumbling {_BP_SEG}-word segments and mark a segment as
+    boilerplate when it appears in >= {_BP_MIN_SRC} DISTINCT sources —
+    the signature of crawler-injected chrome (nav bars, cookie banners,
+    license footers) as opposed to within-source repetition, which
+    q_text_dup_fraction already measures at the doc grain. Emits the
+    per-source boilerplate segment rate: the readout that decides which
+    sources need segment-level cleaning before the token budget
+    (q_corpus_budget) is spent on them.
+
+    Cross-engine: segments are built with the exact q_text_chunk
+    slice arithmetic (1-based clamped slices match Spark's slice());
+    the distinct-source count coalesces NULL source to a CHR(1)
+    sentinel because COUNT(DISTINCT) skips NULLs in both engines but
+    untagged docs still carry template text; counts are exact BIGINTs
+    and the rate is floor-form (denominator >= 1 by construction —
+    every surviving doc emits at least one segment).
+
+    Shape at 100 TB: explode is O(tokens/{_BP_SEG}); one map-side-
+    combined groupBy(seg) builds the template table; the flag rejoin is
+    a bucketed equi-join on the segment key whose fan-out is exactly 1
+    row per segment (the df table is pre-aggregated — no pair
+    enumeration anywhere); the final rollup is |sources| rows. At web
+    scale the segment key becomes xxhash64(seg) so the shuffle moves
+    8-byte keys (the q_text_diversity trade, kept as strings for exact
+    oracle co-expression)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    toks = F.split("text", " ")
+    segs = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(_BP_SEG)
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _BP_SEG)),
+    )
+    seg = d.select("doc_id", "source", F.explode(segs).alias("seg"))
+    flag = seg.groupBy("seg").agg(
+        (
+            F.count_distinct(F.coalesce("source", F.lit("\x01")))
+            >= _BP_MIN_SRC
+        ).alias("boiler")
+    )
+    return (
+        seg.join(flag, "seg")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(F.col("boiler"), 1)).alias("n_boiler"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_segments",
+            "n_boiler",
+            (
+                F.floor(
+                    F.col("n_boiler") * 1e6 / F.col("n_segments") + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("boiler_rate"),
+        )
+    )
+
+
+# Gopher-style rule bounds, adapted to the fixture corpus's scale (the
+# published bounds — 50..100k words etc. — assume web documents; the
+# RATIOS and the battery structure are what transfer).
+_GOPHER_MIN_TOKS = 20
+_GOPHER_MAX_TOKS = 1000
+_GOPHER_MIN_WLEN = 2  # mean word length lower bound (chars)
+_GOPHER_MAX_WLEN = 8  # ... and upper bound
+_GOPHER_MIN_STOP = 2  # >= 2 stopword hits
+_GOPHER_REP_DEN = 5  # no token may exceed 1/5 of the doc
+_GOPHER_UNIQ_NUM = 3  # unique-token ratio >= 3/10
+_GOPHER_UNIQ_DEN = 10
+
+
+@register(
+    "q_quality_gopher",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, text, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    rules AS (
+      SELECT lang,
+             (n >= {_GOPHER_MIN_TOKS} AND n <= {_GOPHER_MAX_TOKS}) AS r_len,
+             (length(text) - (n - 1) >= {_GOPHER_MIN_WLEN} * n AND
+              length(text) - (n - 1) <= {_GOPHER_MAX_WLEN} * n) AS r_wlen,
+             (len(list_filter(ts, x -> x = 'a' OR x = 'the'))
+                >= {_GOPHER_MIN_STOP}) AS r_stop,
+             (list_max(list_transform(list_distinct(ts),
+                 t -> len(list_filter(ts, x -> x = t))))
+                * {_GOPHER_REP_DEN} <= n) AS r_rep,
+             (len(list_distinct(ts)) * {_GOPHER_UNIQ_DEN}
+                >= n * {_GOPHER_UNIQ_NUM}) AS r_uniq
+      FROM d
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN r_len THEN 1 END) AS BIGINT) AS pass_len,
+           CAST(count(CASE WHEN r_wlen THEN 1 END) AS BIGINT) AS pass_wlen,
+           CAST(count(CASE WHEN r_stop THEN 1 END) AS BIGINT) AS pass_stop,
+           CAST(count(CASE WHEN r_rep THEN 1 END) AS BIGINT) AS pass_rep,
+           CAST(count(CASE WHEN r_uniq THEN 1 END) AS BIGINT) AS pass_uniq,
+           CAST(count(CASE WHEN r_len AND r_wlen AND r_stop AND r_rep
+                           AND r_uniq THEN 1 END) AS BIGINT) AS n_clean,
+           floor(count(CASE WHEN r_len AND r_wlen AND r_stop AND r_rep
+                            AND r_uniq THEN 1 END) * 1e6 / count(*) + 0.5)
+             / 1e6 AS clean_rate
+    FROM rules GROUP BY lang
+    """,
+    tags=("text", "quality"),
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality battery (Rae et al. 2021, the
+    pre-training filter standard): per document, five pass/fail rules —
+    token count in [{_GOPHER_MIN_TOKS}, {_GOPHER_MAX_TOKS}], mean word
+    length in [{_GOPHER_MIN_WLEN}, {_GOPHER_MAX_WLEN}] chars, >=
+    {_GOPHER_MIN_STOP} stopword hits, no single token above 1/
+    {_GOPHER_REP_DEN} of the doc, unique-token ratio >=
+    {_GOPHER_UNIQ_NUM}/{_GOPHER_UNIQ_DEN} — rolled up per language into
+    per-rule pass counts and the all-rules clean rate. This is the
+    DECISION battery on top of q_text_quality's raw features: the
+    per-rule counts show WHICH filter bites per language (the
+    calibration a multilingual corpus needs — fixed English bounds
+    over-reject agglutinative languages on word length, and this
+    readout is how that shows up).
+
+    Cross-engine determinism: every rule is integer arithmetic — mean
+    word length compares via cross-multiplication (chars-in-words =
+    length(text) - (n-1) separators, so no division), repetition and
+    uniqueness likewise; the only division is the final floor-form
+    rate. The per-doc max token frequency runs as a nested array
+    transform over DISTINCT tokens (O(len·distinct) per doc, JVM-side,
+    mirrored by DuckDB's list_transform/list_filter) — no explode, no
+    shuffle for any rule.
+
+    Shape at 100 TB: one narrow projection computing all five rules
+    inside whole-stage codegen, then ONE map-side-combined groupBy to
+    |languages| rows. Nothing else moves — the battery adds zero
+    shuffles to a corpus scan."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    ts = F.split("text", " ")
+    n = F.size(ts)
+    chars_w = F.length("text") - (n - 1)
+    r_len = (n >= _GOPHER_MIN_TOKS) & (n <= _GOPHER_MAX_TOKS)
+    r_wlen = (chars_w >= _GOPHER_MIN_WLEN * n) & (
+        chars_w <= _GOPHER_MAX_WLEN * n
+    )
+    r_stop = (
+        F.size(F.filter(ts, lambda x: x.isin(*STOPWORDS))) >= _GOPHER_MIN_STOP
+    )
+    max_tf = F.array_max(
+        F.transform(
+            F.array_distinct(ts),
+            lambda t: F.size(F.filter(ts, lambda x: x == t)),
+        )
+    )
+    r_rep = max_tf * _GOPHER_REP_DEN <= n
+    r_uniq = F.size(F.array_distinct(ts)) * _GOPHER_UNIQ_DEN >= n * _GOPHER_UNIQ_NUM
+    rules = d.select(
+        "lang",
+        r_len.alias("r_len"),
+        r_wlen.alias("r_wlen"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        r_uniq.alias("r_uniq"),
+    )
+    clean = (
+        F.col("r_len")
+        & F.col("r_wlen")
+        & F.col("r_stop")
+        & F.col("r_rep")
+        & F.col("r_uniq")
+    )
+    return rules.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("r_len"), 1)).alias("pass_len"),
+        F.count(F.when(F.col("r_wlen"), 1)).alias("pass_wlen"),
+        F.count(F.when(F.col("r_stop"), 1)).alias("pass_stop"),
+        F.count(F.when(F.col("r_rep"), 1)).alias("pass_rep"),
+        F.count(F.when(F.col("r_uniq"), 1)).alias("pass_uniq"),
+        F.count(F.when(clean, 1)).alias("n_clean"),
+        (
+            F.floor(
+                F.count(F.when(clean, 1)) * 1e6 / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("clean_rate"),
+    )
+
+
+_PMI_MIN_C12 = 5  # minimum bigram support (kills noise-pair PMI spikes)
+_PMI_K = 20  # collocations returned
+
+
+@register(
+    "q_text_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+    bi AS (
+      SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+      FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks
+      ) GROUP BY 1, 2
+    ),
+    btot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_big FROM bi),
+    sel AS (
+      SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+             (CAST(b.c12 AS DOUBLE) * t.n_tok * t.n_tok)
+               / (CAST(u1.c AS DOUBLE) * u2.c * bt.n_big) AS lift
+      FROM bi b
+      JOIN uni u1 ON u1.tok = b.w1
+      JOIN uni u2 ON u2.tok = b.w2
+      CROSS JOIN tot t CROSS JOIN btot bt
+      WHERE b.c12 >= {_PMI_MIN_C12}
+    )
+    SELECT w1, w2, c12, c1, c2, round(log2(lift), 4) + 0.0 AS pmi
+    FROM sel
+    ORDER BY lift DESC, w1, w2
+    LIMIT {_PMI_K}
+    """,
+    tags=("text",),
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information over
+    adjacent bigrams: PMI(w1,w2) = log2(p(w1,w2) / (p(w1)·p(w2))),
+    support-filtered at c12 >= {_PMI_MIN_C12} (the classic
+    Church-Hanks measure; low-support pairs have unboundedly noisy
+    PMI, which is why the support floor is part of the definition in
+    practice). Top-{_PMI_K} by lift — the phrase-mining pass a
+    tokenizer-training or stopword-curation pipeline runs over a new
+    corpus, and the third corpus-statistics lens next to q_text_zipf
+    (unigram shape) and q_text_bigram_ppl (sequence predictability).
+
+    Cross-engine determinism (the registry top-k rule): the ORDER BY
+    key is the lift RATIO — built from exact BIGINT counts with one
+    pinned multiply/divide chain, bit-identical across engines — never
+    the log2 of it (libm, 1-ulp divergent); log2 only styles the
+    already-ranked rows, rounded to 4 dp (+0.0 normalizes -0.0). Ties
+    at the LIMIT edge break on (w1, w2). Tokenization is the module
+    contract (lower + whitespace split, empties removed); bigram pairs
+    travel as 'w1 w2' strings in the oracle (tokens are space-free by
+    construction) and as structs in Spark.
+
+    Shape at 100 TB: two map-side-combined groupBys (unigrams O(vocab),
+    bigrams O(vocab²)-bounded but support-filtered), two equi-joins of
+    the bigram table against the vocab-sized unigram table, two
+    broadcast 1-row scalar join-backs for the totals, and a global
+    top-{_PMI_K} heap (TakeOrderedAndProject). Shuffle keys are grams —
+    at web scale they become xxhash64 values with the string carried
+    alongside (the q_text_diversity trade)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_tok"))
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    bi = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    # n_big is the UNFILTERED bigram total — p(w1,w2) is a probability
+    # over all bigram events; the support floor only gates which pairs
+    # are reported, not the event space
+    btot = bi.agg(F.sum("c12").alias("n_big"))
+    bi = bi.filter(F.col("c12") >= _PMI_MIN_C12)
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    lift = (
+        F.col("c12").cast("double") * F.col("n_tok") * F.col("n_tok")
+    ) / (F.col("c1").cast("double") * F.col("c2") * F.col("n_big"))
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn("lift", lift)
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(_PMI_K)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            (F.round(F.log2("lift"), 4) + F.lit(0.0)).alias("pmi"),
+        )
+    )
