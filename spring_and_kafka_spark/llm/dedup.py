@@ -1269,3 +1269,201 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6,
         ).alias("pair_rate"),
     )
+
+
+_MHEST_PERMS = 16  # estimator permutations (matches resolution: 1/16)
+_MHEST_DOC_CAP = 300  # calibration sample: doc_id < 300, scan-pushed
+_MHEST_EM = 1_000_000 // _MHEST_PERMS  # est micros per matching perm
+
+
+def _mhest_hash_sql(hv: str = "h") -> str:
+    """48-bit BIGINT from the first 12 hex chars of a sha256 VARCHAR —
+    the DuckDB twin of Spark's conv(substring(sha2(..), 1, 12), 16, 10)
+    (verified bit-identical; 48 bits keeps every value exact in BIGINT
+    and below the 2^53 double boundary everywhere downstream)."""
+    return (
+        "list_sum(list_transform(range(12), p -> "
+        f"CAST(strpos('0123456789abcdef', substr({hv}, p + 1, 1)) - 1 "
+        "AS BIGINT) << ((11 - p) * 4)))"
+    )
+
+
+@register(
+    "q_dedup_minhash_est",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_MHEST_DOC_CAP}
+    ),
+    {shingle_ctes_sql()},
+    ph AS (
+      SELECT doc_id, i, {_mhest_hash_sql()} AS hv
+      FROM (SELECT doc_id, i, sha256(concat(i, ':', shingle)) AS h
+            FROM shj, (SELECT unnest(range({_MHEST_PERMS})) AS i))
+    ),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f"min(CASE WHEN i = {i} THEN hv END) AS mh{i}"
+                        for i in range(_MHEST_PERMS))}
+      FROM ph GROUP BY doc_id
+    ),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.a_id, c.b_id,
+             CAST(floor(c.c * 1e6 / (sa.n + sb.n - c.c) + 0.5) AS BIGINT)
+               AS jmicros,
+             ({' + '.join(f"CASE WHEN sa2.mh{i} = sb2.mh{i} THEN 1 ELSE 0 END"
+                          for i in range(_MHEST_PERMS))}) AS n_matches
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
+      JOIN sig sa2 ON sa2.doc_id = c.a_id
+      JOIN sig sb2 ON sb2.doc_id = c.b_id
+    )
+    SELECT CAST(n_matches AS INT) AS n_matches,
+           CAST(n_matches AS DOUBLE) / {_MHEST_PERMS} AS est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(sum(jmicros) AS DOUBLE) / count(*) + 0.5) / 1e6
+             AS mean_exact,
+           floor(CAST(sum(abs(n_matches * {_MHEST_EM} - jmicros)) AS DOUBLE)
+                 / count(*) + 0.5) / 1e6 AS mean_abs_err
+    FROM pairs GROUP BY n_matches
+    """,
+    tags=("dedup", "eval"),
+)
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: on a bounded doc sample, compare
+    the {_MHEST_PERMS}-permutation MinHash Jaccard estimate
+    (matching-signature-position fraction) against EXACT shingle
+    Jaccard for every co-shingled pair, bucketed by match count — the
+    empirical answer to "how many permutations does the dedup pipeline
+    need": the per-bucket mean exact Jaccard should track
+    n_matches/{_MHEST_PERMS} (an unbiased estimator), and mean_abs_err
+    is the resolution the LSH banding (q_dedup_near) actually operates
+    at. Run BEFORE committing _MINHASH_PERMS at a new corpus, exactly
+    like the two r14 threshold curves precede their cutoffs.
+
+    The permutation hash here is sha256-derived (first 12 hex chars →
+    48-bit BIGINT) rather than production xxhash64
+    (minhash_signatures): the estimator's statistics are hash-agnostic,
+    and sha256 is the one keyed hash BOTH engines compute bit-
+    identically, so the oracle replays the signatures exactly instead
+    of downgrading to a rows-only check. Per-permutation seeding (the
+    i: prefix) preserves the independence lesson from
+    minhash_signatures' docstring.
+
+    Cross-engine determinism: signatures and match counts are exact
+    integers; exact Jaccard floors to micros via one pinned division;
+    the per-bucket means divide BIGINT sums once, floor-form; the
+    estimate n_matches/{_MHEST_PERMS} is an exact dyadic double.
+
+    Shape at 100 TB: the sample cap is pushed into the scan (a
+    calibration curve is scale-free — the chosen perm count then
+    applies corpus-wide through the LSH path); signatures build as ONE
+    wide groupBy with {_MHEST_PERMS} min-aggregates (the
+    minhash_signatures shuffle shape: O(docs) rows, map-side combined);
+    the pair space is sample-bounded and candidate-generated by the
+    shingle equi-join (df-capped by shingle_ctes_sql's twin, never
+    all-pairs)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MHEST_DOC_CAP)
+        .select("doc_id", "text")
+    )
+    sh = shingles(d, 3)
+    # df-cap twin of shingle_ctes_sql's shj: drop corpus-stopword
+    # shingles before pairing (same guard, same constant)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shj = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.lit(f"{i}:"), F.col("shingle")), 256),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh{i}")
+        for i in range(_MHEST_PERMS)
+    ]
+    sig = shj.groupBy("doc_id").agg(*aggs)
+    a = shj.alias("a")
+    b = shj.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("a_id"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("b_id"), F.col("n").alias("nb")
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(_MHEST_PERMS)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(_MHEST_PERMS)],
+    )
+    matches = None
+    for i in range(_MHEST_PERMS):
+        term = (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    pairs = (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .join(siga, "a_id")
+        .join(sigb, "b_id")
+        .select(
+            F.floor(
+                F.col("c") * 1e6 / (F.col("na") + F.col("nb") - F.col("c"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jmicros"),
+            matches.alias("n_matches"),
+        )
+    )
+    return pairs.groupBy("n_matches").agg(
+        (F.col("n_matches").cast("double") / _MHEST_PERMS).alias(
+            "est_jaccard"
+        ),
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.floor(
+                F.sum("jmicros").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_exact"),
+        (
+            F.floor(
+                F.sum(
+                    F.abs(F.col("n_matches") * _MHEST_EM - F.col("jmicros"))
+                ).cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_abs_err"),
+    )

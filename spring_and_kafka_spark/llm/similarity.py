@@ -2183,3 +2183,205 @@ def q_embed_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6,
         ).alias("dup_rate"),
     )
+
+
+_RBO_NQ = 8  # evaluated query sample: vec_id < 8
+_RBO_K = 10  # evaluation depth (truncated RBO@k)
+# RBO weights with p = 1/2: w_d = (1-p)·p^(d-1) = 0.5^d — EXACT dyadic
+# doubles, so the weight table carries no libm and no representation
+# error into either engine (the reason p is 1/2 here and not the
+# conventional 0.9: 0.9^d is inexact and engine-pow divergent; the
+# metric's ordering behavior is the same, just more top-weighted).
+_RBO_W = [0.5 ** d for d in range(1, _RBO_K + 1)]
+_RBO_W_SQL = "[" + ", ".join(repr(w) for w in _RBO_W) + "]"
+# Perfect-agreement total in nanos, each term floored exactly as the
+# per-depth terms are (ov_d = d), so rbo == 1.0 is reachable bit-exactly.
+_RBO_MAX_NANOS = sum(
+    math.floor((_RBO_W[d - 1] * d * 1e9) / d + 0.5)
+    for d in range(1, _RBO_K + 1)
+)
+
+
+@register(
+    "q_embed_rbo",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {_WF_SQL}),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_RBO_NQ}),
+    {_SIG_CTE},
+    qsig AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM sig
+             WHERE vec_id < {_RBO_NQ}),
+    exact_top AS (
+      SELECT qid, vec_id, CAST(rn AS INT) AS pa FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_recall_cos_sql('e.v', 'q.qv')} DESC NULLS LAST,
+                          e.vec_id) AS rn
+        FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {_RBO_K}
+    ),
+    ham_top AS (
+      SELECT qid, vec_id, CAST(rn AS INT) AS pb FROM (
+        SELECT q.qid, s.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY bit_count(xor(s.lo, q.qlo))
+                          + bit_count(xor(s.hi, q.qhi)), s.vec_id) AS rn
+        FROM sig s CROSS JOIN qsig q WHERE s.vec_id <> q.qid
+      ) WHERE rn <= {_RBO_K}
+    ),
+    common AS (
+      SELECT x.qid, greatest(x.pa, h.pb) AS m
+      FROM exact_top x JOIN ham_top h
+        ON h.qid = x.qid AND h.vec_id = x.vec_id
+    ),
+    grid AS (
+      SELECT q.qid, CAST(d AS INT) AS d
+      FROM qs q CROSS JOIN (SELECT unnest(range(1, {_RBO_K} + 1)) AS d)
+    ),
+    ovd AS (
+      SELECT g.qid, g.d, CAST(count(c.m) AS BIGINT) AS ov
+      FROM grid g LEFT JOIN common c ON c.qid = g.qid AND c.m <= g.d
+      GROUP BY g.qid, g.d
+    ),
+    terms AS (
+      SELECT qid,
+             CAST(floor(((CAST({_RBO_W_SQL} AS DOUBLE[]))[d] * ov * 1e9)
+                        / d + 0.5) AS BIGINT) AS tm,
+             CASE WHEN d = {_RBO_K} THEN ov END AS ov_at_k
+      FROM ovd
+    )
+    SELECT qid,
+           CAST(max(ov_at_k) AS BIGINT) AS n_common,
+           CAST(sum(tm) AS BIGINT) AS rbo_nanos,
+           floor(CAST(sum(tm) AS DOUBLE) * 1e6 / {_RBO_MAX_NANOS} + 0.5)
+             / 1e6 AS rbo
+    FROM terms GROUP BY qid
+    """,
+    tags=("ann", "eval"),
+)
+def q_embed_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the sign-sketch
+    Hamming ranking and the exact-cosine ranking, per query — the
+    top-weighted SIMILARITY-of-rankings eval that completes the sketch
+    report card: recall@k asks "is the true set found", NDCG asks "how
+    good is the sketch list against graded truth", RBO asks "how much
+    does the sketch RANKING agree with the exact one, weighted toward
+    the top" — the metric to watch when the sketch feeds a fixed-depth
+    reranker, because it decays exactly like the reranker's attention.
+    Truncated prefix form: RBO@k = Σ_{{d=1..k}} (1-p)·p^(d-1)·|A_d ∩
+    B_d|/d with p = 1/2, normalized by the perfect-agreement total so
+    identical top-{_RBO_K} lists score exactly 1.0 (the extrapolation
+    term is deliberately omitted — at a fixed k it adds a constant the
+    comparison doesn't need).
+
+    Cross-engine determinism (the q_embed_ndcg_eval discipline): both
+    rankings tie-break on vec_id; the weight table is EXACT dyadic
+    0.5^d literals materialized once in Python (no pow() at query time
+    in either engine); every per-depth term floors to integer NANOS
+    before the per-query sum, so aggregation order cannot move a bit;
+    the normalizer is the same floored sum computed at import.
+
+    Shape at 100 TB: both top lists are per-query
+    TakeOrderedAndProject heaps over one corpus pass each (the sketch
+    pass reads 8-byte signatures, not vectors); the overlap join and
+    the {_RBO_K}-row depth grid are list-sized (broadcast); output is
+    |queries| rows."""
+    e = _well_formed(
+        load_vectors(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    qs = e.filter(F.col("vec_id") < _RBO_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cosj = e.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("qid"))
+    exact_top = (
+        cosj.select(
+            "qid",
+            "vec_id",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    cosine(F.col("v"), F.col("qv")).desc_nulls_last(),
+                    "vec_id",
+                )
+            )
+            .alias("pa"),
+        )
+        .filter(F.col("pa") <= _RBO_K)
+    )
+    sig = _signatures(e)
+    qsig = sig.filter(F.col("vec_id") < _RBO_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamj = sig.crossJoin(F.broadcast(qsig)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    ham_top = (
+        hamj.select(
+            "qid",
+            "vec_id",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    (
+                        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+                    ),
+                    "vec_id",
+                )
+            )
+            .alias("pb"),
+        )
+        .filter(F.col("pb") <= _RBO_K)
+    )
+    common = exact_top.join(ham_top, ["qid", "vec_id"]).select(
+        "qid", F.greatest("pa", "pb").alias("m")
+    )
+    depths = spark.range(1, _RBO_K + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    # aliases break the shared lineage back to qs: without them the
+    # grid-side and common-side qid resolve to the SAME attribute id
+    # and the equality folds to trivially-true (a silent cartesian)
+    grid = (
+        qs.select("qid").crossJoin(F.broadcast(depths)).alias("g")
+    )
+    cm = common.alias("cm")
+    ovd = (
+        grid.join(
+            cm,
+            (F.col("g.qid") == F.col("cm.qid"))
+            & (F.col("cm.m") <= F.col("g.d")),
+            "left",
+        )
+        .select(F.col("g.qid").alias("qid"), F.col("g.d").alias("d"), "cm.m")
+        .groupBy("qid", "d")
+        .agg(F.count("m").alias("ov"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W])
+    terms = ovd.select(
+        "qid",
+        F.floor(
+            (F.element_at(w_arr, F.col("d")) * F.col("ov") * F.lit(1e9))
+            / F.col("d")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tm"),
+        F.when(F.col("d") == _RBO_K, F.col("ov")).alias("ov_at_k"),
+    )
+    return terms.groupBy("qid").agg(
+        F.max("ov_at_k").alias("n_common"),
+        F.sum("tm").alias("rbo_nanos"),
+        (
+            F.floor(
+                F.sum("tm").cast("double") * 1e6 / F.lit(_RBO_MAX_NANOS)
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("rbo"),
+    )

@@ -1144,3 +1144,128 @@ def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6,
         ).alias("xcorr"),
     )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(coalesce(
+               sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT)
+               AS s
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, day, s,
+             row_number() OVER w AS i,
+             sum(s) OVER w AS si,
+             sum(s) OVER (PARTITION BY event_type) AS stot,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cand AS (
+      SELECT event_type, day, i, n, si, stot,
+             (CAST(n * si - i * stot AS DOUBLE) * (n * si - i * stot))
+               / (i * (n - i)) AS gain
+      FROM ser WHERE i < n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gain DESC, day) AS rn
+      FROM cand
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS change_day,
+           CAST(i AS BIGINT) AS n_before,
+           floor(CAST(si AS DOUBLE) / i + 0.5) / 1e6 AS mean_before,
+           floor(CAST(stot - si AS DOUBLE) / (n - i) + 0.5) / 1e6
+             AS mean_after
+    FROM best WHERE rn = 1
+    """,
+    tags=("timeseries",),
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single change-point detection per event type (binary
+    segmentation's first split): over the daily value series, choose
+    the split that maximizes the between-segment sum-of-squares
+    reduction — gain(i) = n·(mean_left − mean)²·i·(n−i)/n expressed via
+    prefix sums as (n·S_i − i·S)² / (i·(n−i)) — the retrospective twin
+    of q_ts_cusum's online detector (CUSUM alarms as data arrives; this
+    names the single most likely break day after the fact, the first
+    question an on-call asks of a drifted metric). change_day is the
+    LAST day of the left segment; series with a single day emit no row
+    (no candidate split exists).
+
+    Cross-engine determinism: daily sums are exact micro-unit BIGINTs
+    (the micros() contract; all-NULL days coalesce to 0 in both
+    engines, NULL-ts rows are excluded at the scan — the q_user_streak
+    phantom-island rule); the argmax key (n·S_i − i·S)² / (i·(n−i)) is
+    ONE pinned multiply/divide chain over exact integers — IEEE-
+    deterministic in both engines — with ties broken on the earliest
+    day; segment means round floor-form through a single division.
+
+    Shape at 100 TB: one map-side-combined groupBy to |types|×|days|
+    rows, then stacked same-key windows (row_number + prefix sum + two
+    partition aggregates share ONE shuffle on event_type — the
+    q_ts_cusum two-level decomposition rule applies if a key's series
+    outgrows a partition), then a per-key argmax. The candidate scan is
+    O(days) per key — never O(days²) — because prefix sums turn every
+    segment statistic into two lookups."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            micros("value").alias("vm"),
+        )
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.coalesce(F.sum("vm"), F.lit(0)).alias("s")
+    )
+    wk = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("event_type")
+    ser = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("i"),
+        F.sum("s").over(wk).alias("si"),
+        F.sum("s").over(wp).alias("stot"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    num = F.col("n") * F.col("si") - F.col("i") * F.col("stot")
+    cand = ser.filter(F.col("i") < F.col("n")).withColumn(
+        "gain",
+        (num.cast("double") * num) / (F.col("i") * (F.col("n") - F.col("i"))),
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("gain").desc(), "day")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("day").alias("change_day"),
+        F.col("i").alias("n_before"),
+        (
+            F.floor(F.col("si").cast("double") / F.col("i") + F.lit(0.5)) / 1e6
+        ).alias("mean_before"),
+        (
+            F.floor(
+                (F.col("stot") - F.col("si")).cast("double")
+                / (F.col("n") - F.col("i"))
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_after"),
+    )
