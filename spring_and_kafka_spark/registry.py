@@ -84,111 +84,97 @@ _MODULE_SEQ: dict[str, int] = {}
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row.
 #
-# Round-14 window. Rotation pool derived PROGRAMMATICALLY —
-# `python -m tools.window_pool` folds CORRECTNESS_r01..r13 into the
-# last-verified map. Tool output this rotation (through_round=13):
-#   histogram: r8=3, r9=50, r10=49, r11=49, r12=49, r13=50  (250, 0 never)
+# Round-15 window. Rotation pool derived PROGRAMMATICALLY —
+# `python -m tools.window_pool` folds CORRECTNESS_r01..r14 into the
+# last-verified map. Tool output this rotation (through_round=14):
+#   histogram: r9=23, r10=49, r11=49, r12=49, r13=46, r14=50
+#   (266, 0 never)
 # pinned (round-bounded, so next round's artifact can't break it) in
 # tests/test_registry_window.py.
 #
 # Composition, per the rotation discipline (rule order: never-verified >
-# red fixes > changed output > stalest green):
-#   (a) the 16 queries NEW in r14 (q_dedup_threshold_curve
-#       q_embed_ivf_balance q_embed_ndcg_eval q_embed_pq_eval
-#       q_embed_rrf q_embed_threshold_curve q_graph_assortativity
-#       q_graph_degree_dist q_graph_lcc q_graph_modularity
-#       q_seq_markov_session q_sim_hamming_topk q_skew_audit
-#       q_text_diversity q_ts_crosscorr q_user_streak — the two
-#       dedup/ANN threshold curves, the eval/balance suite, RRF
-#       fusion, degree assortativity + degree histogram + local
-#       clustering + brand modularity, the session-bounded Markov
-#       matrix, the sign-sketch Hamming top-k, the join-key skew
-#       audit, lexical diversity, lead/lag cross-correlation, and the
-#       gaps-and-islands streak, pool() round-0 name order) — never
-#       driver-verified, so they lead;
-#   (b) the 9 queries whose OUTPUT expression changed in r14 (name
-#       order): q_embed_centroid q_sim_ann_ivf q_sim_ann_ivf_refined
-#       q_sim_pairwise q_sim_topk (NULLIF zero-norm pins + NULLS LAST
-#       — the r13 rotation backlog discharged, plus the two flagged
-#       r15 backlog oracles pre-paid late in r14), q_graph_jaccard
-#       (the _JACCARD_CENTER_CAP hub guard, VERDICT r13 item 1),
-#       q_hist_log2 (oracle BIGINT shifts), q_seq_markov (event_type
-#       ordering tiebreak), q_ts_stl_residual (floor-form rates) —
-#       the last four all ADVICE r13 items;
-#   (c) the rotation pool in tools.window_pool pool() order: the 3
-#       r8-stale rows deferred since r13 (q_udf_grouped_agg
-#       q_udf_grouped_map q_udf_pandas) + the first 22 of the 50
-#       r9-stale rows not already taken by (b) — 16+9+3+22 = 50
-#       exactly.
-# After this window the stalest green rows are the 23 remaining r9
-# rows (q_join_broadcast q_join_cross q_join_full q_join_inner
-# q_join_left q_join_right q_join_semi q_join_theta
-# q_multimodal_decode q_multimodal_meta q_sample_hash
-# q_sample_hash_threshold q_sample_seeded q_sample_stratified_hash —
-# displaced as the r14 new-op batches took their slots — then
-# q_sim_knn_all q_sim_lsh_bucket q_sim_topk_per_label
-# q_text_contamination q_text_entropy q_text_fingerprint
-# q_text_langid q_text_redact q_winsorize) then the 49 r10 rows — the
-# r15 pool head. (The q_sim_pairwise/q_sim_topk NULLIF backlog flagged
-# here in r13 was pre-paid in r14: both rotated into (b) with their
-# pins.)
+# red fixes > changed output > stalest green). Per the r14 verdict's
+# process note, this round favors ROTATION over registry growth: only
+# 6 new ops (vs 16 in r14), so the window retires ALL 23 remaining r9
+# rows plus the first 20 r10 rows:
+#   (a) the 6 queries NEW in r15 (q_dedup_minhash_est q_embed_rbo
+#       q_quality_gopher q_text_boilerplate q_text_pmi
+#       q_ts_changepoint — MinHash estimator calibration, rank-biased
+#       overlap of the sketch vs exact rankings, the Gopher rule
+#       battery, cross-source template detection, collocation PMI, and
+#       offline change-point detection, pool() round-0 name order) —
+#       never driver-verified, so they lead;
+#   (b) the 1 query whose OUTPUT expression changed in r15:
+#       q_embed_threshold_curve (the _WF_SQL well-formed-vector
+#       contract joined on both sides — ADVICE r14 item 1);
+#   (c) the rotation pool in tools.window_pool pool() order: all 23
+#       r9-stale rows (displaced by the r14 new-op batch, named at the
+#       r14 block's tail) + the first 20 of the 49 r10 rows —
+#       6+1+23+20 = 50 exactly.
+# After this window the stalest green rows are the 29 remaining r10
+# rows (q_stream_session q_stream_slide q_stream_tumble q_subquery_in
+# q_subquery_scalar q_text_chunk q_text_dup_fraction q_tpch_q10
+# q_tpch_q13 q_tpch_q14 q_tpch_q15 q_tpch_q16 q_tpch_q17 q_tpch_q18
+# q_tpch_q19 q_tpch_q20 q_tpch_q21 q_tpch_q22 q_tpch_q3 q_tpch_q4
+# q_tpch_q5 q_tpch_q6 q_tpch_q7 q_tpch_q8 q_ts_simsearch q_udf_scalar
+# q_win_dist q_win_ntile q_win_streak) then the 49 r11 rows — the r16
+# pool head.
 # Queries not named here rank after the prefix by (module rank, def
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
-    # (a) new-in-r14, never verified — pool() round-0 name order
-    "q_dedup_threshold_curve",
-    "q_embed_ivf_balance",
-    "q_embed_ndcg_eval",
-    "q_embed_pq_eval",
-    "q_embed_rrf",
+    # (a) new-in-r15, never verified — pool() round-0 name order
+    "q_dedup_minhash_est",
+    "q_embed_rbo",
+    "q_quality_gopher",
+    "q_text_boilerplate",
+    "q_text_pmi",
+    "q_ts_changepoint",
+    # (b) output expression changed in r15 (ADVICE r14 item 1)
     "q_embed_threshold_curve",
-    "q_graph_assortativity",
-    "q_graph_degree_dist",
-    "q_graph_lcc",
-    "q_graph_modularity",
-    "q_seq_markov_session",
-    "q_sim_hamming_topk",
-    "q_skew_audit",
-    "q_text_diversity",
-    "q_ts_crosscorr",
-    "q_user_streak",
-    # (b) output expression changed in r14 (ADVICE r13 + hub cap +
-    # zero-norm pins), name order
-    "q_embed_centroid",
-    "q_graph_jaccard",
-    "q_hist_log2",
-    "q_seq_markov",
-    "q_sim_ann_ivf",
-    "q_sim_ann_ivf_refined",
-    "q_sim_pairwise",
-    "q_sim_topk",
-    "q_ts_stl_residual",
-    # (c) the rotation pool, tools.window_pool order: 3 r8 + 22 r9
-    "q_udf_grouped_agg",
-    "q_udf_grouped_map",
-    "q_udf_pandas",
-    "q_agg_approx",
-    "q_agg_argmax",
-    "q_agg_collect",
-    "q_agg_hll_rollup",
-    "q_agg_quantile_sketch",
-    "q_attribution",
-    "q_compaction_plan",
-    "q_corpus_budget",
-    "q_corpus_pack",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_clusters_lsh",
-    "q_dedup_embed",
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_dedup_survivors",
-    "q_embed_pca",
-    "q_embed_quantize",
-    "q_join_anti",
-    "q_join_asof",
+    # (c) the rotation pool, tools.window_pool order: 23 r9 + 20 r10
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_theta",
+    "q_multimodal_decode",
+    "q_multimodal_meta",
+    "q_sample_hash",
+    "q_sample_hash_threshold",
+    "q_sample_seeded",
+    "q_sample_stratified_hash",
+    "q_sim_knn_all",
+    "q_sim_lsh_bucket",
+    "q_sim_topk_per_label",
+    "q_text_contamination",
+    "q_text_entropy",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_redact",
+    "q_winsorize",
+    "q_agg_countmin",
+    "q_agg_group",
+    "q_agg_mode",
+    "q_corpus_mix",
+    "q_corpus_repeat",
+    "q_corpus_split",
+    "q_dist_shift",
+    "q_embed_dim_stats",
+    "q_fn_array",
+    "q_fn_decimal",
+    "q_fn_string",
+    "q_gapfill",
+    "q_graph_pagerank",
+    "q_join_multi",
+    "q_join_range",
+    "q_join_salted",
+    "q_multimodal_framesample",
+    "q_rollup_hier",
+    "q_sample_temperature",
+    "q_sessionize",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -30,6 +30,7 @@ R11_DERIVATION_ROUND = 10
 R12_DERIVATION_ROUND = 11
 R13_DERIVATION_ROUND = 12
 R14_DERIVATION_ROUND = 13
+R15_DERIVATION_ROUND = 14
 
 # NEW in r11 (never driver-verified — must lead any window they can
 # reach, pool() round-0 name order): the r11 LLM-ops batch.
@@ -129,6 +130,25 @@ CHANGED_R14 = [
     "q_ts_stl_residual",
 ]
 
+# NEW in r15 (deliberately small — the r14 verdict's rotation-over-
+# growth note): MinHash estimator calibration, rank-biased overlap of
+# the sketch vs exact rankings, the Gopher rule battery, cross-source
+# template detection, collocation PMI, offline change-point detection
+# (pool() round-0 name order).
+NEW_R15 = [
+    "q_dedup_minhash_est",
+    "q_embed_rbo",
+    "q_quality_gopher",
+    "q_text_boilerplate",
+    "q_text_pmi",
+    "q_ts_changepoint",
+]
+
+# Changed in r15 while already green: q_embed_threshold_curve's sample
+# scan joined the _WF_SQL well-formed-vector contract on both sides
+# (ADVICE r14 item 1).
+CHANGED_R15 = ["q_embed_threshold_curve"]
+
 
 # ---------------------------------------------------------------- invariants
 
@@ -226,6 +246,14 @@ def test_window_pool_histograms_match_their_input_rounds():
         12: 49,
         13: 50,
     }
+    assert histogram(last_verified(through_round=R15_DERIVATION_ROUND)) == {
+        9: 23,
+        10: 49,
+        11: 49,
+        12: 49,
+        13: 46,
+        14: 50,
+    }
 
 
 def test_r11_window_was_new_plus_changed_plus_pool_order():
@@ -287,22 +315,42 @@ def test_r13_window_was_new_plus_changed_plus_pool_order():
     assert strata == [6] + [8] * 37
 
 
-def test_r14_window_is_new_plus_changed_plus_pool_order():
-    """The r14 window must be exactly: the never-verified r14 additions,
-    then the r14 changed-output queries (name order), then the rotation
-    pool derived from CORRECTNESS_r01..r13 in pool() order (stalest
-    round, then name) — i.e. the window is DERIVED, not hand-picked.
-    With 16 new + 9 changed, the remaining 25 slots hold the 3 r8 UDF
-    rows deferred since r13 and the first 22 r9 rows not already taken
-    by the changed block — 50 exactly (23 r9 rows lead the r15 pool)."""
-    prefix = registry._WINDOW_PREFIX
-    lead = NEW_R14 + CHANGED_R14
-    assert prefix[: len(lead)] == lead
+def test_r14_window_was_new_plus_changed_plus_pool_order():
+    """The r14 derivation record, kept as history (same treatment the
+    r11-r13 windows got when they rotated away): the r14 window list
+    lives in CORRECTNESS_r14.json's key order, which is immutable."""
     lv = last_verified(through_round=R14_DERIVATION_ROUND)
     assert not any(n in lv for n in NEW_R14), "NEW_R14 not actually new"
+    import json, os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "CORRECTNESS_r14.json")) as f:
+        r14_window = list(json.load(f))
+    lead = NEW_R14 + CHANGED_R14
+    assert r14_window[: len(lead)] == lead
+    rest = [n for n in pool(lv) if n not in lead]
+    assert r14_window[len(lead) :] == rest[: 50 - len(lead)]
+    # the strata the r14 derivation claimed: 3 r8 UDF rows + 22 r9
+    strata = [lv[n] for n in r14_window[len(lead) :]]
+    assert strata == [8] * 3 + [9] * 22
+
+
+def test_r15_window_is_new_plus_changed_plus_pool_order():
+    """The r15 window must be exactly: the never-verified r15 additions,
+    then the r15 changed-output query, then the rotation pool derived
+    from CORRECTNESS_r01..r14 in pool() order (stalest round, then
+    name) — i.e. the window is DERIVED, not hand-picked. With only 6
+    new + 1 changed (rotation-over-growth, the r14 verdict's process
+    note), the remaining 43 slots retire ALL 23 r9-stale rows and the
+    first 20 r10 rows — 50 exactly (29 r10 rows lead the r16 pool)."""
+    prefix = registry._WINDOW_PREFIX
+    lead = NEW_R15 + CHANGED_R15
+    assert prefix[: len(lead)] == lead
+    lv = last_verified(through_round=R15_DERIVATION_ROUND)
+    assert not any(n in lv for n in NEW_R15), "NEW_R15 not actually new"
     rest = [n for n in pool(lv) if n not in lead]
     assert prefix[len(lead) :] == rest[: 50 - len(lead)]
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [8] * 3 + [9] * 22
+    assert strata == [9] * 23 + [10] * 20
