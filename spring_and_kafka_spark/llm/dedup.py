@@ -1373,7 +1373,12 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < _MHEST_DOC_CAP)
         .select("doc_id", "text")
     )
-    sh = shingles(d, 3)
+    # the shingle stream feeds FIVE consumers (sizes, the df-cap, the
+    # signature build, and both pair-join sides) — materialize it once
+    # or every consumer re-runs the scan+explode subtree (the
+    # _band_bucket_rows lesson; the pre-fix plan showed 20 parquet
+    # scans of the same sample)
+    sh = materialize(shingles(d, 3))
     # df-cap twin of shingle_ctes_sql's shj: drop corpus-stopword
     # shingles before pairing (same guard, same constant)
     hot = (
@@ -1383,7 +1388,7 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    shj = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    shj = materialize(sh.join(F.broadcast(hot), "shingle", "left_anti"))
     aggs = [
         F.min(
             F.conv(

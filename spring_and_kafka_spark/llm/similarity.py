@@ -2338,7 +2338,10 @@ def q_embed_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pb") <= _RBO_K)
     )
-    common = exact_top.join(ham_top, ["qid", "vec_id"]).select(
+    # both ranked lists are NQ·K rows by construction — broadcast the
+    # overlap join (the pre-fix plan planned a sort-merge join over two
+    # ≤80-row inputs)
+    common = exact_top.join(F.broadcast(ham_top), ["qid", "vec_id"]).select(
         "qid", F.greatest("pa", "pb").alias("m")
     )
     depths = spark.range(1, _RBO_K + 1).select(
@@ -2350,7 +2353,7 @@ def q_embed_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         qs.select("qid").crossJoin(F.broadcast(depths)).alias("g")
     )
-    cm = common.alias("cm")
+    cm = F.broadcast(common).alias("cm")
     ovd = (
         grid.join(
             cm,

@@ -1843,7 +1843,11 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _BP_SEG)),
     )
-    seg = d.select("doc_id", "source", F.explode(segs).alias("seg"))
+    # the segment stream feeds the template groupBy AND the rejoin side
+    # — materialize so the scan+explode runs once, not per consumer
+    seg = materialize(
+        d.select("doc_id", "source", F.explode(segs).alias("seg"))
+    )
     flag = seg.groupBy("seg").agg(
         (
             F.count_distinct(F.coalesce("source", F.lit("\x01")))
@@ -2082,7 +2086,10 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("t")
     )
-    uni = (
+    # the vocab-sized unigram table feeds THREE consumers (the total
+    # and both join sides) and the bigram table two (total + report) —
+    # materialize each so the corpus explode runs once per gram order
+    uni = materialize(
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -2097,7 +2104,7 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.array().cast("array<struct<w1:string,w2:string>>")
     )
-    bi = (
+    bi = materialize(
         toks.select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")

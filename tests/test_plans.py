@@ -981,3 +981,87 @@ def test_dedup_threshold_curve_single_agg_no_rescan(spark):
     assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 0
     assert "Generate" in p  # the 4-row unpivot explode
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) <= 1
+
+
+def test_text_boilerplate_materialized_segments_single_rejoin(spark):
+    # the segment stream is materialized once (no parquet scan survives
+    # in the final plan); the template table rejoins on the segment key
+    # (1 row per segment — no pair enumeration); no window, no
+    # cartesian anywhere
+    import re
+
+    p = plan(spark, "q_text_boilerplate")
+    assert "Scan parquet" not in p  # segment stream lineage-cut
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 0
+
+
+def test_quality_gopher_zero_join_one_agg(spark):
+    # the whole five-rule battery is a narrow projection (array
+    # transforms inside codegen) + ONE map-side-combined groupBy to
+    # |languages| rows: no join, no window, no explode, exactly one
+    # exchange pair, and the scan pruned to the two needed columns
+    import re
+
+    p = plan(spark, "q_quality_gopher")
+    assert "Join" not in p
+    assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "n_chars" not in p.split("ReadSchema")[1]
+
+
+def test_text_pmi_materialized_grams_heap_no_cartesian(spark):
+    # unigram and bigram tables are materialized (single corpus explode
+    # per gram order — no parquet scan survives); the two scalar totals
+    # ride as broadcast nested-loop 1-row join-backs; the final top-k
+    # is a heap (TakeOrderedAndProject), never a global sort; ranking
+    # shuffles are the two gram groupBys only
+    import re
+
+    p = plan(spark, "q_text_pmi")
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+
+
+def test_ts_changepoint_stacked_windows_no_join(spark):
+    # daily rollup (one map-side-combined groupBy) then the prefix sum
+    # / partition aggregates / argmax all stack on the SAME event_type
+    # key: no join anywhere, and the rank<=1 argmax is pushed into the
+    # window (WindowGroupLimit), so no per-key sort survives it
+    import re
+
+    p = plan(spark, "q_ts_changepoint")
+    assert "Join" not in p
+    assert "WindowGroupLimit" in p
+    assert "IsNotNull(ts)" in p  # NULL-ts exclusion pushed to the scan
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2
+
+
+def test_embed_rbo_heaps_and_broadcast_overlap(spark):
+    # both rankings come from per-query WindowGroupLimit heaps (the
+    # rank<=k filter pushed into the window); the overlap join and the
+    # depth-grid theta join are broadcasts of list-sized inputs — no
+    # sort-merge join, no cartesian, anywhere
+    import re
+
+    p = plan(spark, "q_embed_rbo")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+    assert "LessThan(vec_id,8)" in p  # query sample pushed to the scan
+
+
+def test_dedup_minhash_est_pushed_sample_materialized_shingles(spark):
+    # the calibration sample bound reaches the parquet scan; the
+    # shingle stream and its df-capped twin are materialized (no scan
+    # survives — the pre-fix plan re-ran the scan+explode subtree 20
+    # times); the signature build is ONE wide min-aggregate groupBy;
+    # every join is sample-bounded and hash/broadcast, never cartesian
+    import re
+
+    p = plan(spark, "q_dedup_minhash_est")
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
