@@ -937,3 +937,202 @@ def test_user_streak_null_ts_not_a_phantom_day(spark, tmp_path):
     assert got["n_active_days"] == [3]
     assert got["longest_streak"] == [3]
     assert got["n_streaks"] == [1]
+
+
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def test_boilerplate_cross_source_vs_within_source(spark, tmp_path):
+    """The template flag requires >= 3 DISTINCT sources: a segment
+    repeated 10x inside ONE source must NOT flag (that's
+    q_text_dup_fraction's job), a segment planted once in three
+    sources MUST — and untagged (NULL-source) docs both count toward
+    the source tally (via the sentinel) and form their own output
+    group."""
+    d = tmp_path / "boiler"
+    d.mkdir()
+    tpl = "alpha beta gamma delta eps zeta eta theta"  # one 8-word seg
+    rows = [
+        (0, tpl, "en", "s0", len(tpl)),
+        (1, tpl, "en", "s1", len(tpl)),
+        (2, tpl, "en", None, len(tpl)),  # NULL source completes the 3
+        (10, "mono dup seg " * 1 + "w x y z p q r s", "en", "s2", 30),
+    ]
+    # within-source repetition: same segment, same source, many docs
+    rows += [
+        (20 + i, "solo uniq run one two three four five", "en", "s3", 38)
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = assert_parity(spark, "q_text_boilerplate", str(d), ["documents"])
+    by_src = dict(zip(got["source"], zip(got["n_boiler"], got["n_segments"])))
+    assert by_src["s0"] == (1, 1)  # the planted template flags
+    assert by_src["s1"] == (1, 1)
+    assert by_src[None] == (1, 1)  # NULL source is a real output group
+    assert by_src["s3"] == (0, 10)  # 10 within-source repeats: no flag
+    assert by_src["s2"][0] == 0
+
+
+def test_quality_gopher_each_rule_bites_alone(spark, tmp_path):
+    """Five docs, each failing exactly one rule, plus one clean doc —
+    the per-rule pass counts must finger exactly the failing rule, and
+    a NULL-lang doc forms a legitimate group."""
+    d = tmp_path / "gopher"
+    d.mkdir()
+    clean = " ".join(["tok"] * 10 + ["the", "a"] + ["w%d" % i for i in range(10)])
+    short = "the a tok"  # fails length (3 < 20 toks)
+    longw = " ".join(["superlongword%d" % i for i in range(18)] + ["the", "a"])
+    nostop = " ".join(["w%d" % i for i in range(22)])  # no stopwords
+    # repetitive: 'tok' is 10/22 > 1/5 of the doc
+    rep = " ".join(["tok"] * 10 + ["the", "a"] + ["u%d" % i for i in range(10)])
+    rows = [
+        (0, clean, "en", "s", len(clean)),
+        (1, short, "en", "s", len(short)),
+        (2, longw, "en", "s", len(longw)),
+        (3, nostop, "en", "s", len(nostop)),
+        (4, rep, "en", "s", len(rep)),
+        (5, clean, None, "s", len(clean)),  # NULL lang group
+    ]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = assert_parity(spark, "q_quality_gopher", str(d), ["documents"])
+    en = {c: v for c, v in zip(got["lang"], zip(
+        got["n_docs"], got["pass_len"], got["pass_wlen"], got["pass_stop"],
+        got["pass_rep"], got["n_clean"]))}
+    n_docs, p_len, p_wlen, p_stop, p_rep, n_clean = en["en"]
+    assert n_docs == 5
+    assert p_len == 4  # only `short` fails length
+    assert p_wlen == 4  # only `longw` fails word length
+    assert p_stop == 4  # only `nostop` fails stopwords
+    assert p_rep <= 3  # `rep` fails dominance (clean has tok x10 of 22: ok)
+    assert en["en"][0] == 5
+    nl = {c: v for c, v in zip(got["lang"], got["n_docs"])}
+    assert nl[None] == 1
+
+
+def test_pmi_planted_collocation_tops_and_support_floor(spark, tmp_path):
+    """A planted always-adjacent pair must rank first; a pair occurring
+    4 times (below the support floor of 5) must be absent entirely."""
+    d = tmp_path / "pmi"
+    d.mkdir()
+    rows = []
+    # 'neural net' always adjacent, 6 occurrences, in separate docs of
+    # otherwise-shuffled filler so filler pairs stay diffuse
+    fill = ["alpha", "beta", "gamma", "delta", "eps"]
+    for i in range(6):
+        f = fill[i % 5], fill[(i + 2) % 5], fill[(i + 4) % 5]
+        text = f"{f[0]} neural net {f[1]} {f[2]}"
+        rows.append((i, text, "en", "s", len(text)))
+    # 'rare pair' only 4 times -> filtered by support
+    for i in range(4):
+        text = f"rare pair {fill[i % 5]}"
+        rows.append((100 + i, text, "en", "s", len(text)))
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = assert_parity(spark, "q_text_pmi", str(d), ["documents"])
+    pairs = list(zip(got["w1"], got["w2"]))
+    assert ("rare", "pair") not in pairs
+    assert pairs, "no collocations survived the support floor"
+    # the planted collocation carries the highest lift
+    best = max(range(len(pairs)), key=lambda i: got["pmi"][i])
+    assert pairs[best] == ("neural", "net")
+
+
+def test_changepoint_planted_step_and_constant_series(spark, tmp_path):
+    """A clean level shift must be found at the exact boundary day; a
+    CONSTANT series has gain identically 0 at every split, so the
+    earliest-day tiebreak must pick day 1 deterministically in both
+    engines; a single-day series emits no row."""
+    rows = []
+    # type 'step': 10 days at 10.0, then 10 days at 50.0
+    for i in range(20):
+        rows.append(
+            (i, dt.datetime(2024, 1, 1 + i), 1, "step",
+             10.0 if i < 10 else 50.0)
+        )
+    # type 'flat': constant 7.0 for 8 days
+    for i in range(8):
+        rows.append((100 + i, dt.datetime(2024, 1, 1 + i), 2, "flat", 7.0))
+    # type 'one': a single day -> no candidate split
+    rows.append((200, dt.datetime(2024, 1, 5), 3, "one", 3.0))
+    # NULL ts must not create a phantom day
+    rows.append((300, None, 1, "step", 999.0))
+    d = _write_events(spark, tmp_path, "chg", rows)
+    got = assert_parity(spark, "q_ts_changepoint", d, ["events"])
+    by_t = dict(zip(got["event_type"], zip(
+        got["change_day"], got["n_before"], got["mean_before"],
+        got["mean_after"])))
+    assert "one" not in by_t
+    day, nb, mb, ma = by_t["step"]
+    assert day == dt.datetime(2024, 1, 10) and nb == 10
+    assert mb == 10.0 and ma == 50.0
+    fday, fnb, fmb, fma = by_t["flat"]
+    assert fday == dt.datetime(2024, 1, 1) and fnb == 1  # earliest-day tie
+    assert fmb == 7.0 and fma == 7.0
+
+
+def test_rbo_identical_rankings_hit_exactly_one(spark, tmp_path):
+    """When the sign sketch ranks exactly like exact cosine (orthogonal
+    one-hot vectors with distinct magnitudes make both rankings pure
+    vec_id order), RBO must be EXACTLY 1.0 — the bit-exact
+    reachability claim in the docstring (per-term floors match the
+    normalizer's floors)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "rbo-ident"
+    d.mkdir()
+    vecs, ids = [], []
+    # query 0 plus 12 candidates: candidate i shares one axis with the
+    # query scaled so cosine strictly decreases with vec_id, while all
+    # sketches are distinct one-hot patterns -> hamming ties broken by
+    # vec_id = the same order
+    for i in range(13):
+        v = [0.0] * 64
+        v[0] = 1.0
+        if i > 0:
+            v[i] = float(i)  # larger off-axis mass -> lower cosine to e0
+        vecs.append(v)
+        ids.append(i)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    got = assert_parity(spark, "q_embed_rbo", str(d), ["embeddings"])
+    row = {q: (c, r) for q, c, r in zip(
+        got["qid"], got["n_common"], got["rbo"])}
+    # for qid 0 both rankings are 1..10 by vec_id -> perfect agreement
+    assert row[0] == (10, 1.0)
+
+
+def test_minhash_est_identical_docs_score_exact_one(spark, tmp_path):
+    """A pair of IDENTICAL docs must land in the n_matches=16 bucket
+    with est 1.0, mean exact Jaccard 1.0 and zero error; two docs with
+    NO shared shingle must produce no pair row at all."""
+    d = tmp_path / "mhest"
+    d.mkdir()
+    twin = "alpha beta gamma delta eps zeta eta theta iota kappa"
+    rows = [
+        (0, twin, "en", "s", len(twin)),
+        (1, twin, "en", "s", len(twin)),
+        (2, "uno dos tres quatro cinco seis", "en", "s", 30),
+    ]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = assert_parity(spark, "q_dedup_minhash_est", str(d), ["documents"])
+    assert got["n_matches"] == [16]
+    assert got["est_jaccard"] == [1.0]
+    assert got["n_pairs"] == [1]
+    assert got["mean_exact"] == [1.0]
+    assert got["mean_abs_err"] == [0.0]
