@@ -1,0 +1,439 @@
+"""Round-15 property battery: brute-force replays for the r15 operator
+batch —
+
+- q_quality_gopher: the five-rule battery vs a per-doc Python replay
+  (integer cross-multiplied bounds, NULL/empty text excluded, NULL
+  lang a legitimate group);
+- q_text_boilerplate: tumbling-segment template detection vs an
+  explicit segment-set replay (distinct-source tally with the CHR(1)
+  sentinel for NULL sources, within-source repeats never flagging);
+- q_text_pmi: unigram/bigram counts, the support floor, the pinned
+  IEEE lift chain and the (lift DESC, w1, w2) top-k vs a counter
+  replay (pmi itself compared with a libm tolerance — it is
+  display-only, ranked on lift);
+- q_ts_changepoint: the prefix-sum argmax vs an O(n^2) segment-scan
+  replay using the identical float expression, plus the earliest-day
+  tiebreak and the NULL-ts/NULL-value rules;
+- q_embed_rbo: both rankings, the overlap table, the exact-dyadic
+  weight terms and the nanos floors vs a bit-for-bit Python replay
+  (reusing the r14 battery's signature/cosine replay helpers);
+- q_dedup_minhash_est: shingle sets, sha256-derived 48-bit signatures
+  (hashlib replays the engine hash exactly), match counts, exact
+  Jaccard micros, and the per-bucket means vs a set-based replay.
+
+As in the r10-r14 batteries, every replay drives the REAL registered
+query end-to-end: each example writes a random parquet fixture and the
+query reads it through load_table/load_vectors, so the finite-or-null
+ingest contract is part of the replayed semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import shutil
+import tempfile
+from collections import Counter, defaultdict
+
+from hypothesis import given, settings, strategies as st
+
+from .test_property_r14 import _cos, _ham_py, _sig_py, _write_vecs, pq_vectors
+
+_TS0 = dt.datetime(2024, 1, 1)
+
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _write_docs(spark, d, docs):
+    spark.createDataFrame(
+        [
+            (i, text, lang, src, len(text) if text is not None else None)
+            for i, (text, lang, src) in enumerate(docs)
+        ],
+        _DOC_SCHEMA,
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+
+_WORDS = ["a", "the", "tok", "zip", "superlongwordhere", "w"]
+
+doc_texts = st.lists(
+    st.tuples(
+        st.one_of(
+            st.none(),
+            st.just(""),
+            st.lists(
+                st.sampled_from(_WORDS), min_size=1, max_size=30
+            ).map(" ".join),
+        ),
+        st.sampled_from(["en", "fr", None]),
+        st.sampled_from(["s0", "s1", "s2", None]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(doc_texts)
+def test_quality_gopher_matches_rule_replay(spark, docs):
+    from spring_and_kafka_spark.llm.text import q_quality_gopher
+
+    per_lang = defaultdict(list)
+    for text, lang, _src in docs:
+        if text is None or text == "":
+            continue
+        toks = text.split(" ")
+        n = len(toks)
+        chars_w = len(text) - (n - 1)
+        cnt = Counter(toks)
+        rules = (
+            20 <= n <= 1000,
+            2 * n <= chars_w <= 8 * n,
+            sum(cnt[s] for s in ("a", "the")) >= 2,
+            max(cnt.values()) * 5 <= n,
+            len(cnt) * 10 >= n * 3,
+        )
+        per_lang[lang].append(rules)
+    expected = {}
+    for lang, rows in per_lang.items():
+        n_docs = len(rows)
+        passes = [sum(1 for r in rows if r[i]) for i in range(5)]
+        n_clean = sum(1 for r in rows if all(r))
+        expected[lang] = (
+            n_docs,
+            *passes,
+            n_clean,
+            math.floor(n_clean * 1e6 / n_docs + 0.5) / 1e6,
+        )
+
+    d = tempfile.mkdtemp(prefix="gopher-prop-")
+    try:
+        _write_docs(spark, d, docs)
+        got = {
+            r.lang: (
+                r.n_docs, r.pass_len, r.pass_wlen, r.pass_stop, r.pass_rep,
+                r.pass_uniq, r.n_clean, r.clean_rate,
+            )
+            for r in q_quality_gopher(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(doc_texts)
+def test_boilerplate_matches_segment_replay(spark, docs):
+    from spring_and_kafka_spark.llm.text import q_text_boilerplate
+
+    segs = []  # (doc_id, source, seg)
+    for i, (text, _lang, src) in enumerate(docs):
+        if text is None or text == "":
+            continue
+        toks = text.split(" ")
+        n = len(toks)
+        for s in range(0, max(n - 1, 0) + 1, 8):
+            segs.append((i, src, " ".join(toks[s : s + 8])))
+    src_tally = defaultdict(set)
+    for _i, src, seg in segs:
+        src_tally[seg].add(src if src is not None else "\x01")
+    boiler = {seg for seg, srcs in src_tally.items() if len(srcs) >= 3}
+    per_src = defaultdict(lambda: [set(), 0, 0])
+    for i, src, seg in segs:
+        e = per_src[src]
+        e[0].add(i)
+        e[1] += 1
+        e[2] += seg in boiler
+    expected = {
+        src: (
+            len(docs_), n_seg, n_b,
+            math.floor(n_b * 1e6 / n_seg + 0.5) / 1e6,
+        )
+        for src, (docs_, n_seg, n_b) in per_src.items()
+    }
+
+    d = tempfile.mkdtemp(prefix="boiler-prop-")
+    try:
+        _write_docs(spark, d, docs)
+        got = {
+            r.source: (r.n_docs, r.n_segments, r.n_boiler, r.boiler_rate)
+            for r in q_text_boilerplate(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+pmi_texts = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=2, max_size=20
+        ).map(" ".join),
+        st.just("en"),
+        st.just("s0"),
+    ),
+    min_size=4,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(pmi_texts)
+def test_pmi_matches_counter_replay(spark, docs):
+    from spring_and_kafka_spark.llm.text import q_text_pmi
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for text, _lang, _src in docs:
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_tok = sum(uni.values())
+    n_big = sum(bi.values())
+    sel = []
+    for (w1, w2), c12 in bi.items():
+        if c12 < 5:
+            continue
+        lift = (float(c12) * n_tok * n_tok) / (
+            float(uni[w1]) * uni[w2] * n_big
+        )
+        sel.append((w1, w2, c12, uni[w1], uni[w2], lift))
+    sel.sort(key=lambda r: (-r[5], r[0], r[1]))
+    expected = [r[:5] for r in sel[:20]]
+    exp_pmi = [round(math.log2(r[5]), 4) + 0.0 for r in sel[:20]]
+
+    d = tempfile.mkdtemp(prefix="pmi-prop-")
+    try:
+        _write_docs(spark, d, docs)
+        rows = q_text_pmi(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    got = [(r.w1, r.w2, r.c12, r.c1, r.c2) for r in rows]
+    assert got == expected
+    # pmi is display-only (ranked on lift): libm tolerance
+    for g, e in zip([r.pmi for r in rows], exp_pmi):
+        assert abs(g - e) < 2e-4
+
+
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double"
+)
+
+chg_events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.one_of(st.none(), st.integers(0, 14)),  # day (None -> NULL ts)
+        st.one_of(
+            st.none(), st.sampled_from([0.0, 0.5, 1.25, -3.0, 10.0, 42.5])
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(chg_events)
+def test_changepoint_matches_segment_scan_replay(spark, evs):
+    from spring_and_kafka_spark.operators.timeseries import q_ts_changepoint
+
+    daily = defaultdict(lambda: None)  # (type, day) -> micros sum or None
+    seen = set()
+    for et, day, v in evs:
+        if day is None:
+            continue
+        seen.add((et, day))
+        if v is not None:
+            m = math.floor(v * 1e6 + 0.5)
+            cur = daily[(et, day)]
+            daily[(et, day)] = m if cur is None else cur + m
+    expected = {}
+    for et in {t for t, _ in seen}:
+        days = sorted(d for t, d in seen if t == et)
+        s = [daily[(et, d)] or 0 for d in days]
+        n = len(days)
+        if n < 2:
+            continue
+        stot = sum(s)
+        best = None
+        si = 0
+        for i in range(1, n):
+            si += s[i - 1]
+            num = n * si - i * stot
+            gain = (float(num) * num) / (i * (n - i))
+            key = (-gain, days[i - 1])
+            if best is None or key < best[0]:
+                best = (key, i, si, days[i - 1])
+        _k, i, si, day = best
+        expected[et] = (
+            n,
+            _TS0 + dt.timedelta(days=day),
+            i,
+            math.floor(float(si) / i + 0.5) / 1e6,
+            math.floor(float(stot - si) / (n - i) + 0.5) / 1e6,
+        )
+
+    d = tempfile.mkdtemp(prefix="chg-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (
+                    j,
+                    None if day is None else _TS0 + dt.timedelta(days=day),
+                    1,
+                    et,
+                    v,
+                )
+                for j, (et, day, v) in enumerate(evs)
+            ],
+            _EVENT_SCHEMA,
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.event_type: (
+                r.n_days, r.change_day, r.n_before, r.mean_before,
+                r.mean_after,
+            )
+            for r in q_ts_changepoint(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(pq_vectors)
+def test_embed_rbo_matches_python_replay(spark, vecs):
+    from spring_and_kafka_spark.llm.similarity import (
+        _RBO_K,
+        _RBO_MAX_NANOS,
+        _RBO_NQ,
+        _RBO_W,
+        q_embed_rbo,
+    )
+
+    e = [(i, v) for i, v in enumerate(vecs) if v is not None]
+    vmap = dict(e)
+    sigs = {vid: _sig_py(v) for vid, v in e}
+    expected = {}
+    for qid in [i for i in vmap if i < _RBO_NQ]:
+        qv = vmap[qid]
+        cos_sorted = sorted(
+            ((vid, _cos(v, qv)) for vid, v in e if vid != qid),
+            key=lambda r: (r[1] is None, -(r[1] or 0.0), r[0]),
+        )
+        pa = {vid: i + 1 for i, (vid, _) in enumerate(cos_sorted[:_RBO_K])}
+        qs = sigs[qid]
+        ham_sorted = sorted(
+            ((vid, _ham_py(s, qs)) for vid, s in sigs.items() if vid != qid),
+            key=lambda r: (r[1], r[0]),
+        )
+        pb = {vid: i + 1 for i, (vid, _) in enumerate(ham_sorted[:_RBO_K])}
+        ms = [max(pa[v], pb[v]) for v in pa if v in pb]
+        total = 0
+        for dd in range(1, _RBO_K + 1):
+            ov = sum(1 for m in ms if m <= dd)
+            total += math.floor((_RBO_W[dd - 1] * ov * 1e9) / dd + 0.5)
+        expected[qid] = (
+            sum(1 for m in ms if m <= _RBO_K),
+            total,
+            math.floor(float(total) * 1e6 / _RBO_MAX_NANOS + 0.5) / 1e6,
+        )
+
+    d = tempfile.mkdtemp(prefix="rbo-prop-")
+    try:
+        _write_vecs(d, vecs)
+        got = {
+            r.qid: (r.n_common, r.rbo_nanos, r.rbo)
+            for r in q_embed_rbo(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+mh_docs = st.lists(
+    st.tuples(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+                min_size=1,
+                max_size=10,
+            ).map(" ".join),
+        ),
+        st.just("en"),
+        st.just("s0"),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _mh_hash_py(i, shingle):
+    return int(
+        hashlib.sha256(f"{i}:{shingle}".encode()).hexdigest()[:12], 16
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(mh_docs)
+def test_minhash_est_matches_set_replay(spark, docs):
+    from spring_and_kafka_spark.llm.dedup import (
+        _MHEST_EM,
+        _MHEST_PERMS,
+        q_dedup_minhash_est,
+    )
+
+    sh = {}
+    for i, (text, _lang, _src) in enumerate(docs):
+        if text is None or text == "":
+            continue
+        toks = text.split(" ")
+        n = len(toks)
+        sh[i] = {
+            " ".join(toks[s : s + 3]) for s in range(0, max(n - 3, 0) + 1)
+        }
+    sig = {
+        i: [min(_mh_hash_py(p, s) for s in ss) for p in range(_MHEST_PERMS)]
+        for i, ss in sh.items()
+    }
+    buckets = defaultdict(lambda: [0, 0, 0])  # n_pairs, sum_j, sum_err
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            c = len(sh[a] & sh[b])
+            if c == 0:
+                continue
+            jm = math.floor(c * 1e6 / (len(sh[a]) + len(sh[b]) - c) + 0.5)
+            nm = sum(
+                1 for p in range(_MHEST_PERMS) if sig[a][p] == sig[b][p]
+            )
+            e = buckets[nm]
+            e[0] += 1
+            e[1] += jm
+            e[2] += abs(nm * _MHEST_EM - jm)
+    expected = {
+        nm: (
+            float(nm) / _MHEST_PERMS,
+            np,
+            math.floor(float(sj) / np + 0.5) / 1e6,
+            math.floor(float(se) / np + 0.5) / 1e6,
+        )
+        for nm, (np, sj, se) in buckets.items()
+    }
+
+    d = tempfile.mkdtemp(prefix="mhest-prop-")
+    try:
+        _write_docs(spark, d, docs)
+        got = {
+            r.n_matches: (r.est_jaccard, r.n_pairs, r.mean_exact,
+                          r.mean_abs_err)
+            for r in q_dedup_minhash_est(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
