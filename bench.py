@@ -151,6 +151,23 @@ HEADLINE = [
     # threshold curve (integer cross-multiplied comparisons, one
     # conditional agg over the df-capped pair stream)
     "q_dedup_threshold_curve",
+    # round-15 batch: Gopher rule battery (zero-join narrow pass),
+    # cross-source template detection (segment groupBy + rejoin),
+    # collocation PMI (two materialized gram tables + heap),
+    # offline changepoint (stacked same-key windows), rank-biased
+    # overlap (two heaps + broadcast overlap), MinHash calibration
+    # (sample-pushed wide min-agg + shingle-join pairs)
+    "q_quality_gopher",
+    "q_text_boilerplate",
+    "q_text_pmi",
+    "q_ts_changepoint",
+    "q_embed_rbo",
+    "q_dedup_minhash_est",
+    # round-15 second batch: Matryoshka truncation recall curve
+    # (per-(query,dim) heaps over one corpus pass), KS sampling audit
+    # (value-bounded ECDF windows, one row out)
+    "q_embed_matryoshka_eval",
+    "q_sample_ks_check",
 ]
 
 

@@ -2388,3 +2388,140 @@ def q_embed_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("rbo"),
     )
+
+
+_MRL_DIMS = [8, 16, 32, 64]  # truncation prefixes evaluated
+_MRL_NQ = 8  # evaluated query sample: vec_id < 8
+_MRL_K = 10  # recall@k against the full-dimension ranking
+
+
+@register(
+    "q_embed_matryoshka_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {_WF_SQL}),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_MRL_NQ}),
+    dims AS (SELECT CAST(unnest({_MRL_DIMS}) AS INT) AS d),
+    scored AS (
+      SELECT q.qid, dm.d, e.vec_id,
+             row_number() OVER (PARTITION BY q.qid, dm.d
+               ORDER BY list_dot_product(e.v[1:dm.d], q.qv[1:dm.d])
+                        / NULLIF(sqrt(list_dot_product(e.v[1:dm.d],
+                                                       e.v[1:dm.d]))
+                                 * sqrt(list_dot_product(q.qv[1:dm.d],
+                                                         q.qv[1:dm.d])), 0)
+                        DESC NULLS LAST, e.vec_id) AS rn
+      FROM e CROSS JOIN qs q CROSS JOIN dims dm
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (SELECT qid, d, vec_id FROM scored WHERE rn <= {_MRL_K}),
+    truth AS (SELECT qid, vec_id FROM ranked WHERE d = 64),
+    ov AS (
+      SELECT r.d, CAST(count(*) AS BIGINT) AS sum_overlap
+      FROM ranked r JOIN truth t
+        ON t.qid = r.qid AND t.vec_id = r.vec_id
+      GROUP BY r.d
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qs)
+    SELECT dm.d AS trunc_dim, nq.n_queries,
+           CAST(coalesce(ov.sum_overlap, 0) AS BIGINT) AS sum_overlap,
+           CASE WHEN nq.n_queries > 0 THEN
+             floor(coalesce(ov.sum_overlap, 0) * 1e6
+                   / (nq.n_queries * {_MRL_K}) + 0.5) / 1e6
+           END AS mean_recall
+    FROM dims dm CROSS JOIN nq LEFT JOIN ov ON ov.d = dm.d
+    """,
+    tags=("ann", "eval"),
+)
+def q_embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall curve (the Matryoshka/MRL eval,
+    Kusupati et al. 2022): rank the corpus by cosine over only the
+    FIRST d components for d in {_MRL_DIMS}, and report mean recall@
+    {_MRL_K} of each truncated ranking against the full-dimension
+    ranking — the curve that decides how many leading dimensions a
+    tiered retrieval stack keeps in its hot index (truncated prefix →
+    shortlist → full-dim rerank, the same scan-then-verify shape as
+    the Hamming sketch tier, with d as the knob). The d = 64 row is
+    the built-in sanity anchor: recall exactly 1.0 by construction.
+
+    Cross-engine determinism: slicing is 1-based in both engines
+    (slice() / list [1:d]); every cosine is the guarded sequential
+    fold (same accumulation order as list_dot_product) so rankings
+    cannot diverge by a ulp; both rankings tie-break on vec_id, NULLS
+    LAST pinned (a vector whose leading d components are all zero has
+    NULL truncated cosine — a real MRL failure mode the curve should
+    count against d, which excluding it would hide); overlap counts
+    are exact BIGINTs and the mean is floor-form over n_queries·k.
+
+    Shape at 100 TB: the corpus×queries×dims fan-out is one pass with
+    per-(query, d) TakeOrdered heaps (WindowGroupLimit pushes the
+    rn <= k cut); the overlap join is list-sized; output is
+    |dims| rows. In production the d-truncated scan reads a PREFIX of
+    the vector column — with fixed-size-list parquet encoding that is
+    genuinely less I/O, which is the entire point of MRL."""
+    e = _well_formed(
+        load_vectors(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    qs = e.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "d int")
+    cosj = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .crossJoin(F.broadcast(dims))
+    )
+    sv = F.slice(F.col("v"), F.lit(1), F.col("d"))
+    sq = F.slice(F.col("qv"), F.lit(1), F.col("d"))
+    ranked = (
+        cosj.select(
+            "qid",
+            "d",
+            "vec_id",
+            F.row_number()
+            .over(
+                W.partitionBy("qid", "d").orderBy(
+                    cosine(sv, sq).desc_nulls_last(), "vec_id"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _MRL_K)
+        .select("qid", "d", "vec_id")
+        .alias("r")
+    )
+    truth = (
+        ranked.filter(F.col("d") == 64).select("qid", "vec_id").alias("t")
+    )
+    ov = (
+        ranked.join(
+            F.broadcast(truth),
+            (F.col("t.qid") == F.col("r.qid"))
+            & (F.col("t.vec_id") == F.col("r.vec_id")),
+        )
+        .groupBy(F.col("r.d").alias("d"))
+        .agg(F.count(F.lit(1)).alias("sum_overlap"))
+    )
+    nq = qs.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        dims.crossJoin(F.broadcast(nq))
+        .join(ov, "d", "left")
+        .select(
+            F.col("d").alias("trunc_dim"),
+            "n_queries",
+            F.coalesce("sum_overlap", F.lit(0)).alias("sum_overlap"),
+            F.when(
+                F.col("n_queries") > 0,
+                F.floor(
+                    F.coalesce("sum_overlap", F.lit(0))
+                    * 1e6
+                    / (F.col("n_queries") * _MRL_K)
+                    + F.lit(0.5)
+                )
+                / 1e6,
+            ).alias("mean_recall"),
+        )
+    )

@@ -173,3 +173,116 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _BALANCE_CAP)
     )
+
+
+# KS critical-value constant at alpha = 0.05: c(α)² with c = 1.358
+# (Smirnov's asymptotic two-sample form: reject when
+# D > c·sqrt((n1+n2)/(n1·n2)) — squared here so the flag compares
+# products, never a libm sqrt).
+_KS_C2 = 1.844164
+
+
+@register(
+    "q_sample_ks_check",
+    oracle=f"""
+    WITH v AS (
+      SELECT n_chars,
+             count(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < '29' THEN 1 END) AS cs,
+             count(*) AS cp
+      FROM documents WHERE n_chars IS NOT NULL
+      GROUP BY n_chars
+    ),
+    c AS (
+      SELECT sum(cs) OVER w AS c1, sum(cp) OVER w AS c2,
+             sum(cs) OVER () AS n1, sum(cp) OVER () AS n2
+      FROM v
+      WINDOW w AS (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n_sample,
+           CAST(max(n2) AS BIGINT) AS n_pop,
+           CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+           CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+             floor(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE) * 1e6
+                   / (max(n1) * max(n2)) + 0.5) / 1e6
+           END AS ks_d,
+           (CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+              * max(abs(c1 * n2 - c2 * n1)))
+             > ({_KS_C2} * (max(n1) + max(n2)) * max(n1) * max(n2))
+             AS reject
+    FROM c
+    """,
+    tags=("sampling", "eval"),
+)
+def q_sample_ks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov audit of the hash-threshold sample
+    (q_sample_hash_threshold's ~16% md5-prefix Bernoulli) against the
+    full population on the n_chars distribution — the QA gate a
+    sampling pipeline runs before trusting estimates computed on the
+    sample: a biased hash (or a key correlated with the audited
+    column) shows up as a large sup-distance D, and the alpha = 0.05
+    Smirnov flag says whether the discrepancy exceeds sampling noise.
+    Completes the sampling family: the generators (hash / threshold /
+    stratified / temperature) produce subsets, this op certifies one.
+
+    Cross-engine determinism: the ECDF comparison runs entirely on
+    exact integers — per-value sample/population counts, cumulative
+    sums, and the cross-multiplied sup |c1·n2 − c2·n1| (never a
+    per-row division); the single division producing D is floor-form;
+    the rejection flag compares SQUARED products against c²·(n1+n2)·
+    n1·n2 (pinned literal {_KS_C2}), so no sqrt runs in either
+    engine. NULL n_chars rows are excluded at the scan in both.
+
+    Shape at 100 TB: one map-side-combined groupBy collapses the scan
+    to |distinct values| rows (the audited column's domain, not the
+    corpus); the cumulative window runs over that bounded value table
+    (two-level decomposition per DESIGN.md item 16 if a domain is
+    genuinely huge — bucket the value first, which is also
+    statistically the right KS binning); output is ONE row."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    in_s = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "29"
+    v = d.groupBy("n_chars").agg(
+        F.count(F.when(in_s, 1)).alias("cs"),
+        F.count(F.lit(1)).alias("cp"),
+    )
+    wc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wa = W.partitionBy()
+    c = v.select(
+        F.sum("cs").over(wc).alias("c1"),
+        F.sum("cp").over(wc).alias("c2"),
+        F.sum("cs").over(wa).alias("n1"),
+        F.sum("cp").over(wa).alias("n2"),
+    )
+    diff = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    agg = c.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(diff).alias("ks_num"),
+    )
+    return agg.select(
+        F.col("n1").alias("n_sample"),
+        F.col("n2").alias("n_pop"),
+        "ks_num",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.floor(
+                F.col("ks_num").cast("double")
+                * 1e6
+                / (F.col("n1") * F.col("n2"))
+                + F.lit(0.5)
+            )
+            / 1e6,
+        ).alias("ks_d"),
+        (
+            (F.col("ks_num").cast("double") * F.col("ks_num"))
+            > (
+                F.lit(_KS_C2)
+                * (F.col("n1") + F.col("n2"))
+                * F.col("n1")
+                * F.col("n2")
+            )
+        ).alias("reject"),
+    )

@@ -95,43 +95,48 @@ _MODULE_SEQ: dict[str, int] = {}
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green). Per the r14 verdict's
 # process note, this round favors ROTATION over registry growth: only
-# 6 new ops (vs 16 in r14), so the window retires ALL 23 remaining r9
-# rows plus the first 20 r10 rows:
-#   (a) the 6 queries NEW in r15 (q_dedup_minhash_est q_embed_rbo
-#       q_quality_gopher q_text_boilerplate q_text_pmi
-#       q_ts_changepoint — MinHash estimator calibration, rank-biased
-#       overlap of the sketch vs exact rankings, the Gopher rule
-#       battery, cross-source template detection, collocation PMI, and
-#       offline change-point detection, pool() round-0 name order) —
-#       never driver-verified, so they lead;
+# 8 new ops (vs 16 in r14), so the window retires ALL 23 remaining r9
+# rows plus the first 18 r10 rows:
+#   (a) the 8 queries NEW in r15 (q_dedup_minhash_est
+#       q_embed_matryoshka_eval q_embed_rbo q_quality_gopher
+#       q_sample_ks_check q_text_boilerplate q_text_pmi
+#       q_ts_changepoint — MinHash estimator calibration, the
+#       dimension-truncation recall curve, rank-biased overlap of the
+#       sketch vs exact rankings, the Gopher rule battery, the
+#       two-sample KS sampling audit, cross-source template detection,
+#       collocation PMI, and offline change-point detection, pool()
+#       round-0 name order) — never driver-verified, so they lead;
 #   (b) the 1 query whose OUTPUT expression changed in r15:
 #       q_embed_threshold_curve (the _WF_SQL well-formed-vector
 #       contract joined on both sides — ADVICE r14 item 1);
 #   (c) the rotation pool in tools.window_pool pool() order: all 23
 #       r9-stale rows (displaced by the r14 new-op batch, named at the
-#       r14 block's tail) + the first 20 of the 49 r10 rows —
-#       6+1+23+20 = 50 exactly.
-# After this window the stalest green rows are the 29 remaining r10
-# rows (q_stream_session q_stream_slide q_stream_tumble q_subquery_in
-# q_subquery_scalar q_text_chunk q_text_dup_fraction q_tpch_q10
-# q_tpch_q13 q_tpch_q14 q_tpch_q15 q_tpch_q16 q_tpch_q17 q_tpch_q18
-# q_tpch_q19 q_tpch_q20 q_tpch_q21 q_tpch_q22 q_tpch_q3 q_tpch_q4
-# q_tpch_q5 q_tpch_q6 q_tpch_q7 q_tpch_q8 q_ts_simsearch q_udf_scalar
-# q_win_dist q_win_ntile q_win_streak) then the 49 r11 rows — the r16
-# pool head.
+#       r14 block's tail) + the first 18 of the 49 r10 rows —
+#       8+1+23+18 = 50 exactly.
+# After this window the stalest green rows are the 31 remaining r10
+# rows (q_sample_temperature q_sessionize q_stream_session
+# q_stream_slide q_stream_tumble q_subquery_in q_subquery_scalar
+# q_text_chunk q_text_dup_fraction q_tpch_q10 q_tpch_q13 q_tpch_q14
+# q_tpch_q15 q_tpch_q16 q_tpch_q17 q_tpch_q18 q_tpch_q19 q_tpch_q20
+# q_tpch_q21 q_tpch_q22 q_tpch_q3 q_tpch_q4 q_tpch_q5 q_tpch_q6
+# q_tpch_q7 q_tpch_q8 q_ts_simsearch q_udf_scalar q_win_dist
+# q_win_ntile q_win_streak) then the 49 r11 rows — the r16 pool
+# head.
 # Queries not named here rank after the prefix by (module rank, def
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
     # (a) new-in-r15, never verified — pool() round-0 name order
     "q_dedup_minhash_est",
+    "q_embed_matryoshka_eval",
     "q_embed_rbo",
     "q_quality_gopher",
+    "q_sample_ks_check",
     "q_text_boilerplate",
     "q_text_pmi",
     "q_ts_changepoint",
     # (b) output expression changed in r15 (ADVICE r14 item 1)
     "q_embed_threshold_curve",
-    # (c) the rotation pool, tools.window_pool order: 23 r9 + 20 r10
+    # (c) the rotation pool, tools.window_pool order: 23 r9 + 18 r10
     "q_join_broadcast",
     "q_join_cross",
     "q_join_full",
@@ -173,8 +178,6 @@ _WINDOW_PREFIX = [
     "q_join_salted",
     "q_multimodal_framesample",
     "q_rollup_hier",
-    "q_sample_temperature",
-    "q_sessionize",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -131,14 +131,17 @@ CHANGED_R14 = [
 ]
 
 # NEW in r15 (deliberately small — the r14 verdict's rotation-over-
-# growth note): MinHash estimator calibration, rank-biased overlap of
-# the sketch vs exact rankings, the Gopher rule battery, cross-source
-# template detection, collocation PMI, offline change-point detection
-# (pool() round-0 name order).
+# growth note): MinHash estimator calibration, the Matryoshka
+# dimension-truncation recall curve, rank-biased overlap of the sketch
+# vs exact rankings, the Gopher rule battery, the two-sample KS
+# sampling audit, cross-source template detection, collocation PMI,
+# offline change-point detection (pool() round-0 name order).
 NEW_R15 = [
     "q_dedup_minhash_est",
+    "q_embed_matryoshka_eval",
     "q_embed_rbo",
     "q_quality_gopher",
+    "q_sample_ks_check",
     "q_text_boilerplate",
     "q_text_pmi",
     "q_ts_changepoint",
@@ -341,8 +344,8 @@ def test_r15_window_is_new_plus_changed_plus_pool_order():
     from CORRECTNESS_r01..r14 in pool() order (stalest round, then
     name) — i.e. the window is DERIVED, not hand-picked. With only 6
     new + 1 changed (rotation-over-growth, the r14 verdict's process
-    note), the remaining 43 slots retire ALL 23 r9-stale rows and the
-    first 20 r10 rows — 50 exactly (29 r10 rows lead the r16 pool)."""
+    note), the remaining 41 slots retire ALL 23 r9-stale rows and the
+    first 18 r10 rows — 50 exactly (31 r10 rows lead the r16 pool)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R15 + CHANGED_R15
     assert prefix[: len(lead)] == lead
@@ -353,4 +356,4 @@ def test_r15_window_is_new_plus_changed_plus_pool_order():
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [9] * 23 + [10] * 20
+    assert strata == [9] * 23 + [10] * 18

@@ -156,9 +156,10 @@ SECTIONS = {
         "q_graph_modularity", "q_skew_audit", "q_embed_threshold_curve",
         "q_dedup_threshold_curve",
     ],
-    "round-15 additions: corpus quality battery + template/collocation mining + estimator calibration + ranking-agreement eval + changepoint": [
+    "round-15 additions: corpus quality battery + template/collocation mining + estimator calibration + ranking-agreement/truncation evals + sampling KS audit + changepoint": [
         "q_quality_gopher", "q_text_boilerplate", "q_text_pmi",
         "q_dedup_minhash_est", "q_embed_rbo", "q_ts_changepoint",
+        "q_embed_matryoshka_eval", "q_sample_ks_check",
     ],
 }
 
