@@ -2508,7 +2508,7 @@ def q_embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = qs.agg(F.count(F.lit(1)).alias("n_queries"))
     return (
         dims.crossJoin(F.broadcast(nq))
-        .join(ov, "d", "left")
+        .join(F.broadcast(ov), "d", "left")
         .select(
             F.col("d").alias("trunc_dim"),
             "n_queries",

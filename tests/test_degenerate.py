@@ -1136,3 +1136,54 @@ def test_minhash_est_identical_docs_score_exact_one(spark, tmp_path):
     assert got["n_pairs"] == [1]
     assert got["mean_exact"] == [1.0]
     assert got["mean_abs_err"] == [0.0]
+
+
+def test_matryoshka_zero_prefix_vectors_degrade_recall(spark, tmp_path):
+    """Vectors carrying NO mass in the leading 8 dims have NULL
+    truncated cosine at d=8 (ranked NULLS LAST in both engines, counted
+    AGAINST the truncation), while the d=64 row must report recall
+    exactly 1.0 by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mrl"
+    d.mkdir()
+    vecs, ids = [], []
+    for i in range(16):
+        v = [0.0] * 64
+        if i % 2 == 0:
+            v[i % 8] = 1.0 + i  # mass in the prefix
+        v[8 + (i * 3) % 56] = 2.0 + i  # mass outside the 8-dim prefix
+        vecs.append(v)
+        ids.append(i)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    got = assert_parity(
+        spark, "q_embed_matryoshka_eval", str(d), ["embeddings"]
+    )
+    by_d = dict(zip(got["trunc_dim"], got["mean_recall"]))
+    assert by_d[64] == 1.0  # the sanity anchor
+    assert by_d[8] < 1.0  # zero-prefix vectors cost the truncation
+
+
+def test_ks_check_constant_column_is_zero_distance(spark, tmp_path):
+    """A constant n_chars column makes sample and population ECDFs
+    identical at the single step: D must be exactly 0 and the flag
+    must not fire — and parity must hold on the one-row output."""
+    d = tmp_path / "ks-const"
+    d.mkdir()
+    rows = [(i, "t", "en", "s", 42) for i in range(50)]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    got = assert_parity(spark, "q_sample_ks_check", str(d), ["documents"])
+    assert got["ks_num"] == [0]
+    assert got["ks_d"] == [0.0]
+    assert got["reject"] == [False]
+    assert got["n_pop"] == [50]

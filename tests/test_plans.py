@@ -1065,3 +1065,29 @@ def test_dedup_minhash_est_pushed_sample_materialized_shingles(spark):
     assert "Scan parquet" not in p
     assert "CartesianProduct" not in p
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+
+
+def test_embed_matryoshka_heaps_no_smj(spark):
+    # per-(query, dim) rankings come from WindowGroupLimit heaps over
+    # the single corpus×queries×dims pass; the query sample bound is
+    # pushed to the scan; the overlap and readout joins are broadcasts
+    # of list-sized inputs — no sort-merge join, no cartesian
+    import re
+
+    p = plan(spark, "q_embed_matryoshka_eval")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+    assert "LessThan(vec_id,8)" in p
+
+
+def test_sample_ks_check_value_bounded_windows_no_join(spark):
+    # the scan collapses to |distinct n_chars| rows in ONE map-side-
+    # combined groupBy before any window runs; the NULL exclusion is
+    # pushed to the scan; no join anywhere and one row out
+    import re
+
+    p = plan(spark, "q_sample_ks_check")
+    assert "Join" not in p
+    assert "IsNotNull(n_chars)" in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2

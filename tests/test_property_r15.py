@@ -437,3 +437,126 @@ def test_minhash_est_matches_set_replay(spark, docs):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(pq_vectors)
+def test_embed_matryoshka_matches_python_replay(spark, vecs):
+    """Truncated rankings, the overlap against the d=64 truth list,
+    and the floor-form mean recall vs a slice-and-rank replay using
+    the identical fold cosine and (sim DESC NULLS LAST, vec_id)
+    ordering."""
+    from spring_and_kafka_spark.llm.similarity import (
+        _MRL_DIMS,
+        _MRL_K,
+        _MRL_NQ,
+        q_embed_matryoshka_eval,
+    )
+
+    e = [(i, v) for i, v in enumerate(vecs) if v is not None]
+    vmap = dict(e)
+    qids = [i for i in vmap if i < _MRL_NQ]
+    tops = {}
+    for dd in _MRL_DIMS:
+        for qid in qids:
+            qv = vmap[qid][:dd]
+            ranked = sorted(
+                ((vid, _cos(v[:dd], qv)) for vid, v in e if vid != qid),
+                key=lambda r: (r[1] is None, -(r[1] or 0.0), r[0]),
+            )
+            tops[(qid, dd)] = [vid for vid, _ in ranked[:_MRL_K]]
+    nq = len(qids)
+    expected = {}
+    for dd in _MRL_DIMS:
+        ov = sum(
+            len(set(tops[(q, dd)]) & set(tops[(q, 64)])) for q in qids
+        )
+        expected[dd] = (
+            nq,
+            ov,
+            math.floor(ov * 1e6 / (nq * _MRL_K) + 0.5) / 1e6
+            if nq > 0
+            else None,
+        )
+
+    d = tempfile.mkdtemp(prefix="mrl-prop-")
+    try:
+        _write_vecs(d, vecs)
+        got = {
+            r.trunc_dim: (r.n_queries, r.sum_overlap, r.mean_recall)
+            for r in q_embed_matryoshka_eval(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
+
+
+ks_values = st.lists(
+    st.one_of(st.none(), st.integers(1, 40)),  # n_chars incl NULL
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ks_values)
+def test_sample_ks_matches_ecdf_replay(spark, vals):
+    """Per-value counts, cumulative ECDFs, the integer cross-multiplied
+    sup distance, the floor-form D and the squared-products rejection
+    flag vs a direct replay (hashlib.md5 replays the engine's sampling
+    hash exactly); NULL values excluded, empty input -> all-NULL row."""
+    from spring_and_kafka_spark.operators.sampling import (
+        _KS_C2,
+        q_sample_ks_check,
+    )
+
+    per_val = defaultdict(lambda: [0, 0])
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        in_s = hashlib.md5(str(i).encode()).hexdigest()[:2] < "29"
+        e = per_val[v]
+        e[0] += in_s
+        e[1] += 1
+    if per_val:
+        n1 = sum(cs for cs, _ in per_val.values())
+        n2 = sum(cp for _, cp in per_val.values())
+        c1 = c2 = 0
+        maxd = 0
+        for v in sorted(per_val):
+            cs, cp = per_val[v]
+            c1 += cs
+            c2 += cp
+            maxd = max(maxd, abs(c1 * n2 - c2 * n1))
+        expected = (
+            n1,
+            n2,
+            maxd,
+            math.floor(float(maxd) * 1e6 / (n1 * n2) + 0.5) / 1e6
+            if n1 > 0 and n2 > 0
+            else None,
+            (float(maxd) * maxd) > (_KS_C2 * (n1 + n2) * n1 * n2),
+        )
+    else:
+        expected = (None, None, None, None, None)
+
+    d = tempfile.mkdtemp(prefix="ks-prop-")
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        pq_.write_table(
+            pa.table({
+                "doc_id": pa.array(range(len(vals)), pa.int64()),
+                "text": pa.array(["t"] * len(vals)),
+                "lang": pa.array(["en"] * len(vals)),
+                "source": pa.array(["s0"] * len(vals)),
+                "n_chars": pa.array(vals, pa.int64()),
+            }),
+            f"{d}/documents.parquet",
+        )
+        r = q_sample_ks_check(spark, d).collect()[0]
+        got = (r.n_sample, r.n_pop, r.ks_num, r.ks_d, r.reject)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected
