@@ -82,6 +82,10 @@ QUERIES = [
     "q_ts_crosscorr",
     "q_seq_markov_session",
     "q_user_streak",
+    # r15: offline changepoint — reduces to the (type, day) aggregate
+    # like rolling_median/theilsen (copies replay the same days, so the
+    # candidate scan is size-unchanged; only the daily groupBy grows)
+    "q_ts_changepoint",
 ]
 
 
@@ -238,6 +242,18 @@ DOCS_QUERIES = [
     # pair class, included for the same contrast)
     "q_text_diversity",
     "q_dedup_threshold_curve",
+    # r15: the rule battery (zero-join narrow pass — should track the
+    # scan), template detection (segment groupBy + rejoin — linear in
+    # segments), collocation PMI (vocab-bounded gram tables — the
+    # groupBys plateau like diversity's), MinHash calibration
+    # (id-bounded sample — ~flat by construction, the threshold-curve
+    # class), and the KS audit (value-bounded ECDF — ~flat past the
+    # scan)
+    "q_quality_gopher",
+    "q_text_boilerplate",
+    "q_text_pmi",
+    "q_dedup_minhash_est",
+    "q_sample_ks_check",
 ]  # q_sample_balanced stays: stratum caps must hold as docs grow
 
 
