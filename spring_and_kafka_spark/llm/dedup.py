@@ -1367,7 +1367,12 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_signatures shuffle shape: O(docs) rows, map-side combined);
     the pair space is sample-bounded and candidate-generated by the
     shingle equi-join (df-capped by shingle_ctes_sql's twin, never
-    all-pairs)."""
+    all-pairs). At the default sample size the df cap is structurally
+    idle (per-shingle df <= the sample's doc count < _SHINGLE_DF_CAP) —
+    kept, in BOTH engines, so the estimator's pair space stays
+    definitionally identical to the production dedup family's, and the
+    guard goes live automatically if the sample cap is ever raised past
+    it."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _MHEST_DOC_CAP)
