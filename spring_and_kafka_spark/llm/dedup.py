@@ -1372,7 +1372,11 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, in BOTH engines, so the estimator's pair space stays
     definitionally identical to the production dedup family's, and the
     guard goes live automatically if the sample cap is ever raised past
-    it."""
+    it.
+
+    Reference parity anchor: no text surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
+    of the beyond-the-reference dedup family."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _MHEST_DOC_CAP)

@@ -2286,7 +2286,11 @@ def q_embed_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject heaps over one corpus pass each (the sketch
     pass reads 8-byte signatures, not vectors); the overlap join and
     the {_RBO_K}-row depth grid are list-sized (broadcast); output is
-    |queries| rows."""
+    |queries| rows.
+
+    Reference parity anchor: no vector surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
+    of the beyond-the-reference similarity-search family."""
     e = _well_formed(
         load_vectors(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -2459,7 +2463,11 @@ def q_embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn <= k cut); the overlap join is list-sized; output is
     |dims| rows. In production the d-truncated scan reads a PREFIX of
     the vector column — with fixed-size-list parquet encoding that is
-    genuinely less I/O, which is the entire point of MRL."""
+    genuinely less I/O, which is the entire point of MRL.
+
+    Reference parity anchor: no vector surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
+    of the beyond-the-reference similarity-search family."""
     e = _well_formed(
         load_vectors(spark, sf_dir).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")

@@ -1832,7 +1832,11 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration anywhere); the final rollup is |sources| rows. At web
     scale the segment key becomes xxhash64(seg) so the shuffle moves
     8-byte keys (the q_text_diversity trade, kept as strings for exact
-    oracle co-expression)."""
+    oracle co-expression).
+
+    Reference parity anchor: no text surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
+    of the beyond-the-reference LLM-data family."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.col("text") != "")
     )
@@ -1955,7 +1959,11 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: one narrow projection computing all five rules
     inside whole-stage codegen, then ONE map-side-combined groupBy to
     |languages| rows. Nothing else moves — the battery adds zero
-    shuffles to a corpus scan."""
+    shuffles to a corpus scan.
+
+    Reference parity anchor: no text surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
+    of the beyond-the-reference LLM-data family."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.col("text") != "")
     )
@@ -2079,7 +2087,11 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row scalar join-backs for the totals, and a global
     top-{_PMI_K} heap (TakeOrderedAndProject). Shuffle keys are grams —
     at web scale they become xxhash64 values with the string carried
-    alongside (the q_text_diversity trade)."""
+    alongside (the q_text_diversity trade).
+
+    Reference parity anchor: no text surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
+    of the beyond-the-reference LLM-data family."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )

@@ -239,7 +239,11 @@ def q_sample_ks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); the cumulative window runs over that bounded value table
     (two-level decomposition per DESIGN.md item 16 if a domain is
     genuinely huge — bucket the value first, which is also
-    statistically the right KS binning); output is ONE row."""
+    statistically the right KS binning); output is ONE row.
+
+    Reference parity anchor: no sampling/QA surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
+    of the beyond-the-reference training-data-pipeline family."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars").isNotNull()
     )

@@ -1212,7 +1212,11 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ts_cusum two-level decomposition rule applies if a key's series
     outgrows a partition), then a per-key argmax. The candidate scan is
     O(days) per key — never O(days²) — because prefix sums turn every
-    segment statistic into two lookups."""
+    segment statistic into two lookups.
+
+    Reference parity anchor: no time-series surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
+    of the beyond-the-reference analytics family."""
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
