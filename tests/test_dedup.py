@@ -254,3 +254,37 @@ def test_connected_components_deep_path_and_star(spark):
         for r in connected_components(star_nodes, star_edges).collect()
     }
     assert comp2 == {5: 5, 20: 5, 21: 5, 22: 5}
+
+
+def test_minhash_est_df_cap_is_live_code(spark, tmp_path, monkeypatch):
+    """Counterfactual cap-fires pin (the q_graph_jaccard r14 pattern):
+    the calibration op's df-cap twin is structurally idle at the
+    default sample size, so prove the guard is LIVE code by lowering
+    the cap — a shingle shared by 3 docs must be dropped from pair
+    generation, and docs sharing ONLY that shingle must produce no
+    pair. Spark-side value check only: the oracle SQL freezes its cap
+    at import, so no parity is asserted under the monkeypatch."""
+    from spring_and_kafka_spark.llm import dedup
+
+    d = tmp_path / "capfire"
+    d.mkdir()
+    # both docs contain the shared hot trigram 'aa bb cc' and nothing
+    # else in common
+    rows = [
+        (0, "aa bb cc xx yy zz", "en", "s", 17),
+        (1, "aa bb cc pp qq rr", "en", "s", 17),
+        (2, "aa bb cc mm nn oo", "en", "s", 17),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    # default cap: the hot trigram survives (df 3 <= 5000) -> pairs
+    assert dedup.q_dedup_minhash_est(spark, str(d)).count() > 0
+    # lowered cap: df 3 > 2 -> 'aa bb cc' (and only it — every other
+    # trigram overlaps the hot span in at most 2 docs... drop all
+    # shingles with df > 2, which is exactly the shared ones) -> the
+    # docs no longer co-shingle -> no pair rows
+    monkeypatch.setattr(dedup, "_SHINGLE_DF_CAP", 2)
+    assert dedup.q_dedup_minhash_est(spark, str(d)).count() == 0
