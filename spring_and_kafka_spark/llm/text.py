@@ -1769,6 +1769,23 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BP_SEG = 8  # tumbling segment width (words) for boilerplate detection
 _BP_MIN_SRC = 3  # a segment in >= 3 distinct sources is a template
+_BP_NULL_SRC = "\x01"  # NULL-source sentinel for the distinct tally
+
+
+def boilerplate_segments(d: DataFrame) -> DataFrame:
+    """(doc_id, source, seg): tumbling _BP_SEG-word segments of every
+    non-empty document — the ONE segment definition shared by the batch
+    detector (q_text_boilerplate) and the streaming template maintainer
+    (streaming/templates.py), so stream ≡ batch holds by construction."""
+    clean = d.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    toks = F.split("text", " ")
+    segs = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(_BP_SEG)
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _BP_SEG)),
+    )
+    return clean.select("doc_id", "source", F.explode(segs).alias("seg"))
 
 
 @register(
@@ -1837,24 +1854,13 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity anchor: no text surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
     of the beyond-the-reference LLM-data family."""
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.col("text") != "")
-    )
-    toks = F.split("text", " ")
-    segs = F.transform(
-        F.sequence(
-            F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(_BP_SEG)
-        ),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _BP_SEG)),
-    )
+    d = load_table(spark, sf_dir, "documents")
     # the segment stream feeds the template groupBy AND the rejoin side
     # — materialize so the scan+explode runs once, not per consumer
-    seg = materialize(
-        d.select("doc_id", "source", F.explode(segs).alias("seg"))
-    )
+    seg = materialize(boilerplate_segments(d))
     flag = seg.groupBy("seg").agg(
         (
-            F.count_distinct(F.coalesce("source", F.lit("\x01")))
+            F.count_distinct(F.coalesce("source", F.lit(_BP_NULL_SRC)))
             >= _BP_MIN_SRC
         ).alias("boiler")
     )

@@ -598,3 +598,65 @@ def test_maintained_js_without_stream_is_empty_not_error(spark, tmp_path):
     from spring_and_kafka_spark.streaming.drift import maintained_js
 
     assert maintained_js(spark, str(tmp_path / "never_ran")).count() == 0
+
+
+def test_stream_maintained_templates_equals_batch(spark, tmp_path):
+    """Documents replayed as micro-batches through the foreachBatch
+    template-state sink must maintain the per-source boilerplate report
+    to EXACTLY the batch q_text_boilerplate answer — including the
+    distinct cross-source tally (kept as a presence SET because a
+    distinct count is not a foldable counter) and the NULL-source
+    group. The batch op re-decides every segment per run; this is the
+    absorb-a-crawl-without-rescanning form a 100 TB ingest needs."""
+    from pyspark.sql import functions as F
+
+    from spring_and_kafka_spark.llm.text import q_text_boilerplate
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.templates import (
+        maintained_templates,
+        template_delta_stream,
+    )
+
+    from .conftest import SF_SMOKE
+
+    # corpus = fixture docs + planted NULL-source carriers of a template
+    # that only crosses the _BP_MIN_SRC line WITH the null group counted
+    base = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tpl = "tmpl one two three four five six seven"
+    planted = spark.createDataFrame(
+        [
+            (900001, tpl, "en", None, len(tpl)),
+            (900002, tpl, "en", "src0", len(tpl)),
+            (900003, tpl, "en", "src1", len(tpl)),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    corpus_dir = tmp_path / "tpl-corpus"
+    corpus_dir.mkdir()
+    base.unionByName(planted).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(str(corpus_dir / "documents.parquet"))
+
+    schema = spark.read.parquet(str(corpus_dir / "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(str(corpus_dir / "documents.parquet"))
+    )
+    state = str(tmp_path / "tpl-state")
+    q = template_delta_stream(stream, state)
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r) for r in maintained_templates(spark, state).collect()
+    }
+    want = {
+        tuple(r) for r in q_text_boilerplate(spark, str(corpus_dir)).collect()
+    }
+    assert got == want
+    # the planted template actually flags (3 distinct sources incl NULL)
+    by_src = {r[0]: r for r in got}
+    assert by_src[None][3] >= 1  # n_boiler counts the NULL-source copy
