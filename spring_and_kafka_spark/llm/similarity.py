@@ -2395,6 +2395,7 @@ def q_embed_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MRL_DIMS = [8, 16, 32, 64]  # truncation prefixes evaluated
+_MRL_FULL = _MRL_DIMS[-1]  # the truth dimension (= the stored dim)
 _MRL_NQ = 8  # evaluated query sample: vec_id < 8
 _MRL_K = 10  # recall@k against the full-dimension ranking
 
@@ -2420,7 +2421,7 @@ _MRL_K = 10  # recall@k against the full-dimension ranking
       WHERE e.vec_id <> q.qid
     ),
     ranked AS (SELECT qid, d, vec_id FROM scored WHERE rn <= {_MRL_K}),
-    truth AS (SELECT qid, vec_id FROM ranked WHERE d = 64),
+    truth AS (SELECT qid, vec_id FROM ranked WHERE d = {_MRL_FULL}),
     ov AS (
       SELECT r.d, CAST(count(*) AS BIGINT) AS sum_overlap
       FROM ranked r JOIN truth t
@@ -2446,7 +2447,7 @@ def q_embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking — the curve that decides how many leading dimensions a
     tiered retrieval stack keeps in its hot index (truncated prefix →
     shortlist → full-dim rerank, the same scan-then-verify shape as
-    the Hamming sketch tier, with d as the knob). The d = 64 row is
+    the Hamming sketch tier, with d as the knob). The full-dim row is
     the built-in sanity anchor: recall exactly 1.0 by construction.
 
     Cross-engine determinism: slicing is 1-based in both engines
@@ -2502,7 +2503,9 @@ def q_embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r")
     )
     truth = (
-        ranked.filter(F.col("d") == 64).select("qid", "vec_id").alias("t")
+        ranked.filter(F.col("d") == _MRL_FULL)
+        .select("qid", "vec_id")
+        .alias("t")
     )
     ov = (
         ranked.join(

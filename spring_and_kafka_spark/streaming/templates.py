@@ -54,29 +54,32 @@ def template_delta_stream(docs: DataFrame, state_dir: str):
     corpus then stops, the replay harness convention)."""
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        seg = boilerplate_segments(batch_df)
         # one cut per batch: three consumers below (the q_dedup_minhash
-        # materialize lesson, applied per micro-batch)
-        seg = seg.persist()
-        (
-            seg.select("seg", "source")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/pairs/batch_id={batch_id}")
-        )
-        (
-            seg.groupBy("source", "seg")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/counts/batch_id={batch_id}")
-        )
-        (
-            seg.select("source", "doc_id")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(f"{state_dir}/docs/batch_id={batch_id}")
-        )
-        seg.unpersist()
+        # materialize lesson, applied per micro-batch); try/finally so a
+        # failed write cannot leak the cached batch across retries (the
+        # freshness.py on_batch convention)
+        seg = boilerplate_segments(batch_df).persist()
+        try:
+            (
+                seg.select("seg", "source")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/pairs/batch_id={batch_id}")
+            )
+            (
+                seg.groupBy("source", "seg")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/counts/batch_id={batch_id}")
+            )
+            (
+                seg.select("source", "doc_id")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/docs/batch_id={batch_id}")
+            )
+        finally:
+            seg.unpersist()
 
     return (
         foreach_batch_sink(docs, on_batch, state_dir + "_ckpt")
@@ -85,24 +88,81 @@ def template_delta_stream(docs: DataFrame, state_dir: str):
     )
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+_SUBTABLES = (
+    ("pairs", _PAIRS_SCHEMA),
+    ("counts", _COUNTS_SCHEMA),
+    ("docs", _DOCS_SCHEMA),
+)
+
+
+def _read_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read the three partial tables, RAISING on torn state instead of
+    silently absorbing it (the freshness.py guard, ADVICE r6 / round-7
+    review: independent silent reads of sibling state tables are the
+    bug shape — a crash between on_batch's three writes must surface,
+    not zero out a report). Two levels: a top-level dir missing while a
+    sibling exists (first-batch crash), and a batch_id=N partition
+    present on some sides only (crash on any later batch — checked via
+    Hadoop FS listing, driver-side metadata only)."""
     from pyspark.errors import AnalysisException
 
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
+    def read_or_none(sub: str, schema: str) -> DataFrame | None:
+        try:
+            return spark.read.schema(schema).parquet(f"{state_dir}/{sub}")
+        except AnalysisException:
+            return None
+
+    frames = {sub: read_or_none(sub, sch) for sub, sch in _SUBTABLES}
+    present = [sub for sub, df in frames.items() if df is not None]
+    if present and len(present) < len(_SUBTABLES):
+        missing = [sub for sub, df in frames.items() if df is None]
+        raise RuntimeError(
+            f"partial template state under {state_dir}: {present} exist "
+            f"but {missing} are missing — a crash between on_batch's "
+            "three writes; replay the last batch or clear the state dir"
+        )
+    if not present:
+        return tuple(
+            spark.createDataFrame([], sch) for _, sch in _SUBTABLES
+        )
+
+    def batch_dirs(sub: str) -> set[str]:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{sub}")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return {
+            st.getPath().getName()
+            for st in fs.listStatus(path)
+            if st.getPath().getName().startswith("batch_id=")
+        }
+
+    sets = {sub: batch_dirs(sub) for sub, _ in _SUBTABLES}
+    union = set().union(*sets.values())
+    for sub, have in sets.items():
+        torn = union - have
+        if torn:
+            raise RuntimeError(
+                f"partial template state under {state_dir}: "
+                f"{sorted(torn)[0]} missing from {sub}/ — a crash "
+                "between on_batch's three writes; replay that batch or "
+                "clear the state dir"
+            )
+    return tuple(frames[sub] for sub, _ in _SUBTABLES)
 
 
 def maintained_templates(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current per-source boilerplate report from the accumulated
     partials — column-identical to q_text_boilerplate's batch output.
     Distinct-presence tables dedup across batches by a read-time
-    distinct (a segment seen in batches 3 and 7 is one presence row);
+    distinct over the PROJECTED presence columns (reading partitioned
+    partials appends the batch_id partition column even when the user
+    schema omits it, so distinct() before the projection would key on
+    batch_id and double-count a document or pair re-seen in a later
+    batch — the review finding that motivated both .select()s below);
     instance counts merge by sum."""
-    pairs = _read_or_empty(spark, f"{state_dir}/pairs", _PAIRS_SCHEMA)
-    counts = _read_or_empty(spark, f"{state_dir}/counts", _COUNTS_SCHEMA)
-    docs = _read_or_empty(spark, f"{state_dir}/docs", _DOCS_SCHEMA)
+    pairs, counts, docs = _read_state(spark, state_dir)
     flag = (
         pairs.select("seg", "source")
         .distinct()
@@ -116,7 +176,8 @@ def maintained_templates(spark: SparkSession, state_dir: str) -> DataFrame:
     )
     seg_totals = counts.groupBy("source", "seg").agg(F.sum("n").alias("n"))
     n_docs = (
-        docs.distinct()
+        docs.select("source", "doc_id")
+        .distinct()
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

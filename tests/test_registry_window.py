@@ -342,9 +342,9 @@ def test_r15_window_is_new_plus_changed_plus_pool_order():
     """The r15 window must be exactly: the never-verified r15 additions,
     then the r15 changed-output query, then the rotation pool derived
     from CORRECTNESS_r01..r14 in pool() order (stalest round, then
-    name) — i.e. the window is DERIVED, not hand-picked. With only 6
-    new + 1 changed (rotation-over-growth, the r14 verdict's process
-    note), the remaining 41 slots retire ALL 23 r9-stale rows and the
+    name) — i.e. the window is DERIVED, not hand-picked. With 8 new +
+    1 changed (rotation-over-growth, the r14 verdict's process note:
+    half of r14's 16), the remaining 41 slots retire ALL 23 r9-stale rows and the
     first 18 r10 rows — 50 exactly (31 r10 rows lead the r16 pool)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R15 + CHANGED_R15

@@ -660,3 +660,53 @@ def test_stream_maintained_templates_equals_batch(spark, tmp_path):
     # the planted template actually flags (3 distinct sources incl NULL)
     by_src = {r[0]: r for r in got}
     assert by_src[None][3] >= 1  # n_boiler counts the NULL-source copy
+
+
+def test_maintained_templates_dedups_across_batches_and_raises_on_tear(
+    spark, tmp_path
+):
+    """Two review findings pinned deterministically on a hand-built
+    state dir: (a) a document (and a (seg, source) pair) re-seen in a
+    LATER batch must count once — reading partitioned partials appends
+    the batch_id partition column even when the user schema omits it,
+    so the read-time distinct must project the presence columns first;
+    (b) a torn batch (one sibling table missing a batch_id partition)
+    must RAISE, not silently zero out the report (the freshness.py
+    ADVICE-r6 guard)."""
+    import shutil
+
+    import pytest
+
+    from spring_and_kafka_spark.streaming.templates import (
+        maintained_templates,
+    )
+
+    state = str(tmp_path / "hand-state")
+    seg = "alpha beta gamma"
+    for b in (0, 1):  # the SAME doc and pair land in both batches
+        spark.createDataFrame(
+            [(seg, "s0")], "seg string, source string"
+        ).write.parquet(f"{state}/pairs/batch_id={b}")
+        spark.createDataFrame(
+            [("s0", seg, 1)], "source string, seg string, n long"
+        ).write.parquet(f"{state}/counts/batch_id={b}")
+        spark.createDataFrame(
+            [("s0", 7)], "source string, doc_id long"
+        ).write.parquet(f"{state}/docs/batch_id={b}")
+    rows = maintained_templates(spark, state).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 1  # once, not once per batch
+    assert r.n_segments == 2  # instance counts DO merge by sum
+    assert r.n_boiler == 0  # one distinct source < _BP_MIN_SRC
+    # tear batch 1: remove its docs/ partition only
+    shutil.rmtree(f"{state}/docs/batch_id=1")
+    with pytest.raises(RuntimeError, match="partial template state"):
+        maintained_templates(spark, state).collect()
+    # first-batch tear: counts/ exists but siblings gone entirely
+    state2 = str(tmp_path / "hand-state2")
+    spark.createDataFrame(
+        [("s0", seg, 1)], "source string, seg string, n long"
+    ).write.parquet(f"{state2}/counts/batch_id=0")
+    with pytest.raises(RuntimeError, match="partial template state"):
+        maintained_templates(spark, state2).collect()
