@@ -239,7 +239,15 @@ def q_sample_ks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); the cumulative window runs over that bounded value table
     (two-level decomposition per DESIGN.md item 16 if a domain is
     genuinely huge — bucket the value first, which is also
-    statistically the right KS binning); output is ONE row.
+    statistically the right KS binning); output is ONE row. Integer
+    headroom: the exact cross-multiplication c1·n2 needs n1·n2 < 2^63
+    (ANSI Spark throws on overflow rather than wrapping), i.e. joint
+    row counts up to ~3e9×3e9. Past that, run the audit on a
+    hash-capped population sample (the md5-threshold generator itself
+    — a KS statistic on a 10M-row sample already resolves far smaller
+    discrepancies than any filter decision needs), keeping the
+    integer-exact path instead of degrading to per-row ECDF
+    divisions.
 
     Reference parity anchor: no sampling/QA surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part

@@ -1212,7 +1212,12 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ts_cusum two-level decomposition rule applies if a key's series
     outgrows a partition), then a per-key argmax. The candidate scan is
     O(days) per key — never O(days²) — because prefix sums turn every
-    segment statistic into two lookups.
+    segment statistic into two lookups. Integer headroom: the exact
+    argmax numerator n·S_i needs |n·S| < 2^63 (ANSI Spark throws on
+    overflow), i.e. per-key total |Σvalue| up to ~2.5e9 value-units
+    over a 10-year daily grid — a metric hotter than that should scale
+    its unit (micros → millis, one constant) or segment the series,
+    keeping the exact path.
 
     Reference parity anchor: no time-series surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part
