@@ -81,60 +81,19 @@ def maintained_freshness(spark: SparkSession, state_dir: str) -> DataFrame:
     stream that never ran yields an empty audit, not a missing-path
     error. PARTIAL state raises instead of being silently absorbed
     (ADVICE r6: one try around both reads discarded a successfully-read
-    counts/ when users/ was missing) — checked at two levels: one
-    top-level dir missing entirely (first-batch crash), and a
-    batch_id=N partition present on one side only (crash between
-    on_batch's two writes on any later batch)."""
-    from pyspark.errors import AnalysisException
+    counts/ when users/ was missing) — the guard now lives in
+    streaming.sinks.read_partial_state (extracted in r15 when
+    templates.py needed the same three-level check, which also added
+    the missing-_SUCCESS tear the original two-level version here
+    could not see)."""
+    from spring_and_kafka_spark.streaming.sinks import read_partial_state
 
-    def read_or_none(sub: str, schema: str) -> DataFrame | None:
-        try:
-            return spark.read.schema(schema).parquet(f"{state_dir}/{sub}")
-        except AnalysisException:
-            return None
-
-    counts = read_or_none("counts", _CNT_SCHEMA)
-    users = read_or_none("users", _USR_SCHEMA)
-    if (counts is None) != (users is None):
-        present = "counts" if counts is not None else "users"
-        raise RuntimeError(
-            f"partial freshness state under {state_dir}: {present}/ exists "
-            "but its sibling is missing — a crash between on_batch's two "
-            "writes; replay the last batch or clear the state dir"
-        )
-    if counts is None:
-        counts = spark.createDataFrame([], _CNT_SCHEMA)
-        users = spark.createDataFrame([], _USR_SCHEMA)
-    else:
-        # PER-BATCH tear check: a crash between on_batch's two writes on
-        # any batch after the first leaves counts/batch_id=N without its
-        # users/batch_id=N sibling while both top-level dirs exist — the
-        # whole-dir check above cannot see it, and the merge would
-        # silently undercount that batch's days. The batch_id partition
-        # sets are pure directory METADATA, so this is a Hadoop FS
-        # listing (O(#batches) driver-side ops, any scheme incl. object
-        # stores) — not a Spark job re-scanning the partials the merge
-        # below is about to read anyway (review finding, round 7).
-        def batch_dirs(sub: str) -> set[str]:
-            jvm = spark._jvm
-            path = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{sub}")
-            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-            return {
-                st.getPath().getName()
-                for st in fs.listStatus(path)
-                if st.getPath().getName().startswith("batch_id=")
-            }
-
-        torn = batch_dirs("counts") ^ batch_dirs("users")
-        if torn:
-            b = sorted(torn)[0]
-            side = "counts" if b in batch_dirs("counts") else "users"
-            raise RuntimeError(
-                f"partial freshness state under {state_dir}: {b} has "
-                f"{side}/ but not its sibling — a crash between "
-                "on_batch's two writes; replay that batch or clear the "
-                "state dir"
-            )
+    counts, users = read_partial_state(
+        spark,
+        state_dir,
+        (("counts", _CNT_SCHEMA), ("users", _USR_SCHEMA)),
+        "freshness",
+    )
     c = counts.groupBy("day").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_null_value").alias("n_null"),

@@ -665,14 +665,18 @@ def test_stream_maintained_templates_equals_batch(spark, tmp_path):
 def test_maintained_templates_dedups_across_batches_and_raises_on_tear(
     spark, tmp_path
 ):
-    """Two review findings pinned deterministically on a hand-built
-    state dir: (a) a document (and a (seg, source) pair) re-seen in a
-    LATER batch must count once — reading partitioned partials appends
-    the batch_id partition column even when the user schema omits it,
-    so the read-time distinct must project the presence columns first;
-    (b) a torn batch (one sibling table missing a batch_id partition)
-    must RAISE, not silently zero out the report (the freshness.py
-    ADVICE-r6 guard)."""
+    """Review findings pinned deterministically on a hand-built state
+    dir: (a) a document (and a (seg, source) pair) re-seen in a LATER
+    batch must count once in the presence-derived columns — reading
+    partitioned partials appends the batch_id partition column even
+    when the user schema omits it, so the count-distincts must project
+    the presence columns first; (b) a NULL doc_id contributes segments
+    but NOT to n_docs (the batch count_distinct semantics); (c) a torn
+    batch — one sibling table missing a batch_id partition, OR a
+    partition without its _SUCCESS marker (a crash DURING the write,
+    which bare dir-presence checks cannot see) — must RAISE, not
+    silently zero out the report."""
+    import os
     import shutil
 
     import pytest
@@ -685,25 +689,28 @@ def test_maintained_templates_dedups_across_batches_and_raises_on_tear(
     seg = "alpha beta gamma"
     for b in (0, 1):  # the SAME doc and pair land in both batches
         spark.createDataFrame(
-            [(seg, "s0")], "seg string, source string"
-        ).write.parquet(f"{state}/pairs/batch_id={b}")
-        spark.createDataFrame(
             [("s0", seg, 1)], "source string, seg string, n long"
         ).write.parquet(f"{state}/counts/batch_id={b}")
         spark.createDataFrame(
-            [("s0", 7)], "source string, doc_id long"
+            [("s0", 7), ("s0", None)], "source string, doc_id long"
         ).write.parquet(f"{state}/docs/batch_id={b}")
     rows = maintained_templates(spark, state).collect()
     assert len(rows) == 1
     r = rows[0]
-    assert r.n_docs == 1  # once, not once per batch
+    assert r.n_docs == 1  # once, not once per batch; NULL doc_id skipped
     assert r.n_segments == 2  # instance counts DO merge by sum
     assert r.n_boiler == 0  # one distinct source < _BP_MIN_SRC
-    # tear batch 1: remove its docs/ partition only
-    shutil.rmtree(f"{state}/docs/batch_id=1")
-    with pytest.raises(RuntimeError, match="partial template state"):
+    # _SUCCESS tear: simulate a crash DURING the batch-1 docs write
+    os.remove(f"{state}/docs/batch_id=1/_SUCCESS")
+    with pytest.raises(RuntimeError, match="no _SUCCESS marker"):
         maintained_templates(spark, state).collect()
-    # first-batch tear: counts/ exists but siblings gone entirely
+    # partition tear: the whole docs/batch_id=1 partition missing
+    shutil.rmtree(f"{state}/docs/batch_id=1")
+    with pytest.raises(
+        RuntimeError, match=r"batch_id=1 has counts/ but not docs/"
+    ):
+        maintained_templates(spark, state).collect()
+    # first-batch tear: counts/ exists but its sibling is gone entirely
     state2 = str(tmp_path / "hand-state2")
     spark.createDataFrame(
         [("s0", seg, 1)], "source string, seg string, n long"
