@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from spring_and_kafka_spark.exec_utils import materialize, spread
+from spring_and_kafka_spark.llm.text import _BP_SEG, boilerplate_segments
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -1480,4 +1481,154 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1e6
         ).alias("mean_abs_err"),
+    )
+
+
+_SUBSTR_MIN_DOCS = 2  # a segment in >= 2 distinct docs is duplicated text
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+      WHERE text IS NOT NULL AND text <> '' AND doc_id IS NOT NULL
+    ),
+    seg AS (
+      SELECT doc_id, start_tok // {_BP_SEG} AS seg_idx,
+             array_to_string(ts[start_tok + 1 : start_tok + {_BP_SEG}], ' ')
+               AS seg
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(0, greatest(n - 1, 0), {_BP_SEG}))
+                     AS start_tok
+            FROM d)
+    ),
+    flag AS (
+      SELECT seg, count(DISTINCT doc_id) >= {_SUBSTR_MIN_DOCS} AS dup
+      FROM seg GROUP BY seg
+    ),
+    j AS (
+      SELECT s.doc_id, s.seg_idx, length(s.seg) AS ln, f.dup
+      FROM seg s JOIN flag f USING (seg)
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(count(CASE WHEN dup THEN 1 END) AS BIGINT) AS n_dup,
+             CAST(sum(ln) AS BIGINT) AS chars,
+             CAST(coalesce(sum(CASE WHEN dup THEN ln END), 0) AS BIGINT)
+               AS dup_chars
+      FROM j GROUP BY doc_id
+    ),
+    runs AS (
+      SELECT doc_id, CAST(max(run_len) AS BIGINT) AS longest_run
+      FROM (
+        SELECT doc_id, count(*) AS run_len
+        FROM (SELECT doc_id, seg_idx,
+                     seg_idx - row_number()
+                       OVER (PARTITION BY doc_id ORDER BY seg_idx) AS isl
+              FROM j WHERE dup)
+        GROUP BY doc_id, isl
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_segments, s.n_dup, s.dup_chars,
+           CASE WHEN s.chars > 0 THEN
+             floor(s.dup_chars * 1e6 / s.chars + 0.5) / 1e6
+           END AS dup_char_frac,
+           coalesce(r.longest_run, 0) AS longest_run
+    FROM stats s LEFT JOIN runs r ON s.doc_id = r.doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span readout — the span-EXCISION half of
+    substring dedup, on top of the detection half's segment machinery
+    (llm/text.py::boilerplate_segments, q_text_boilerplate): for every
+    document, how many of its tumbling 8-word segments also occur in
+    >= {_SUBSTR_MIN_DOCS} distinct OTHER-or-same documents, what
+    fraction of the document's characters those duplicated segments
+    cover, and the longest CONSECUTIVE duplicated run (adjacent
+    seg_idx islands via the q_win_streak row_number-difference trick).
+    dup_char_frac is the number an excision pass thresholds on ("drop
+    docs that are >50% duplicated text" / "excise runs >= 4 segments"),
+    completing the family: q_text_dup_fraction measures WITHIN-doc
+    repetition, q_text_boilerplate measures cross-SOURCE templates at
+    the source grain, this locates cross-DOC duplication inside each
+    document. Granularity caveat (the C4 line-dedup trade): tumbling
+    segments detect duplication ALIGNED to segment boundaries — the
+    crawler-template / copied-passage case where the duplicated block
+    starts a doc or follows a shared prefix; an arbitrary-offset
+    substring match needs the suffix-array/anchor-ngram alignment
+    family, whose candidate generation this segment table seeds.
+
+    Cross-engine determinism: counts, char sums and island keys are
+    exact integers; the one division (dup_char_frac) is floor-form
+    micros, guarded on chars > 0 (an all-empty-token doc yields
+    zero-length segments); NULL doc_id rows are excluded at the scan
+    in BOTH engines — not just because a per-doc readout of an
+    unkeyed doc is meaningless, but because pooled NULL rows would
+    make the island row_number ORDER BY seg_idx tie across documents
+    and the tie-break nondeterministic cross-engine. The runs rejoin
+    is on doc_id equality (NULL keys already excluded).
+
+    Shape at 100 TB: segment explode is O(tokens/8); ONE map-side-
+    combined groupBy(seg) builds the dup flag (the q_text_boilerplate
+    template table — at web scale the segment key becomes
+    xxhash64(seg) so shuffles move 8-byte keys); the flag rejoin is a
+    pre-aggregated equi-join with fan-out exactly 1 per segment; the
+    island window and both per-doc groupBys all partition on doc_id —
+    AQE coalesces them onto ONE doc_id shuffle's output; output is
+    |docs| rows. No pair enumeration anywhere: duplication is decided
+    by the segment table's doc-frequency, never by doc×doc joins.
+
+    Reference parity anchor: the reference's processing model is
+    "filter, enrich or transform" a stream (reference README.md:329);
+    this is the standard training-data transform the detection half
+    feeds. No text surface in the reference itself — part of the
+    beyond-the-reference dedup family."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    # the segment stream feeds the dup-flag groupBy AND the rejoin side
+    # — materialize so the scan+explode runs once (the
+    # q_text_boilerplate lesson)
+    seg = materialize(boilerplate_segments(d).drop("source"))
+    flag = seg.groupBy("seg").agg(
+        (F.count_distinct("doc_id") >= _SUBSTR_MIN_DOCS).alias("dup")
+    )
+    j = seg.join(flag, "seg").select(
+        "doc_id", "seg_idx", F.length("seg").alias("ln"), "dup"
+    )
+    stats = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.when(F.col("dup"), 1)).alias("n_dup"),
+        F.sum("ln").alias("chars"),
+        F.coalesce(F.sum(F.when(F.col("dup"), F.col("ln"))), F.lit(0)).alias(
+            "dup_chars"
+        ),
+    )
+    isl = F.col("seg_idx") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("seg_idx")
+    )
+    runs = (
+        j.filter(F.col("dup"))
+        .select("doc_id", isl.alias("isl"))
+        .groupBy("doc_id", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("longest_run"))
+    )
+    return stats.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        "n_dup",
+        "dup_chars",
+        F.when(
+            F.col("chars") > 0,
+            F.floor(F.col("dup_chars") * 1e6 / F.col("chars") + F.lit(0.5))
+            / 1e6,
+        ).alias("dup_char_frac"),
+        F.coalesce(F.col("longest_run"), F.lit(0)).alias("longest_run"),
     )

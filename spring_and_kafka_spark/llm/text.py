@@ -1773,10 +1773,15 @@ _BP_NULL_SRC = "\x01"  # NULL-source sentinel for the distinct tally
 
 
 def boilerplate_segments(d: DataFrame) -> DataFrame:
-    """(doc_id, source, seg): tumbling _BP_SEG-word segments of every
-    non-empty document — the ONE segment definition shared by the batch
-    detector (q_text_boilerplate) and the streaming template maintainer
-    (streaming/templates.py), so stream ≡ batch holds by construction."""
+    """(doc_id, source, seg_idx, seg): tumbling _BP_SEG-word segments of
+    every non-empty document — the ONE segment definition shared by the
+    batch detector (q_text_boilerplate), the streaming template
+    maintainer (streaming/templates.py) and the span-excision readout
+    (llm/dedup.py::q_dedup_substring), so stream ≡ batch ≡ excision
+    holds by construction. seg_idx is the 0-based tumbling position —
+    the posexplode of the same sequence the segments are built from, so
+    adding it costs nothing and consumers that only need (doc_id,
+    source, seg) simply never select it."""
     clean = d.filter(F.col("text").isNotNull() & (F.col("text") != ""))
     toks = F.split("text", " ")
     segs = F.transform(
@@ -1785,7 +1790,9 @@ def boilerplate_segments(d: DataFrame) -> DataFrame:
         ),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, _BP_SEG)),
     )
-    return clean.select("doc_id", "source", F.explode(segs).alias("seg"))
+    return clean.select(
+        "doc_id", "source", F.posexplode(segs).alias("seg_idx", "seg")
+    )
 
 
 @register(

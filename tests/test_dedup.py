@@ -288,3 +288,53 @@ def test_minhash_est_df_cap_is_live_code(spark, tmp_path, monkeypatch):
     # docs no longer co-shingle -> no pair rows
     monkeypatch.setattr(dedup, "_SHINGLE_DF_CAP", 2)
     assert dedup.q_dedup_minhash_est(spark, str(d)).count() == 0
+
+
+def test_substring_planted_repeated_passages(spark, tmp_path):
+    """q_dedup_substring planted-fixture pin: docs sharing a 16-word
+    passage aligned at segment boundaries must report exactly the
+    planted segment counts, char fractions and island lengths —
+    including the split-island case (two shared segments separated by
+    a unique one -> longest_run 1, not 2) and the clean doc (all
+    zeros)."""
+    from spring_and_kafka_spark.llm.dedup import q_dedup_substring
+
+    w = lambda p, n: " ".join(f"{p}{i:02d}" for i in range(n))  # noqa: E731
+    shared = w("s", 16)  # two full 8-word segments
+    rows = [
+        (0, shared + " " + w("u", 8), "en", "s", 0),
+        (1, shared + " " + w("v", 16), "en", "s", 0),
+        (2, w("x", 24), "en", "s", 0),
+        (3, w("p", 8) + " " + w("q", 8) + " " + w("pp", 8), "en", "s", 0),
+        (4, w("p", 8) + " " + w("r", 8) + " " + w("pp", 8), "en", "s", 0),
+    ]
+    d = tmp_path / "planted"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        r["doc_id"]: r for r in q_dedup_substring(spark, str(d)).collect()
+    }
+    assert len(got) == 5
+    # doc 0: 3 segments, the 2 shared ones adjacent -> run of 2; each
+    # 8x3-char-word segment is 31 chars -> 62/93 floor-form micros
+    assert (got[0]["n_segments"], got[0]["n_dup"]) == (3, 2)
+    assert got[0]["longest_run"] == 2
+    assert got[0]["dup_char_frac"] == 0.666667
+    # doc 1: same 2 dup segments over 4 -> half the chars... each of
+    # its segments is 31 chars (3-char words throughout)
+    assert (got[1]["n_segments"], got[1]["n_dup"]) == (4, 2)
+    assert got[1]["longest_run"] == 2
+    assert got[1]["dup_char_frac"] == 0.5
+    # doc 2: clean
+    assert (got[2]["n_dup"], got[2]["longest_run"]) == (0, 0)
+    assert got[2]["dup_char_frac"] == 0.0
+    # docs 3/4: two shared segments SPLIT by a unique middle one ->
+    # two islands of 1, never a run of 2 (pp-words are 4 chars: the
+    # middle segment differs, so islands are [0] and [2])
+    for k in (3, 4):
+        assert (got[k]["n_segments"], got[k]["n_dup"]) == (3, 2)
+        assert got[k]["longest_run"] == 1
