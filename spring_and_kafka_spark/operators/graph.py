@@ -1277,16 +1277,33 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # und feeds degrees, the edge count AND the internal-edge join; deg
     # feeds the brand lookup — cut both once (the q_graph_lcc lesson)
     und = materialize(und)
-    deg = (
+    deg = co_order_degrees(und)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
+    )
+    nb = materialize(deg.join(part, "node"))
+    return modularity_readout(und, nb)
+
+
+def co_order_degrees(und: DataFrame) -> DataFrame:
+    """(node, d) degrees of the MATERIALIZED thinned undirected edge
+    set — shared by the modularity scorers (brand partition / LPA)."""
+    return (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
-    )
-    nb = materialize(deg.join(part, "node"))
+
+
+def modularity_readout(und: DataFrame, nb: DataFrame) -> DataFrame:
+    """Per-community Newman-modularity readout over a labeled node
+    table: ``und`` is the MATERIALIZED thinned (u < v) edge set, ``nb``
+    the MATERIALIZED (node, d, com) table assigning every node its
+    degree and candidate community. Q·4m² integer-exact per the
+    q_graph_modularity docstring; extracted in r16 so the LPA scorer
+    (q_graph_lpa) and the brand-partition scorer share ONE readout
+    instead of a hand copy (the exec_utils.cents precedent)."""
     m = und.agg(F.count(F.lit(1)).alias("m"))
     bu = nb.select(F.col("node").alias("u"), F.col("com").alias("cu"))
     bv = nb.select(F.col("node").alias("v"), F.col("com").alias("cv"))
@@ -1330,3 +1347,175 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("modularity"),
     )
+
+
+_LPA_ROUNDS = 10  # ≥ measured fixpoint on every fixture (self-vote LPA:
+# 5 @ sf0.001, 7 @ sf0.01, 5 @ sf0.1; NULL injection only removes edges,
+# and the cap-parity argument below holds at ANY depth anyway)
+
+
+def _lpa_iter_sql(k: int) -> str:
+    return f"""
+    r{k} AS MATERIALIZED (
+      SELECT r.node, CAST(coalesce(m.nlab, r.lab) AS BIGINT) AS lab
+      FROM r{k - 1} r LEFT JOIN (
+        SELECT node, lab AS nlab FROM (
+          SELECT node, lab,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY c DESC, lab) AS rn
+          FROM (SELECT node, lab, count(*) AS c FROM (
+                  SELECT e.dst AS node, rr.lab
+                  FROM edges e JOIN r{k - 1} rr ON e.src = rr.node
+                  UNION ALL SELECT node, lab FROM r{k - 1}
+                ) GROUP BY node, lab)
+        ) WHERE rn = 1
+      ) m ON m.node = r.node
+    )"""
+
+
+@register(
+    "q_graph_lpa",
+    oracle=f"""
+    WITH {_CO_ORDER_EDGES_SQL},
+    edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM eh
+              UNION ALL SELECT v, u FROM eh),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
+    {','.join(_lpa_iter_sql(k) for k in range(1, _LPA_ROUNDS + 1))},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM eh UNION ALL SELECT v FROM eh
+      ) GROUP BY 1
+    ),
+    nb AS (
+      SELECT deg.node, deg.d, r.lab AS com
+      FROM deg JOIN r{_LPA_ROUNDS} r ON r.node = deg.node
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eh),
+    internal AS (
+      SELECT bu.com, CAST(count(*) AS BIGINT) AS e_in
+      FROM eh
+      JOIN nb bu ON bu.node = eh.u
+      JOIN nb bv ON bv.node = eh.v
+      WHERE bu.com = bv.com
+      GROUP BY 1
+    ),
+    coms AS (
+      SELECT com, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS d_sum
+      FROM nb GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.com, c.n_nodes, c.d_sum,
+             coalesce(i.e_in, 0) AS e_in,
+             4 * m.m * coalesce(i.e_in, 0) - c.d_sum * c.d_sum AS t
+      FROM coms c LEFT JOIN internal i ON i.com = c.com CROSS JOIN m
+    )
+    SELECT com, n_nodes, d_sum, e_in,
+           floor(CAST(sum(t) OVER () AS DOUBLE) * 1e6
+                 / (4 * m.m * m.m) + 0.5) / 1e6 AS modularity
+    FROM terms CROSS JOIN m
+    """,
+    tags=("graph",),
+)
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007) on
+    the part co-order graph, scored by the modularity readout: each
+    node starts as its own community, and each synchronized round
+    adopts the most frequent label among its neighbors PLUS its own
+    current label (the self-vote), ties broken by the smallest label.
+    Completes the community side the r14/r15 verdicts asked for:
+    q_graph_cc finds connectivity (communities ignore density),
+    q_graph_modularity SCORES an externally-given partition (brands) —
+    this DISCOVERS the partition from the edge structure and reports
+    the same per-community readout (n_nodes, degree mass, internal
+    edges, global Q), so the two scorecards are directly comparable.
+
+    Determinism (the q_graph_cc discipline, majority-vote form): the
+    update rule is a deterministic FUNCTION of the label table — exact
+    integer counts ranked by (count DESC, label) with row_number = 1 —
+    so round k's labels are identical in both engines; the oracle
+    unrolls exactly {_LPA_ROUNDS} rounds and Spark iterates the same
+    recurrence, early-stopping only at a TRUE fixed point (no label
+    changed), where the remaining rounds are provably no-ops. The
+    self-vote matters twice: statistically it damps the label
+    oscillation synchronized LPA is famous for (measured: plain
+    majority never converges on the sf0.01/sf0.1 fixtures, self-vote
+    fixes in ≤7 rounds), and structurally it guarantees every node has
+    ≥1 vote so the argmax is total. If a corpus-scale graph still
+    oscillated past {_LPA_ROUNDS} rounds, BOTH engines would report
+    the identical {_LPA_ROUNDS}-round iterate (cap parity at any
+    depth — the q_graph_kcore argument).
+
+    Shape at 100 TB: per round, one edges⋈labels shuffle + map-side
+    combined (node, lab) count + one row_number window partitioned by
+    node — all keyed on the node key, so AQE reuses one partitioning;
+    labels materialized every 2 rounds to cut lineage (the q_graph_cc
+    4-per-block lesson, halved because each LPA round is two stages
+    deeper). The modularity tail is the extracted modularity_readout —
+    dimension-sized joins, |communities| output rows.
+
+    Reference parity anchor: no graph surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference analytics family."""
+    und = materialize(_co_order_und(spark, sf_dir))
+    edges = materialize(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    labels = materialize(
+        edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("lab")
+        )
+    )
+
+    def propagate(lab_df: DataFrame) -> DataFrame:
+        votes = (
+            edges.join(lab_df, edges.src == lab_df.node)
+            .select(F.col("dst").alias("vnode"), "lab")
+            .unionByName(
+                lab_df.select(F.col("node").alias("vnode"), "lab")
+            )
+        )
+        best = (
+            votes.groupBy("vnode", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vnode").orderBy(F.desc("c"), "lab")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vnode", F.col("lab").alias("nlab"))
+        )
+        return lab_df.join(best, lab_df.node == best.vnode, "left").select(
+            "node",
+            F.coalesce(F.col("nlab"), F.col("lab")).alias("lab"),
+        )
+
+    # TWO propagation rounds per materialize + convergence check (the
+    # q_graph_cc block pattern at half stride: an LPA round adds a
+    # window stage on top of CC's join+agg, so the lazy unroll is
+    # deeper per round); the convergence flag rides inside the
+    # materialized frame exactly as in q_graph_cc.
+    for _ in range(_LPA_ROUNDS // 2):
+        old = labels
+        stepped = labels.select("node", "lab")
+        for _k in range(2):
+            stepped = propagate(stepped)
+        new = materialize(
+            stepped.alias("n")
+            .join(old.select("node", F.col("lab").alias("_prev")), "node")
+            .select("node", "lab", (F.col("lab") != F.col("_prev")).alias("_ch"))
+        )
+        changed = new.filter(F.col("_ch")).limit(1).count()
+        labels = new
+        if changed == 0:
+            break
+    deg = co_order_degrees(und)
+    nb = materialize(
+        deg.join(labels.select("node", F.col("lab").alias("com")), "node")
+    )
+    return modularity_readout(und, nb)

