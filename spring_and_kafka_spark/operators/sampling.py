@@ -189,7 +189,8 @@ _KS_C2 = 1.844164
       SELECT n_chars,
              count(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                              < '29' THEN 1 END) AS cs,
-             count(*) AS cp
+             count(CASE WHEN NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                  < '29') THEN 1 END) AS cp
       FROM documents WHERE n_chars IS NOT NULL
       GROUP BY n_chars
     ),
@@ -201,7 +202,7 @@ _KS_C2 = 1.844164
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT CAST(max(n1) AS BIGINT) AS n_sample,
-           CAST(max(n2) AS BIGINT) AS n_pop,
+           CAST(max(n2) AS BIGINT) AS n_rest,
            CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
            CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
              floor(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE) * 1e6
@@ -217,17 +218,24 @@ _KS_C2 = 1.844164
 )
 def q_sample_ks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov audit of the hash-threshold sample
-    (q_sample_hash_threshold's ~16% md5-prefix Bernoulli) against the
-    full population on the n_chars distribution — the QA gate a
-    sampling pipeline runs before trusting estimates computed on the
-    sample: a biased hash (or a key correlated with the audited
-    column) shows up as a large sup-distance D, and the alpha = 0.05
-    Smirnov flag says whether the discrepancy exceeds sampling noise.
-    Completes the sampling family: the generators (hash / threshold /
-    stratified / temperature) produce subsets, this op certifies one.
+    (q_sample_hash_threshold's ~16% md5-prefix Bernoulli) against its
+    COMPLEMENT (population minus sample) on the n_chars distribution —
+    the QA gate a sampling pipeline runs before trusting estimates
+    computed on the sample: a biased hash (or a key correlated with
+    the audited column) shows up as a large sup-distance D, and the
+    alpha = 0.05 Smirnov flag says whether the discrepancy exceeds
+    sampling noise. The comparison is sample-vs-complement, not
+    sample-vs-population, because the two-sample critical constant
+    assumes INDEPENDENT samples: a sample nested inside its superset
+    shares its own rows with the comparison side, deflating D and
+    making the flag silently conservative (ADVICE r15). Disjoint
+    halves restore the calibrated test; a NULL doc_id row hashes to
+    NULL and belongs to NEITHER side in both engines. Completes the
+    sampling family: the generators (hash / threshold / stratified /
+    temperature) produce subsets, this op certifies one.
 
     Cross-engine determinism: the ECDF comparison runs entirely on
-    exact integers — per-value sample/population counts, cumulative
+    exact integers — per-value sample/complement counts, cumulative
     sums, and the cross-multiplied sup |c1·n2 − c2·n1| (never a
     per-row division); the single division producing D is floor-form;
     the rejection flag compares SQUARED products against c²·(n1+n2)·
@@ -258,7 +266,7 @@ def q_sample_ks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_s = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "29"
     v = d.groupBy("n_chars").agg(
         F.count(F.when(in_s, 1)).alias("cs"),
-        F.count(F.lit(1)).alias("cp"),
+        F.count(F.when(~in_s, 1)).alias("cp"),
     )
     wc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
     wa = W.partitionBy()
@@ -276,7 +284,7 @@ def q_sample_ks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         F.col("n1").alias("n_sample"),
-        F.col("n2").alias("n_pop"),
+        F.col("n2").alias("n_rest"),
         "ks_num",
         F.when(
             (F.col("n1") > 0) & (F.col("n2") > 0),

@@ -1173,9 +1173,10 @@ def test_matryoshka_zero_prefix_vectors_degrade_recall(spark, tmp_path):
 
 
 def test_ks_check_constant_column_is_zero_distance(spark, tmp_path):
-    """A constant n_chars column makes sample and population ECDFs
+    """A constant n_chars column makes sample and complement ECDFs
     identical at the single step: D must be exactly 0 and the flag
-    must not fire — and parity must hold on the one-row output."""
+    must not fire — and parity must hold on the one-row output. The
+    two disjoint sides must partition the 50 rows."""
     d = tmp_path / "ks-const"
     d.mkdir()
     rows = [(i, "t", "en", "s", 42) for i in range(50)]
@@ -1186,4 +1187,4 @@ def test_ks_check_constant_column_is_zero_distance(spark, tmp_path):
     assert got["ks_num"] == [0]
     assert got["ks_d"] == [0.0]
     assert got["reject"] == [False]
-    assert got["n_pop"] == [50]
+    assert got["n_sample"][0] + got["n_rest"][0] == 50

@@ -517,7 +517,7 @@ def test_sample_ks_matches_ecdf_replay(spark, vals):
         in_s = hashlib.md5(str(i).encode()).hexdigest()[:2] < "29"
         e = per_val[v]
         e[0] += in_s
-        e[1] += 1
+        e[1] += not in_s  # complement side (ADVICE r15: disjoint halves)
     if per_val:
         n1 = sum(cs for cs, _ in per_val.values())
         n2 = sum(cp for _, cp in per_val.values())
@@ -556,7 +556,7 @@ def test_sample_ks_matches_ecdf_replay(spark, vals):
             f"{d}/documents.parquet",
         )
         r = q_sample_ks_check(spark, d).collect()[0]
-        got = (r.n_sample, r.n_pop, r.ks_num, r.ks_d, r.reject)
+        got = (r.n_sample, r.n_rest, r.ks_num, r.ks_d, r.reject)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expected
