@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spring_and_kafka_spark.llm.text import js_from_counts
-from spring_and_kafka_spark.streaming.sinks import foreach_batch_sink
+from spring_and_kafka_spark.streaming.sinks import (
+    foreach_batch_sink,
+    read_single_state,
+)
 
 _DRIFT_SCHEMA = "source STRING, tok STRING, c BIGINT"
 
@@ -70,16 +73,14 @@ def token_delta_stream(docs: DataFrame, state_dir: str):
 def maintained_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     """Merged (source, tok, c) counts from all streamed partials. A
     stream that never ran yields an empty count table, not a
-    missing-path error. Compaction = this query written back as the
+    missing-path error; a torn batch (``batch_id=N`` without its
+    ``_SUCCESS`` marker — a crash during that write) RAISES via
+    read_single_state instead of merging partial counts (the r15
+    standing cleanup). Compaction = this query written back as the
     new single partial."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        partials = spark.read.schema(_DRIFT_SCHEMA).parquet(state_dir).select(
-            "source", "tok", "c"
-        )
-    except AnalysisException:
-        partials = spark.createDataFrame([], _DRIFT_SCHEMA)
+    partials = read_single_state(
+        spark, state_dir, _DRIFT_SCHEMA, "drift"
+    ).select("source", "tok", "c")
     return partials.groupBy("source", "tok").agg(F.sum("c").alias("c"))
 
 

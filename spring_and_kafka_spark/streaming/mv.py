@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spring_and_kafka_spark.streaming.sinks import foreach_batch_sink
+from spring_and_kafka_spark.streaming.sinks import (
+    foreach_batch_sink,
+    read_single_state,
+)
 
 _MV_SCHEMA = "month_id BIGINT, n_orders BIGINT, revenue_cents BIGINT"
 
@@ -65,15 +68,15 @@ def maintained_view(
 
     ``base_mv`` columns: (month_id, n_orders, revenue_cents) — the same
     shape the partials carry, so compaction (folding partials into a new
-    base) is this exact query written back."""
-    from pyspark.errors import AnalysisException
+    base) is this exact query written back.
 
-    try:
-        partials = spark.read.schema(_MV_SCHEMA).parquet(state_dir).select(
-            "month_id", "n_orders", "revenue_cents"
-        )
-    except AnalysisException:
-        partials = spark.createDataFrame([], _MV_SCHEMA)
+    Torn state (a ``batch_id=N`` partition missing its ``_SUCCESS``
+    marker — a crash during that write) RAISES via read_single_state
+    instead of silently merging a partial delta (the r15 standing
+    cleanup)."""
+    partials = read_single_state(spark, state_dir, _MV_SCHEMA, "mv").select(
+        "month_id", "n_orders", "revenue_cents"
+    )
     return (
         base_mv.select("month_id", "n_orders", "revenue_cents")
         .unionByName(partials)

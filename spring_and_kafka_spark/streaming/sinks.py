@@ -46,7 +46,76 @@ def parquet_sink(stream_df: DataFrame, path: str, checkpoint_dir: str):
     )
 
 
-def read_partial_state(spark, state_dir: str, subtables, what: str):
+def _batch_partitions(spark, table_dir: str) -> tuple[set[str], set[str]]:
+    """(committed, uncommitted) ``batch_id=N`` partition names under one
+    state table dir, by driver-side Hadoop FS metadata listing (works on
+    object stores, never a Spark job). Committed = the partition carries
+    its ``_SUCCESS`` marker."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = path.getFileSystem(conf)
+    done: set[str] = set()
+    torn: set[str] = set()
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        ok = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{name}/_SUCCESS")
+        )
+        (done if ok else torn).add(name)
+    return done, torn
+
+
+def read_single_state(
+    spark,
+    state_dir: str,
+    schema: str,
+    what: str,
+    require_success: bool = True,
+):
+    """Single-table variant of :func:`read_partial_state` for
+    maintainers whose state is a flat ``{state_dir}/batch_id=N`` layout
+    (streaming/mv.py, sketch.py, drift.py — the migration the r15
+    guard's docstring named as the standing cleanup): the sibling-table
+    tear levels are vacuous with one table, so only the level-3 check
+    applies — a ``batch_id=N`` partition WITHOUT its ``_SUCCESS``
+    marker is a crash DURING that write (the dir exists from job
+    start, so the bare read absorbs partial data silently) and RAISES.
+    Returns an empty frame when the state dir doesn't exist (the
+    stream simply never ran).
+
+    ``require_success=False`` skips the marker check — for deployments
+    whose committer writes no markers
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``, the
+    common object-store-committer setting — ADVICE r15): tear
+    detection then degrades to the replay-overwrite contract alone
+    (exactly the pre-guard behavior), but the degradation is chosen
+    EXPLICITLY by the caller instead of silently being the only mode.
+    The default assumes markers, which Spark's parquet batch writes
+    under ``foreachBatch`` produce out of the box."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        frame = spark.read.schema(schema).parquet(state_dir)
+    except AnalysisException:  # no batch ever committed a partition
+        return spark.createDataFrame([], schema)
+    if require_success:
+        _, torn = _batch_partitions(spark, state_dir)
+        if torn:
+            raise RuntimeError(
+                f"partial {what} state under {state_dir}: "
+                f"{sorted(torn)[0]} has no _SUCCESS marker — a crash "
+                "during that write; replay that batch or clear the "
+                "state dir"
+            )
+    return frame
+
+
+def read_partial_state(
+    spark, state_dir: str, subtables, what: str, require_success: bool = True
+):
     """Read a merge-on-read maintainer's partial state tables, RAISING
     on torn state instead of silently absorbing it (the freshness.py
     guard generalized to N sibling tables — ADVICE r6 / round-7 review:
@@ -64,12 +133,14 @@ def read_partial_state(spark, state_dir: str, subtables, what: str):
        crash DURING that write (the dir exists from job start, so bare
        dir-presence checks pass while the data inside is partial; the
        r15 review found this evasion in the first templates guard).
+       Skippable via ``require_success=False`` for committers that
+       write no markers (see :func:`read_single_state`); levels 1-2
+       still apply.
 
     All checks are driver-side Hadoop FS metadata listings (works on
     object stores), never a Spark job. Single-table maintainers
-    (streaming/mv.py, sketch.py, drift.py) still read their state
-    directly and tolerate a level-3 torn batch silently — migrating
-    them here is the standing cleanup."""
+    (streaming/mv.py, sketch.py, drift.py) read the flat-layout twin
+    :func:`read_single_state` (the r15 standing cleanup, closed r16)."""
     from pyspark.errors import AnalysisException
 
     def read_or_none(sub: str, schema: str) -> DataFrame | None:
@@ -92,38 +163,20 @@ def read_partial_state(spark, state_dir: str, subtables, what: str):
             spark.createDataFrame([], sch) for _, sch in subtables
         )
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-
-    def batch_dirs(sub: str) -> tuple[set[str], set[str]]:
-        """(committed, uncommitted) batch_id=N partition names."""
-        path = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{sub}")
-        fs = path.getFileSystem(conf)
-        done: set[str] = set()
-        torn: set[str] = set()
-        for st in fs.listStatus(path):
-            name = st.getPath().getName()
-            if not name.startswith("batch_id="):
-                continue
-            ok = fs.exists(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{state_dir}/{sub}/{name}/_SUCCESS"
-                )
-            )
-            (done if ok else torn).add(name)
-        return done, torn
-
     sets = {}
     for sub, _ in subtables:
-        done, torn = batch_dirs(sub)
-        if torn:
+        done, torn = _batch_partitions(spark, f"{state_dir}/{sub}")
+        if torn and require_success:
             raise RuntimeError(
                 f"partial {what} state under {state_dir}: "
                 f"{sorted(torn)[0]} under {sub}/ has no _SUCCESS marker "
                 "— a crash during that write; replay that batch or "
                 "clear the state dir"
             )
-        sets[sub] = done
+        # with markers disabled, a marker-less partition is simply a
+        # batch (the committer never wrote markers) — include it in the
+        # sibling-alignment check rather than treating it as torn
+        sets[sub] = done if require_success else (done | torn)
     union = set().union(*sets.values())
     for sub, _ in subtables:
         missing = union - sets[sub]

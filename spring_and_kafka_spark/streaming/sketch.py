@@ -21,7 +21,12 @@ from spring_and_kafka_spark.operators.sketches import (
     select_quantile_buckets,
     to_cents,
 )
-from spring_and_kafka_spark.streaming.sinks import foreach_batch_sink
+from spring_and_kafka_spark.streaming.sinks import (
+    foreach_batch_sink,
+    read_single_state,
+)
+
+_SKETCH_SCHEMA = "digits BIGINT, first2 BIGINT, bcnt BIGINT"
 
 
 def sketch_stream(prices: DataFrame, state_dir: str):
@@ -52,16 +57,13 @@ def merged_quantiles(spark: SparkSession, state_dir: str) -> DataFrame:
     partition column ignored) and resolve the standard quantiles —
     (q, approx_cents) rows identical to what the one-shot histogram
     would answer. A stream that never ran yields the empty answer, not
-    a missing-path error."""
-    from pyspark.errors import AnalysisException
+    a missing-path error; a torn batch (``batch_id=N`` without its
+    ``_SUCCESS`` marker — a crash during that write) RAISES via
+    read_single_state instead of merging a partial histogram (the r15
+    standing cleanup)."""
     from pyspark.sql import functions as F
 
-    try:
-        partials = spark.read.parquet(state_dir)
-    except AnalysisException:  # no batch ever committed a partition
-        partials = spark.createDataFrame(
-            [], "digits long, first2 long, bcnt long"
-        )
+    partials = read_single_state(spark, state_dir, _SKETCH_SCHEMA, "sketch")
     b = partials.groupBy("digits", "first2").agg(
         F.sum("bcnt").alias("bcnt")
     )

@@ -717,3 +717,66 @@ def test_maintained_templates_dedups_across_batches_and_raises_on_tear(
     ).write.parquet(f"{state2}/counts/batch_id=0")
     with pytest.raises(RuntimeError, match="partial template state"):
         maintained_templates(spark, state2).collect()
+
+
+def test_single_table_maintainers_raise_on_torn_batch(spark, tmp_path):
+    """r15 standing cleanup closed: the three single-table maintainers
+    (mv, sketch, drift) read through read_single_state, so a batch_id
+    partition missing its _SUCCESS marker (a crash DURING that write)
+    RAISES at read time instead of silently merging partial state —
+    and require_success=False explicitly restores the marker-less
+    committer behavior (ADVICE r15)."""
+    import os
+
+    import pytest
+
+    from spring_and_kafka_spark.streaming.drift import maintained_counts
+    from spring_and_kafka_spark.streaming.mv import maintained_view
+    from spring_and_kafka_spark.streaming.sinks import read_single_state
+    from spring_and_kafka_spark.streaming.sketch import merged_quantiles
+
+    base_mv = spark.createDataFrame(
+        [(1, 2, 300)], "month_id long, n_orders long, revenue_cents long"
+    )
+    cases = [
+        (
+            "mv",
+            [(1, 1, 100)],
+            "month_id long, n_orders long, revenue_cents long",
+            lambda s: maintained_view(spark, base_mv, s),
+            1,  # never-ran: the base view rides through unchanged
+        ),
+        (
+            "sketch",
+            [(3, 12, 5)],
+            "digits long, first2 long, bcnt long",
+            lambda s: merged_quantiles(spark, s),
+            0,
+        ),
+        (
+            "drift",
+            [("s0", "tok", 2)],
+            "source string, tok string, c long",
+            lambda s: maintained_counts(spark, s),
+            0,
+        ),
+    ]
+    for name, rows, schema, read, never_rows in cases:
+        state = str(tmp_path / f"{name}-state")
+        spark.createDataFrame(rows, schema).write.parquet(
+            f"{state}/batch_id=0"
+        )
+        assert read(state).count() >= 1  # healthy state reads
+        os.remove(f"{state}/batch_id=0/_SUCCESS")
+        with pytest.raises(RuntimeError, match="no _SUCCESS marker"):
+            read(state).collect()
+        # marker-less committer mode: the SAME state reads through when
+        # the caller explicitly opts out of the marker check
+        assert (
+            read_single_state(
+                spark, state, schema, name, require_success=False
+            ).count()
+            == len(rows)
+        )
+        # never-ran: empty (mv: just the base), never an error
+        assert read(str(tmp_path / f"{name}-never")).count() == never_rows
