@@ -168,6 +168,15 @@ HEADLINE = [
     # (value-bounded ECDF windows, one row out)
     "q_embed_matryoshka_eval",
     "q_sample_ks_check",
+    # round-16 batch: per-doc span-excision readout (segment table +
+    # doc_id-keyed window/groupBy tail), LPA communities (self-vote
+    # majority propagation + the shared modularity readout — the
+    # iterative-graph job-overhead class), Hamming-shortlist exact
+    # re-rank (three TakeOrdered heaps over the materialized corpus)
+    # (BASELINE.md §2 notes the headline-set change)
+    "q_dedup_substring",
+    "q_graph_lpa",
+    "q_sim_rerank",
 ]
 
 

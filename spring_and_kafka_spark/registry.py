@@ -84,100 +84,92 @@ _MODULE_SEQ: dict[str, int] = {}
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row.
 #
-# Round-15 window. Rotation pool derived PROGRAMMATICALLY —
-# `python -m tools.window_pool` folds CORRECTNESS_r01..r14 into the
-# last-verified map. Tool output this rotation (through_round=14):
-#   histogram: r9=23, r10=49, r11=49, r12=49, r13=46, r14=50
-#   (266, 0 never)
+# Round-16 window. Rotation pool derived PROGRAMMATICALLY —
+# `python -m tools.window_pool` folds CORRECTNESS_r01..r15 into the
+# last-verified map. Tool output this rotation (through_round=15):
+#   histogram: r10=31, r11=49, r12=49, r13=46, r14=49, r15=50
+#   (274, 0 never)
 # pinned (round-bounded, so next round's artifact can't break it) in
 # tests/test_registry_window.py.
 #
 # Composition, per the rotation discipline (rule order: never-verified >
-# red fixes > changed output > stalest green). Per the r14 verdict's
-# process note, this round favors ROTATION over registry growth: only
-# 8 new ops (vs 16 in r14), so the window retires ALL 23 remaining r9
-# rows plus the first 18 r10 rows:
-#   (a) the 8 queries NEW in r15 (q_dedup_minhash_est
-#       q_embed_matryoshka_eval q_embed_rbo q_quality_gopher
-#       q_sample_ks_check q_text_boilerplate q_text_pmi
-#       q_ts_changepoint — MinHash estimator calibration, the
-#       dimension-truncation recall curve, rank-biased overlap of the
-#       sketch vs exact rankings, the Gopher rule battery, the
-#       two-sample KS sampling audit, cross-source template detection,
-#       collocation PMI, and offline change-point detection, pool()
-#       round-0 name order) — never driver-verified, so they lead;
-#   (b) the 1 query whose OUTPUT expression changed in r15:
-#       q_embed_threshold_curve (the _WF_SQL well-formed-vector
-#       contract joined on both sides — ADVICE r14 item 1);
-#   (c) the rotation pool in tools.window_pool pool() order: all 23
-#       r9-stale rows (displaced by the r14 new-op batch, named at the
-#       r14 block's tail) + the first 18 of the 49 r10 rows —
-#       8+1+23+18 = 50 exactly.
-# After this window the stalest green rows are the 31 remaining r10
-# rows (q_sample_temperature q_sessionize q_stream_session
-# q_stream_slide q_stream_tumble q_subquery_in q_subquery_scalar
-# q_text_chunk q_text_dup_fraction q_tpch_q10 q_tpch_q13 q_tpch_q14
-# q_tpch_q15 q_tpch_q16 q_tpch_q17 q_tpch_q18 q_tpch_q19 q_tpch_q20
-# q_tpch_q21 q_tpch_q22 q_tpch_q3 q_tpch_q4 q_tpch_q5 q_tpch_q6
-# q_tpch_q7 q_tpch_q8 q_ts_simsearch q_udf_scalar q_win_dist
-# q_win_ntile q_win_streak) then the 49 r11 rows — the r16 pool
-# head.
+# red fixes > changed output > stalest green). The r15 verdict's item 2
+# mandated this exact rotation: the new-op batch stays small (3) so the
+# window retires ALL 31 remaining r10 rows plus the r11 pool head:
+#   (a) the 3 queries NEW in r16 (q_dedup_substring q_graph_lpa
+#       q_sim_rerank — the per-doc span-excision readout, label-
+#       propagation communities scored by modularity, and the Hamming-
+#       shortlist -> exact-cosine re-rank with truth agreement; the
+#       r15 verdict's Next-round items 1/3/4, pool() round-0 name
+#       order) — never driver-verified, so they lead;
+#   (b) the 1 query whose OUTPUT expression changed in r16:
+#       q_sample_ks_check (sample-vs-COMPLEMENT two-sample form,
+#       n_pop -> n_rest — ADVICE r15 item 1);
+#   (c) the rotation pool in tools.window_pool pool() order: all 31
+#       r10-stale rows + the first 15 of the 49 r11 rows —
+#       3+1+31+15 = 50 exactly.
+# After this window the stalest green rows are the 34 remaining r11
+# rows (q_heavy_hitters q_hist_equiwidth q_interval_peak q_join_bloom
+# q_join_overlap q_join_pit q_kanon q_langid_confusion
+# q_multimodal_dedup q_pii_scan q_profile q_rfm q_sample_balanced
+# q_scd2 and the rest in pool order) then the 49 r12 rows — the r17
+# pool head.
 # Queries not named here rank after the prefix by (module rank, def
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
-    # (a) new-in-r15, never verified — pool() round-0 name order
-    "q_dedup_minhash_est",
-    "q_embed_matryoshka_eval",
-    "q_embed_rbo",
-    "q_quality_gopher",
+    # (a) new-in-r16, never verified — pool() round-0 name order
+    "q_dedup_substring",
+    "q_graph_lpa",
+    "q_sim_rerank",
+    # (b) output expression changed in r16 (ADVICE r15 item 1)
     "q_sample_ks_check",
-    "q_text_boilerplate",
-    "q_text_pmi",
-    "q_ts_changepoint",
-    # (b) output expression changed in r15 (ADVICE r14 item 1)
-    "q_embed_threshold_curve",
-    # (c) the rotation pool, tools.window_pool order: 23 r9 + 18 r10
-    "q_join_broadcast",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_right",
-    "q_join_semi",
-    "q_join_theta",
-    "q_multimodal_decode",
-    "q_multimodal_meta",
-    "q_sample_hash",
-    "q_sample_hash_threshold",
-    "q_sample_seeded",
-    "q_sample_stratified_hash",
-    "q_sim_knn_all",
-    "q_sim_lsh_bucket",
-    "q_sim_topk_per_label",
-    "q_text_contamination",
-    "q_text_entropy",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_redact",
-    "q_winsorize",
-    "q_agg_countmin",
-    "q_agg_group",
-    "q_agg_mode",
-    "q_corpus_mix",
-    "q_corpus_repeat",
-    "q_corpus_split",
-    "q_dist_shift",
-    "q_embed_dim_stats",
-    "q_fn_array",
-    "q_fn_decimal",
-    "q_fn_string",
-    "q_gapfill",
-    "q_graph_pagerank",
-    "q_join_multi",
-    "q_join_range",
-    "q_join_salted",
-    "q_multimodal_framesample",
-    "q_rollup_hier",
+    # (c) the rotation pool, tools.window_pool order: 31 r10 + 15 r11
+    "q_sample_temperature",
+    "q_sessionize",
+    "q_stream_session",
+    "q_stream_slide",
+    "q_stream_tumble",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_chunk",
+    "q_text_dup_fraction",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_ts_simsearch",
+    "q_udf_scalar",
+    "q_win_dist",
+    "q_win_ntile",
+    "q_win_streak",
+    "q_ab_test",
+    "q_agg_corr",
+    "q_agg_string",
+    "q_agg_weighted",
+    "q_basket_pairs",
+    "q_benford",
+    "q_cohort_revenue",
+    "q_corpus_provenance",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dq_checks",
+    "q_er_blocking",
+    "q_fn_url",
+    "q_graph_degree",
+    "q_graph_triangles",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -31,6 +31,7 @@ R12_DERIVATION_ROUND = 11
 R13_DERIVATION_ROUND = 12
 R14_DERIVATION_ROUND = 13
 R15_DERIVATION_ROUND = 14
+R16_DERIVATION_ROUND = 15
 
 # NEW in r11 (never driver-verified — must lead any window they can
 # reach, pool() round-0 name order): the r11 LLM-ops batch.
@@ -152,6 +153,22 @@ NEW_R15 = [
 # (ADVICE r14 item 1).
 CHANGED_R15 = ["q_embed_threshold_curve"]
 
+# NEW in r16 (the r15 verdict's Next-round items 1/3/4; rotation-over-
+# growth again — 3 new ops so the window retires ALL 31 remaining
+# r10-stale rows): the per-doc span-excision readout, label-propagation
+# communities scored by modularity, Hamming-shortlist -> exact-cosine
+# re-rank with truth agreement (pool() round-0 name order).
+NEW_R16 = [
+    "q_dedup_substring",
+    "q_graph_lpa",
+    "q_sim_rerank",
+]
+
+# Changed in r16 while already green: q_sample_ks_check moved to the
+# sample-vs-COMPLEMENT two-sample form (n_pop -> n_rest — ADVICE r15
+# item 1: nested samples deflate D).
+CHANGED_R16 = ["q_sample_ks_check"]
+
 
 # ---------------------------------------------------------------- invariants
 
@@ -257,6 +274,14 @@ def test_window_pool_histograms_match_their_input_rounds():
         13: 46,
         14: 50,
     }
+    assert histogram(last_verified(through_round=R16_DERIVATION_ROUND)) == {
+        10: 31,
+        11: 49,
+        12: 49,
+        13: 46,
+        14: 49,
+        15: 50,
+    }
 
 
 def test_r11_window_was_new_plus_changed_plus_pool_order():
@@ -338,22 +363,43 @@ def test_r14_window_was_new_plus_changed_plus_pool_order():
     assert strata == [8] * 3 + [9] * 22
 
 
-def test_r15_window_is_new_plus_changed_plus_pool_order():
-    """The r15 window must be exactly: the never-verified r15 additions,
-    then the r15 changed-output query, then the rotation pool derived
-    from CORRECTNESS_r01..r14 in pool() order (stalest round, then
-    name) — i.e. the window is DERIVED, not hand-picked. With 8 new +
-    1 changed (rotation-over-growth, the r14 verdict's process note:
-    half of r14's 16), the remaining 41 slots retire ALL 23 r9-stale rows and the
-    first 18 r10 rows — 50 exactly (31 r10 rows lead the r16 pool)."""
-    prefix = registry._WINDOW_PREFIX
-    lead = NEW_R15 + CHANGED_R15
-    assert prefix[: len(lead)] == lead
+def test_r15_window_was_new_plus_changed_plus_pool_order():
+    """The r15 derivation record, kept as history (same treatment the
+    r11-r14 windows got when they rotated away): the r15 window list
+    lives in CORRECTNESS_r15.json's key order, which is immutable."""
     lv = last_verified(through_round=R15_DERIVATION_ROUND)
     assert not any(n in lv for n in NEW_R15), "NEW_R15 not actually new"
+    import json, os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "CORRECTNESS_r15.json")) as f:
+        r15_window = list(json.load(f))
+    lead = NEW_R15 + CHANGED_R15
+    assert r15_window[: len(lead)] == lead
+    rest = [n for n in pool(lv) if n not in lead]
+    assert r15_window[len(lead) :] == rest[: 50 - len(lead)]
+    # the strata the r15 derivation claimed: all 23 r9 + first 18 r10
+    strata = [lv[n] for n in r15_window[len(lead) :]]
+    assert strata == [9] * 23 + [10] * 18
+
+
+def test_r16_window_is_new_plus_changed_plus_pool_order():
+    """The r16 window must be exactly: the never-verified r16 additions,
+    then the r16 changed-output query, then the rotation pool derived
+    from CORRECTNESS_r01..r15 in pool() order (stalest round, then
+    name) — i.e. the window is DERIVED, not hand-picked. With 3 new +
+    1 changed (rotation-over-growth: the r15 verdict's item 2 mandated
+    retiring the r10 stratum), the remaining 46 slots retire ALL 31
+    r10-stale rows and the first 15 r11 rows — 50 exactly (34 r11 rows
+    lead the r17 pool)."""
+    prefix = registry._WINDOW_PREFIX
+    lead = NEW_R16 + CHANGED_R16
+    assert prefix[: len(lead)] == lead
+    lv = last_verified(through_round=R16_DERIVATION_ROUND)
+    assert not any(n in lv for n in NEW_R16), "NEW_R16 not actually new"
     rest = [n for n in pool(lv) if n not in lead]
     assert prefix[len(lead) :] == rest[: 50 - len(lead)]
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [9] * 23 + [10] * 18
+    assert strata == [10] * 31 + [11] * 15

@@ -161,6 +161,9 @@ SECTIONS = {
         "q_dedup_minhash_est", "q_embed_rbo", "q_ts_changepoint",
         "q_embed_matryoshka_eval", "q_sample_ks_check",
     ],
+    "round-16 additions: span-excision readout + LPA community detection + shortlist re-rank": [
+        "q_dedup_substring", "q_graph_lpa", "q_sim_rerank",
+    ],
 }
 
 # Every registered query MUST appear in exactly one section —
@@ -176,9 +179,9 @@ STREAMING_ONLY = [
     ("stateful dedup (dropDuplicatesWithinWatermark)", "streaming/windows.py:stream_dedup"),
     ("ingest-time corpus curation (quality gate + fingerprint dedup)", "streaming/curation.py (tests/test_streaming.py::test_stream_curation_equals_batch)"),
     ("ingest-time near-dup admission (foreachBatch incremental LSH vs corpus)", "streaming/curation.py:admission_stream (tests/test_streaming.py::test_stream_admission_equals_batch_incremental)"),
-    ("incremental quantile-sketch rollup (per-batch partial histograms, merge-on-read)", "streaming/sketch.py (tests/test_streaming_advanced.py::test_stream_merged_sketch_equals_batch)"),
-    ("incremental MV maintenance (CDC changelog stream → per-batch partial deltas, merge-on-read view)", "streaming/mv.py (tests/test_streaming_advanced.py::test_stream_maintained_mv_equals_batch)"),
-    ("incrementally-maintained ingest freshness audit (counter partials + distinct user presence, merge-on-read; ratios derived on read)", "streaming/freshness.py (tests/test_streaming_advanced.py::test_stream_maintained_freshness_equals_batch)"),
+    ("incremental quantile-sketch rollup (per-batch partial histograms, merge-on-read, _SUCCESS-aware torn-state guard)", "streaming/sketch.py (tests/test_streaming_advanced.py::test_stream_merged_sketch_equals_batch)"),
+    ("incremental MV maintenance (CDC changelog stream → per-batch partial deltas, merge-on-read view, _SUCCESS-aware torn-state guard)", "streaming/mv.py (tests/test_streaming_advanced.py::test_stream_maintained_mv_equals_batch)"),
+    ("incrementally-maintained ingest freshness audit (counter partials + distinct user presence, merge-on-read with the torn-state guard; ratios derived on read)", "streaming/freshness.py (tests/test_streaming_advanced.py::test_stream_maintained_freshness_equals_batch)"),
     ("incrementally-maintained boilerplate template table (instance-count + doc-presence partials, merge-on-read flag derivation, _SUCCESS-aware torn-state guard; stream ≡ q_text_boilerplate)", "streaming/templates.py (tests/test_streaming_advanced.py::test_stream_maintained_templates_equals_batch)"),
     ("stream-stream join (time-range state bound)", "streaming/joins.py (tests/test_streaming_advanced.py)"),
     ("stream-static enrich (broadcast dim per micro-batch)", "streaming/joins.py:stream_static_enrich"),

@@ -180,6 +180,10 @@ FACT_QUERIES = [
     "q_graph_assortativity",
     "q_graph_modularity",
     "q_skew_audit",
+    # r16: LPA communities — the q_graph_cc densification caveat plus
+    # the per-round (node, lab) vote groupBy, still row-linear within
+    # a round
+    "q_graph_lpa",
 ]
 
 
@@ -254,6 +258,10 @@ DOCS_QUERIES = [
     "q_text_pmi",
     "q_dedup_minhash_est",
     "q_sample_ks_check",
+    # r16: the span-excision readout — the boilerplate segment table
+    # plus a doc_id-keyed window/groupBy tail, so it should track the
+    # segment scan exactly like q_text_boilerplate does
+    "q_dedup_substring",
 ]  # q_sample_balanced stays: stratum caps must hold as docs grow
 
 
@@ -370,6 +378,21 @@ NOTES = {
         "measures densification-induced rounds, not a plan defect; the "
         "per-round shape (edges⋈labels shuffle + map-side min) is "
         "row-linear within a round."
+    ),
+    "q_graph_lpa": (
+        "same densification caveat as q_graph_cc (copies replay the "
+        "same PART sets, edges cross the ≥2 threshold and communities "
+        "merge); each LPA round adds a (node, lab) vote groupBy + one "
+        "row_number window over the vote table on top of CC's round — "
+        "row-linear within a round, and the self-vote keeps the round "
+        "count bounded (measured fixpoint ≤7 on every fixture)."
+    ),
+    "q_dedup_substring": (
+        "the q_text_boilerplate segment machinery plus a doc_id-keyed "
+        "window/groupBy tail: segment groupBys plateau on the bounded "
+        "vocabulary (the diversity caveat) and per-doc work is "
+        "unchanged by adding DOCS, so the ratio tracks the segment "
+        "scan."
     ),
     "q_graph_lcc": (
         "same densification caveat as q_graph_triangles — wedge work is "
