@@ -169,14 +169,18 @@ HEADLINE = [
     "q_embed_matryoshka_eval",
     "q_sample_ks_check",
     # round-16 batch: per-doc span-excision readout (segment table +
-    # doc_id-keyed window/groupBy tail), LPA communities (self-vote
-    # majority propagation + the shared modularity readout — the
-    # iterative-graph job-overhead class), Hamming-shortlist exact
-    # re-rank (three TakeOrdered heaps over the materialized corpus)
-    # (BASELINE.md §2 notes the headline-set change)
+    # doc_id-keyed window/groupBy tail), segment-df calibration
+    # histogram (two map-side groupBys, no join), LPA communities
+    # (self-vote majority propagation + the shared modularity readout
+    # — the iterative-graph job-overhead class), Hamming-shortlist
+    # exact re-rank (three TakeOrdered heaps over the materialized
+    # corpus) and its recall-vs-length curve (one heap + a broadcast
+    # 4-row grid) (BASELINE.md §2 notes the headline-set change)
     "q_dedup_substring",
+    "q_dedup_seg_df_hist",
     "q_graph_lpa",
     "q_sim_rerank",
+    "q_sim_rerank_curve",
 ]
 
 

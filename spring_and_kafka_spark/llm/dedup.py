@@ -1632,3 +1632,110 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_char_frac"),
         F.coalesce(F.col("longest_run"), F.lit(0)).alias("longest_run"),
     )
+
+
+@register(
+    "q_dedup_seg_df_hist",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+      WHERE text IS NOT NULL AND text <> '' AND doc_id IS NOT NULL
+    ),
+    seg AS (
+      SELECT doc_id,
+             array_to_string(ts[start_tok + 1 : start_tok + {_BP_SEG}], ' ')
+               AS seg
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(0, greatest(n - 1, 0), {_BP_SEG}))
+                     AS start_tok
+            FROM d)
+    ),
+    f AS (
+      SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(count(*) AS BIGINT) AS inst
+      FROM seg GROUP BY seg
+    ),
+    h AS (
+      SELECT CAST(length(printf('%b', df)) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(inst) AS BIGINT) AS n_instances
+      FROM f GROUP BY 1
+    ),
+    w AS (SELECT bucket, n_segments, n_instances,
+                 sum(n_instances) OVER () AS total FROM h)
+    SELECT bucket,
+           (CAST(1 AS BIGINT) << bucket) AS lo,
+           (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi,
+           n_segments, n_instances,
+           floor(n_instances * 1e6 / total + 0.5) / 1e6 AS inst_share
+    FROM w
+    """,
+    tags=("dedup", "text"),
+)
+def q_dedup_seg_df_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of segment document frequency — the
+    CALIBRATION readout for the segment-dedup family's thresholds: for
+    each tumbling {_BP_SEG}-word segment, how many distinct documents
+    carry it (df), bucketed 2^k <= df < 2^(k+1), with per-bucket
+    segment counts, INSTANCE counts, and the instance share. Bucket 0
+    (df = 1) is unique text; everything above it is the excisable mass
+    q_dedup_substring locates per doc and q_text_boilerplate flags per
+    source. Run BEFORE committing _SUBSTR_MIN_DOCS / _BP_MIN_SRC at a
+    new corpus — exactly as the threshold curves precede their cutoffs
+    and q_dedup_minhash_est precedes _MINHASH_PERMS: the histogram says
+    how much mass each candidate threshold would excise, so the knob is
+    chosen from data, not folklore. Completes the family: detection
+    (q_text_boilerplate), excision readout (q_dedup_substring),
+    threshold calibration (this).
+
+    Cross-engine determinism: df and instance counts are exact
+    BIGINTs; the log2 bucket is a bit-length, never libm (the
+    q_hist_log2 discipline — a float log2 is 1-ulp hazardous exactly
+    AT the power-of-two bucket edges); bucket bounds come from integer
+    shifts in both engines; the share is floor-form on the integer
+    ratio. df >= 1 by construction (NULL doc_id rows are excluded at
+    the scan in BOTH engines, the q_dedup_substring contract), so the
+    bucket expression needs no NULL arm.
+
+    Shape at 100 TB: segment explode is O(tokens/{_BP_SEG}); ONE
+    map-side-combined groupBy(seg) collapses to the segment universe
+    (xxhash64 keys at web scale, the family's documented trade); the
+    histogram is a second map-side groupBy to <= ~40 bucket rows; the
+    total rides as a window over those rows. No join anywhere.
+
+    Reference parity anchor: no text surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference dedup family."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    seg = boilerplate_segments(d).select("doc_id", "seg")
+    f = seg.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("inst"),
+    )
+    h = f.groupBy(
+        (F.length(F.bin(F.col("df"))) - 1).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("inst").alias("n_instances"),
+    )
+    w = h.select(
+        "bucket",
+        "n_segments",
+        "n_instances",
+        F.sum("n_instances").over(W.partitionBy()).alias("total"),
+    )
+    return w.select(
+        "bucket",
+        F.expr("shiftleft(1L, cast(bucket AS INT))").alias("lo"),
+        F.expr("shiftleft(1L, cast(bucket AS INT) + 1) - 1L").alias("hi"),
+        "n_segments",
+        "n_instances",
+        (
+            F.floor(F.col("n_instances") * 1e6 / F.col("total") + F.lit(0.5))
+            / 1e6
+        ).alias("inst_share"),
+    )

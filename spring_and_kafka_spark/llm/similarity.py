@@ -2682,3 +2682,174 @@ def q_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_id").over(W.partitionBy()).alias("n_agree"),
         )
     )
+
+
+_RERANK_LS = [10, 25, 50, 100]  # shortlist lengths swept by the curve
+_RERANK_LS_SQL = "[" + ", ".join(str(l) for l in _RERANK_LS) + "]"
+
+
+@register(
+    "q_sim_rerank_curve",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {_WF_SQL}),
+    {_SIG_CTE},
+    q AS (SELECT lo, hi FROM sig WHERE vec_id = 0),
+    short AS (
+      SELECT s.vec_id,
+             bit_count(xor(s.lo, q.lo)) + bit_count(xor(s.hi, q.hi)) AS ham
+      FROM sig s, q
+      WHERE s.vec_id <> 0
+      ORDER BY ham, s.vec_id
+      LIMIT {max(_RERANK_LS)}
+    ),
+    rh AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY ham, vec_id) AS rh
+      FROM short
+    ),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT rh.vec_id, rh.rh,
+             list_dot_product(e.v, qv)
+               / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(qv, qv)), 0) AS raw
+      FROM rh JOIN e USING (vec_id) CROSS JOIN qv
+    ),
+    ls AS (SELECT CAST(unnest({_RERANK_LS_SQL}) AS BIGINT) AS shortlist_len),
+    rr AS (
+      SELECT ls.shortlist_len, cand.vec_id,
+             row_number() OVER (PARTITION BY ls.shortlist_len
+               ORDER BY cand.raw DESC NULLS LAST, cand.vec_id) AS rc
+      FROM cand JOIN ls ON cand.rh <= ls.shortlist_len
+    ),
+    sel AS (SELECT shortlist_len, vec_id FROM rr WHERE rc <= {_RERANK_K}),
+    truth AS (
+      SELECT e.vec_id FROM e CROSS JOIN qv
+      WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.v, qv)
+                 / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(qv, qv)), 0)
+               DESC NULLS LAST, e.vec_id
+      LIMIT {_RERANK_K}
+    ),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT s.shortlist_len,
+           CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+           max(tn.n_truth) AS n_truth,
+           CASE WHEN max(tn.n_truth) > 0 THEN
+             floor(count(t.vec_id) * 1e6 / max(tn.n_truth) + 0.5) / 1e6
+           END AS recall
+    FROM sel s LEFT JOIN truth t ON t.vec_id = s.vec_id CROSS JOIN tn
+    GROUP BY s.shortlist_len
+    """,
+    tags=("ann", "eval"),
+)
+def q_sim_rerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-shortlist-length curve for the two-tier retrieval pair
+    (q_sim_rerank names the shortlist length as THE knob when recall
+    sags — this measures the knob): one Hamming heap pass takes the
+    top-{max(_RERANK_LS)} sketch candidates, and for each swept length
+    L in {_RERANK_LS} the exact re-rank runs on the first L of them,
+    reporting overlap with the brute-force top-{_RERANK_K}. The L where
+    the curve saturates is the cheapest shortlist that loses nothing —
+    chosen from data before deployment, exactly like the family's other
+    pre-commitment curves (q_dedup_threshold_curve,
+    q_embed_threshold_curve, q_dedup_minhash_est,
+    q_dedup_seg_df_hist).
+
+    Cross-engine determinism: the q_sim_rerank contract verbatim —
+    integer Hamming with vec_id tiebreak at the heap edge, IEEE
+    +,*-chained dot products with correctly-rounded sqrt at the rerank
+    and truth edges, NULLIF-pinned zero norms NULLS LAST, floor-form
+    recall on exact integer counts. The within-shortlist rank (rh) is
+    a window over the already-heaped {max(_RERANK_LS)} rows, so the
+    global ORDER BY is never materialized corpus-wide.
+
+    Shape at 100 TB: identical to q_sim_rerank plus a broadcast
+    {len(_RERANK_LS)}-row grid joined on rh <= L — the candidate pass
+    still touches at most {max(_RERANK_LS)} vectors, the grid join
+    fans those out {len(_RERANK_LS)}x (hundreds of rows), and every
+    ranked edge is a heap or a tiny partitioned window. The truth pass
+    is the evaluation harness, as in q_sim_rerank.
+
+    Reference parity anchor: no vector surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference similarity family."""
+    e = materialize(
+        _well_formed(
+            load_vectors(spark, sf_dir).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+        )
+    )
+    sig = _signatures(e)
+    qs = sig.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    short = (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qs))
+        .select("vec_id", ham.alias("ham"))
+        .orderBy("ham", "vec_id")
+        .limit(max(_RERANK_LS))
+    )
+    rh = short.select(
+        "vec_id",
+        F.row_number().over(W.orderBy("ham", "vec_id")).alias("rh"),
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    raw = cosine(F.col("v"), F.col("qv"))
+    cand = (
+        F.broadcast(rh)
+        .join(e, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "rh", raw.alias("raw"))
+    )
+    ls = spark.range(1).select(
+        F.explode(F.array(*[F.lit(l) for l in _RERANK_LS])).alias("_l")
+    ).select(F.col("_l").cast("long").alias("shortlist_len"))
+    rr = (
+        cand.join(F.broadcast(ls), F.col("rh") <= F.col("shortlist_len"))
+        .select(
+            "shortlist_len",
+            "vec_id",
+            F.row_number()
+            .over(
+                W.partitionBy("shortlist_len").orderBy(
+                    F.col("raw").desc_nulls_last(), "vec_id"
+                )
+            )
+            .alias("rc"),
+        )
+        .filter(F.col("rc") <= _RERANK_K)
+    )
+    truth = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", raw.alias("t_raw"))
+        .orderBy(F.col("t_raw").desc_nulls_last(), "vec_id")
+        .limit(_RERANK_K)
+        .select(F.col("vec_id").alias("t_id"))
+    )
+    tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        rr.join(F.broadcast(truth), rr.vec_id == truth.t_id, "left")
+        .crossJoin(F.broadcast(tn))
+        .groupBy("shortlist_len")
+        .agg(
+            F.count("t_id").alias("n_hits"),
+            F.max("n_truth").alias("n_truth"),
+            F.when(
+                F.max("n_truth") > 0,
+                F.floor(
+                    F.count("t_id") * 1e6 / F.max("n_truth") + F.lit(0.5)
+                )
+                / 1e6,
+            ).alias("recall"),
+        )
+    )

@@ -94,36 +94,41 @@ _MODULE_SEQ: dict[str, int] = {}
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green). The r15 verdict's item 2
-# mandated this exact rotation: the new-op batch stays small (3) so the
+# mandated this exact rotation: the new-op batch stays small (5) so the
 # window retires ALL 31 remaining r10 rows plus the r11 pool head:
-#   (a) the 3 queries NEW in r16 (q_dedup_substring q_graph_lpa
-#       q_sim_rerank — the per-doc span-excision readout, label-
-#       propagation communities scored by modularity, and the Hamming-
-#       shortlist -> exact-cosine re-rank with truth agreement; the
-#       r15 verdict's Next-round items 1/3/4, pool() round-0 name
-#       order) — never driver-verified, so they lead;
+#   (a) the 5 queries NEW in r16 (q_dedup_seg_df_hist
+#       q_dedup_substring q_graph_lpa q_sim_rerank q_sim_rerank_curve
+#       — the segment-df threshold-calibration histogram, the per-doc
+#       span-excision readout, label-propagation communities scored by
+#       modularity, the Hamming-shortlist -> exact-cosine re-rank with
+#       truth agreement, and its recall-vs-shortlist-length curve; the
+#       r15 verdict's Next-round items 1/3/4 plus the two family-
+#       completing calibration curves, pool() round-0 name order) —
+#       never driver-verified, so they lead;
 #   (b) the 1 query whose OUTPUT expression changed in r16:
 #       q_sample_ks_check (sample-vs-COMPLEMENT two-sample form,
 #       n_pop -> n_rest — ADVICE r15 item 1);
 #   (c) the rotation pool in tools.window_pool pool() order: all 31
-#       r10-stale rows + the first 15 of the 49 r11 rows —
-#       3+1+31+15 = 50 exactly.
-# After this window the stalest green rows are the 34 remaining r11
-# rows (q_heavy_hitters q_hist_equiwidth q_interval_peak q_join_bloom
-# q_join_overlap q_join_pit q_kanon q_langid_confusion
-# q_multimodal_dedup q_pii_scan q_profile q_rfm q_sample_balanced
-# q_scd2 and the rest in pool order) then the 49 r12 rows — the r17
-# pool head.
+#       r10-stale rows + the first 13 of the 49 r11 rows —
+#       5+1+31+13 = 50 exactly.
+# After this window the stalest green rows are the 36 remaining r11
+# rows (q_graph_degree q_graph_triangles q_heavy_hitters
+# q_hist_equiwidth q_interval_peak q_join_bloom q_join_overlap
+# q_join_pit q_kanon q_langid_confusion q_multimodal_dedup q_pii_scan
+# q_profile q_rfm and the rest in pool order) then the 49 r12 rows —
+# the r17 pool head.
 # Queries not named here rank after the prefix by (module rank, def
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
     # (a) new-in-r16, never verified — pool() round-0 name order
+    "q_dedup_seg_df_hist",
     "q_dedup_substring",
     "q_graph_lpa",
     "q_sim_rerank",
+    "q_sim_rerank_curve",
     # (b) output expression changed in r16 (ADVICE r15 item 1)
     "q_sample_ks_check",
-    # (c) the rotation pool, tools.window_pool order: 31 r10 + 15 r11
+    # (c) the rotation pool, tools.window_pool order: 31 r10 + 13 r11
     "q_sample_temperature",
     "q_sessionize",
     "q_stream_session",
@@ -168,8 +173,6 @@ _WINDOW_PREFIX = [
     "q_dq_checks",
     "q_er_blocking",
     "q_fn_url",
-    "q_graph_degree",
-    "q_graph_triangles",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

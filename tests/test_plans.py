@@ -1138,3 +1138,32 @@ def test_sim_rerank_heaps_broadcast_shortlist_no_shuffle(spark):
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_dedup_seg_df_hist_no_join_two_groupbys(spark):
+    # pure aggregation pipeline: one segment explode, the segment-
+    # universe groupBy, the <= ~40-row bucket groupBy, the total as a
+    # window over bucket rows — no join anywhere, single consumer so
+    # the scan is NOT materialized, NULL doc_id exclusion pushed to it
+    import re
+
+    p = plan(spark, "q_dedup_seg_df_hist")
+    assert "Join" not in p
+    assert "IsNotNull(doc_id)" in p
+    assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
+
+
+def test_sim_rerank_curve_one_heap_grid_window(spark):
+    # ONE Hamming heap feeds all swept lengths (TakeOrderedAndProject,
+    # never a global corpus sort); the grid fan-out and all 1-row
+    # scalars are broadcasts; the only exchange is the tiny
+    # per-length rerank window; no sort-merge join, no cartesian
+    import re
+
+    p = plan(spark, "q_sim_rerank_curve")
+    assert "TakeOrderedAndProject" in p
+    assert "Scan parquet" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 1

@@ -8,7 +8,11 @@ batch —
 - q_dedup_substring: the per-doc span stats vs a direct Python replay
   over random small corpora with planted shared segments;
 - q_sim_rerank: the Hamming-shortlist -> exact-rerank agreement vs a
-  Python float replay on random embedding tables.
+  Python float replay on random embedding tables;
+- q_dedup_seg_df_hist: the segment-df bit-length histogram vs a direct
+  Counter replay (NULL-doc_id/NULL-text/empty-text exclusions included);
+- q_sim_rerank_curve: the recall-vs-shortlist-length sweep vs the same
+  float replay, grid shrunk so the shortlist edges are live.
 
 As in the earlier batteries, every replay drives the REAL registered
 query end-to-end through a random parquet fixture and load_table, so
@@ -217,5 +221,164 @@ def test_sim_rerank_matches_python_replay(spark, seeds):
         ]
     finally:
         sim._RERANK_LIST, sim._RERANK_K = saved
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
+
+
+doc_corpora = st.lists(
+    st.tuples(
+        st.booleans(),  # doc_id present?
+        st.one_of(
+            st.none(),
+            st.just(""),
+            st.lists(st.sampled_from("abcd"), min_size=1, max_size=20).map(
+                " ".join
+            ),
+        ),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(doc_corpora)
+def test_dedup_seg_df_hist_matches_python_replay(spark, docs):
+    """The segment-df histogram vs a direct Counter replay: tumbling
+    8-word segments of non-empty non-NULL-id docs, df = distinct docs
+    per segment, bit-length buckets, instance shares floor-form —
+    including the NULL-doc_id/NULL-text/empty-text exclusions."""
+    from collections import Counter, defaultdict
+
+    from spring_and_kafka_spark.llm.dedup import q_dedup_seg_df_hist
+
+    seg_docs = defaultdict(set)
+    seg_inst = Counter()
+    for i, (has_id, text) in enumerate(docs):
+        if not has_id or text is None or text == "":
+            continue
+        toks = text.split(" ")
+        for s in range(0, max(len(toks) - 1, 0) + 1, 8):
+            seg = " ".join(toks[s : s + 8])
+            seg_docs[seg].add(i)
+            seg_inst[seg] += 1
+    buckets = defaultdict(lambda: [0, 0])
+    for seg, ds in seg_docs.items():
+        b = len(ds).bit_length() - 1
+        buckets[b][0] += 1
+        buckets[b][1] += seg_inst[seg]
+    total = sum(v[1] for v in buckets.values())
+    want = {
+        b: (
+            (1 << b),
+            (1 << (b + 1)) - 1,
+            n,
+            inst,
+            math.floor(inst * 1e6 / total + 0.5) / 1e6,
+        )
+        for b, (n, inst) in buckets.items()
+    }
+
+    d = tempfile.mkdtemp(prefix="segdf-prop-")
+    try:
+        spark.createDataFrame(
+            [
+                (i if has_id else None, text, "en", "s", 0)
+                for i, (has_id, text) in enumerate(docs)
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.bucket: (r.lo, r.hi, r.n_segments, r.n_instances, r.inst_share)
+            for r in q_dedup_seg_df_hist(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(emb_tables)
+def test_sim_rerank_curve_matches_python_replay(spark, seeds):
+    """The recall-vs-shortlist-length curve (grid shrunk to [2, 4] and
+    k to 3 so the shortlist edges are LIVE on small corpora) vs a
+    direct Python float replay of heap -> per-L rerank -> truth
+    overlap."""
+    from spring_and_kafka_spark.llm import similarity as sim
+
+    rows = []
+    for i, s in enumerate(seeds):
+        if s is None:
+            rows.append((i, None, 0))
+        elif s == -1:
+            rows.append((i, [1.0, 2.0], 0))
+        elif s == -2:
+            rows.append((i, [0.0] * 64, 0))
+        else:
+            rows.append((i, _vec(s), 0))
+
+    wf = {i: v for i, v, _ in rows if v is not None and len(v) == 64}
+
+    def dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + x * y
+        return acc
+
+    def cos(u, v):
+        den = math.sqrt(dot(u, u)) * math.sqrt(dot(v, v))
+        return None if den == 0 else dot(u, v) / den
+
+    def sig(v):
+        lo = sum(1 << j for j in range(32) if v[j] > 0)
+        hi = sum(1 << j for j in range(32) if v[j + 32] > 0)
+        return lo, hi
+
+    LS, K = [2, 4], 3
+    want = {}
+    if 0 in wf:
+        qlo, qhi = sig(wf[0])
+        qv = wf[0]
+        ham = {
+            i: bin(sig(v)[0] ^ qlo).count("1")
+            + bin(sig(v)[1] ^ qhi).count("1")
+            for i, v in wf.items()
+            if i != 0
+        }
+        heap = sorted(ham, key=lambda i: (ham[i], i))[: max(LS)]
+
+        def ckey(i):
+            c = cos(wf[i], qv)
+            return (c is None, -c if c is not None else 0.0, i)
+
+        truth = set(sorted((i for i in wf if i != 0), key=ckey)[:K])
+        for L in LS:
+            cand = heap[:L]
+            if not cand:
+                continue
+            sel = sorted(cand, key=ckey)[:K]
+            hits = sum(1 for i in sel if i in truth)
+            want[L] = (
+                hits,
+                len(truth),
+                math.floor(hits * 1e6 / len(truth) + 0.5) / 1e6
+                if truth
+                else None,
+            )
+
+    d = tempfile.mkdtemp(prefix="rrcurve-prop-")
+    saved = (sim._RERANK_LS, sim._RERANK_K)
+    sim._RERANK_LS, sim._RERANK_K = LS, K
+    try:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = {
+            r.shortlist_len: (r.n_hits, r.n_truth, r.recall)
+            for r in sim.q_sim_rerank_curve(spark, d).collect()
+        }
+    finally:
+        sim._RERANK_LS, sim._RERANK_K = saved
         shutil.rmtree(d, ignore_errors=True)
     assert got == want

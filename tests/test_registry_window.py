@@ -153,15 +153,20 @@ NEW_R15 = [
 # (ADVICE r14 item 1).
 CHANGED_R15 = ["q_embed_threshold_curve"]
 
-# NEW in r16 (the r15 verdict's Next-round items 1/3/4; rotation-over-
-# growth again — 3 new ops so the window retires ALL 31 remaining
-# r10-stale rows): the per-doc span-excision readout, label-propagation
-# communities scored by modularity, Hamming-shortlist -> exact-cosine
-# re-rank with truth agreement (pool() round-0 name order).
+# NEW in r16 (the r15 verdict's Next-round items 1/3/4 plus two
+# family-completing calibration curves; rotation-over-growth again —
+# 5 new ops so the window retires ALL 31 remaining r10-stale rows):
+# the segment-df threshold-calibration histogram, the per-doc
+# span-excision readout, label-propagation communities scored by
+# modularity, Hamming-shortlist -> exact-cosine re-rank with truth
+# agreement, and its recall-vs-shortlist-length curve (pool() round-0
+# name order).
 NEW_R16 = [
+    "q_dedup_seg_df_hist",
     "q_dedup_substring",
     "q_graph_lpa",
     "q_sim_rerank",
+    "q_sim_rerank_curve",
 ]
 
 # Changed in r16 while already green: q_sample_ks_check moved to the
@@ -387,10 +392,10 @@ def test_r16_window_is_new_plus_changed_plus_pool_order():
     """The r16 window must be exactly: the never-verified r16 additions,
     then the r16 changed-output query, then the rotation pool derived
     from CORRECTNESS_r01..r15 in pool() order (stalest round, then
-    name) — i.e. the window is DERIVED, not hand-picked. With 3 new +
+    name) — i.e. the window is DERIVED, not hand-picked. With 5 new +
     1 changed (rotation-over-growth: the r15 verdict's item 2 mandated
-    retiring the r10 stratum), the remaining 46 slots retire ALL 31
-    r10-stale rows and the first 15 r11 rows — 50 exactly (34 r11 rows
+    retiring the r10 stratum), the remaining 44 slots retire ALL 31
+    r10-stale rows and the first 13 r11 rows — 50 exactly (36 r11 rows
     lead the r17 pool)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R16 + CHANGED_R16
@@ -402,4 +407,4 @@ def test_r16_window_is_new_plus_changed_plus_pool_order():
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [10] * 31 + [11] * 15
+    assert strata == [10] * 31 + [11] * 13

@@ -161,8 +161,9 @@ SECTIONS = {
         "q_dedup_minhash_est", "q_embed_rbo", "q_ts_changepoint",
         "q_embed_matryoshka_eval", "q_sample_ks_check",
     ],
-    "round-16 additions: span-excision readout + LPA community detection + shortlist re-rank": [
-        "q_dedup_substring", "q_graph_lpa", "q_sim_rerank",
+    "round-16 additions: span-excision readout + segment-df calibration + LPA community detection + shortlist re-rank + its recall curve": [
+        "q_dedup_substring", "q_dedup_seg_df_hist", "q_graph_lpa",
+        "q_sim_rerank", "q_sim_rerank_curve",
     ],
 }
 

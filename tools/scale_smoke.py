@@ -260,8 +260,11 @@ DOCS_QUERIES = [
     "q_sample_ks_check",
     # r16: the span-excision readout — the boilerplate segment table
     # plus a doc_id-keyed window/groupBy tail, so it should track the
-    # segment scan exactly like q_text_boilerplate does
+    # segment scan exactly like q_text_boilerplate does — and the
+    # segment-df calibration histogram (two map-side groupBys, the
+    # same plateau argument)
     "q_dedup_substring",
+    "q_dedup_seg_df_hist",
 ]  # q_sample_balanced stays: stratum caps must hold as docs grow
 
 
@@ -393,6 +396,11 @@ NOTES = {
         "vocabulary (the diversity caveat) and per-doc work is "
         "unchanged by adding DOCS, so the ratio tracks the segment "
         "scan."
+    ),
+    "q_dedup_seg_df_hist": (
+        "two map-side groupBys (segment universe, then <= ~40 bucket "
+        "rows) — the segment table plateaus on the bounded vocabulary "
+        "(the diversity caveat), so the ratio tracks the explode scan."
     ),
     "q_graph_lcc": (
         "same densification caveat as q_graph_triangles — wedge work is "
