@@ -780,3 +780,83 @@ def test_single_table_maintainers_raise_on_torn_batch(spark, tmp_path):
         )
         # never-ran: empty (mv: just the base), never an error
         assert read(str(tmp_path / f"{name}-never")).count() == never_rows
+
+
+def test_stream_maintained_seg_df_hist_equals_batch(spark, tmp_path):
+    """Documents replayed as micro-batches through the foreachBatch
+    segment-df sink must maintain the threshold-calibration histogram
+    to EXACTLY the batch q_dedup_seg_df_hist answer — including a doc
+    whose copies land in DIFFERENT batches (df kept as a presence SET
+    because a distinct count is not a foldable counter), a NULL-doc_id
+    row (excluded at the sink exactly as the batch scan excludes it),
+    and the floor-form instance shares. Torn state raises through the
+    shared multi-table guard."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spring_and_kafka_spark.llm.dedup import q_dedup_seg_df_hist
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.segdf import (
+        maintained_seg_df_hist,
+        seg_df_delta_stream,
+    )
+
+    from .conftest import SF_SMOKE
+
+    # corpus = fixture docs + a planted shared passage carried by two
+    # far-apart doc_ids (the repartition(6) staging scatters them into
+    # different micro-batches) + a NULL-doc_id carrier of the same text
+    shared = "span one two three four five six seven"
+    planted = spark.createDataFrame(
+        [
+            (900001, shared, "en", "s0", len(shared)),
+            (900002, shared, "en", "s1", len(shared)),
+            (None, shared, "en", "s2", len(shared)),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    base = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    corpus_dir = tmp_path / "segdf-corpus"
+    corpus_dir.mkdir()
+    base.unionByName(planted).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(str(corpus_dir / "documents.parquet"))
+
+    schema = spark.read.parquet(str(corpus_dir / "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(str(corpus_dir / "documents.parquet"))
+    )
+    state = str(tmp_path / "segdf-state")
+    q = seg_df_delta_stream(stream, state)
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r) for r in maintained_seg_df_hist(spark, state).collect()
+    }
+    want = {
+        tuple(r)
+        for r in q_dedup_seg_df_hist(spark, str(corpus_dir)).collect()
+    }
+    assert got == want
+    # the planted passage reached df >= 2 (bucket >= 1 has mass)
+    assert any(r[0] >= 1 and r[3] >= 2 for r in got)
+
+    # torn state: a presence partition missing its _SUCCESS marker
+    victims = sorted(
+        d
+        for d in os.listdir(f"{state}/presence")
+        if d.startswith("batch_id=")
+    )
+    os.remove(f"{state}/presence/{victims[-1]}/_SUCCESS")
+    with pytest.raises(RuntimeError, match="no _SUCCESS marker"):
+        maintained_seg_df_hist(spark, state).collect()
+
+    # never-ran: empty histogram, not an error
+    assert maintained_seg_df_hist(spark, str(tmp_path / "nostate")).count() == 0
