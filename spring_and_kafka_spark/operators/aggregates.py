@@ -949,30 +949,43 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_hist_equidepth",
     oracle="""
-    WITH q AS (
-      SELECT quantile_cont(o_totalprice, 0.125) AS b1,
-             quantile_cont(o_totalprice, 0.25)  AS b2,
-             quantile_cont(o_totalprice, 0.375) AS b3,
-             quantile_cont(o_totalprice, 0.5)   AS b4,
-             quantile_cont(o_totalprice, 0.625) AS b5,
-             quantile_cont(o_totalprice, 0.75)  AS b6,
-             quantile_cont(o_totalprice, 0.875) AS b7
+    WITH s AS (
+      -- boundaries interpolate over EXACT INTEGER CENTS (the repo's one
+      -- currency rule): Spark's Percentile computes lo + (hi-lo)*f,
+      -- DuckDB's quantile_cont lo*(1-f) + hi*f — on raw doubles the two
+      -- roundings can disagree (hypothesis r16: two subnormal ties put
+      -- the p=0.5 boundary at 0.0 in one engine and 5e-324 in the
+      -- other, flipping a bucket id); on integers with dyadic f = k/8
+      -- both products are exact dyadics, so both formulas yield the
+      -- identical true rational and the divergence is structurally gone
+      SELECT o_totalprice,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
       FROM orders
+    ),
+    q AS (
+      SELECT quantile_cont(c, 0.125) AS b1,
+             quantile_cont(c, 0.25)  AS b2,
+             quantile_cont(c, 0.375) AS b3,
+             quantile_cont(c, 0.5)   AS b4,
+             quantile_cont(c, 0.625) AS b5,
+             quantile_cont(c, 0.75)  AS b6,
+             quantile_cont(c, 0.875) AS b7
+      FROM s
     ),
     b AS (
       -- NULL price -> NULL bucket (its own row, the q_hist_equiwidth
-      -- lesson); boundary-tied rows stay in the LOWER bucket (v > b is
+      -- lesson); boundary-tied rows stay in the LOWER bucket (c > b is
       -- false on equality in both engines)
-      SELECT CASE WHEN o_totalprice IS NULL THEN NULL
-                  ELSE 1 + CAST(o_totalprice > q.b1 AS INT)
-                         + CAST(o_totalprice > q.b2 AS INT)
-                         + CAST(o_totalprice > q.b3 AS INT)
-                         + CAST(o_totalprice > q.b4 AS INT)
-                         + CAST(o_totalprice > q.b5 AS INT)
-                         + CAST(o_totalprice > q.b6 AS INT)
-                         + CAST(o_totalprice > q.b7 AS INT) END AS bucket,
+      SELECT CASE WHEN c IS NULL THEN NULL
+                  ELSE 1 + CAST(c > q.b1 AS INT)
+                         + CAST(c > q.b2 AS INT)
+                         + CAST(c > q.b3 AS INT)
+                         + CAST(c > q.b4 AS INT)
+                         + CAST(c > q.b5 AS INT)
+                         + CAST(c > q.b6 AS INT)
+                         + CAST(c > q.b7 AS INT) END AS bucket,
              o_totalprice AS v
-      FROM orders, q
+      FROM s, q
     ),
     h AS (
       -- money bounds via the repo's ONE currency rounding rule
@@ -1005,34 +1018,47 @@ def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile in — the bucketing expression is unchanged.
 
     Cross-engine: both engines interpolate quantiles with the same
-    (n-1)*p rule (the q_winsorize pin), so boundaries are bit-identical
-    doubles; boundary-TIED rows stay in the lower bucket by `v > b`
-    being false on equality in both; NULL prices form their own bucket
-    (NULL id) rather than polluting a value bucket, and percentile
-    skips them in both engines; counts are exactly n/8 only when no
-    boundary ties exist — ties keep their duplicates together, the
-    honest equi-depth semantics."""
-    o = load_table(spark, sf_dir, "orders")
+    (n-1)*p POSITION rule but DIFFERENT arithmetic — Spark's Percentile
+    evaluates lo + (hi - lo)·f, DuckDB's quantile_cont lo·(1-f) + hi·f,
+    and on raw doubles the two roundings can disagree (the r16
+    hypothesis find: two subnormal ties rounded the lerp's p=0.5
+    boundary half-to-even to 0.0 while Spark's (hi-lo)·f term was
+    exactly 0, flipping a bucket id). Boundaries therefore interpolate
+    over EXACT INTEGER CENTS (exec_utils.cents — the money rule every
+    other operator already applies): with integer lo/hi and dyadic
+    f = k/8 both formulas produce the identical true rational, so the
+    divergence is structurally impossible, not just unobserved.
+    Boundary-TIED rows stay in the lower bucket by `c > b` being false
+    on equality in both; NULL prices form their own bucket (NULL id)
+    rather than polluting a value bucket, and percentile skips them in
+    both engines; counts are exactly n/8 only when no boundary ties
+    exist — ties keep their duplicates together, the honest equi-depth
+    semantics. Cutting at cent resolution is the money domain's native
+    grain (sub-cent distinctions between order totals do not exist
+    upstream)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", ex_cents("o_totalprice").alias("c")
+    )
     # ONE array-percentile aggregate: all 7 octiles from a single sorted
     # pass (seven scalar F.percentile calls plan seven independent
     # sort-aggregates — 4.6x slower at sf0.1, measured r12)
     qs = o.agg(
         F.percentile(
-            "o_totalprice",
+            "c",
             F.array([F.lit((i + 1) / 8.0) for i in range(7)]),
         ).alias("_bs")
     ).select(*[F.col("_bs")[i].alias(f"b{i + 1}") for i in range(7)])
-    v = F.col("o_totalprice")
+    c = F.col("c")
     bucket = F.when(
-        v.isNotNull(),
+        c.isNotNull(),
         sum(
-            [(v > F.col(f"b{i + 1}")).cast("int") for i in range(7)],
+            [(c > F.col(f"b{i + 1}")).cast("int") for i in range(7)],
             F.lit(1),
         ),
     )
     h = (
         o.crossJoin(F.broadcast(qs))
-        .select(bucket.alias("bucket"), v.alias("v"))
+        .select(bucket.alias("bucket"), F.col("o_totalprice").alias("v"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from spring_and_kafka_spark.exec_utils import cents as ex_cents
 from spring_and_kafka_spark.registry import register
 from spring_and_kafka_spark.sources.tables import load_table
 
@@ -211,25 +212,39 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_winsorize",
     oracle="""
-    WITH q AS (
+    WITH s AS (
+      SELECT c_mktsegment, c_acctbal,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bc
+      FROM customer
+    ),
+    q AS (
+      -- band edges from EXACT INTEGER CENTS, then rounded to the cent
+      -- grid: Spark's Percentile (lo + (hi-lo)*f) and DuckDB's
+      -- quantile_cont (lo*(1-f) + hi*f) can round a raw-double
+      -- interpolation apart by 1 ulp (the r16 q_hist_equidepth
+      -- hypothesis find), and a 1-ulp band edge flips n_clipped for a
+      -- balance sitting exactly ON the edge. Integer inputs + the one
+      -- floor confine any disagreement to a p-value landing within 1
+      -- ulp of a half-cent — measure-zero — instead of every edge-tied
+      -- balance, and the clamp value becomes an exact cent
       SELECT c_mktsegment,
-             quantile_cont(c_acctbal, 0.05) AS p05,
-             quantile_cont(c_acctbal, 0.95) AS p95
-      FROM customer GROUP BY c_mktsegment
+             CAST(floor(quantile_cont(bc, 0.05) + 0.5) AS BIGINT) AS p05c,
+             CAST(floor(quantile_cont(bc, 0.95) + 0.5) AS BIGINT) AS p95c
+      FROM s GROUP BY c_mktsegment
     )
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
-           round(any_value(q.p05), 2) AS p05,
-           round(any_value(q.p95), 2) AS p95,
+           any_value(q.p05c) / 100.0 AS p05,
+           any_value(q.p95c) / 100.0 AS p95,
            round(avg(c.c_acctbal), 2) AS mean_raw,
-           round(avg(CASE WHEN c.c_acctbal < q.p05 THEN q.p05
-                          WHEN c.c_acctbal > q.p95 THEN q.p95
+           round(avg(CASE WHEN c.bc < q.p05c THEN q.p05c / 100.0
+                          WHEN c.bc > q.p95c THEN q.p95c / 100.0
                           ELSE c.c_acctbal END), 2) AS mean_winsor,
-           round(avg(CASE WHEN c.c_acctbal BETWEEN q.p05 AND q.p95
+           round(avg(CASE WHEN c.bc BETWEEN q.p05c AND q.p95c
                           THEN c.c_acctbal END), 2) AS mean_trim,
-           CAST(sum(CASE WHEN c.c_acctbal < q.p05 OR c.c_acctbal > q.p95
+           CAST(sum(CASE WHEN c.bc < q.p05c OR c.bc > q.p95c
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
-    FROM customer c JOIN q ON c.c_mktsegment = q.c_mktsegment
+    FROM s c JOIN q ON c.c_mktsegment = q.c_mktsegment
     GROUP BY c.c_mktsegment
     """,
     tags=("governance",),
@@ -242,26 +257,41 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two shuffles: an exact-percentile aggregation producing one tiny row
     per segment, broadcast back over a second scan that clamps and
-    re-aggregates. Both engines interpolate percentiles with the same
-    (n-1)*p rule (Spark `percentile`, DuckDB `quantile_cont`), so the
-    band edges are bit-identical; means are money, rounded to cents."""
-    cust = load_table(spark, sf_dir, "customer")
+    re-aggregates. Band edges are computed over EXACT INTEGER CENTS and
+    rounded to the cent grid (r16, after the q_hist_equidepth hypothesis
+    find proved the two engines' interpolation ARITHMETIC differs:
+    Spark lo + (hi-lo)·f vs DuckDB lo·(1-f) + hi·f — a 1-ulp raw-double
+    edge flips membership for every balance tied ON the edge, which is
+    exactly where winsorization's mass sits). Clipping then compares
+    integer cents against integer cents — deterministic — and the
+    clamp/display value is the exact cent edge; means stay in the
+    accepted avg(double)+round class."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_acctbal",
+        ex_cents("c_acctbal").alias("bc"),
+    )
     q = cust.groupBy("c_mktsegment").agg(
-        F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
-        F.percentile("c_acctbal", F.lit(0.95)).alias("p95"),
+        F.floor(F.percentile("bc", F.lit(0.05)) + F.lit(0.5))
+        .cast("long")
+        .alias("p05c"),
+        F.floor(F.percentile("bc", F.lit(0.95)) + F.lit(0.5))
+        .cast("long")
+        .alias("p95c"),
     )
     j = cust.join(F.broadcast(q), "c_mktsegment")
     bal = F.col("c_acctbal")
+    bc = F.col("bc")
     clamped = (
-        F.when(bal < F.col("p05"), F.col("p05"))
-        .when(bal > F.col("p95"), F.col("p95"))
+        F.when(bc < F.col("p05c"), F.col("p05c") / 100.0)
+        .when(bc > F.col("p95c"), F.col("p95c") / 100.0)
         .otherwise(bal)
     )
-    inside = bal.between(F.col("p05"), F.col("p95"))
+    inside = bc.between(F.col("p05c"), F.col("p95c"))
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
-        F.round(F.first("p05"), 2).alias("p05"),
-        F.round(F.first("p95"), 2).alias("p95"),
+        (F.first("p05c") / 100.0).alias("p05"),
+        (F.first("p95c") / 100.0).alias("p95"),
         F.round(F.avg(bal), 2).alias("mean_raw"),
         F.round(F.avg(clamped), 2).alias("mean_winsor"),
         F.round(F.avg(F.when(inside, bal)), 2).alias("mean_trim"),
@@ -271,7 +301,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # test mirrors the oracle's CASE, whose NULL comparison lands
         # in ELSE 0
         F.sum(
-            F.when((bal < F.col("p05")) | (bal > F.col("p95")), 1).otherwise(0)
+            F.when((bc < F.col("p05c")) | (bc > F.col("p95c")), 1).otherwise(0)
         ).alias("n_clipped"),
     )
 

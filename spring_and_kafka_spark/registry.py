@@ -105,18 +105,24 @@ _MODULE_SEQ: dict[str, int] = {}
 #       r15 verdict's Next-round items 1/3/4 plus the two family-
 #       completing calibration curves, pool() round-0 name order) —
 #       never driver-verified, so they lead;
-#   (b) the 1 query whose OUTPUT expression changed in r16:
-#       q_sample_ks_check (sample-vs-COMPLEMENT two-sample form,
-#       n_pop -> n_rest — ADVICE r15 item 1);
+#   (b) the 3 queries whose OUTPUT expression changed in r16, name
+#       order: q_hist_equidepth and q_winsorize (percentile boundaries
+#       moved to exact-integer-cents interpolation after hypothesis
+#       falsified the raw-double form on subnormal ties — the engines'
+#       interpolation ARITHMETIC differs: Spark lo + (hi-lo)*f vs
+#       DuckDB lo*(1-f) + hi*f) and q_sample_ks_check
+#       (sample-vs-COMPLEMENT two-sample form, n_pop -> n_rest —
+#       ADVICE r15 item 1);
 #   (c) the rotation pool in tools.window_pool pool() order: all 31
-#       r10-stale rows + the first 13 of the 49 r11 rows —
-#       5+1+31+13 = 50 exactly.
-# After this window the stalest green rows are the 36 remaining r11
-# rows (q_graph_degree q_graph_triangles q_heavy_hitters
-# q_hist_equiwidth q_interval_peak q_join_bloom q_join_overlap
+#       r10-stale rows + the first 11 of the 49 r11 rows —
+#       5+3+31+11 = 50 exactly.
+# After this window the stalest green rows are the 38 remaining r11
+# rows (q_er_blocking q_fn_url q_graph_degree q_graph_triangles
+# q_heavy_hitters q_interval_peak q_join_bloom q_join_overlap
 # q_join_pit q_kanon q_langid_confusion q_multimodal_dedup q_pii_scan
-# q_profile q_rfm and the rest in pool order) then the 49 r12 rows —
-# the r17 pool head.
+# q_profile q_rfm and the rest in pool order — q_hist_equidepth and
+# q_winsorize re-green in this window) then the 48 remaining r12 rows
+# — the r17 pool head.
 # Queries not named here rank after the prefix by (module rank, def
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
@@ -126,9 +132,12 @@ _WINDOW_PREFIX = [
     "q_graph_lpa",
     "q_sim_rerank",
     "q_sim_rerank_curve",
-    # (b) output expression changed in r16 (ADVICE r15 item 1)
+    # (b) output expression changed in r16, name order (the cents-
+    # interpolation fixes + the KS complement form)
+    "q_hist_equidepth",
     "q_sample_ks_check",
-    # (c) the rotation pool, tools.window_pool order: 31 r10 + 13 r11
+    "q_winsorize",
+    # (c) the rotation pool, tools.window_pool order: 31 r10 + 11 r11
     "q_sample_temperature",
     "q_sessionize",
     "q_stream_session",
@@ -171,8 +180,6 @@ _WINDOW_PREFIX = [
     "q_dedup_containment",
     "q_dedup_incremental",
     "q_dq_checks",
-    "q_er_blocking",
-    "q_fn_url",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

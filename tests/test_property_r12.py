@@ -131,7 +131,16 @@ def test_hist_equidepth_matches_sorted_replay(spark, vals):
         else v
         for v in vals
     ]
-    finite = sorted(v for v in clean if v is not None)
+    # boundaries interpolate over exact integer CENTS (the r16 fix:
+    # hypothesis falsified the raw-double form on subnormal ties —
+    # [5e-324, 5e-324] put DuckDB's lerp p=0.5 boundary at 0.0 via
+    # round-half-to-even while Spark's lo + (hi-lo)*f stayed exact, so
+    # the engines THEMSELVES disagreed; on integers with dyadic f both
+    # formulas are exact and identical, so the replay can use either)
+    cents = [
+        None if v is None else math.floor(v * 100 + 0.5) for v in clean
+    ]
+    finite = sorted(cv for cv in cents if cv is not None)
 
     def q(p):
         if not finite:
@@ -139,13 +148,13 @@ def test_hist_equidepth_matches_sorted_replay(spark, vals):
         idx = (len(finite) - 1) * p
         lo, f = int(idx // 1), idx % 1
         hi = min(lo + 1, len(finite) - 1)
-        return finite[lo] * (1 - f) + finite[hi] * f
+        return finite[lo] + (finite[hi] - finite[lo]) * f
 
     bounds = [q((i + 1) / 8.0) for i in range(7)]
     expected = {}
     rows = []
-    for v in clean:
-        b = None if v is None else 1 + sum(1 for x in bounds if v > x)
+    for v, cv in zip(clean, cents):
+        b = None if v is None else 1 + sum(1 for x in bounds if cv > x)
         rows.append((b, v))
     from collections import defaultdict
 
@@ -321,7 +330,9 @@ def _interp_median(vals):
     idx = (len(vs) - 1) * 0.5
     lo, f = int(idx // 1), idx % 1
     hi = min(lo + 1, len(vs) - 1)
-    return vs[lo] * (1 - f) + vs[hi] * f
+    # engine-form interpolation (see the q() comment above) — exact
+    # here anyway on micro-unit integers, kept identical for parity
+    return vs[lo] + (vs[hi] - vs[lo]) * f
 
 
 @settings(max_examples=15, deadline=None)

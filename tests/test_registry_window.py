@@ -169,10 +169,14 @@ NEW_R16 = [
     "q_sim_rerank_curve",
 ]
 
-# Changed in r16 while already green: q_sample_ks_check moved to the
-# sample-vs-COMPLEMENT two-sample form (n_pop -> n_rest — ADVICE r15
-# item 1: nested samples deflate D).
-CHANGED_R16 = ["q_sample_ks_check"]
+# Changed in r16 while already green (name order): q_hist_equidepth
+# and q_winsorize moved their percentile boundaries to exact-integer-
+# cents interpolation (hypothesis falsified the raw-double form on
+# subnormal ties — the engines' interpolation ARITHMETIC differs:
+# Spark lo + (hi-lo)*f vs DuckDB lo*(1-f) + hi*f); q_sample_ks_check
+# moved to the sample-vs-COMPLEMENT two-sample form (n_pop -> n_rest —
+# ADVICE r15 item 1: nested samples deflate D).
+CHANGED_R16 = ["q_hist_equidepth", "q_sample_ks_check", "q_winsorize"]
 
 
 # ---------------------------------------------------------------- invariants
@@ -393,10 +397,11 @@ def test_r16_window_is_new_plus_changed_plus_pool_order():
     then the r16 changed-output query, then the rotation pool derived
     from CORRECTNESS_r01..r15 in pool() order (stalest round, then
     name) — i.e. the window is DERIVED, not hand-picked. With 5 new +
-    1 changed (rotation-over-growth: the r15 verdict's item 2 mandated
-    retiring the r10 stratum), the remaining 44 slots retire ALL 31
-    r10-stale rows and the first 13 r11 rows — 50 exactly (36 r11 rows
-    lead the r17 pool)."""
+    3 changed (rotation-over-growth: the r15 verdict's item 2 mandated
+    retiring the r10 stratum), the remaining 42 slots retire ALL 31
+    r10-stale rows and the first 11 r11 rows — 50 exactly (38 r11 rows
+    lead the r17 pool, two of them — the changed pair — re-greened
+    through the (b) block)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R16 + CHANGED_R16
     assert prefix[: len(lead)] == lead
@@ -407,4 +412,4 @@ def test_r16_window_is_new_plus_changed_plus_pool_order():
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [10] * 31 + [11] * 13
+    assert strata == [10] * 31 + [11] * 11
