@@ -236,12 +236,26 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            any_value(q.p05c) / 100.0 AS p05,
            any_value(q.p95c) / 100.0 AS p95,
-           round(avg(c.c_acctbal), 2) AS mean_raw,
-           round(avg(CASE WHEN c.bc < q.p05c THEN q.p05c / 100.0
-                          WHEN c.bc > q.p95c THEN q.p95c / 100.0
-                          ELSE c.c_acctbal END), 2) AS mean_winsor,
-           round(avg(CASE WHEN c.bc BETWEEN q.p05c AND q.p95c
-                          THEN c.c_acctbal END), 2) AS mean_trim,
+           -- means over exact integer cents: one IEEE division of
+           -- exact BIGINTs then the cents floor — bit-identical, where
+           -- round(avg(double), 2) was order-dependent AND diverged at
+           -- manufactured half-cent boundaries (the r16 probe)
+           CASE WHEN count(c.bc) > 0 THEN
+             floor(CAST(sum(c.bc) AS DOUBLE) / count(c.bc) + 0.5) / 100.0
+           END AS mean_raw,
+           CASE WHEN count(c.bc) > 0 THEN
+             floor(CAST(sum(CASE WHEN c.bc < q.p05c THEN q.p05c
+                                 WHEN c.bc > q.p95c THEN q.p95c
+                                 ELSE c.bc END) AS DOUBLE)
+                   / count(c.bc) + 0.5) / 100.0
+           END AS mean_winsor,
+           CASE WHEN count(CASE WHEN c.bc BETWEEN q.p05c AND q.p95c
+                                THEN 1 END) > 0 THEN
+             floor(CAST(sum(CASE WHEN c.bc BETWEEN q.p05c AND q.p95c
+                                 THEN c.bc END) AS DOUBLE)
+                   / count(CASE WHEN c.bc BETWEEN q.p05c AND q.p95c
+                                THEN 1 END) + 0.5) / 100.0
+           END AS mean_trim,
            CAST(sum(CASE WHEN c.bc < q.p05c OR c.bc > q.p95c
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM s c JOIN q ON c.c_mktsegment = q.c_mktsegment
@@ -263,9 +277,12 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark lo + (hi-lo)·f vs DuckDB lo·(1-f) + hi·f — a 1-ulp raw-double
     edge flips membership for every balance tied ON the edge, which is
     exactly where winsorization's mass sits). Clipping then compares
-    integer cents against integer cents — deterministic — and the
-    clamp/display value is the exact cent edge; means stay in the
-    accepted avg(double)+round class."""
+    integer cents against integer cents — deterministic — the
+    clamp/display value is the exact cent edge, and all three means are
+    ONE IEEE division of exact BIGINT cent sums followed by the cents
+    floor: fully order-free, where the previous round(avg(double), 2)
+    both depended on summation order and diverged at exact half-cent
+    boundaries (the r16 adversarial probe manufactured one)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment",
         "c_acctbal",
@@ -280,21 +297,29 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p95c"),
     )
     j = cust.join(F.broadcast(q), "c_mktsegment")
-    bal = F.col("c_acctbal")
     bc = F.col("bc")
-    clamped = (
-        F.when(bc < F.col("p05c"), F.col("p05c") / 100.0)
-        .when(bc > F.col("p95c"), F.col("p95c") / 100.0)
-        .otherwise(bal)
+    clamped_c = (
+        F.when(bc < F.col("p05c"), F.col("p05c"))
+        .when(bc > F.col("p95c"), F.col("p95c"))
+        .otherwise(bc)
     )
     inside = bc.between(F.col("p05c"), F.col("p95c"))
+
+    def cents_mean(sum_col, n_col):
+        return F.when(
+            n_col > 0,
+            F.floor(sum_col.cast("double") / n_col + F.lit(0.5)) / 100.0,
+        )
+
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
         (F.first("p05c") / 100.0).alias("p05"),
         (F.first("p95c") / 100.0).alias("p95"),
-        F.round(F.avg(bal), 2).alias("mean_raw"),
-        F.round(F.avg(clamped), 2).alias("mean_winsor"),
-        F.round(F.avg(F.when(inside, bal)), 2).alias("mean_trim"),
+        cents_mean(F.sum(bc), F.count(bc)).alias("mean_raw"),
+        cents_mean(F.sum(clamped_c), F.count(bc)).alias("mean_winsor"),
+        cents_mean(
+            F.sum(F.when(inside, bc)), F.count(F.when(inside, 1))
+        ).alias("mean_trim"),
         # a NULL balance is MISSING, not clipped: when(inside,
         # 0).otherwise(1) would fall through NULL between() into the
         # otherwise branch and count it (NULLCHECK r9); the positive
