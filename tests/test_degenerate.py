@@ -1188,3 +1188,43 @@ def test_ks_check_constant_column_is_zero_distance(spark, tmp_path):
     assert got["ks_d"] == [0.0]
     assert got["reject"] == [False]
     assert got["n_sample"][0] + got["n_rest"][0] == 50
+
+
+def test_equidepth_subnormal_ties_agree_across_engines(spark, tmp_path):
+    """Regression pin for the r16 hypothesis find: two subnormal ties
+    (5e-324) made Spark's Percentile (lo + (hi-lo)*f) and DuckDB's
+    quantile_cont (lo*(1-f) + hi*f) place the p50 boundary on opposite
+    sides of the value before the integer-cents interpolation fix —
+    engine bucket 1 vs oracle bucket 2, a whole-row divergence. Cents
+    interpolation puts both rows in bucket 1 in BOTH engines."""
+    rows = [
+        (i, 1, "O", 5e-324, dt.datetime(2024, 1, 1), "1-URGENT")
+        for i in range(2)
+    ]
+    d = _write_orders(spark, tmp_path, "eqd-subnormal", rows)
+    got = assert_parity(spark, "q_hist_equidepth", d, ["orders"])
+    assert got["bucket"] == [1]
+    assert got["n"] == [2]
+
+
+def test_winsorize_half_cent_grid_agrees_across_engines(spark, tmp_path):
+    """Regression pin for the r16 adversarial probe: a 21-value
+    half-cent grid put the exact mean ON a rounding boundary, where
+    Spark's decimal HALF_UP round(avg, 2) answered 10.01 and DuckDB's
+    binary round 10.0. The exact-cents means (one IEEE division of
+    BIGINT sums + the cents floor) are bit-identical; the band edges
+    are integer cents so n_clipped is integer-deterministic."""
+    rows = [
+        (i, f"Customer#{i:09d}", 1, f"a{i}", "p", i + 0.005, "BUILDING", "c")
+        for i in range(21)
+    ]
+    d = tmp_path / "wz-halfcent"
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_address string, c_phone string, c_acctbal double, "
+        "c_mktsegment string, c_comment string",
+    ).write.mode("overwrite").parquet(str(d / "customer.parquet"))
+    got = assert_parity(spark, "q_winsorize", str(d), ["customer"])
+    assert got["n"] == [21]
+    assert got["n_clipped"] == [2]  # one row below p05, one above p95
