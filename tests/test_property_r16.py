@@ -109,6 +109,40 @@ def test_graph_lpa_matches_python_replay(spark, items):
     assert got == want
 
 
+def test_graph_lpa_planted_star_hub(spark):
+    """Adversarial skew fixture (r16 verdict watch item): a hub that
+    SURVIVES the >= 2-shared-orders edge thinning — part 0 genuinely
+    repeat-co-occurs with every one of 120 leaves, so the hub's round-1
+    vote table is degree-sized (121 labels). The self-vote tie-break
+    (all counts 1, smallest label wins) must collapse the star onto the
+    hub's label in one round and reach the fixed point in two: ONE
+    community holding all 121 nodes, e_in = 120, d_sum = 240, and
+    modularity exactly 0.0 (a single community's Q is identically
+    zero). Pins both the hot-node-vote bound argued in the docstring
+    (the groupBy's map-side combine, worst case degree + 1 rows) and
+    the deterministic tie semantics at maximal tie width."""
+    from spring_and_kafka_spark.operators.graph import q_graph_lpa
+
+    n_leaves = 120
+    items = []
+    for leaf in range(1, n_leaves + 1):
+        for order in (2 * leaf, 2 * leaf + 1):
+            items.append((order, 0))
+            items.append((order, leaf))
+    want = _lpa_replay(items)
+    assert want == {0: (n_leaves + 1, 2 * n_leaves, n_leaves, 0.0)}
+    d = tempfile.mkdtemp(prefix="lpa-star-")
+    try:
+        _write_lineitem(spark, d, items)
+        got = {
+            r.com: (r.n_nodes, r.d_sum, r.e_in, r.modularity)
+            for r in q_graph_lpa(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
+
+
 def _round_half_up6(x):
     if x is None:
         return None

@@ -719,13 +719,18 @@ def test_maintained_templates_dedups_across_batches_and_raises_on_tear(
         maintained_templates(spark, state2).collect()
 
 
-def test_single_table_maintainers_raise_on_torn_batch(spark, tmp_path):
+def test_single_table_maintainers_raise_on_torn_batch(
+    spark, tmp_path, caplog
+):
     """r15 standing cleanup closed: the three single-table maintainers
     (mv, sketch, drift) read through read_single_state, so a batch_id
     partition missing its _SUCCESS marker (a crash DURING that write)
     RAISES at read time instead of silently merging partial state —
     and require_success=False explicitly restores the marker-less
-    committer behavior (ADVICE r15)."""
+    committer behavior (ADVICE r15), now logging a warning per merged
+    marker-less partition batch so operators can distinguish a
+    markerless committer from an actual mid-write crash (ADVICE r16)."""
+    import logging
     import os
 
     import pytest
@@ -771,12 +776,23 @@ def test_single_table_maintainers_raise_on_torn_batch(spark, tmp_path):
         with pytest.raises(RuntimeError, match="no _SUCCESS marker"):
             read(state).collect()
         # marker-less committer mode: the SAME state reads through when
-        # the caller explicitly opts out of the marker check
-        assert (
-            read_single_state(
-                spark, state, schema, name, require_success=False
-            ).count()
-            == len(rows)
+        # the caller explicitly opts out of the marker check — with a
+        # logged warning naming the merged marker-less partition
+        with caplog.at_level(
+            logging.WARNING,
+            logger="spring_and_kafka_spark.streaming.sinks",
+        ):
+            caplog.clear()
+            assert (
+                read_single_state(
+                    spark, state, schema, name, require_success=False
+                ).count()
+                == len(rows)
+            )
+        assert any(
+            "marker-less" in r.getMessage()
+            and "batch_id=0" in r.getMessage()
+            for r in caplog.records
         )
         # never-ran: empty (mv: just the base), never an error
         assert read(str(tmp_path / f"{name}-never")).count() == never_rows
