@@ -217,20 +217,51 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bc
       FROM customer
     ),
-    q AS (
-      -- band edges from EXACT INTEGER CENTS, then rounded to the cent
-      -- grid: Spark's Percentile (lo + (hi-lo)*f) and DuckDB's
-      -- quantile_cont (lo*(1-f) + hi*f) can round a raw-double
-      -- interpolation apart by 1 ulp (the r16 q_hist_equidepth
-      -- hypothesis find), and a 1-ulp band edge flips n_clipped for a
-      -- balance sitting exactly ON the edge. Integer inputs + the one
-      -- floor confine any disagreement to a p-value landing within 1
-      -- ulp of a half-cent — measure-zero — instead of every edge-tied
-      -- balance, and the clamp value becomes an exact cent
+    -- band edges by EXACT INTEGER RANK DECOMPOSITION (r17, closing the
+    -- ADVICE r16 residual): rank r = (n-1)*5/100 splits into integer
+    -- part idx = (n-1)*5 // 100 and fractional NUMERATOR rem =
+    -- (n-1)*5 - idx*100 (an integer in 0..99); the interpolant in
+    -- percent-units is the exact integer x = lo*(100-rem) + hi*rem, so
+    -- p05c = floor((x+50)/100.0) runs NO lossy float arithmetic at all
+    -- (every quotient near an integer boundary is exactly
+    -- representable), where quantile_cont/Percentile interpolate
+    -- DOUBLES with engine-specific association (Spark lo + (hi-lo)*f
+    -- vs DuckDB lo*(1-f) + hi*f) and could still flip a band edge by
+    -- one cent on interpolants within 1 ulp of a half-cent
+    r AS (
+      SELECT c_mktsegment, bc,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY bc)
+               AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      FROM s WHERE bc IS NOT NULL
+    ),
+    e AS (
       SELECT c_mktsegment,
-             CAST(floor(quantile_cont(bc, 0.05) + 0.5) AS BIGINT) AS p05c,
-             CAST(floor(quantile_cont(bc, 0.95) + 0.5) AS BIGINT) AS p95c
-      FROM s GROUP BY c_mktsegment
+             max(CASE WHEN rn = CAST(floor((cnt-1)*5/100.0) AS BIGINT)
+                               + 1 THEN bc END) AS lo05,
+             max(CASE WHEN rn = CAST(floor((cnt-1)*5/100.0) AS BIGINT)
+                               + 2 THEN bc END) AS hi05,
+             max((cnt-1)*5
+                 - CAST(floor((cnt-1)*5/100.0) AS BIGINT) * 100)
+               AS rem05,
+             max(CASE WHEN rn = CAST(floor((cnt-1)*95/100.0) AS BIGINT)
+                               + 1 THEN bc END) AS lo95,
+             max(CASE WHEN rn = CAST(floor((cnt-1)*95/100.0) AS BIGINT)
+                               + 2 THEN bc END) AS hi95,
+             max((cnt-1)*95
+                 - CAST(floor((cnt-1)*95/100.0) AS BIGINT) * 100)
+               AS rem95
+      FROM r GROUP BY c_mktsegment
+    ),
+    q AS (
+      SELECT c_mktsegment,
+             CAST(floor((lo05 * (100 - rem05)
+                         + coalesce(hi05, lo05) * rem05 + 50) / 100.0)
+                  AS BIGINT) AS p05c,
+             CAST(floor((lo95 * (100 - rem95)
+                         + coalesce(hi95, lo95) * rem95 + 50) / 100.0)
+                  AS BIGINT) AS p95c
+      FROM e
     )
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n,
@@ -258,7 +289,8 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS mean_trim,
            CAST(sum(CASE WHEN c.bc < q.p05c OR c.bc > q.p95c
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
-    FROM s c JOIN q ON c.c_mktsegment = q.c_mktsegment
+    FROM s c LEFT JOIN q
+      ON c.c_mktsegment IS NOT DISTINCT FROM q.c_mktsegment
     GROUP BY c.c_mktsegment
     """,
     tags=("governance",),
@@ -269,34 +301,75 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer balances per market segment — the outlier-resistant
     pre-normalization step for any learned quality score.
 
-    Two shuffles: an exact-percentile aggregation producing one tiny row
-    per segment, broadcast back over a second scan that clamps and
-    re-aggregates. Band edges are computed over EXACT INTEGER CENTS and
-    rounded to the cent grid (r16, after the q_hist_equidepth hypothesis
-    find proved the two engines' interpolation ARITHMETIC differs:
-    Spark lo + (hi-lo)·f vs DuckDB lo·(1-f) + hi·f — a 1-ulp raw-double
-    edge flips membership for every balance tied ON the edge, which is
-    exactly where winsorization's mass sits). Clipping then compares
-    integer cents against integer cents — deterministic — the
-    clamp/display value is the exact cent edge, and all three means are
-    ONE IEEE division of exact BIGINT cent sums followed by the cents
-    floor: fully order-free, where the previous round(avg(double), 2)
-    both depended on summation order and diverged at exact half-cent
-    boundaries (the r16 adversarial probe manufactured one)."""
+    Two shuffles: a rank window producing one tiny band-edge row per
+    segment, broadcast back over a second scan that clamps and
+    re-aggregates. Band edges are computed by EXACT INTEGER RANK
+    DECOMPOSITION over integer cents (r17, closing the ADVICE r16
+    residual on the r16 cents fix): the percentile rank (n-1)·5/100
+    splits into an integer index and an integer fractional NUMERATOR
+    rem ∈ 0..99, the lo/hi order statistics are picked by row_number,
+    and the interpolant lo·(100−rem) + hi·rem is an exact BIGINT in
+    percent-units — NO engine percentile function and no lossy float
+    arithmetic anywhere (the only divisions are /100.0 of integers,
+    whose floor is provably exact: a quotient at an integer boundary is
+    exactly representable). The r16 form still fed quantile_cont/
+    Percentile, whose double interpolation (Spark lo + (hi−lo)·f vs
+    DuckDB lo·(1−f) + hi·f) could disagree on interpolants within 1 ulp
+    of a half-cent; this removes the hazard structurally, the way
+    dyadic k/8 did for q_hist_equidepth. Clipping then compares integer
+    cents against integer cents, the clamp/display value is the exact
+    cent edge, and all three means are ONE IEEE division of exact
+    BIGINT cent sums followed by the cents floor: fully order-free.
+    The rank window sorts each segment once — the same per-group
+    materialization Percentile's buffering already paid, now explicit
+    and spillable; NULL market segments keep their own band via the
+    null-safe broadcast join (registry NULL rule), and a segment whose
+    balances are all NULL keeps its rows through the LEFT join with a
+    NULL band, exactly as the r16 inner-join-on-NULL-percentile did."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment",
         "c_acctbal",
         ex_cents("c_acctbal").alias("bc"),
     )
-    q = cust.groupBy("c_mktsegment").agg(
-        F.floor(F.percentile("bc", F.lit(0.05)) + F.lit(0.5))
-        .cast("long")
-        .alias("p05c"),
-        F.floor(F.percentile("bc", F.lit(0.95)) + F.lit(0.5))
-        .cast("long")
-        .alias("p95c"),
+    wp = Window.partitionBy("c_mktsegment")
+    rk = cust.filter(F.col("bc").isNotNull()).select(
+        "c_mktsegment",
+        "bc",
+        F.row_number().over(wp.orderBy("bc")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
     )
-    j = cust.join(F.broadcast(q), "c_mktsegment")
+
+    def _edge_cols(pct: int) -> list:
+        num = (F.col("cnt") - 1) * pct
+        idx = F.floor(num / F.lit(100.0)).cast("long")
+        return [
+            F.max(F.when(F.col("rn") == idx + 1, F.col("bc"))).alias(
+                f"lo{pct:02d}"
+            ),
+            F.max(F.when(F.col("rn") == idx + 2, F.col("bc"))).alias(
+                f"hi{pct:02d}"
+            ),
+            F.max(num - idx * 100).alias(f"rem{pct:02d}"),
+        ]
+
+    def _interp(pct: int):
+        lo, hi, rem = (
+            F.col(f"lo{pct:02d}"),
+            F.col(f"hi{pct:02d}"),
+            F.col(f"rem{pct:02d}"),
+        )
+        x = lo * (100 - rem) + F.coalesce(hi, lo) * rem + 50
+        return F.floor(x / F.lit(100.0)).cast("long").alias(f"p{pct:02d}c")
+
+    q = (
+        rk.groupBy("c_mktsegment")
+        .agg(*_edge_cols(5), *_edge_cols(95))
+        .select("c_mktsegment", _interp(5), _interp(95))
+        .withColumnRenamed("c_mktsegment", "_seg")
+    )
+    j = cust.join(
+        F.broadcast(q), cust.c_mktsegment.eqNullSafe(q["_seg"]), "left"
+    ).drop("_seg")
     bc = F.col("bc")
     clamped_c = (
         F.when(bc < F.col("p05c"), F.col("p05c"))
