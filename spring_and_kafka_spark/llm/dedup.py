@@ -1739,3 +1739,251 @@ def q_dedup_seg_df_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("inst_share"),
     )
+
+
+# --- arbitrary-offset span alignment (r17, the gap q_dedup_substring's
+# docstring names: tumbling segments only catch boundary-ALIGNED
+# duplication; a passage copied at an arbitrary offset needs the
+# anchor-ngram / exact-substring alignment family of RefinedWeb / Lee et
+# al. "Deduplicating Training Data Makes Language Models Better").
+
+_ALIGN_K = 4  # anchor shingle width (tokens)
+_ALIGN_MOD = 8  # content-defined sampling: keep hashes ≡ 0 (mod 8), ~1/8
+_ALIGN_SHIFT = 3  # planted-copy offset (tokens) — deliberately NOT a
+# multiple of _BP_SEG, so tumbling-segment dedup cannot see these pairs
+_ALIGN_DF_CAP = 1000  # hot-anchor guard: drop hashes in > cap docs
+_ALIGN_MIN_ANCHORS = 2  # an alignment needs ≥ 2 agreeing anchors
+
+
+def _span_hash(col):
+    """48-bit BIGINT from the first 12 hex chars of sha2-256 — the
+    cross-engine hash pair shared with q_dedup_minhash_est (DuckDB twin:
+    _mhest_hash_sql over sha256()); 48 bits stays exact in BIGINT and
+    under 2^53 everywhere downstream."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 12), 16, 10).cast("long")
+
+
+@register(
+    "q_dedup_span_align",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND text <> ''
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 200000,
+             array_to_string(
+               string_split(text, ' ')[{_ALIGN_SHIFT + 1}:], ' ')
+      FROM base
+    ),
+    d AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM corpus WHERE text <> ''
+    ),
+    sg AS (
+      SELECT doc_id, pos,
+             array_to_string(ts[pos + 1 : pos + {_ALIGN_K}], ' ') AS seg
+      FROM (SELECT doc_id, ts,
+                   unnest(range(greatest(n - {_ALIGN_K}, 0) + 1)) AS pos
+            FROM d)
+    ),
+    hvt AS (
+      SELECT doc_id, pos, {_mhest_hash_sql()} AS hv
+      FROM (SELECT doc_id, pos, sha256(seg) AS h FROM sg)
+    ),
+    an AS (
+      SELECT doc_id, hv, CAST(min(pos) AS BIGINT) AS pos
+      FROM hvt WHERE hv % {_ALIGN_MOD} = 0
+      GROUP BY doc_id, hv
+    ),
+    anc AS (
+      SELECT doc_id, hv, pos FROM an
+      WHERE hv NOT IN (
+        SELECT hv FROM an GROUP BY hv
+        HAVING count(*) > {_ALIGN_DF_CAP}
+      )
+    ),
+    m AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             b.pos - a.pos AS delta, a.pos AS apos
+      FROM anc a JOIN anc b
+        ON a.hv = b.hv AND a.doc_id < b.doc_id
+    ),
+    g AS (
+      SELECT a_id, b_id, delta,
+             CAST(count(*) AS BIGINT) AS n_anchors,
+             min(apos) AS amin, max(apos) AS amax
+      FROM m GROUP BY 1, 2, 3
+      HAVING count(*) >= {_ALIGN_MIN_ANCHORS}
+    ),
+    best AS (
+      SELECT a_id, b_id, CAST(delta AS BIGINT) AS delta, n_anchors,
+             CAST(amax - amin + {_ALIGN_K} AS BIGINT) AS span_tokens,
+             row_number() OVER (PARTITION BY a_id, b_id
+               ORDER BY n_anchors DESC, amax - amin DESC, delta) AS rn
+      FROM g
+    )
+    SELECT b.a_id, b.b_id, b.delta, b.n_anchors, b.span_tokens,
+           floor(b.span_tokens * 1e6 / s.n + 0.5) / 1e6 AS span_frac
+    FROM best b JOIN d s ON s.doc_id = b.a_id
+    WHERE b.rn = 1
+    """,
+    tags=("dedup", "text"),
+)
+def q_dedup_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-offset duplicated-span alignment — the exact-substring
+    dedup step of RefinedWeb / Lee et al., bucketed: content-defined
+    ANCHOR shingles (every {_ALIGN_K}-token shingle whose 48-bit hash ≡
+    0 mod {_ALIGN_MOD} — the selection depends only on the TEXT, so the
+    same passage picks the same anchors at ANY offset) are equi-joined
+    across documents, candidate pairs group by their position DELTA
+    (pos_b − pos_a: a genuinely copied span puts every shared anchor at
+    ONE delta), and an alignment with ≥ {_ALIGN_MIN_ANCHORS} agreeing
+    anchors is reported with its anchor count, covered token span in
+    doc a, and span fraction. Closes the gap q_dedup_substring's
+    docstring names: tumbling {_BP_SEG}-word segments catch only
+    boundary-ALIGNED duplication, and this round's planted corpus makes
+    the gap measurable — the corpus unions a copy of every document
+    shifted by {_ALIGN_SHIFT} tokens (doc_id + 200000; {_ALIGN_SHIFT}
+    is deliberately coprime to the segment width), pairs segment dedup
+    is structurally blind to and this operator must pin at
+    delta = −{_ALIGN_SHIFT} (tests/test_property_r17.py plants and
+    asserts exactly that).
+
+    Cross-engine determinism: the anchor hash is the shared
+    sha2-prefix pair (_span_hash / _mhest_hash_sql — verified
+    bit-identical in q_dedup_minhash_est); anchor selection, dedup to
+    min-position per (doc, hash), the df cap, delta grouping, anchor
+    counts and spans are all exact integer arithmetic; the one
+    division (span_frac) is floor-form micros over a token count ≥ 1
+    by construction; the best-alignment edge ranks on integer keys
+    (n_anchors, span) with the delta itself as the final tiebreak.
+
+    Shape at 100 TB: anchors are the candidate GENERATOR — never
+    doc×doc. Per doc the anchor table holds ~tokens/{_ALIGN_MOD} rows
+    (one sliding hash per position, mod-sampled, then collapsed to one
+    row per (doc, hash) by the min-position groupBy — which also
+    bounds a repeated-phrase doc's contribution to the join at one row
+    per distinct phrase). The self-join is an equi-join on the 8-byte
+    hash whose per-key fan-out the {_ALIGN_DF_CAP}-doc cap bounds
+    (the _SHINGLE_DF_CAP discipline: a hotter anchor is boilerplate,
+    which the segment family already handles — broadcast anti-join of
+    the tiny hot list); the (pair, delta) groupBy is map-side combined
+    and touches only anchor matches; the per-pair best-alignment
+    window partitions on the pair key. After the one segment pass the
+    align-and-extend step moves only 8-byte hashes and integer
+    positions through its shuffles; the final span-fraction join
+    re-reads just the slim (doc_id, token-count) projection for the
+    per-pair denominators (pairs ⋈ sizes, |pairs| rows).
+
+    Reference parity anchor: no text surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference dedup family."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & (F.col("text") != "")
+        )
+    )
+    toks0 = F.split("text", " ")
+    shifted = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks0,
+                _ALIGN_SHIFT + 1,
+                F.greatest(F.size(toks0) - _ALIGN_SHIFT, F.lit(0)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = base.unionByName(shifted).filter(F.col("text") != "")
+    toks = F.split("text", " ")
+    docs = corpus.select(
+        "doc_id", toks.alias("ts"), F.size(toks).alias("n")
+    )
+    seq = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - _ALIGN_K, F.lit(0))
+    )
+    segs = F.transform(
+        seq, lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i + 1, _ALIGN_K))
+    )
+    sg = docs.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+    # anchor table: mod-sampled hashes, one row per (doc, hash) at the
+    # min position; feeds the hot-list groupBy AND both self-join sides
+    an = materialize(
+        spread(sg)
+        .select("doc_id", "pos", _span_hash(F.col("seg")).alias("hv"))
+        .filter(F.col("hv") % _ALIGN_MOD == 0)
+        .groupBy("doc_id", "hv")
+        .agg(F.min("pos").cast("long").alias("pos"))
+    )
+    hot = (
+        an.groupBy("hv")
+        .agg(F.count(F.lit(1)).alias("dfh"))
+        .filter(F.col("dfh") > _ALIGN_DF_CAP)
+        .select("hv")
+    )
+    anc = an.join(F.broadcast(hot), "hv", "left_anti")
+    a = anc.alias("a")
+    b = anc.alias("b")
+    g = (
+        a.join(
+            b,
+            (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            (F.col("b.pos") - F.col("a.pos")).alias("delta"),
+            F.col("a.pos").alias("apos"),
+        )
+        .groupBy("a_id", "b_id", "delta")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.min("apos").alias("amin"),
+            F.max("apos").alias("amax"),
+        )
+        .filter(F.col("n_anchors") >= _ALIGN_MIN_ANCHORS)
+    )
+    best = (
+        g.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("a_id", "b_id").orderBy(
+                    F.desc("n_anchors"),
+                    F.desc(F.col("amax") - F.col("amin")),
+                    "delta",
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("delta").cast("long").alias("delta"),
+            "n_anchors",
+            (F.col("amax") - F.col("amin") + _ALIGN_K)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+    sizes = docs.select(F.col("doc_id").alias("a_id"), "n")
+    return best.join(sizes, "a_id").select(
+        "a_id",
+        "b_id",
+        "delta",
+        "n_anchors",
+        "span_tokens",
+        (
+            F.floor(F.col("span_tokens") * 1e6 / F.col("n") + F.lit(0.5))
+            / 1e6
+        ).alias("span_frac"),
+    )

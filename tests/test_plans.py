@@ -1154,6 +1154,26 @@ def test_dedup_seg_df_hist_no_join_two_groupbys(spark):
     assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
 
 
+def test_dedup_span_align_anchor_generated_no_cartesian(spark):
+    # candidate generation is the materialized anchor table (the
+    # corpus scan + sliding-hash explode never re-runs for the join
+    # sides — only the slim token-count projection rescans parquet);
+    # the hot-anchor guard is a broadcast anti/semi join of the tiny
+    # hot list; the pair self-join is an equi-join on the hash key
+    # (never doc×doc, no cartesian); the best-alignment edge is a
+    # WindowGroupLimit top-1 per pair, not a global sort
+    import re
+
+    p = plan(spark, "q_dedup_span_align")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # the checkpointed anchor table
+    assert "WindowGroupLimit" in p
+    # exactly the token-count rescan (base + shifted branch), nothing
+    # else re-reads the corpus
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+
+
 def test_sim_rerank_curve_one_heap_grid_window(spark):
     # ONE Hamming heap feeds all swept lengths (TakeOrderedAndProject,
     # never a global corpus sort); the grid fan-out and all 1-row
