@@ -2853,3 +2853,226 @@ def q_sim_rerank_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+_GRID_NQ = 8  # evaluated query sample: vec_id < 8 (the NDCG/RBO budget)
+
+
+@register(
+    "q_sim_rerank_grid",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {_WF_SQL}),
+    {_SIG_CTE},
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_GRID_NQ}),
+    qsig AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM sig
+             WHERE vec_id < {_GRID_NQ}),
+    rh AS (
+      SELECT qid, vec_id, rn AS rh FROM (
+        SELECT q.qid, s.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY bit_count(xor(s.lo, q.qlo))
+                          + bit_count(xor(s.hi, q.qhi)), s.vec_id) AS rn
+        FROM sig s CROSS JOIN qsig q WHERE s.vec_id <> q.qid
+      ) WHERE rn <= {max(_RERANK_LS)}
+    ),
+    cand AS (
+      SELECT rh.qid, rh.vec_id, rh.rh,
+             list_dot_product(e.v, q.qv)
+               / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(q.qv, q.qv)), 0) AS raw
+      FROM rh JOIN e USING (vec_id) JOIN qs q ON q.qid = rh.qid
+    ),
+    ls AS (SELECT CAST(unnest({_RERANK_LS_SQL}) AS BIGINT)
+             AS shortlist_len),
+    sel AS (
+      SELECT shortlist_len, qid, vec_id FROM (
+        SELECT ls.shortlist_len, cand.qid, cand.vec_id,
+               row_number() OVER (
+                 PARTITION BY ls.shortlist_len, cand.qid
+                 ORDER BY cand.raw DESC NULLS LAST, cand.vec_id) AS rc
+        FROM cand JOIN ls ON cand.rh <= ls.shortlist_len
+      ) WHERE rc <= {_RERANK_K}
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_dot_product(e.v, q.qv)
+                            / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(q.qv, q.qv)),
+                                     0)
+                          DESC NULLS LAST, e.vec_id) AS rn
+        FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {_RERANK_K}
+    ),
+    tn AS (SELECT qid, CAST(count(*) AS BIGINT) AS nt
+           FROM truth GROUP BY qid),
+    perq AS (
+      SELECT h.shortlist_len, h.qid, h.h, tn.nt
+      FROM (
+        SELECT s.shortlist_len, s.qid,
+               CAST(count(t.vec_id) AS BIGINT) AS h
+        FROM sel s LEFT JOIN truth t
+          ON t.qid = s.qid AND t.vec_id = s.vec_id
+        GROUP BY 1, 2
+      ) h JOIN tn ON tn.qid = h.qid
+    )
+    SELECT shortlist_len,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(h) AS BIGINT) AS n_hits,
+           CAST(sum(nt) AS BIGINT) AS n_truth,
+           CASE WHEN sum(nt) > 0 THEN
+             floor(sum(h) * 1e6 / sum(nt) + 0.5) / 1e6
+           END AS recall,
+           min(floor(h * 1e6 / nt + 0.5)) / 1e6 AS worst_recall
+    FROM perq GROUP BY shortlist_len
+    """,
+    tags=("ann", "eval"),
+)
+def q_sim_rerank_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query recall-vs-shortlist-length grid for the two-tier
+    retrieval pair — the statistically meaningful version of
+    q_sim_rerank_curve's readout (r16 verdict: recall@1-query is a
+    coin-flippy estimate to commit a production knob on): a bounded
+    {_GRID_NQ}-query sample (vec_id < {_GRID_NQ}, the
+    q_embed_ndcg_eval / q_embed_rbo budget) each runs the per-qid
+    Hamming heap, and for every swept shortlist length L the exact
+    re-rank of the first L candidates is scored against that query's
+    own brute-force top-{_RERANK_K}. Per length the grid reports the
+    pooled recall (micro-average over Σhits/Σtruth) AND the worst
+    per-query recall — the saturation length is chosen where the WORST
+    query stops improving, which one lucky query can no longer mask.
+
+    Cross-engine determinism: the q_sim_rerank contract verbatim —
+    integer Hamming with vec_id tiebreak at the per-qid heap edges,
+    IEEE +,*-chained dot products with correctly-rounded sqrt at the
+    rerank/truth edges (the registry stable-key rule; the association
+    order is additionally pinned by the r17 adversarial near-tie
+    fixture, tests/test_property_r17.py), NULLIF-pinned zero norms
+    NULLS LAST, and floor-form recalls on exact integer hit/truth
+    counts (the worst-recall min is taken over per-query integer
+    micros, never floats).
+
+    Shape at 100 TB: both ranked passes are per-qid window heaps over
+    a broadcast {_GRID_NQ}-row query sample (WindowGroupLimit pushes
+    rank ≤ k into the shuffle — one corpus pass each for the 8-byte
+    sketch scan and the truth harness, never per-query jobs); the
+    candidate exact pass touches ≤ {_GRID_NQ}·{max(_RERANK_LS)}
+    vectors via a broadcast join of the heaped id table against the
+    vector table; the grid fan-out and all later joins move hundreds
+    of rows. The truth pass is the evaluation harness, as in
+    q_sim_rerank; production serves from the sketch + shortlist tiers
+    alone once the grid certifies them.
+
+    Reference parity anchor: no vector surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference similarity family."""
+    e = materialize(
+        _well_formed(
+            load_vectors(spark, sf_dir).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+        )
+    )
+    sig = _signatures(e)
+    qs = e.filter(F.col("vec_id") < _GRID_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    qsig = sig.filter(F.col("vec_id") < _GRID_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    rh = (
+        sig.crossJoin(F.broadcast(qsig))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", ham.alias("ham"))
+        .withColumn(
+            "rh",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy("ham", "vec_id")
+            ),
+        )
+        .filter(F.col("rh") <= max(_RERANK_LS))
+        .select("qid", "vec_id", "rh")
+    )
+    raw = cosine(F.col("v"), F.col("qv"))
+    cand = (
+        F.broadcast(rh)
+        .join(e, "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .select("qid", "vec_id", "rh", raw.alias("raw"))
+    )
+    ls = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(l) for l in _RERANK_LS])).alias("_l")
+        )
+        .select(F.col("_l").cast("long").alias("shortlist_len"))
+    )
+    sel = (
+        cand.join(F.broadcast(ls), F.col("rh") <= F.col("shortlist_len"))
+        .select(
+            "shortlist_len",
+            "qid",
+            "vec_id",
+            F.row_number()
+            .over(
+                W.partitionBy("shortlist_len", "qid").orderBy(
+                    F.col("raw").desc_nulls_last(), "vec_id"
+                )
+            )
+            .alias("rc"),
+        )
+        .filter(F.col("rc") <= _RERANK_K)
+        .select("shortlist_len", "qid", "vec_id")
+    )
+    truth = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", raw.alias("t_raw"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("t_raw").desc_nulls_last(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _RERANK_K)
+        .select(
+            F.col("qid").alias("t_qid"), F.col("vec_id").alias("t_id")
+        )
+    )
+    tn = truth.groupBy("t_qid").agg(F.count(F.lit(1)).alias("nt"))
+    hits = (
+        sel.join(
+            F.broadcast(truth),
+            (sel.qid == truth.t_qid) & (sel.vec_id == truth.t_id),
+            "left",
+        )
+        .groupBy("shortlist_len", "qid")
+        .agg(F.count("t_id").alias("h"))
+    )
+    perq = hits.join(
+        F.broadcast(tn), hits.qid == tn.t_qid
+    ).select("shortlist_len", "h", "nt")
+    return perq.groupBy("shortlist_len").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("h").alias("n_hits"),
+        F.sum("nt").alias("n_truth"),
+        F.when(
+            F.sum("nt") > 0,
+            F.floor(F.sum("h") * 1e6 / F.sum("nt") + F.lit(0.5)) / 1e6,
+        ).alias("recall"),
+        (
+            F.min(F.floor(F.col("h") * 1e6 / F.col("nt") + F.lit(0.5)))
+            / 1e6
+        ).alias("worst_recall"),
+    )

