@@ -84,102 +84,92 @@ _MODULE_SEQ: dict[str, int] = {}
 # round. _WINDOW_PREFIX names those 50 explicitly — rotated per round so
 # every query eventually owns a green CORRECTNESS row.
 #
-# Round-16 window. Rotation pool derived PROGRAMMATICALLY —
-# `python -m tools.window_pool` folds CORRECTNESS_r01..r15 into the
-# last-verified map. Tool output this rotation (through_round=15):
-#   histogram: r10=31, r11=49, r12=49, r13=46, r14=49, r15=50
-#   (274, 0 never)
+# Round-17 window. Rotation pool derived PROGRAMMATICALLY —
+# `python -m tools.window_pool` folds CORRECTNESS_r01..r16 into the
+# last-verified map. Tool output this rotation (through_round=16):
+#   histogram: r11=38, r12=48, r13=46, r14=49, r15=48, r16=50
+#   (279, 0 never)
 # pinned (round-bounded, so next round's artifact can't break it) in
 # tests/test_registry_window.py.
 #
 # Composition, per the rotation discipline (rule order: never-verified >
-# red fixes > changed output > stalest green). The r15 verdict's item 2
-# mandated this exact rotation: the new-op batch stays small (5) so the
-# window retires ALL 31 remaining r10 rows plus the r11 pool head:
-#   (a) the 5 queries NEW in r16 (q_dedup_seg_df_hist
-#       q_dedup_substring q_graph_lpa q_sim_rerank q_sim_rerank_curve
-#       — the segment-df threshold-calibration histogram, the per-doc
-#       span-excision readout, label-propagation communities scored by
-#       modularity, the Hamming-shortlist -> exact-cosine re-rank with
-#       truth agreement, and its recall-vs-shortlist-length curve; the
-#       r15 verdict's Next-round items 1/3/4 plus the two family-
-#       completing calibration curves, pool() round-0 name order) —
-#       never driver-verified, so they lead;
-#   (b) the 3 queries whose OUTPUT expression changed in r16, name
-#       order: q_hist_equidepth and q_winsorize (percentile boundaries
-#       moved to exact-integer-cents interpolation after hypothesis
-#       falsified the raw-double form on subnormal ties — the engines'
-#       interpolation ARITHMETIC differs: Spark lo + (hi-lo)*f vs
-#       DuckDB lo*(1-f) + hi*f) and q_sample_ks_check
-#       (sample-vs-COMPLEMENT two-sample form, n_pop -> n_rest —
-#       ADVICE r15 item 1);
-#   (c) the rotation pool in tools.window_pool pool() order: all 31
-#       r10-stale rows + the first 11 of the 49 r11 rows —
-#       5+3+31+11 = 50 exactly.
-# After this window the stalest green rows are the 38 remaining r11
-# rows (q_er_blocking q_fn_url q_graph_degree q_graph_triangles
-# q_heavy_hitters q_interval_peak q_join_bloom q_join_overlap
-# q_join_pit q_kanon q_langid_confusion q_multimodal_dedup q_pii_scan
-# q_profile q_rfm and the rest in pool order — q_hist_equidepth and
-# q_winsorize re-green in this window) then the 48 remaining r12 rows
-# — the r17 pool head.
+# red fixes > changed output > stalest green). The r16 verdict's item 1
+# mandated this exact rotation: the new-op batch stays small (2) so the
+# window retires ALL 38 remaining r11 rows plus the r12 pool head:
+#   (a) the 2 queries NEW in r17 (q_dedup_span_align q_sim_rerank_grid
+#       — the arbitrary-offset anchor-ngram span alignment closing the
+#       gap q_dedup_substring's docstring names, and the multi-query
+#       recall-vs-shortlist-length grid replacing the 1-query rerank
+#       curve readout; the r16 verdict's Next-round items 2/3, pool()
+#       round-0 name order) — never driver-verified, so they lead;
+#   (b) the 1 query whose OUTPUT expression changed in r17:
+#       q_winsorize (band edges moved from engine percentile functions
+#       onto exact integer RANK DECOMPOSITION — ADVICE r16 item 2: the
+#       r16 cents form still double-interpolated, divergent within 1
+#       ulp of a half-cent);
+#   (c) the rotation pool in tools.window_pool pool() order: all 38
+#       r11-stale rows + the first 9 of the 48 r12 rows —
+#       2+1+38+9 = 50 exactly.
+# After this window the stalest green rows are the 39 remaining r12
+# rows (q_distinct q_embed_cluster_purity q_embed_outlier q_except
+# q_filter_between and the rest in pool order) then the 46 r13 rows —
+# the r18 pool head.
 # Queries not named here rank after the prefix by (module rank, def
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
-    # (a) new-in-r16, never verified — pool() round-0 name order
-    "q_dedup_seg_df_hist",
-    "q_dedup_substring",
-    "q_graph_lpa",
-    "q_sim_rerank",
-    "q_sim_rerank_curve",
-    # (b) output expression changed in r16, name order (the cents-
-    # interpolation fixes + the KS complement form)
-    "q_hist_equidepth",
-    "q_sample_ks_check",
+    # (a) new-in-r17, never verified — pool() round-0 name order
+    "q_dedup_span_align",
+    "q_sim_rerank_grid",
+    # (b) output expression changed in r17 (integer rank decomposition)
     "q_winsorize",
-    # (c) the rotation pool, tools.window_pool order: 31 r10 + 11 r11
-    "q_sample_temperature",
-    "q_sessionize",
-    "q_stream_session",
-    "q_stream_slide",
-    "q_stream_tumble",
-    "q_subquery_in",
-    "q_subquery_scalar",
-    "q_text_chunk",
-    "q_text_dup_fraction",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_tpch_q3",
-    "q_tpch_q4",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_ts_simsearch",
-    "q_udf_scalar",
-    "q_win_dist",
-    "q_win_ntile",
-    "q_win_streak",
-    "q_ab_test",
-    "q_agg_corr",
-    "q_agg_string",
-    "q_agg_weighted",
-    "q_basket_pairs",
-    "q_benford",
-    "q_cohort_revenue",
-    "q_corpus_provenance",
-    "q_dedup_containment",
-    "q_dedup_incremental",
-    "q_dq_checks",
+    # (c) the rotation pool, tools.window_pool order: 38 r11 + 9 r12
+    "q_er_blocking",
+    "q_fn_url",
+    "q_graph_degree",
+    "q_graph_triangles",
+    "q_heavy_hitters",
+    "q_hist_equiwidth",
+    "q_interval_peak",
+    "q_join_bloom",
+    "q_join_overlap",
+    "q_join_pit",
+    "q_kanon",
+    "q_langid_confusion",
+    "q_multimodal_dedup",
+    "q_pii_scan",
+    "q_profile",
+    "q_rfm",
+    "q_sample_balanced",
+    "q_scd2",
+    "q_seq_pattern",
+    "q_share_of_total",
+    "q_skyline",
+    "q_text_bm25",
+    "q_text_js_shift",
+    "q_text_keyphrase",
+    "q_text_length_filter",
+    "q_text_vocab_coverage",
+    "q_text_zipf",
+    "q_tpch_q9",
+    "q_ts_anomaly",
+    "q_ts_autocorr",
+    "q_ts_cusum",
+    "q_ts_ewma",
+    "q_ts_mad",
+    "q_ts_resample",
+    "q_unpivot",
+    "q_win_first_last",
+    "q_win_running_distinct",
+    "q_win_trend",
+    "q_agg_bool",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_moments",
+    "q_agg_ols2",
+    "q_agg_percentile",
+    "q_agg_stats",
+    "q_case_when",
+    "q_cube",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -32,6 +32,7 @@ R13_DERIVATION_ROUND = 12
 R14_DERIVATION_ROUND = 13
 R15_DERIVATION_ROUND = 14
 R16_DERIVATION_ROUND = 15
+R17_DERIVATION_ROUND = 16
 
 # NEW in r11 (never driver-verified — must lead any window they can
 # reach, pool() round-0 name order): the r11 LLM-ops batch.
@@ -178,6 +179,21 @@ NEW_R16 = [
 # ADVICE r15 item 1: nested samples deflate D).
 CHANGED_R16 = ["q_hist_equidepth", "q_sample_ks_check", "q_winsorize"]
 
+# NEW in r17 (rotation-over-growth: 2 new ops so the window retires
+# ALL 38 remaining r11-stale rows — the r16 verdict's item 1): the
+# arbitrary-offset anchor-ngram span alignment and the multi-query
+# rerank recall grid (pool() round-0 name order).
+NEW_R17 = [
+    "q_dedup_span_align",
+    "q_sim_rerank_grid",
+]
+
+# Changed in r17 while already green: q_winsorize's band edges moved
+# from engine percentile functions onto exact integer rank
+# decomposition (ADVICE r16 item 2 — the r16 cents form still
+# double-interpolated, divergent within 1 ulp of a half-cent).
+CHANGED_R17 = ["q_winsorize"]
+
 
 # ---------------------------------------------------------------- invariants
 
@@ -291,6 +307,14 @@ def test_window_pool_histograms_match_their_input_rounds():
         14: 49,
         15: 50,
     }
+    assert histogram(last_verified(through_round=R17_DERIVATION_ROUND)) == {
+        11: 38,
+        12: 48,
+        13: 46,
+        14: 49,
+        15: 48,
+        16: 50,
+    }
 
 
 def test_r11_window_was_new_plus_changed_plus_pool_order():
@@ -392,24 +416,43 @@ def test_r15_window_was_new_plus_changed_plus_pool_order():
     assert strata == [9] * 23 + [10] * 18
 
 
-def test_r16_window_is_new_plus_changed_plus_pool_order():
-    """The r16 window must be exactly: the never-verified r16 additions,
-    then the r16 changed-output query, then the rotation pool derived
-    from CORRECTNESS_r01..r15 in pool() order (stalest round, then
-    name) — i.e. the window is DERIVED, not hand-picked. With 5 new +
-    3 changed (rotation-over-growth: the r15 verdict's item 2 mandated
-    retiring the r10 stratum), the remaining 42 slots retire ALL 31
-    r10-stale rows and the first 11 r11 rows — 50 exactly (38 r11 rows
-    lead the r17 pool, two of them — the changed pair — re-greened
-    through the (b) block)."""
-    prefix = registry._WINDOW_PREFIX
-    lead = NEW_R16 + CHANGED_R16
-    assert prefix[: len(lead)] == lead
+def test_r16_window_was_new_plus_changed_plus_pool_order():
+    """The r16 derivation record, kept as history (same treatment the
+    r11-r15 windows got when they rotated away): the r16 window list
+    lives in CORRECTNESS_r16.json's key order, which is immutable."""
     lv = last_verified(through_round=R16_DERIVATION_ROUND)
     assert not any(n in lv for n in NEW_R16), "NEW_R16 not actually new"
+    import json, os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "CORRECTNESS_r16.json")) as f:
+        r16_window = list(json.load(f))
+    lead = NEW_R16 + CHANGED_R16
+    assert r16_window[: len(lead)] == lead
+    rest = [n for n in pool(lv) if n not in lead]
+    assert r16_window[len(lead) :] == rest[: 50 - len(lead)]
+    # the strata the r16 derivation claimed: all 31 r10 + first 11 r11
+    strata = [lv[n] for n in r16_window[len(lead) :]]
+    assert strata == [10] * 31 + [11] * 11
+
+
+def test_r17_window_is_new_plus_changed_plus_pool_order():
+    """The r17 window must be exactly: the never-verified r17 additions,
+    then the r17 changed-output query, then the rotation pool derived
+    from CORRECTNESS_r01..r16 in pool() order (stalest round, then
+    name) — i.e. the window is DERIVED, not hand-picked. With 2 new +
+    1 changed (rotation-over-growth: the r16 verdict's item 1 mandated
+    retiring the r11 stratum), the remaining 47 slots retire ALL 38
+    r11-stale rows and the first 9 r12 rows — 50 exactly (39 r12 rows
+    lead the r18 pool)."""
+    prefix = registry._WINDOW_PREFIX
+    lead = NEW_R17 + CHANGED_R17
+    assert prefix[: len(lead)] == lead
+    lv = last_verified(through_round=R17_DERIVATION_ROUND)
+    assert not any(n in lv for n in NEW_R17), "NEW_R17 not actually new"
     rest = [n for n in pool(lv) if n not in lead]
     assert prefix[len(lead) :] == rest[: 50 - len(lead)]
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [10] * 31 + [11] * 11
+    assert strata == [11] * 38 + [12] * 9
