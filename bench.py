@@ -181,6 +181,15 @@ HEADLINE = [
     "q_graph_lpa",
     "q_sim_rerank",
     "q_sim_rerank_curve",
+    # round-17 batch: arbitrary-offset span alignment (sliding sha2
+    # anchor hashes over the planted shifted corpus — the hash pass
+    # dominates; candidates bucketed by anchor hash), its per-doc
+    # interval-union excision readout on the raw corpus, and the
+    # multi-query rerank recall grid (per-qid WindowGroupLimit heaps
+    # over two corpus passes) (BASELINE.md §2 notes the change)
+    "q_dedup_span_align",
+    "q_dedup_span_cover",
+    "q_sim_rerank_grid",
 ]
 
 

@@ -1763,21 +1763,31 @@ def _span_hash(col):
     return F.conv(F.substring(F.sha2(col, 256), 1, 12), 16, 10).cast("long")
 
 
-@register(
-    "q_dedup_span_align",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, text FROM documents
-      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND text <> ''
-    ),
-    corpus AS (
+def _span_ctes_sql(with_shift: bool) -> str:
+    """Shared DuckDB CTE block for the span-alignment family: planted
+    corpus (optional shifted copies) -> token arrays -> sliding
+    {_ALIGN_K}-gram positions -> mod-sampled sha2-prefix anchors at min
+    position per (doc, hash) -> df-capped anchor table -> delta-grouped
+    pair alignments `g`. One source of truth, the shingle_ctes_sql
+    discipline — q_dedup_span_align composes it with the shifted
+    corpus, q_dedup_span_cover without."""
+    corpus = (
+        f"""corpus AS (
       SELECT doc_id, text FROM base
       UNION ALL
       SELECT doc_id + 200000,
              array_to_string(
                string_split(text, ' ')[{_ALIGN_SHIFT + 1}:], ' ')
       FROM base
+    ),"""
+        if with_shift
+        else """corpus AS (SELECT doc_id, text FROM base),"""
+    )
+    return f"""base AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND text <> ''
     ),
+    {corpus}
     d AS (
       SELECT doc_id, string_split(text, ' ') AS ts,
              len(string_split(text, ' ')) AS n
@@ -1818,7 +1828,96 @@ def _span_hash(col):
              min(apos) AS amin, max(apos) AS amax
       FROM m GROUP BY 1, 2, 3
       HAVING count(*) >= {_ALIGN_MIN_ANCHORS}
-    ),
+    )"""
+
+
+def _span_alignments(
+    spark: SparkSession, sf_dir: str, with_shift: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of _span_ctes_sql: (docs, g) where docs is the token
+    table (doc_id, ts, n) over the (optionally shift-planted) corpus
+    and g holds the surviving pair alignments (a_id, b_id, delta,
+    n_anchors, amin, amax). The anchor table is materialized — it
+    feeds the hot-list groupBy AND both self-join sides."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & (F.col("text") != "")
+        )
+    )
+    if with_shift:
+        toks0 = F.split("text", " ")
+        shifted = base.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    toks0,
+                    _ALIGN_SHIFT + 1,
+                    F.greatest(F.size(toks0) - _ALIGN_SHIFT, F.lit(0)),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        corpus = base.unionByName(shifted).filter(F.col("text") != "")
+    else:
+        corpus = base
+    toks = F.split("text", " ")
+    docs = corpus.select(
+        "doc_id", toks.alias("ts"), F.size(toks).alias("n")
+    )
+    seq = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - _ALIGN_K, F.lit(0))
+    )
+    segs = F.transform(
+        seq, lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i + 1, _ALIGN_K))
+    )
+    sg = docs.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+    an = materialize(
+        spread(sg)
+        .select("doc_id", "pos", _span_hash(F.col("seg")).alias("hv"))
+        .filter(F.col("hv") % _ALIGN_MOD == 0)
+        .groupBy("doc_id", "hv")
+        .agg(F.min("pos").cast("long").alias("pos"))
+    )
+    hot = (
+        an.groupBy("hv")
+        .agg(F.count(F.lit(1)).alias("dfh"))
+        .filter(F.col("dfh") > _ALIGN_DF_CAP)
+        .select("hv")
+    )
+    anc = an.join(F.broadcast(hot), "hv", "left_anti")
+    a = anc.alias("a")
+    b = anc.alias("b")
+    g = (
+        a.join(
+            b,
+            (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            (F.col("b.pos") - F.col("a.pos")).alias("delta"),
+            F.col("a.pos").alias("apos"),
+        )
+        .groupBy("a_id", "b_id", "delta")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.min("apos").alias("amin"),
+            F.max("apos").alias("amax"),
+        )
+        .filter(F.col("n_anchors") >= _ALIGN_MIN_ANCHORS)
+    )
+    return docs, g
+
+
+@register(
+    "q_dedup_span_align",
+    oracle=f"""
+    WITH {_span_ctes_sql(with_shift=True)},
     best AS (
       SELECT a_id, b_id, CAST(delta AS BIGINT) AS delta, n_anchors,
              CAST(amax - amin + {_ALIGN_K} AS BIGINT) AS span_tokens,
@@ -1882,76 +1981,8 @@ def q_dedup_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity anchor: no text surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference dedup family."""
-    base = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(
-            F.col("doc_id").isNotNull()
-            & F.col("text").isNotNull()
-            & (F.col("text") != "")
-        )
-    )
-    toks0 = F.split("text", " ")
-    shifted = base.select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.array_join(
-            F.slice(
-                toks0,
-                _ALIGN_SHIFT + 1,
-                F.greatest(F.size(toks0) - _ALIGN_SHIFT, F.lit(0)),
-            ),
-            " ",
-        ).alias("text"),
-    )
-    corpus = base.unionByName(shifted).filter(F.col("text") != "")
-    toks = F.split("text", " ")
-    docs = corpus.select(
-        "doc_id", toks.alias("ts"), F.size(toks).alias("n")
-    )
-    seq = F.sequence(
-        F.lit(0), F.greatest(F.col("n") - _ALIGN_K, F.lit(0))
-    )
-    segs = F.transform(
-        seq, lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i + 1, _ALIGN_K))
-    )
-    sg = docs.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
-    # anchor table: mod-sampled hashes, one row per (doc, hash) at the
-    # min position; feeds the hot-list groupBy AND both self-join sides
-    an = materialize(
-        spread(sg)
-        .select("doc_id", "pos", _span_hash(F.col("seg")).alias("hv"))
-        .filter(F.col("hv") % _ALIGN_MOD == 0)
-        .groupBy("doc_id", "hv")
-        .agg(F.min("pos").cast("long").alias("pos"))
-    )
-    hot = (
-        an.groupBy("hv")
-        .agg(F.count(F.lit(1)).alias("dfh"))
-        .filter(F.col("dfh") > _ALIGN_DF_CAP)
-        .select("hv")
-    )
-    anc = an.join(F.broadcast(hot), "hv", "left_anti")
-    a = anc.alias("a")
-    b = anc.alias("b")
-    g = (
-        a.join(
-            b,
-            (F.col("a.hv") == F.col("b.hv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            (F.col("b.pos") - F.col("a.pos")).alias("delta"),
-            F.col("a.pos").alias("apos"),
-        )
-        .groupBy("a_id", "b_id", "delta")
-        .agg(
-            F.count(F.lit(1)).alias("n_anchors"),
-            F.min("apos").alias("amin"),
-            F.max("apos").alias("amax"),
-        )
-        .filter(F.col("n_anchors") >= _ALIGN_MIN_ANCHORS)
+    docs, g = _span_alignments(
+        spark, sf_dir, with_shift=True
     )
     best = (
         g.withColumn(
@@ -1986,4 +2017,152 @@ def q_dedup_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("span_tokens") * 1e6 / F.col("n") + F.lit(0.5))
             / 1e6
         ).alias("span_frac"),
+    )
+
+
+@register(
+    "q_dedup_span_cover",
+    oracle=f"""
+    WITH {_span_ctes_sql(with_shift=False)},
+    iv AS (
+      SELECT a_id AS doc_id, amin AS s, amax + {_ALIGN_K} AS e FROM g
+      UNION ALL
+      SELECT b_id, amin + delta, amax + delta + {_ALIGN_K} FROM g
+    ),
+    ev AS (
+      SELECT doc_id, pos, CAST(sum(dlt) AS BIGINT) AS dlt FROM (
+        SELECT doc_id, s AS pos, 1 AS dlt FROM iv
+        UNION ALL SELECT doc_id, e, -1 FROM iv
+      ) GROUP BY 1, 2
+    ),
+    sw AS (
+      SELECT doc_id, pos,
+             sum(dlt) OVER (PARTITION BY doc_id ORDER BY pos) AS active,
+             lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM ev
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN active > 0 AND nxt IS NOT NULL
+                           THEN nxt - pos ELSE 0 END) AS BIGINT) AS cv
+      FROM sw GROUP BY doc_id
+    ),
+    ns AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+      FROM iv GROUP BY doc_id
+    )
+    SELECT c.doc_id, ns.n_spans,
+           least(c.cv, d.n) AS covered_tokens,
+           CAST(d.n AS BIGINT) AS n_tokens,
+           floor(least(c.cv, d.n) * 1e6 / d.n + 0.5) / 1e6 AS cover_frac
+    FROM cov c
+    JOIN ns ON ns.doc_id = c.doc_id
+    JOIN d ON d.doc_id = c.doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def q_dedup_span_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document excision readout over ARBITRARY-OFFSET aligned
+    spans — the q_dedup_substring dup_char_frac analog at span grain,
+    on the RAW corpus (no planted shifted copies: q_dedup_span_align
+    plants them to demonstrate offset-blindness; this is the
+    production readout an excision pass thresholds on, so it measures
+    only real cross-doc duplication): every surviving pair alignment
+    contributes its covered interval to BOTH endpoint documents
+    ([amin, amax+{_ALIGN_K}) in doc a, delta-mapped into doc b), and
+    per document the intervals' UNION length — overlapping alignments
+    with different partners never double-count — is reported as
+    covered tokens and coverage fraction, alongside the contributing
+    span count. "Drop docs over 60% span-covered / excise their
+    covered runs" is the downstream decision.
+
+    Cross-engine determinism: the interval union runs the
+    q_interval_peak sweep shape on exact integers — +1/−1 deltas
+    summed per (doc, pos) so the running-sum window orders a UNIQUE
+    pos per doc (no peer ties), covered length from lead() gaps where
+    the running count is positive; covered_tokens is clamped to the
+    token count (a sub-{_ALIGN_K}-token doc's single clamped anchor
+    interval can nominally extend past its end) so cover_frac ≤ 1 by
+    construction; the one division is floor-form micros over n ≥ 1.
+
+    Shape at 100 TB: the anchor/alignment stages are shared with
+    q_dedup_span_align (anchor-generated candidates, df-capped hash
+    equi-join, never doc×doc); the interval stream is 2 rows per
+    surviving alignment — duplication-sized, not corpus-sized — and
+    the sweep is one doc_id-keyed shuffle with two windows over the
+    SAME (doc_id, pos) sort (Spark plans one Exchange + one Sort for
+    both). The span count rides THROUGH the sweep (a start-event
+    counter summed alongside the union length) rather than as a
+    separate aggregate-and-join, so the whole query has exactly ONE
+    join: |covered docs| against the slim token-count projection.
+
+    Reference parity anchor: no text surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference dedup family."""
+    docs, g = _span_alignments(spark, sf_dir, with_shift=False)
+    iv = g.select(
+        F.col("a_id").alias("doc_id"),
+        F.col("amin").alias("s"),
+        (F.col("amax") + _ALIGN_K).alias("e"),
+    ).unionByName(
+        g.select(
+            F.col("b_id").alias("doc_id"),
+            (F.col("amin") + F.col("delta")).alias("s"),
+            (F.col("amax") + F.col("delta") + _ALIGN_K).alias("e"),
+        )
+    )
+    # the interval stream feeds both event branches of the sweep —
+    # materialize so the whole anchor/alignment subtree runs once
+    iv = materialize(iv)
+    # st marks interval-START events: summed through the (doc, pos)
+    # collapse and again in the per-doc rollup it IS the span count,
+    # so no separate count-and-join aggregate is needed
+    ev = (
+        iv.select(
+            "doc_id",
+            F.col("s").alias("pos"),
+            F.lit(1).alias("dlt"),
+            F.lit(1).alias("st"),
+        )
+        .unionByName(
+            iv.select(
+                "doc_id",
+                F.col("e").alias("pos"),
+                F.lit(-1).alias("dlt"),
+                F.lit(0).alias("st"),
+            )
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("dlt").alias("dlt"), F.sum("st").alias("st"))
+    )
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    sw = ev.select(
+        "doc_id",
+        "pos",
+        "st",
+        F.sum("dlt").over(wo).alias("active"),
+        F.lead("pos").over(wo).alias("nxt"),
+    )
+    cov = sw.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                (F.col("active") > 0) & F.col("nxt").isNotNull(),
+                F.col("nxt") - F.col("pos"),
+            ).otherwise(0)
+        ).alias("cv"),
+        F.sum("st").alias("n_spans"),
+    )
+    sizes = docs.select("doc_id", "n")
+    covered = F.least(F.col("cv"), F.col("n"))
+    return (
+        cov.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            covered.alias("covered_tokens"),
+            F.col("n").cast("long").alias("n_tokens"),
+            (
+                F.floor(covered * 1e6 / F.col("n") + F.lit(0.5)) / 1e6
+            ).alias("cover_frac"),
+        )
     )

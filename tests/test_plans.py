@@ -1194,6 +1194,23 @@ def test_dedup_span_align_anchor_generated_no_cartesian(spark):
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
 
 
+def test_dedup_span_cover_sweep_doc_keyed(spark):
+    # the interval table is materialized (the anchor/alignment subtree
+    # runs once for the sweep's two event branches); both sweep windows
+    # (running active count, lead) share ONE doc_id-keyed sort; the
+    # span count rides through the sweep so the ONLY join is the slim
+    # token-count projection (no SortMergeJoin anywhere); no cartesian;
+    # the only parquet rescan is that token-count projection
+    import re
+
+    p = plan(spark, "q_dedup_span_cover")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # the checkpointed interval table
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+
+
 def test_sim_rerank_curve_one_heap_grid_window(spark):
     # ONE Hamming heap feeds all swept lengths (TakeOrderedAndProject,
     # never a global corpus sort); the grid fan-out and all 1-row

@@ -7,6 +7,8 @@ batch —
   fraction) over random small-vocab corpora, plus a planted
   shifted-passage fixture that q_dedup_substring is structurally
   blind to (offset coprime to the tumbling segment width);
+- q_dedup_span_cover: the per-doc interval-union excision readout vs
+  a direct Python merge-sweep replay on the same corpora;
 - q_sim_rerank_grid: the multi-query recall-vs-shortlist-length grid
   vs a Python float replay (per-qid Hamming heaps, per-(qid, L) exact
   rerank, mean recall), grid shrunk so the shortlist edges are live.
@@ -141,6 +143,99 @@ def test_dedup_span_align_matches_python_replay(spark, docs):
                 r.span_frac,
             )
             for r in q_dedup_span_align(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
+
+
+def _span_cover_replay(docs):
+    """Python replay of q_dedup_span_cover: RAW corpus (no planted
+    shift), all surviving (pair, delta) alignments contribute their
+    interval to both endpoint docs, per-doc interval-UNION length
+    clamped to the token count, floor-form coverage fraction."""
+    base = [
+        (i, t) for i, t in docs if i is not None and t is not None and t != ""
+    ]
+    anchors: dict[tuple[int, int], int] = {}
+    sizes: dict[int, int] = {}
+    for did, t in base:
+        toks = t.split(" ")
+        sizes[did] = len(toks)
+        for p in range(max(len(toks) - _K, 0) + 1):
+            h = _hv(" ".join(toks[p : p + _K]))
+            if h % _MOD == 0:
+                k = (did, h)
+                if k not in anchors or p < anchors[k]:
+                    anchors[k] = p
+    byhv = defaultdict(list)
+    for (did, h), p in anchors.items():
+        byhv[h].append((did, p))
+    matches = defaultdict(list)
+    for h, lst in byhv.items():
+        for da, pa in lst:
+            for db, pb in lst:
+                if da < db:
+                    matches[(da, db, pb - pa)].append(pa)
+    ivs = defaultdict(list)
+    for (a, b, delta), pos in matches.items():
+        if len(pos) >= _MIN_A:
+            s, e = min(pos), max(pos) + _K
+            ivs[a].append((s, e))
+            ivs[b].append((s + delta, e + delta))
+    want = {}
+    for doc, spans in ivs.items():
+        cov = 0
+        cur_s = cur_e = None
+        for s, e in sorted(spans):
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    cov += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_s is not None:
+            cov += cur_e - cur_s
+        n = sizes[doc]
+        covered = min(cov, n)
+        want[doc] = (
+            len(spans),
+            covered,
+            n,
+            math.floor(covered * 1e6 / n + 0.5) / 1e6,
+        )
+    return want
+
+
+@settings(max_examples=12, deadline=None)
+@given(span_corpora)
+def test_dedup_span_cover_matches_python_replay(spark, docs):
+    """The registered span-cover query must equal the direct Python
+    replay — per covered doc: contributing span count, interval-union
+    covered tokens (clamped), token count and floor-form coverage
+    fraction — on the same random small-vocab corpora the span-align
+    replay uses (overlapping multi-partner alignments make the union
+    semantics live)."""
+    from spring_and_kafka_spark.llm.dedup import q_dedup_span_cover
+
+    rows = [
+        (i if has_id else None, text)
+        for i, (has_id, text) in enumerate(docs)
+    ]
+    want = _span_cover_replay(
+        [(i, t) for i, t in rows if i is not None]
+    )
+    d = tempfile.mkdtemp(prefix="cover-prop-")
+    try:
+        _write_documents(spark, d, rows)
+        got = {
+            r.doc_id: (
+                r.n_spans,
+                r.covered_tokens,
+                r.n_tokens,
+                r.cover_frac,
+            )
+            for r in q_dedup_span_cover(spark, d).collect()
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -312,3 +407,17 @@ def test_span_align_finds_shifted_passage_segment_dedup_misses(spark):
         k: v[:3] for k, v in _span_align_replay(rows).items()
     }
     assert {k: v for k, v in got.items()} == want
+    # the excision readout on the RAW pair: 55 of doc 1's 76 tokens
+    # ([5, 60)) and 55 of doc 2's 79 ([12, 67)) are span-covered
+    from spring_and_kafka_spark.llm.dedup import q_dedup_span_cover
+
+    d = tempfile.mkdtemp(prefix="cover-planted-")
+    try:
+        _write_documents(spark, d, rows)
+        cov = {
+            r.doc_id: (r.covered_tokens, r.n_tokens)
+            for r in q_dedup_span_cover(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert cov == {1: (55, 76), 2: (55, 79)}

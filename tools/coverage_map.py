@@ -165,6 +165,9 @@ SECTIONS = {
         "q_dedup_substring", "q_dedup_seg_df_hist", "q_graph_lpa",
         "q_sim_rerank", "q_sim_rerank_curve",
     ],
+    "round-17 additions: arbitrary-offset span alignment + its per-doc excision readout + multi-query rerank recall grid": [
+        "q_dedup_span_align", "q_dedup_span_cover", "q_sim_rerank_grid",
+    ],
 }
 
 # Every registered query MUST appear in exactly one section —

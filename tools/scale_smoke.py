@@ -265,7 +265,57 @@ DOCS_QUERIES = [
     # same plateau argument)
     "q_dedup_substring",
     "q_dedup_seg_df_hist",
+    # r17: arbitrary-offset span alignment — the sliding sha2 anchor
+    # pass is O(tokens) and dominates; token-shuffled copies share no
+    # 4-grams, so cross-copy anchor collisions stay rare and the pair
+    # space tracks the planted +200000 shifted copies (~linear) — and
+    # its per-doc interval-union excision readout (same anchor pass on
+    # the raw corpus; the sweep is duplication-sized)
+    "q_dedup_span_align",
+    "q_dedup_span_cover",
 ]  # q_sample_balanced stays: stratum caps must hold as docs grow
+
+
+# r17: the ANN serving/eval tiers under vector-corpus amplification —
+# every ranked edge is a heap/WindowGroupLimit over ONE corpus pass, so
+# wall clock should track the corpus factor (the truth pass is the
+# declared evaluation harness and scales the same way).
+EMB_QUERIES = [
+    "q_sim_hamming_topk",
+    "q_sim_rerank",
+    "q_sim_rerank_curve",
+    "q_sim_rerank_grid",
+    "q_embed_ndcg_eval",
+]
+
+
+def build_scaled_embeddings(spark, factor: int, out: Path) -> None:
+    """Amplify embeddings ×factor with per-copy component ROTATION:
+    copy k rotates each vector by k positions, preserving norms and the
+    component multiset while destroying cosine alignment with the
+    original — so the amplified corpus is `factor`× DISTINCT vectors,
+    not identical duplicates that would collapse every heap onto ties.
+    Copy 0 is bit-identical (the vec_id < 8 query sample stays the
+    original queries); vec_id stride n keeps ids collision-free."""
+    e = load_table(spark, BASE, "embeddings")
+    n = e.count()
+    copies = spark.range(factor).select(F.col("id").alias("k"))
+    rot = (F.col("k") % 64).cast("int")
+    rotated = F.concat(
+        F.expr("slice(embedding, cast(k % 64 AS INT) + 1, "
+               "64 - cast(k % 64 AS INT))"),
+        F.expr("slice(embedding, 1, cast(k % 64 AS INT))"),
+    )
+    scaled = e.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("k") * n).alias("vec_id"),
+        F.when(rot == 0, F.col("embedding"))
+        .otherwise(rotated)
+        .alias("embedding"),
+        "label",
+    )
+    scaled.repartition(16).write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet")
+    )
 
 
 def build_scaled_docs(spark, factor: int, out: Path) -> None:
@@ -540,6 +590,33 @@ def main() -> None:
         ratio = t2 / t1 if t1 > 0 else float("inf")
         print(f"| `{name}` | {t1:.2f} | {t2:.2f} | {ratio:.1f}× |")
     print_notes(DOCS_QUERIES)
+
+    emb_factor = 8
+    eout = Path("/tmp/sks-scale/sf-emb")
+    eout.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        if t != "embeddings":
+            link = eout / f"{t}.parquet"
+            if not link.exists():
+                os.symlink(f"{BASE}/{t}.parquet", link)
+    build_scaled_embeddings(spark, emb_factor, eout)
+    e_n = load_table(spark, BASE, "embeddings").count()
+    print(f"\n## Vector-corpus amplification ×{emb_factor} "
+          f"({e_n:,} → {e_n * emb_factor:,} vectors; copies component-"
+          "rotated so heaps rank distinct values, queries unchanged)\n")
+    print("Every ranked edge in the ANN serving/eval tiers is a heap or")
+    print("WindowGroupLimit over ONE corpus pass, so wall clock should")
+    print("track the corpus factor; the rerank tails (shortlist-sized)")
+    print("are size-unchanged by amplification.\n")
+    print("| query | 1× sec | {}× sec | ratio |".format(emb_factor))
+    print("|---|---|---|---|")
+    for name in EMB_QUERIES:
+        fn = specs[name].fn
+        t1 = time_query(spark, fn, BASE)
+        t2 = time_query(spark, fn, str(eout))
+        ratio = t2 / t1 if t1 > 0 else float("inf")
+        print(f"| `{name}` | {t1:.2f} | {t2:.2f} | {ratio:.1f}× |")
+    print_notes(EMB_QUERIES)
 
 
 if __name__ == "__main__":
