@@ -190,6 +190,12 @@ HEADLINE = [
     "q_dedup_span_align",
     "q_dedup_span_cover",
     "q_sim_rerank_grid",
+    # round-17 second batch: canonical-doc selection (LSH clusters +
+    # one component-keyed keeper window) and the recall-vs-probe-count
+    # IVF curve (one materialized corpus x query-sample cosine pass,
+    # per-(level, qid) WindowGroupLimit heaps)
+    "q_dedup_keep_best",
+    "q_sim_ivf_probe_curve",
 ]
 
 

@@ -2166,3 +2166,103 @@ def q_dedup_span_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cover_frac"),
         )
     )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=_CLUSTERS_PREFIX
+    + """,
+    comp AS (
+      SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    sz AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM corpus
+    ),
+    j AS (
+      SELECT c.component, c.doc_id, s.n_chars,
+             row_number() OVER (PARTITION BY c.component
+               ORDER BY s.n_chars DESC NULLS LAST, c.doc_id) AS rk
+      FROM comp c JOIN sz s USING (doc_id)
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS kept_doc,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+             AS kept_chars,
+           CAST(count(*) - 1 AS BIGINT) AS dropped_docs,
+           CAST(sum(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END)
+                AS BIGINT) AS dropped_chars
+    FROM j GROUP BY component HAVING count(*) >= 2
+    """,
+    tags=("dedup", "lsh"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — the DECISION
+    step the cluster queries stop short of: q_dedup_clusters_lsh labels
+    every doc with its component; this picks, per multi-doc component,
+    the one document to KEEP (longest text in chars — the standard
+    keep-the-most-complete heuristic, which on the planted corpus
+    always prefers the original over its last-token-dropped copy —
+    ties to the smallest doc_id) and reports the excision mass the
+    choice implies: dropped doc count and dropped char volume per
+    cluster. Summed over components, dropped_chars IS the dedup pass's
+    storage/compute saving; a curator reads kept_doc to materialize
+    the surviving corpus. Singleton components are filtered (no
+    decision to make), so the output is duplication-sized.
+
+    Cross-engine determinism: component ids are exact min-label
+    integers (the q_dedup_clusters contract), the keeper rank orders
+    (n_chars DESC NULLS LAST, doc_id) — total order on integers — and
+    every output column is an exact BIGINT count/sum; no floats
+    anywhere.
+
+    Shape at 100 TB: pair detection and clustering are the LSH
+    candidate path + iterative min-label CC shared with
+    q_dedup_clusters_lsh (bucketed, never doc×doc; in a production
+    pipeline the cluster table is a shared materialization — this
+    readout is its cheap tail); the selection is ONE component-keyed
+    window + groupBy over the clustered corpus (component-partitioned
+    heap via row_number), and the length table is a map-side
+    projection of the corpus joined on doc_id. Output rows =
+    multi-doc clusters only.
+
+    Reference parity anchor: no text surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference dedup family."""
+    corpus = planted_corpus(spark, sf_dir)
+    pairs = lsh_verified_pairs(corpus, n=3, threshold=0.6).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    nodes = corpus.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs)
+    sz = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    j = (
+        cc.select(F.col("node").alias("doc_id"), "component")
+        .join(sz, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("component").orderBy(
+                    F.col("n_chars").desc_nulls_last(), "doc_id"
+                )
+            ),
+        )
+    )
+    kept_chars = F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+    return (
+        j.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "kept_doc"
+            ),
+            kept_chars.alias("kept_chars"),
+            (F.count(F.lit(1)) - 1).alias("dropped_docs"),
+            (F.sum("n_chars") - kept_chars).alias("dropped_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

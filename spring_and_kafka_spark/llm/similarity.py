@@ -3076,3 +3076,237 @@ def q_sim_rerank_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("worst_recall"),
     )
+
+
+_PROBE_LS = [1, 2, 4, 8, 16]  # swept probed-cluster counts (16 = scan all)
+_PROBE_LS_SQL = "[" + ", ".join(str(l) for l in _PROBE_LS) + "]"
+
+
+@register(
+    "q_sim_ivf_probe_curve",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id < 16),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_RECALL_NQ}),
+    assigned AS (
+      SELECT vec_id, v, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_recall_cos_sql('e.v', 'c.cv')} DESC NULLS LAST,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    crank AS (
+      SELECT q.qid, c.centroid_id AS cluster,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_recall_cos_sql('c.cv', 'q.qv')} DESC NULLS LAST,
+                        c.centroid_id) AS crn
+      FROM cents c CROSS JOIN qs q
+    ),
+    scored AS (
+      SELECT q.qid, a.vec_id, cr.crn,
+             {_recall_cos_sql('a.v', 'q.qv')} AS sim
+      FROM assigned a CROSS JOIN qs q
+      JOIN crank cr ON cr.qid = q.qid AND cr.cluster = a.cluster
+      WHERE a.vec_id <> q.qid
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC NULLS LAST, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    tn AS (SELECT qid, CAST(count(*) AS BIGINT) AS nt
+           FROM truth GROUP BY 1),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM scored),
+    ls AS (SELECT CAST(unnest({_PROBE_LS_SQL}) AS BIGINT) AS nprobe),
+    g AS (
+      SELECT ls.nprobe, s.qid, s.vec_id,
+             row_number() OVER (PARTITION BY ls.nprobe, s.qid
+               ORDER BY s.sim DESC NULLS LAST, s.vec_id) AS rc,
+             t.vec_id AS t_id
+      FROM scored s JOIN ls ON s.crn <= ls.nprobe
+      LEFT JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+    ),
+    perq AS (
+      SELECT nprobe, qid, CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(count(CASE WHEN rc <= {_RECALL_K} THEN t_id END)
+                  AS BIGINT) AS h
+      FROM g GROUP BY 1, 2
+    ),
+    pq AS (SELECT p.nprobe, p.n_cand, p.h, tn.nt
+           FROM perq p JOIN tn USING (qid))
+    SELECT nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_cand) AS BIGINT) AS n_cand,
+           floor(sum(n_cand) * 1e6 / na.n_all + 0.5) / 1e6 AS cand_frac,
+           CAST(sum(h) AS BIGINT) AS n_hits,
+           CAST(sum(nt) AS BIGINT) AS n_truth,
+           CASE WHEN sum(nt) > 0 THEN
+             floor(sum(h) * 1e6 / sum(nt) + 0.5) / 1e6
+           END AS recall,
+           min(floor(h * 1e6 / nt + 0.5)) / 1e6 AS worst_recall
+    FROM pq CROSS JOIN na GROUP BY nprobe, na.n_all
+    """,
+    tags=("ann", "eval"),
+)
+def q_sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-probed-cluster-count grid for the IVF index — the
+    OTHER deployment knob next to q_sim_rerank_grid's shortlist length:
+    q_embed_recall_eval certifies recall at the shipped nprobe
+    ({_RECALL_NPROBE}); this sweeps nprobe over {_PROBE_LS} and reports,
+    per level, the pooled and worst per-query recall@{_RECALL_K} AND
+    the scanned-candidate count/fraction — recall against cost on one
+    curve, so the operator picks the cheapest probe count whose WORST
+    query has saturated before committing the index config. nprobe=16
+    probes every cluster, so its row is the built-in sanity anchor
+    (cand_frac 1.0, recall 1.0 by construction).
+
+    Cross-engine determinism: the q_embed_recall_eval contract verbatim
+    — every ranked edge orders raw IEEE cosine (correctly-rounded
+    +,*,sqrt,/ — never libm) DESC NULLS LAST with vec_id /
+    centroid_id as total tie-breaks; hit/candidate/truth counts are
+    exact integers; the three ratios are floor-form micros, and
+    worst_recall takes its min over per-query integer micros.
+
+    Shape at 100 TB: ONE corpus×{_RECALL_NQ} cosine pass (the scored
+    table, materialized for its three consumers: truth heap, grid
+    window, denominator count) — the declared offline-eval budget, the
+    same pass q_embed_recall_eval already pays, never an all-pairs
+    product; cluster assignment is the broadcast-centroid ivf_assign
+    pass; the probe ranking is a 16×{_RECALL_NQ}-row broadcast; the
+    grid fan-out multiplies only by each vector's probe-rank coverage
+    (Σ 1[crn ≤ L] ≈ 2 of {len(_PROBE_LS)} levels on average), and both
+    ranked edges are per-(level, qid) window heaps (WindowGroupLimit),
+    never a global sort. Aggregation output is {len(_PROBE_LS)} rows.
+
+    Reference parity anchor: no vector surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference similarity family."""
+    e = load_vectors(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    qs = e.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    assigned = ivf_assign(e, cents)
+    crank = (
+        cents.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "centroid_id",
+            cosine(F.col("cv"), F.col("qv")).alias("csim"),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("csim").desc_nulls_last(), "centroid_id"
+                )
+            ),
+        )
+        .select("qid", F.col("centroid_id").alias("cluster"), "crn")
+    )
+    scored = materialize(
+        assigned.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(crank), ["qid", "cluster"])
+        .select(
+            "qid",
+            "vec_id",
+            "crn",
+            cosine(F.col("v"), F.col("qv")).alias("sim"),
+        )
+    )
+    truth = (
+        scored.select(
+            "qid",
+            "vec_id",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    F.col("sim").desc_nulls_last(), "vec_id"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _RECALL_K)
+        .select(F.col("qid").alias("t_qid"), F.col("vec_id").alias("t_id"))
+    )
+    tn = truth.groupBy("t_qid").agg(F.count(F.lit(1)).alias("nt"))
+    na = scored.agg(F.count(F.lit(1)).alias("n_all"))
+    ls = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(l) for l in _PROBE_LS])).alias("_l")
+        )
+        .select(F.col("_l").cast("long").alias("nprobe"))
+    )
+    g = (
+        scored.join(F.broadcast(ls), F.col("crn") <= F.col("nprobe"))
+        .join(
+            F.broadcast(truth),
+            (scored.qid == truth.t_qid) & (scored.vec_id == truth.t_id),
+            "left",
+        )
+        .select(
+            "nprobe",
+            "qid",
+            "t_id",
+            F.row_number()
+            .over(
+                W.partitionBy("nprobe", "qid").orderBy(
+                    F.col("sim").desc_nulls_last(), "vec_id"
+                )
+            )
+            .alias("rc"),
+        )
+    )
+    perq = g.groupBy("nprobe", "qid").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.count(
+            F.when(F.col("rc") <= _RECALL_K, F.col("t_id"))
+        ).alias("h"),
+    )
+    pq = perq.join(F.broadcast(tn), perq.qid == tn.t_qid)
+    return (
+        pq.crossJoin(F.broadcast(na))
+        .groupBy("nprobe", "n_all")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_cand").alias("sum_cand"),
+            F.sum("h").alias("n_hits"),
+            F.sum("nt").alias("n_truth"),
+            F.when(
+                F.sum("nt") > 0,
+                F.floor(F.sum("h") * 1e6 / F.sum("nt") + F.lit(0.5)) / 1e6,
+            ).alias("recall"),
+            (
+                F.min(
+                    F.floor(F.col("h") * 1e6 / F.col("nt") + F.lit(0.5))
+                )
+                / 1e6
+            ).alias("worst_recall"),
+        )
+        .select(
+            "nprobe",
+            "n_queries",
+            F.col("sum_cand").alias("n_cand"),
+            (
+                F.floor(F.col("sum_cand") * 1e6 / F.col("n_all") + F.lit(0.5))
+                / 1e6
+            ).alias("cand_frac"),
+            "n_hits",
+            "n_truth",
+            "recall",
+            "worst_recall",
+        )
+    )

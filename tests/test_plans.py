@@ -1224,3 +1224,36 @@ def test_sim_rerank_curve_one_heap_grid_window(spark):
     assert "CartesianProduct" not in p
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 1
+
+
+def test_sim_ivf_probe_curve_one_scored_pass_heap_windows(spark):
+    # ONE corpus x query-sample cosine pass (the materialized scored
+    # table) feeds truth, grid and denominator — no parquet scan
+    # survives into the final plan; every ranked edge is a partitioned
+    # WindowGroupLimit heap (never a global corpus sort); the
+    # centroid/query/probe-rank/grid tables all ride as broadcasts; no
+    # cartesian, no sort-merge join
+    import re
+
+    p = plan(spark, "q_sim_ivf_probe_curve")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p  # the materialized scored pass
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_dedup_keep_best_selection_is_one_component_window(spark):
+    # clustering rides the LSH candidate path (materialized inside
+    # connected_components — Scan ExistingRDD); the NEW tail is ONE
+    # component-keyed row_number window + groupBy, the length table is
+    # a map-side parquet projection broadcast-joined on doc_id; no
+    # cartesian, no sort-merge join anywhere
+    import re
+
+    p = plan(spark, "q_dedup_keep_best")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1

@@ -421,3 +421,247 @@ def test_span_align_finds_shifted_passage_segment_dedup_misses(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert cov == {1: (55, 76), 2: (55, 79)}
+
+
+probe_tables = st.lists(
+    st.one_of(
+        st.integers(0, 30),  # well-formed vector seed
+        st.just(None),  # NULL embedding (scan-dropped)
+        st.just(-2),  # zero vector (NULL cosine, NULLS LAST)
+    ),
+    min_size=1,
+    max_size=22,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(probe_tables)
+def test_sim_ivf_probe_curve_matches_python_replay(spark, seeds):
+    """q_sim_ivf_probe_curve (query sample shrunk to 3 qids, k to 3,
+    grid to [1, 2, 4] so the probe edges are live on small corpora)
+    must equal a direct Python float replay of centroid assignment ->
+    per-qid probe ranking -> per-(qid, L) candidate top-k -> truth ->
+    pooled/worst recall and candidate counts — including zero-norm
+    vectors (NULL cosine everywhere: assignment and ranking fall to
+    the id tiebreak), qids dropped at the scan, and levels where a
+    query's probed clusters hold no candidates (the qid drops out of
+    that level's n_queries)."""
+    from spring_and_kafka_spark.llm import similarity as sim
+
+    nq, k, ls = 3, 3, [1, 2, 4]
+    rows = []
+    for i, s in enumerate(seeds):
+        if s is None:
+            rows.append((i, None, 0))
+        elif s == -2:
+            rows.append((i, [0.0] * 64, 0))
+        else:
+            rows.append((i, _vec(s), 0))
+
+    wf = {i: v for i, v, _ in rows if v is not None}
+
+    def dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + x * y
+        return acc
+
+    def cos(u, v):
+        den = math.sqrt(dot(u, u)) * math.sqrt(dot(v, v))
+        return None if den == 0 else dot(u, v) / den
+
+    cents = sorted((i, wf[i]) for i in wf if i < 16)
+
+    def rank_key(c, v):
+        s = cos(v, c[1])
+        return (s is None, -s if s is not None else 0.0, c[0])
+
+    cluster = {
+        i: min(cents, key=lambda c: rank_key(c, v))[0]
+        for i, v in wf.items()
+    }
+    perq = defaultdict(list)  # L -> [(n_cand, h, nt)]
+    n_all = 0
+    for qid in [i for i in wf if i < nq]:
+        qv = wf[qid]
+        others = [i for i in wf if i != qid]
+        n_all += len(others)
+        if not others:
+            continue
+        crn = {
+            c[0]: r + 1
+            for r, c in enumerate(
+                sorted(cents, key=lambda c: rank_key(c, qv))
+            )
+        }
+
+        def ckey(i):
+            c = cos(wf[i], qv)
+            return (c is None, -c if c is not None else 0.0, i)
+
+        truth = set(sorted(others, key=ckey)[:k])
+        for L in ls:
+            cand = [i for i in others if crn[cluster[i]] <= L]
+            if not cand:
+                continue
+            sel = sorted(cand, key=ckey)[:k]
+            perq[L].append(
+                (len(cand), sum(1 for i in sel if i in truth), len(truth))
+            )
+    want = {}
+    for L, triples in perq.items():
+        sc = sum(c for c, _, _ in triples)
+        sh = sum(h for _, h, _ in triples)
+        snt = sum(nt for _, _, nt in triples)
+        want[L] = (
+            len(triples),
+            sc,
+            math.floor(sc * 1e6 / n_all + 0.5) / 1e6,
+            sh,
+            snt,
+            math.floor(sh * 1e6 / snt + 0.5) / 1e6 if snt > 0 else None,
+            min(math.floor(h * 1e6 / nt + 0.5) for _, h, nt in triples)
+            / 1e6,
+        )
+
+    d = tempfile.mkdtemp(prefix="probe-prop-")
+    saved = (sim._RECALL_NQ, sim._RECALL_K, sim._PROBE_LS)
+    sim._RECALL_NQ, sim._RECALL_K, sim._PROBE_LS = nq, k, ls
+    try:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = {
+            r.nprobe: (
+                r.n_queries,
+                r.n_cand,
+                r.cand_frac,
+                r.n_hits,
+                r.n_truth,
+                r.recall,
+                r.worst_recall,
+            )
+            for r in sim.q_sim_ivf_probe_curve(spark, d).collect()
+        }
+    finally:
+        sim._RECALL_NQ, sim._RECALL_K, sim._PROBE_LS = saved
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
+
+
+keep_corpora = st.lists(
+    st.one_of(
+        st.none(),
+        st.just(""),
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(keep_corpora)
+def test_dedup_keep_best_folds_the_cluster_table(spark, texts):
+    """q_dedup_keep_best must equal a direct Python fold of the SAME
+    run's cluster table (q_dedup_clusters_lsh) joined with the planted
+    corpus's char lengths: per multi-doc component, keep the longest
+    text (ties to smallest doc_id) and charge the rest as dropped mass.
+    Replaying the fold rather than the cluster machinery isolates the
+    NEW selection/aggregation logic; the cluster semantics have their
+    own oracle and battery."""
+    from spring_and_kafka_spark.llm.dedup import (
+        q_dedup_clusters_lsh,
+        q_dedup_keep_best,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = tempfile.mkdtemp(prefix="keep-prop-")
+    try:
+        _write_documents(spark, d, rows)
+        comp = {
+            r.doc_id: r.component
+            for r in q_dedup_clusters_lsh(spark, d).collect()
+        }
+        lens = {}
+        for i, t in rows:
+            lens[i] = None if t is None else len(t)
+            t2 = (
+                None
+                if t is None
+                else __import__("re").sub(r"\s+\S+$", "", t)
+            )
+            lens[i + 100000] = None if t2 is None else len(t2)
+        by_comp = defaultdict(list)
+        for doc, c in comp.items():
+            by_comp[c].append(doc)
+        want = {}
+        for c, docs in by_comp.items():
+            if len(docs) < 2:
+                continue
+            keep = min(
+                docs, key=lambda i: (-(lens[i] or -1), i)
+            )  # longest text, NULLS LAST, ties to smallest id
+            total = sum(lens[i] for i in docs)
+            want[c] = (
+                len(docs),
+                keep,
+                lens[keep],
+                len(docs) - 1,
+                total - lens[keep],
+            )
+        got = {
+            r.component: (
+                r.n_docs,
+                r.kept_doc,
+                r.kept_chars,
+                r.dropped_docs,
+                r.dropped_chars,
+            )
+            for r in q_dedup_keep_best(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want
+
+
+def test_dedup_keep_best_prefers_the_complete_original(spark):
+    """Planted fixture: two near-dup originals of different lengths plus
+    their machine-planted truncated copies cluster together; the keeper
+    must be the LONGEST member (the complete original), every other
+    member charged as dropped chars — the keep-the-most-complete
+    heuristic a curator acts on."""
+    from spring_and_kafka_spark.llm.dedup import q_dedup_keep_best
+
+    # doc 0 and doc 1 share all but the tail -> one cluster of four
+    # with the planted copies (0', 1' drop the last token); doc 2 is a
+    # singleton family {2, 2'} (still a cluster: copy ~ original)
+    t0 = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 extra"
+    t1 = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    t2 = "q0 q1 q2 q3 q4 q5 q6 q7"
+    d = tempfile.mkdtemp(prefix="keep-planted-")
+    try:
+        _write_documents(spark, d, [(0, t0), (1, t1), (2, t2)])
+        got = {
+            r.component: (
+                r.n_docs,
+                r.kept_doc,
+                r.kept_chars,
+                r.dropped_docs,
+                r.dropped_chars,
+            )
+            for r in q_dedup_keep_best(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # cluster 0: {0, 1, 100000 (=t1), 100001 (drops w9)} — keeper is
+    # doc 0 (35 chars); dropped = 29 + 29 + 26 = 84
+    # cluster 2: {2, 100002 (drops q7)} — keeper is doc 2 (23 chars)
+    assert got == {
+        0: (4, 0, 35, 3, 84),
+        2: (2, 2, 23, 1, 20),
+    }

@@ -273,6 +273,10 @@ DOCS_QUERIES = [
     # the raw corpus; the sweep is duplication-sized)
     "q_dedup_span_align",
     "q_dedup_span_cover",
+    # r17 second batch: canonical selection re-runs the LSH cluster
+    # path (its cost class) + one component window over the clustered
+    # corpus — should track q_dedup_clusters_lsh's ratio
+    "q_dedup_keep_best",
 ]  # q_sample_balanced stays: stratum caps must hold as docs grow
 
 
@@ -285,6 +289,7 @@ EMB_QUERIES = [
     "q_sim_rerank",
     "q_sim_rerank_curve",
     "q_sim_rerank_grid",
+    "q_sim_ivf_probe_curve",
     "q_embed_ndcg_eval",
 ]
 
