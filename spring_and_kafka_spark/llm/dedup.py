@@ -1831,43 +1831,12 @@ def _span_ctes_sql(with_shift: bool) -> str:
     )"""
 
 
-def _span_alignments(
-    spark: SparkSession, sf_dir: str, with_shift: bool
-) -> tuple[DataFrame, DataFrame]:
-    """Spark twin of _span_ctes_sql: (docs, g) where docs is the token
-    table (doc_id, ts, n) over the (optionally shift-planted) corpus
-    and g holds the surviving pair alignments (a_id, b_id, delta,
-    n_anchors, amin, amax). The anchor table is materialized — it
-    feeds the hot-list groupBy AND both self-join sides."""
-    base = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(
-            F.col("doc_id").isNotNull()
-            & F.col("text").isNotNull()
-            & (F.col("text") != "")
-        )
-    )
-    if with_shift:
-        toks0 = F.split("text", " ")
-        shifted = base.select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.array_join(
-                F.slice(
-                    toks0,
-                    _ALIGN_SHIFT + 1,
-                    F.greatest(F.size(toks0) - _ALIGN_SHIFT, F.lit(0)),
-                ),
-                " ",
-            ).alias("text"),
-        )
-        corpus = base.unionByName(shifted).filter(F.col("text") != "")
-    else:
-        corpus = base
-    toks = F.split("text", " ")
-    docs = corpus.select(
-        "doc_id", toks.alias("ts"), F.size(toks).alias("n")
-    )
+def _span_anchor_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, hv, pos): mod-{_ALIGN_MOD}-sampled sha2-prefix anchors
+    at MIN position per (doc, hash), from a token table
+    (doc_id, ts, n). min-pos is a FOLDABLE merge — per-batch partials
+    re-min-merged across batches reproduce this table exactly, which is
+    what streaming.spananchor relies on."""
     seq = F.sequence(
         F.lit(0), F.greatest(F.col("n") - _ALIGN_K, F.lit(0))
     )
@@ -1875,13 +1844,20 @@ def _span_alignments(
         seq, lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i + 1, _ALIGN_K))
     )
     sg = docs.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
-    an = materialize(
+    return (
         spread(sg)
         .select("doc_id", "pos", _span_hash(F.col("seg")).alias("hv"))
         .filter(F.col("hv") % _ALIGN_MOD == 0)
         .groupBy("doc_id", "hv")
         .agg(F.min("pos").cast("long").alias("pos"))
     )
+
+
+def _alignments_from_anchors(an: DataFrame) -> DataFrame:
+    """df-capped hash equi self-join + delta grouping over a
+    MATERIALIZED anchor table (it feeds the hot-list groupBy AND both
+    join sides): the surviving pair alignments
+    (a_id, b_id, delta, n_anchors, amin, amax)."""
     hot = (
         an.groupBy("hv")
         .agg(F.count(F.lit(1)).alias("dfh"))
@@ -1911,7 +1887,49 @@ def _span_alignments(
         )
         .filter(F.col("n_anchors") >= _ALIGN_MIN_ANCHORS)
     )
-    return docs, g
+    return g
+
+
+def _span_alignments(
+    spark: SparkSession, sf_dir: str, with_shift: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of _span_ctes_sql: (docs, g) where docs is the token
+    table (doc_id, ts, n) over the (optionally shift-planted) corpus
+    and g holds the surviving pair alignments — composed from the
+    shared anchor-table builder and alignment tail so the streaming
+    maintainer (streaming/spananchor.py) runs the IDENTICAL code over
+    its merged anchor state."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & (F.col("text") != "")
+        )
+    )
+    if with_shift:
+        toks0 = F.split("text", " ")
+        shifted = base.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    toks0,
+                    _ALIGN_SHIFT + 1,
+                    F.greatest(F.size(toks0) - _ALIGN_SHIFT, F.lit(0)),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        corpus = base.unionByName(shifted).filter(F.col("text") != "")
+    else:
+        corpus = base
+    toks = F.split("text", " ")
+    docs = corpus.select(
+        "doc_id", toks.alias("ts"), F.size(toks).alias("n")
+    )
+    an = materialize(_span_anchor_table(docs))
+    return docs, _alignments_from_anchors(an)
 
 
 @register(
@@ -2100,6 +2118,15 @@ def q_dedup_span_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference dedup family."""
     docs, g = _span_alignments(spark, sf_dir, with_shift=False)
+    return _span_cover_readout(g, docs.select("doc_id", "n"))
+
+
+def _span_cover_readout(g: DataFrame, sizes: DataFrame) -> DataFrame:
+    """The interval-union sweep tail of q_dedup_span_cover over an
+    alignment table g and a (doc_id, n) token-count table — shared
+    verbatim with streaming.spananchor.maintained_span_cover so stream
+    and batch produce the identical readout by construction."""
+    sizes = sizes.select("doc_id", F.col("n").cast("long").alias("n"))
     iv = g.select(
         F.col("a_id").alias("doc_id"),
         F.col("amin").alias("s"),
@@ -2152,7 +2179,6 @@ def q_dedup_span_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cv"),
         F.sum("st").alias("n_spans"),
     )
-    sizes = docs.select("doc_id", "n")
     covered = F.least(F.col("cv"), F.col("n"))
     return (
         cov.join(sizes, "doc_id")

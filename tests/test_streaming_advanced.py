@@ -876,3 +876,93 @@ def test_stream_maintained_seg_df_hist_equals_batch(spark, tmp_path):
 
     # never-ran: empty histogram, not an error
     assert maintained_seg_df_hist(spark, str(tmp_path / "nostate")).count() == 0
+
+
+def test_stream_maintained_span_cover_equals_batch(spark, tmp_path):
+    """Documents replayed as micro-batches through the foreachBatch
+    span-anchor sink must maintain the per-doc span-coverage readout to
+    EXACTLY the batch q_dedup_span_cover answer — including a shared
+    passage whose two carrier docs land in DIFFERENT micro-batches at
+    DIFFERENT offsets (the alignment only exists across the merged
+    anchor state — no single batch can see it), a NULL-doc_id carrier
+    and an empty-text row (excluded at the sink exactly as the batch
+    corpus filter excludes them). Torn state raises through the shared
+    multi-table guard."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spring_and_kafka_spark.llm.dedup import q_dedup_span_cover
+    from spring_and_kafka_spark.sources.tables import load_table
+    from spring_and_kafka_spark.streaming.spananchor import (
+        maintained_span_cover,
+        span_anchor_delta_stream,
+    )
+
+    from .conftest import SF_SMOKE
+
+    # a 40-token passage at offset 4 in one doc and offset 11 in the
+    # other (delta 7); repartition(6) staging scatters the carriers
+    # into different micro-batches
+    passage = " ".join(f"sp{i}" for i in range(40))
+    doc_a = " ".join(f"ha{i}" for i in range(4)) + " " + passage
+    doc_b = (
+        " ".join(f"hb{i}" for i in range(11))
+        + " "
+        + passage
+        + " "
+        + " ".join(f"tb{i}" for i in range(5))
+    )
+    planted = spark.createDataFrame(
+        [
+            (910001, doc_a, "en", "s0", len(doc_a)),
+            (910002, doc_b, "en", "s1", len(doc_b)),
+            (None, doc_a, "en", "s2", len(doc_a)),
+            (910003, "", "en", "s3", 0),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    base = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    corpus_dir = tmp_path / "span-corpus"
+    corpus_dir.mkdir()
+    base.unionByName(planted).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(str(corpus_dir / "documents.parquet"))
+
+    schema = spark.read.parquet(str(corpus_dir / "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(str(corpus_dir / "documents.parquet"))
+    )
+    state = str(tmp_path / "span-state")
+    q = span_anchor_delta_stream(stream, state)
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r) for r in maintained_span_cover(spark, state).collect()
+    }
+    want = {
+        tuple(r)
+        for r in q_dedup_span_cover(spark, str(corpus_dir)).collect()
+    }
+    assert got == want
+    # the cross-batch planted pair was actually found and covered
+    covered = {r[0]: r for r in got}
+    assert 910001 in covered and 910002 in covered
+    assert covered[910001][1] >= 1  # n_spans
+    assert covered[910001][2] > 0  # covered_tokens
+
+    # torn state: an anchors partition missing its _SUCCESS marker
+    victims = sorted(
+        d
+        for d in os.listdir(f"{state}/anchors")
+        if d.startswith("batch_id=")
+    )
+    os.remove(f"{state}/anchors/{victims[-1]}/_SUCCESS")
+    with pytest.raises(RuntimeError, match="no _SUCCESS marker"):
+        maintained_span_cover(spark, state).collect()

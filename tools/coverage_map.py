@@ -189,6 +189,7 @@ STREAMING_ONLY = [
     ("incrementally-maintained ingest freshness audit (counter partials + distinct user presence, merge-on-read with the torn-state guard; ratios derived on read)", "streaming/freshness.py (tests/test_streaming_advanced.py::test_stream_maintained_freshness_equals_batch)"),
     ("incrementally-maintained boilerplate template table (instance-count + doc-presence partials, merge-on-read flag derivation, _SUCCESS-aware torn-state guard; stream ≡ q_text_boilerplate)", "streaming/templates.py (tests/test_streaming_advanced.py::test_stream_maintained_templates_equals_batch)"),
     ("incrementally-maintained segment-df state (instance-count + (seg, doc) presence partials, merge-on-read bit-length histogram, torn-state guard; stream ≡ q_dedup_seg_df_hist)", "streaming/segdf.py (tests/test_streaming_advanced.py::test_stream_maintained_seg_df_hist_equals_batch)"),
+    ("incrementally-maintained span-anchor state (min-pos anchor partials, foldable re-min merge + distinct sizes, batch alignment/sweep tail reused verbatim, torn-state guard; stream ≡ q_dedup_span_cover)", "streaming/spananchor.py (tests/test_streaming_advanced.py::test_stream_maintained_span_cover_equals_batch)"),
     ("stream-stream join (time-range state bound)", "streaming/joins.py (tests/test_streaming_advanced.py)"),
     ("stream-static enrich (broadcast dim per micro-batch)", "streaming/joins.py:stream_static_enrich"),
     ("arbitrary per-key state (applyInPandasWithState)", "streaming/stateful.py (tests/test_streaming_advanced.py)"),
