@@ -1263,3 +1263,12 @@ def test_rerank_heap_boundary_ulp_ties_agree_across_engines(spark, tmp_path):
         spark, "q_sim_rerank_grid", str(d), ["embeddings"]
     )
     assert got_grid["n_queries"] == [8] * len(got_grid["n_queries"])
+    # the IVF probe curve shares the exposure at every edge — centroid
+    # assignment, probe ranking, truth and per-level heaps all rank the
+    # same near-tied cosines (the 16 "centroids" here ARE shifts of the
+    # base vector, so assignment itself is an ulp-dense argmax)
+    got_probe = assert_parity(
+        spark, "q_sim_ivf_probe_curve", str(d), ["embeddings"]
+    )
+    by_probe = dict(zip(got_probe["nprobe"], got_probe["recall"]))
+    assert by_probe[16] == 1.0  # full-scan anchor row holds

@@ -76,6 +76,13 @@ _ROUNDED_SUM_AUDITED = {
     # r13's q_ts_stl_residual was here; r14 (ADVICE r13 medium) moved
     # its rates to the floor(k·1e6/n+0.5)/1e6 form on the aggregated
     # BIGINTs, so the oracle no longer rounds over a sum at all.
+    # r17: floor-form ratios over sums of exact INTEGER hit/truth/
+    # candidate counts (the q_ldiversity class — order-independent by
+    # construction); both additionally hash-audited at sf0.01 AND
+    # sf0.1 (SELFCHECK_r17 / SELFCHECK_r17_sf01) and replayed by the
+    # r17 Hypothesis battery.
+    "q_sim_ivf_probe_curve",
+    "q_sim_rerank_grid",
 }
 
 
