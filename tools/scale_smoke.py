@@ -366,6 +366,29 @@ def build_scaled_docs(spark, factor: int, out: Path) -> None:
 # peers next to the row itself (VERDICT r5 item 5: an unexplained >3×
 # row reads as "quadratic?" even when it is sublinear in the data).
 NOTES = {
+    "q_dedup_span_align": (
+        "above the 4× factor on THIS corpus by construction: the "
+        "31-token vocabulary bounds the 4-gram anchor universe, so "
+        "amplification grows CROSS-DOC anchor collisions (candidate "
+        "pairs) superlinearly — the same adversarial-for-banding "
+        "property the frequent-bucket note above documents. The "
+        "planted-shift pair space itself is linear, the corpus-sized "
+        "stage (sliding sha2 anchor pass) tracks the factor, and on "
+        "real heavy-tailed text anchor df is long-tailed with the "
+        "df-cap guard fencing the head."
+    ),
+    "q_dedup_span_cover": (
+        "inherits q_dedup_span_align's bounded-vocab anchor-collision "
+        "superlinearity at candidate generation; the sweep itself is "
+        "duplication-sized (2 rows per surviving alignment) and the "
+        "per-doc readout tracks alignment count, not corpus size."
+    ),
+    "q_dedup_keep_best": (
+        "re-runs the q_dedup_clusters_lsh path — its documented ratio "
+        "class on this banding-adversarial corpus — plus a "
+        "component-keyed selection window; the delta over "
+        "clusters_lsh IS the (cheap) selection tail."
+    ),
     "q_interval_peak": (
         "above peers yet SUBLINEAR in the 20× data — the 1× run is job-overhead-"
         "dominated and the sweep-line merge is O(n log n) on one key "
