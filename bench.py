@@ -196,6 +196,10 @@ HEADLINE = [
     # per-(level, qid) WindowGroupLimit heaps)
     "q_dedup_keep_best",
     "q_sim_ivf_probe_curve",
+    # round-17 third batch: the composed IVF-probe x PQ-rank serving
+    # query (one PQ encode pass + probed-cell ADC ranking, the single
+    # co-partitioned vec_id recon join)
+    "q_sim_ivfpq_search",
 ]
 
 

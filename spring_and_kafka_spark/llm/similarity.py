@@ -3310,3 +3310,287 @@ def q_sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_recall",
         )
     )
+
+
+@register(
+    "q_sim_ivfpq_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {_WF_SQL}),
+    ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    subs AS (
+      SELECT e.vec_id, ms.m,
+             list_slice(e.v, ms.m*{_PQ_SUBDIM}+1,
+                        ms.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS sub
+      FROM e CROSS JOIN ms
+    ),
+    cb AS (
+      SELECT ms.m, e.vec_id AS centroid_id,
+             list_slice(e.v, ms.m*{_PQ_SUBDIM}+1,
+                        ms.m*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS csub
+      FROM e CROSS JOIN ms WHERE e.vec_id < {_PQ_K}
+    ),
+    codes AS (
+      SELECT vec_id, m, csub FROM (
+        SELECT s.vec_id, s.m, c.csub,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_dot_product(c.csub, c.csub)
+                          - 2*list_dot_product(s.sub, c.csub) ASC NULLS LAST,
+                          c.centroid_id
+               ) AS rn
+        FROM subs s JOIN cb c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(csub ORDER BY m)) AS r
+      FROM codes GROUP BY vec_id
+    ),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              WHERE vec_id < 16),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM e
+           WHERE vec_id < {_PQ_NQ}),
+    assigned AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_recall_cos_sql('e.v', 'c.cv')} DESC NULLS LAST,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, cluster FROM (
+        SELECT q.qid, c.centroid_id AS cluster,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_recall_cos_sql('c.cv', 'q.qv')} DESC NULLS LAST,
+                          c.centroid_id) AS rn
+        FROM cents c CROSS JOIN qs q
+      ) WHERE rn <= {_RECALL_NPROBE}
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_recall_cos_sql('e.v', 'q.qv')} DESC NULLS LAST,
+                          e.vec_id) AS rn
+        FROM e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {_PQ_TOPK}
+    ),
+    tn AS (SELECT qid, CAST(count(*) AS BIGINT) AS nt
+           FROM truth GROUP BY 1),
+    g AS (
+      SELECT p.qid, a.vec_id,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY {_recall_cos_sql('r.r', 'q.qv')} DESC NULLS LAST,
+                        a.vec_id) AS rc,
+             t.vec_id AS t_id
+      FROM assigned a
+      JOIN probe p ON a.cluster = p.cluster
+      JOIN recon r ON r.vec_id = a.vec_id
+      JOIN qs q ON q.qid = p.qid
+      LEFT JOIN truth t ON t.qid = p.qid AND t.vec_id = a.vec_id
+      WHERE a.vec_id <> p.qid
+    ),
+    perq AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(count(CASE WHEN rc <= {_PQ_TOPK} THEN 1 END)
+                  AS BIGINT) AS n_ivfpq,
+             CAST(count(CASE WHEN rc <= {_PQ_TOPK} THEN t_id END)
+                  AS BIGINT) AS hits
+      FROM g GROUP BY 1
+    )
+    SELECT q.qid,
+           coalesce(p.n_cand, 0) AS n_cand,
+           coalesce(tn.nt, 0) AS n_true,
+           coalesce(p.n_ivfpq, 0) AS n_ivfpq,
+           coalesce(p.hits, 0) AS hits,
+           CASE WHEN coalesce(tn.nt, 0) > 0
+                THEN floor(coalesce(p.hits, 0) * 1e6
+                           / tn.nt + 0.5) / 1e6 END AS recall
+    FROM qs q
+    LEFT JOIN perq p ON p.qid = q.qid
+    LEFT JOIN tn ON tn.qid = q.qid
+    """,
+    tags=("ann", "eval"),
+)
+def q_sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production vector index, end to end — IVF coarse
+    probe × PQ-quantized rank: q_embed_recall_eval measures what
+    probing {_RECALL_NPROBE} of 16 cells loses with EXACT in-cell
+    ranking, q_embed_pq_eval measures what {_PQ_M}×{_PQ_K}-codeword
+    quantization loses over the FULL corpus — this runs the two
+    together, which is what an IVF-PQ deployment (the FAISS default at
+    memory budget) actually serves: candidates come only from the
+    probed cells and are ranked by cosine against their PQ
+    reconstructions (the ADC ranking — dot(q, recon) IS the sum of
+    per-subspace codeword lookups), scored against the exact full-
+    corpus top-{_PQ_TOPK}. Per query the readout is the scanned
+    candidate count, truth/result sizes, hits and end-to-end recall —
+    the number that budgets BOTH knobs at once, read next to the
+    single-knob curves (q_sim_ivf_probe_curve, q_sim_rerank_grid).
+
+    Cross-engine determinism: the q_embed_pq_eval encode contract
+    verbatim (L2²-argmin with dot(c,c)−2·dot(sub,c), sequential-fold
+    dots, centroid_id tie-break, subspace-ordered reconcatenation)
+    composed with the q_embed_recall_eval probe/truth contract (raw
+    IEEE cosine DESC NULLS LAST, vec_id/centroid_id tie-breaks);
+    all counts exact BIGINTs, recall floor-form micros; the per-qid
+    LEFT-join skeleton keeps every sampled query in the output even
+    when its probed cells are empty.
+
+    Shape at 100 TB: codebook and centroid tables are broadcast
+    constants; encoding is the one-corpus-pass PQ pipeline; the ADC
+    candidate pass touches only the probed quarter of the corpus per
+    query batch, joined vec_id-to-vec_id against the reconstruction
+    table (both sides already partitioned by vec_id — the ONE
+    co-partitioned shuffle join in the plan, correct at any scale);
+    the truth pass is the bounded {_PQ_NQ}-query offline-eval budget,
+    and the candidate table is consumed ONCE (n_cand, result size and
+    hits all fold out of the same windowed frame — the
+    q_sim_ivf_probe_curve aggregation shape).
+
+    Reference parity anchor: no vector surface in the reference
+    (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
+    the beyond-the-reference similarity family."""
+    e = _well_formed(
+        load_vectors(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    subs = e.select("vec_id", ms, "v").select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(v, m*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})").alias("sub"),
+    )
+    cb = (
+        e.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("centroid_id"), ms, "v")
+        .select(
+            "m",
+            "centroid_id",
+            F.expr(f"slice(v, m*{_PQ_SUBDIM}+1, {_PQ_SUBDIM})").alias(
+                "csub"
+            ),
+        )
+    )
+    codes = (
+        subs.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            "centroid_id",
+            "csub",
+            (
+                dot(F.col("csub"), F.col("csub"))
+                - 2 * dot(F.col("sub"), F.col("csub"))
+            ).alias("score"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.expr("min_by(csub, struct(score, centroid_id))").alias("csub"))
+    )
+    recon = codes.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "csub"))),
+                lambda x: x["csub"],
+            )
+        ).alias("r")
+    )
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    qs = e.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    assigned = ivf_assign(e, cents).select("vec_id", "cluster")
+    probe = (
+        cents.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "centroid_id",
+            cosine(F.col("cv"), F.col("qv")).alias("csim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("csim").desc_nulls_last(), "centroid_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _RECALL_NPROBE)
+        .select("qid", F.col("centroid_id").alias("cluster"))
+    )
+    truth = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("sim").desc_nulls_last(), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select(F.col("qid").alias("t_qid"), F.col("vec_id").alias("t_id"))
+    )
+    tn = truth.groupBy("t_qid").agg(F.count(F.lit(1)).alias("nt"))
+    cand = (
+        assigned.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(recon, "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("r"), F.col("qv")).alias("sim_adc"),
+        )
+    )
+    g = cand.join(
+        F.broadcast(truth),
+        (cand.qid == truth.t_qid) & (cand.vec_id == truth.t_id),
+        "left",
+    ).select(
+        "qid",
+        "t_id",
+        F.row_number()
+        .over(
+            W.partitionBy("qid").orderBy(
+                F.col("sim_adc").desc_nulls_last(), "vec_id"
+            )
+        )
+        .alias("rc"),
+    )
+    perq = g.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.count(F.when(F.col("rc") <= _PQ_TOPK, 1)).alias("n_ivfpq"),
+        F.count(F.when(F.col("rc") <= _PQ_TOPK, F.col("t_id"))).alias(
+            "hits"
+        ),
+    )
+    return (
+        qs.select("qid")
+        .join(F.broadcast(perq), "qid", "left")
+        .join(F.broadcast(tn), qs.qid == tn.t_qid, "left")
+        .select(
+            "qid",
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("nt", F.lit(0)).alias("n_true"),
+            F.coalesce("n_ivfpq", F.lit(0)).alias("n_ivfpq"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.when(
+                F.coalesce("nt", F.lit(0)) > 0,
+                F.floor(
+                    F.coalesce("hits", F.lit(0)) * 1e6 / F.col("nt")
+                    + F.lit(0.5)
+                )
+                / 1e6,
+            ).alias("recall"),
+        )
+    )

@@ -94,32 +94,33 @@ _MODULE_SEQ: dict[str, int] = {}
 #
 # Composition, per the rotation discipline (rule order: never-verified >
 # red fixes > changed output > stalest green). The r16 verdict's item 1
-# mandated this exact rotation: the new-op batch stays small (5, under
+# mandated this exact rotation: the new-op batch stays small (6, under
 # the <=10 cap) so the window retires ALL 38 remaining r11 rows plus
 # the r12 pool head:
-#   (a) the 5 queries NEW in r17 (q_dedup_keep_best q_dedup_span_align
-#       q_dedup_span_cover q_sim_ivf_probe_curve q_sim_rerank_grid —
-#       the canonical-doc selection per near-dup cluster, the
-#       arbitrary-offset anchor-ngram span alignment closing the gap
-#       q_dedup_substring's docstring names, its per-doc interval-union
-#       excision readout on the raw corpus, the recall-vs-probe-count
-#       IVF curve completing the two-knob ANN pre-commitment pair, and
-#       the multi-query recall-vs-shortlist-length grid replacing the
-#       1-query rerank curve readout; the r16 verdict's Next-round
-#       items 2/3 plus family-completing rollups, pool() round-0 name
-#       order) — never driver-verified, so they lead;
+#   (a) the 6 queries NEW in r17 (q_dedup_keep_best q_dedup_span_align
+#       q_dedup_span_cover q_sim_ivf_probe_curve q_sim_ivfpq_search
+#       q_sim_rerank_grid — the canonical-doc selection per near-dup
+#       cluster, the arbitrary-offset anchor-ngram span alignment
+#       closing the gap q_dedup_substring's docstring names, its
+#       per-doc interval-union excision readout on the raw corpus, the
+#       recall-vs-probe-count IVF curve, the composed IVF-probe x
+#       PQ-rank serving query, and the multi-query
+#       recall-vs-shortlist-length grid replacing the 1-query rerank
+#       curve readout; the r16 verdict's Next-round items 2/3 plus
+#       family-completing rollups, pool() round-0 name order) — never
+#       driver-verified, so they lead;
 #   (b) the 1 query whose OUTPUT expression changed in r17:
 #       q_winsorize (band edges moved from engine percentile functions
 #       onto exact integer RANK DECOMPOSITION — ADVICE r16 item 2: the
 #       r16 cents form still double-interpolated, divergent within 1
 #       ulp of a half-cent);
 #   (c) the rotation pool in tools.window_pool pool() order: all 38
-#       r11-stale rows + the first 6 of the 48 r12 rows —
-#       5+1+38+6 = 50 exactly.
-# After this window the stalest green rows are the 42 remaining r12
-# rows (q_agg_stats q_case_when q_cube q_distinct
-# q_embed_cluster_purity and the rest in pool order) then the 46 r13
-# rows — the r18 pool head.
+#       r11-stale rows + the first 5 of the 48 r12 rows —
+#       6+1+38+5 = 50 exactly.
+# After this window the stalest green rows are the 43 remaining r12
+# rows (q_agg_percentile q_agg_stats q_case_when q_cube q_distinct
+# and the rest in pool order) then the 46 r13 rows — the r18 pool
+# head.
 # Queries not named here rank after the prefix by (module rank, def
 # order) — the safe place for additions until rotated in.
 _WINDOW_PREFIX = [
@@ -128,10 +129,11 @@ _WINDOW_PREFIX = [
     "q_dedup_span_align",
     "q_dedup_span_cover",
     "q_sim_ivf_probe_curve",
+    "q_sim_ivfpq_search",
     "q_sim_rerank_grid",
     # (b) output expression changed in r17 (integer rank decomposition)
     "q_winsorize",
-    # (c) the rotation pool, tools.window_pool order: 38 r11 + 6 r12
+    # (c) the rotation pool, tools.window_pool order: 38 r11 + 5 r12
     "q_er_blocking",
     "q_fn_url",
     "q_graph_degree",
@@ -175,7 +177,6 @@ _WINDOW_PREFIX = [
     "q_agg_having",
     "q_agg_moments",
     "q_agg_ols2",
-    "q_agg_percentile",
 ]
 _WINDOW_RANK = {n: i for i, n in enumerate(_WINDOW_PREFIX)}
 

@@ -1257,3 +1257,18 @@ def test_dedup_keep_best_selection_is_one_component_window(spark):
     assert "Scan ExistingRDD" in p
     assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 0
     assert len(re.findall(r"^\(\d+\) Window$", p, re.M)) == 1
+
+
+def test_sim_ivfpq_search_one_copartitioned_recon_join(spark):
+    # the composed index: codebook/centroid/query/probe tables all ride
+    # as broadcasts, every ranked edge is a partitioned WindowGroupLimit
+    # heap, and the ONLY sort-merge join is candidates x reconstructions
+    # — both sides vec_id-partitioned aggregates (the documented
+    # co-partitioned shuffle join, correct at any scale); no cartesian
+    import re
+
+    p = plan(spark, "q_sim_ivfpq_search")
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert len(re.findall(r"^\(\d+\) SortMergeJoin", p, re.M)) == 1
+    assert p.count("BroadcastHashJoin") >= 4

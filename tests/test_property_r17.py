@@ -665,3 +665,116 @@ def test_dedup_keep_best_prefers_the_complete_original(spark):
         0: (4, 0, 35, 3, 84),
         2: (2, 2, 23, 1, 20),
     }
+
+
+@settings(max_examples=10, deadline=None)
+@given(probe_tables)
+def test_sim_ivfpq_search_matches_python_replay(spark, seeds):
+    """q_sim_ivfpq_search (query sample shrunk to 3 qids, k to 3,
+    nprobe to 2) must equal a direct Python float replay of the FULL
+    composed index: PQ encode (per-subspace L2^2 argmin with the
+    dot(c,c)-2*dot(sub,c) form, centroid_id ties, subspace-ordered
+    reconcatenation) + IVF assign + per-qid probe ranking + ADC
+    ranking of probed candidates against reconstructions + exact
+    truth — including zero-norm rows (NULL cosine at every edge) and
+    qids whose probed cells hold no candidates (skeleton zeros)."""
+    from spring_and_kafka_spark.llm import similarity as sim
+
+    nq, k, nprobe = 3, 3, 2
+    M, SUB, PK = 4, 16, 16
+    rows = []
+    for i, s in enumerate(seeds):
+        if s is None:
+            rows.append((i, None, 0))
+        elif s == -2:
+            rows.append((i, [0.0] * 64, 0))
+        else:
+            rows.append((i, _vec(s), 0))
+    wf = {i: v for i, v, _ in rows if v is not None}
+
+    def dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + x * y
+        return acc
+
+    def cos(u, v):
+        den = math.sqrt(dot(u, u)) * math.sqrt(dot(v, v))
+        return None if den == 0 else dot(u, v) / den
+
+    cents = sorted((i, wf[i]) for i in wf if i < 16)
+    cbs = {
+        (m, cid): cv[m * SUB : m * SUB + SUB]
+        for cid, cv in cents
+        if cid < PK
+        for m in range(M)
+    }
+    recon = {}
+    for i, v in wf.items():
+        parts = []
+        for m in range(M):
+            sub = v[m * SUB : m * SUB + SUB]
+            best = min(
+                (cid for cid in range(PK) if (m, cid) in cbs),
+                key=lambda cid: (
+                    dot(cbs[(m, cid)], cbs[(m, cid)])
+                    - 2 * dot(sub, cbs[(m, cid)]),
+                    cid,
+                ),
+            )
+            parts.extend(cbs[(m, best)])
+        recon[i] = parts
+
+    def rank_key(c, v):
+        s = cos(v, c[1])
+        return (s is None, -s if s is not None else 0.0, c[0])
+
+    cluster = {
+        i: min(cents, key=lambda c: rank_key(c, v))[0]
+        for i, v in wf.items()
+    }
+    want = {}
+    for qid in [i for i in wf if i < nq]:
+        qv = wf[qid]
+        others = [i for i in wf if i != qid]
+
+        def ckey(i):
+            c = cos(wf[i], qv)
+            return (c is None, -c if c is not None else 0.0, i)
+
+        def akey(i):
+            c = cos(recon[i], qv)
+            return (c is None, -c if c is not None else 0.0, i)
+
+        truth = sorted(others, key=ckey)[:k]
+        nt = len(truth)
+        probed = set(
+            c[0]
+            for c in sorted(cents, key=lambda c: rank_key(c, qv))[:nprobe]
+        )
+        cand = [i for i in others if cluster[i] in probed]
+        sel = sorted(cand, key=akey)[:k]
+        hits = sum(1 for i in sel if i in set(truth))
+        want[qid] = (
+            len(cand),
+            nt,
+            len(sel),
+            hits,
+            math.floor(hits * 1e6 / nt + 0.5) / 1e6 if nt > 0 else None,
+        )
+
+    d = tempfile.mkdtemp(prefix="ivfpq-prop-")
+    saved = (sim._PQ_NQ, sim._PQ_TOPK, sim._RECALL_NPROBE)
+    sim._PQ_NQ, sim._PQ_TOPK, sim._RECALL_NPROBE = nq, k, nprobe
+    try:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = {
+            r.qid: (r.n_cand, r.n_true, r.n_ivfpq, r.hits, r.recall)
+            for r in sim.q_sim_ivfpq_search(spark, d).collect()
+        }
+    finally:
+        sim._PQ_NQ, sim._PQ_TOPK, sim._RECALL_NPROBE = saved
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == want

@@ -179,18 +179,19 @@ NEW_R16 = [
 # ADVICE r15 item 1: nested samples deflate D).
 CHANGED_R16 = ["q_hist_equidepth", "q_sample_ks_check", "q_winsorize"]
 
-# NEW in r17 (rotation-over-growth: 5 new ops, under the <=10 cap, so
+# NEW in r17 (rotation-over-growth: 6 new ops, under the <=10 cap, so
 # the window still retires ALL 38 remaining r11-stale rows — the r16
 # verdict's item 1): canonical-doc selection per near-dup cluster, the
 # arbitrary-offset anchor-ngram span alignment, its per-doc
 # interval-union excision readout, the recall-vs-probe-count IVF
-# curve, and the multi-query rerank recall grid (pool() round-0 name
-# order).
+# curve, the composed IVF-probe x PQ-rank serving query, and the
+# multi-query rerank recall grid (pool() round-0 name order).
 NEW_R17 = [
     "q_dedup_keep_best",
     "q_dedup_span_align",
     "q_dedup_span_cover",
     "q_sim_ivf_probe_curve",
+    "q_sim_ivfpq_search",
     "q_sim_rerank_grid",
 ]
 
@@ -446,10 +447,10 @@ def test_r17_window_is_new_plus_changed_plus_pool_order():
     """The r17 window must be exactly: the never-verified r17 additions,
     then the r17 changed-output query, then the rotation pool derived
     from CORRECTNESS_r01..r16 in pool() order (stalest round, then
-    name) — i.e. the window is DERIVED, not hand-picked. With 5 new +
+    name) — i.e. the window is DERIVED, not hand-picked. With 6 new +
     1 changed (rotation-over-growth: the r16 verdict's item 1 mandated
-    retiring the r11 stratum), the remaining 44 slots retire ALL 38
-    r11-stale rows and the first 6 r12 rows — 50 exactly (42 r12 rows
+    retiring the r11 stratum), the remaining 43 slots retire ALL 38
+    r11-stale rows and the first 5 r12 rows — 50 exactly (43 r12 rows
     lead the r18 pool)."""
     prefix = registry._WINDOW_PREFIX
     lead = NEW_R17 + CHANGED_R17
@@ -461,4 +462,4 @@ def test_r17_window_is_new_plus_changed_plus_pool_order():
     # sanity on the strata the derivation claims
     strata = [lv[n] for n in prefix[len(lead) :]]
     assert strata == sorted(strata)
-    assert strata == [11] * 38 + [12] * 6
+    assert strata == [11] * 38 + [12] * 5

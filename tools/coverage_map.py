@@ -165,9 +165,10 @@ SECTIONS = {
         "q_dedup_substring", "q_dedup_seg_df_hist", "q_graph_lpa",
         "q_sim_rerank", "q_sim_rerank_curve",
     ],
-    "round-17 additions: arbitrary-offset span alignment + its per-doc excision readout, canonical-doc keep-best selection, multi-query rerank recall grid + IVF probe-count curve": [
+    "round-17 additions: arbitrary-offset span alignment + its per-doc excision readout, canonical-doc keep-best selection, multi-query rerank recall grid + IVF probe-count curve + composed IVF-PQ search": [
         "q_dedup_keep_best", "q_dedup_span_align", "q_dedup_span_cover",
-        "q_sim_ivf_probe_curve", "q_sim_rerank_grid",
+        "q_sim_ivf_probe_curve", "q_sim_ivfpq_search",
+        "q_sim_rerank_grid",
     ],
 }
 

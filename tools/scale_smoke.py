@@ -290,6 +290,9 @@ EMB_QUERIES = [
     "q_sim_rerank_curve",
     "q_sim_rerank_grid",
     "q_sim_ivf_probe_curve",
+    # the composed IVF-PQ serving query: encode is one corpus pass,
+    # candidates are the probed quarter, the recon join co-partitioned
+    "q_sim_ivfpq_search",
     "q_embed_ndcg_eval",
 ]
 
