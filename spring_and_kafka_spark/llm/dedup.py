@@ -348,20 +348,68 @@ def lsh_candidate_pairs(
     ``docs_in_hot_buckets`` (Σ bucket sizes over those). Oracle-verified
     callers use this to assert the cap was inert (hot_buckets == 0) on
     the data they ran — without it, drift into the saturated regime would
-    surface only as an opaque hash mismatch (ADVICE r2). Cheap: bucket
-    memberships are materialized here anyway so the candidate self-join
-    doesn't recompute the signature subtree per side."""
-    buckets = _band_bucket_rows(sig, bands, rows_per_band, bucket_cap, stats)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    surface only as an opaque hash mismatch (ADVICE r2).
+
+    r17 shape (guide §2.4): ONE groupBy(band, bucket) collects each
+    bucket's sorted doc list and the a < b pairs expand INSIDE the
+    array — replacing the materialize + count-groupBy + broadcast +
+    bucket self-join of the previous form (A/B at sf0.1: warm 1.11 s vs
+    1.16-1.38 s, identical 13,783 pairs, and one fewer eager job). The
+    cap bound carries over: pair expansion only runs on buckets with
+    2 ≤ size ≤ bucket_cap, so no task ever expands more than cap²/2
+    pairs; an over-cap bucket's list is collected then dropped — its
+    memory is O(bucket size) longs, the same rows the old form shuffled
+    into the join exchange anyway."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("mh")[i * rows_per_band + r]
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    grp = buckets.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    if stats is not None:
+        # observability consumers get the grouped frame materialized so
+        # the hot-bucket readout doesn't recompute the signature subtree
+        grp = materialize(grp)
+        hot = (
+            grp.filter(F.size("ds") > bucket_cap)
+            .agg(F.count(F.lit(1)).alias("k"), F.sum(F.size("ds")).alias("d"))
+            .first()
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        stats["hot_buckets"] = int(hot["k"] or 0)
+        stats["docs_in_hot_buckets"] = int(hot["d"] or 0)
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    return (
+        grp.filter((F.size(ds) >= 2) & (F.size(ds) <= bucket_cap))
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
 
@@ -712,39 +760,65 @@ def connected_components(
     round k's action would lazily recompute the whole upstream pipeline
     (pair detection included) k times over, and the plan lineage would
     grow unboundedly."""
-    sym = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .persist()
+    # EAGER cut (r17): with two lazy propagation rounds per block, sym
+    # appears twice in one job's plan — a lazily-persisted sym would
+    # race its own cache fill and compute the (expensive, themselves
+    # unmaterialized) upstream pair pipelines twice. One explode pass
+    # symmetrizes without planning the edge subtree per union side.
+    sym = materialize(
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("component"))
     labels = materialize(labels)
     prev = labels
     converged = False
+
+    def propagate(lab_df: DataFrame, with_flag: bool) -> DataFrame:
+        neighbor_min = (
+            sym.join(lab_df, sym.src == lab_df.node)
+            .groupBy("dst")
+            .agg(F.min("component").alias("n_min"))
+        )
+        cols = [
+            F.col("node"),
+            F.least(
+                F.col("component"), F.coalesce("n_min", F.col("component"))
+            ).alias("component"),
+        ]
+        if with_flag:
+            cols.append(
+                (
+                    F.coalesce("n_min", F.col("component")) < F.col("component")
+                ).alias("__changed")
+            )
+        return lab_df.join(
+            neighbor_min, lab_df.node == neighbor_min.dst, "left"
+        ).select(*cols)
+
+    # TWO propagation rounds per materialize + convergence check (the
+    # q_graph_cc block discipline, r17): the lazy 2-round unroll is 4
+    # shallow join/agg stages — well under lineage-blowup depth — and
+    # halves the job count per effective round. Convergence is decided
+    # by the SECOND round's own change flag: labels are monotone
+    # non-increasing, so "round 2 changed nothing" means its input was
+    # already a fixed point, and the returned labels equal it. (If only
+    # round 1 converged, the block's flag is still false — detected
+    # with zero extra joins.)
     try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym.src == labels.node)
-                .groupBy("dst")
-                .agg(F.min("component").alias("n_min"))
-            )
-            updated = (
-                labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"), F.coalesce("n_min", F.col("component"))
-                    ).alias("component"),
-                    (
-                        F.coalesce("n_min", F.col("component")) < F.col("component")
-                    ).alias("__changed"),
-                )
-            )
-            chk = materialize(updated)
-            changed = chk.filter(F.col("__changed")).count()
-            # previous round's blocks are dead once chk is computed; on
+        for _ in range(max(1, (max_iter + 1) // 2)):
+            stepped = propagate(labels, with_flag=False)
+            chk = materialize(propagate(stepped, with_flag=True))
+            changed = chk.filter(F.col("__changed")).limit(1).count()
+            # previous block's blocks are dead once chk is computed; on
             # materialize's persist fallback (cluster without checkpoint
-            # dir) skipping this would stack one cached copy per round
+            # dir) skipping this would stack one cached copy per block
             prev.unpersist()
             prev = chk
             labels = chk.drop("__changed")

@@ -90,6 +90,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterates TO CONVERGENCE and therefore must cut lineage per round —
     unbounded unrolling is where plans blow up. The driver holds no
     data, only the loop index."""
+    # NOTE (r17): the per-order collect_set+explode build that replaced
+    # the items self-join for the THINNED edge family (see
+    # _co_order_pairs) was A/B-measured SLOWER here: pagerank's edge set
+    # is the unthinned DISTINCT pair set, so the build has no (u,v)
+    # count aggregation to amortize the array expansion against — the
+    # struct/array explode CPU exceeds the join probe it saves (warm
+    # medians 2.0-2.4 s vs 1.6-1.8 s at sf0.1). The self-join form stays.
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -167,31 +174,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     id instead — the triangle COUNT is orientation-invariant, so both
     agree while the physical fan-out differs. Two shuffles (wedge build,
     closing-edge semi join) over the thinned edge set."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
-    und = materialize(und)
+    und = materialize(_co_order_und(spark, sf_dir))
     n_edges = und.count()
-    # degree per node over the undirected edge set
+    # degree per node over the undirected edge set (explode both
+    # endpoints in one pass over the checkpoint — r17, vs the union of
+    # two projections)
     deg = (
-        und.select(F.col("u").alias("n"))
-        .unionByName(und.select(F.col("v").alias("n")))
+        und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -265,28 +254,12 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree key. No joins after the edge thinning; at 100 TB the edge
     build's (order, part) dedup shuffle dominates and the histogram is
     free."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    und = _co_order_und(spark, sf_dir)
+    # explode both endpoints in ONE pass: the union of two projections
+    # of the unmaterialized und planned the whole edge build twice
+    # (r17 plan audit; guide §2.4)
     deg = (
-        und.select(F.col("u").alias("n"))
-        .unionByName(und.select(F.col("v").alias("n")))
+        und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -368,27 +341,7 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     all (src/main/java/jc/DemoApplication.java is a Kafka pipe);
     this extends the engine's beyond-the-reference analytics family.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    eh = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
-    edges = materialize(
-        eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-            eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-    )
+    edges = materialize(_sym_edges(_co_order_und(spark, sf_dir)))
     labels = materialize(
         edges.select(F.col("src").alias("node")).distinct().select(
             "node", F.col("node").alias("lab")
@@ -511,27 +464,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/main/java/jc/DemoApplication.java is a Kafka pipe); this
     extends the beyond-the-reference analytics family.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    eh = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
-    edges = materialize(
-        eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-            eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-    )
+    edges = materialize(_sym_edges(_co_order_und(spark, sf_dir)))
     alive = materialize(
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -646,28 +579,10 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity anchor: no graph surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference analytics family."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    eh = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
     # eh feeds three sides (both undirected halves + the is_edge probe)
     # — cut here so the co-order build runs once
-    eh = materialize(eh)
-    edges = eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-        eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    eh = materialize(_co_order_und(spark, sf_dir))
+    edges = _sym_edges(eh)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -787,27 +702,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks at the cap; lineage cut per block; the driver holds only a
     changed count). Synchronized relaxation needs eccentricity rounds —
     the documented trade vs pointer-doubling's denser intermediates."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    eh = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
-    edges = materialize(
-        eh.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-            eh.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-    )
+    edges = materialize(_sym_edges(_co_order_und(spark, sf_dir)))
     dist = materialize(
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -866,30 +761,77 @@ _CO_ORDER_EDGES_SQL = """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM li
     )"""
 
 
+def _co_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v) co-order part pair INSTANCES (u < v), one row per
+    (order, unordered pair of distinct parts in it).
+
+    r17 optimization (guide §2.4, remove shuffles outright): the
+    original build was ``distinct(l_orderkey, l_partkey)`` followed by
+    a self-join on l_orderkey — two lineitem scans, a distinct
+    exchange per side, and a join whose build side is the whole item
+    table. This form collects each order's DISTINCT parts into one
+    sorted array (ONE exchange on l_orderkey, map-side partial
+    collect_set) and expands the u < v pairs inside the array — no
+    join, no second scan, no distinct pre-pass. Output multiset is
+    identical: one (u, v) row per order containing both parts.
+
+    Scale argument: per-order fan-out is quadratic in ORDER SIZE
+    (bounded — ≤ 7 items in TPC-H geometry, and bounded by basket
+    size on any real catalog), never in table size, exactly as the
+    self-join form; the collected array is order-sized, so no task
+    ever holds more than one order's parts. NULL semantics match the
+    join form: NULL order keys never match themselves (filtered), and
+    collect_set drops NULL part keys (the join's `<` rejected them)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    ps = F.col("ps")
+    pair_arr = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return per_order.select(F.explode(pair_arr).alias("p")).select("p.u", "p.v")
+
+
 def _co_order_und(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thinned undirected co-order part edges (u < v, sharing >= 2
     orders) — the Spark twin of _CO_ORDER_EDGES_SQL. Returned
     UNMATERIALIZED; multi-consumer callers cut it themselves (the
-    q_graph_lcc lesson)."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
+    q_graph_lcc lesson). Built from the per-order pair expansion
+    (_co_order_pairs) instead of the items self-join — same multiset,
+    one fewer exchange and no join (r17, guide §2.4)."""
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        _co_order_pairs(spark, sf_dir)
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("m"))
         .filter(F.col("m") >= 2)
         .select("u", "v")
     )
+
+
+def _sym_edges(eh: DataFrame) -> DataFrame:
+    """(src, dst) symmetric directed edges from a (u, v) undirected
+    edge table: each row exploded into both directions in ONE pass.
+    Replaces the unionByName of two projections of ``eh``, which — on
+    an UNMATERIALIZED eh — plans the whole edge-build subtree twice
+    (the r17 plan audit caught q_graph_cc/bfs/kcore/degree computing
+    the co-order build once per union side inside one job)."""
+    return eh.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 @register(
@@ -963,8 +905,7 @@ def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # und feeds the degree build AND the orientation join — cut once
     und = materialize(und)
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -1077,9 +1018,10 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference analytics family."""
     und = _co_order_und(spark, sf_dir)
+    # explode both endpoints in one pass (the union form planned the
+    # whole unmaterialized edge build once per side — r17 plan audit)
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -1169,8 +1111,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_graph_lcc lesson); deg feeds du, dv AND the node count
     und = materialize(und)
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -1289,8 +1230,7 @@ def co_order_degrees(und: DataFrame) -> DataFrame:
     """(node, d) degrees of the MATERIALIZED thinned undirected edge
     set — shared by the modularity scorers (brand partition / LPA)."""
     return (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -1483,11 +1423,10 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference analytics family."""
     und = materialize(_co_order_und(spark, sf_dir))
-    edges = materialize(
-        und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-    )
+    # one exploding pass over the checkpointed und; lazy is fine here —
+    # each round's join re-reads the checkpoint, the explode is a
+    # narrow op on top of it (r17: drops one materialize job)
+    edges = _sym_edges(und)
     labels = materialize(
         edges.select(F.col("src").alias("node")).distinct().select(
             "node", F.col("node").alias("lab")
