@@ -2179,11 +2179,13 @@ def q_dedup_span_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: the anchor/alignment stages are shared with
     q_dedup_span_align (anchor-generated candidates, df-capped hash
-    equi-join, never doc×doc); the interval stream is 2 rows per
-    surviving alignment — duplication-sized, not corpus-sized — and
-    the sweep is one doc_id-keyed shuffle with two windows over the
-    SAME (doc_id, pos) sort (Spark plans one Exchange + one Sort for
-    both). The span count rides THROUGH the sweep (a start-event
+    equi-join, never doc×doc); the sweep-event stream is 4 rows per
+    surviving alignment (interval start/end × both endpoint docs,
+    emitted by ONE explode in a single pass — r17 replaced the two
+    union layers that planned the alignment subtree once per side) —
+    duplication-sized, not corpus-sized — and the sweep is one
+    doc_id-keyed shuffle with two windows over the SAME (doc_id, pos)
+    sort (Spark plans one Exchange + one Sort for both). The span count rides THROUGH the sweep (a start-event
     counter summed alongside the union length) rather than as a
     separate aggregate-and-join, so the whole query has exactly ONE
     join: |covered docs| against the slim token-count projection.
@@ -2201,38 +2203,39 @@ def _span_cover_readout(g: DataFrame, sizes: DataFrame) -> DataFrame:
     verbatim with streaming.spananchor.maintained_span_cover so stream
     and batch produce the identical readout by construction."""
     sizes = sizes.select("doc_id", F.col("n").cast("long").alias("n"))
-    iv = g.select(
-        F.col("a_id").alias("doc_id"),
-        F.col("amin").alias("s"),
-        (F.col("amax") + _ALIGN_K).alias("e"),
-    ).unionByName(
-        g.select(
-            F.col("b_id").alias("doc_id"),
-            (F.col("amin") + F.col("delta")).alias("s"),
-            (F.col("amax") + F.col("delta") + _ALIGN_K).alias("e"),
-        )
-    )
-    # the interval stream feeds both event branches of the sweep —
-    # materialize so the whole anchor/alignment subtree runs once
-    iv = materialize(iv)
+    # r17 (guide §2.4): ONE explode emits all four sweep events per
+    # alignment — interval start/end for BOTH endpoint docs — replacing
+    # the previous two unionByName layers, which planned the (expensive,
+    # unmaterialized) anchor/alignment subtree once per union side and
+    # needed an eager materialize between them to contain the damage.
+    # Single pass, no checkpoint, whole readout is one job.
     # st marks interval-START events: summed through the (doc, pos)
     # collapse and again in the per-doc rollup it IS the span count,
     # so no separate count-and-join aggregate is needed
+    def _evt(doc, pos, dlt, st):
+        return F.struct(
+            doc.alias("doc_id"),
+            pos.cast("long").alias("pos"),
+            F.lit(dlt).alias("dlt"),
+            F.lit(st).alias("st"),
+        )
+
+    a_s = F.col("amin")
+    a_e = F.col("amax") + _ALIGN_K
+    b_s = F.col("amin") + F.col("delta")
+    b_e = F.col("amax") + F.col("delta") + _ALIGN_K
     ev = (
-        iv.select(
-            "doc_id",
-            F.col("s").alias("pos"),
-            F.lit(1).alias("dlt"),
-            F.lit(1).alias("st"),
+        g.select(
+            F.explode(
+                F.array(
+                    _evt(F.col("a_id"), a_s, 1, 1),
+                    _evt(F.col("a_id"), a_e, -1, 0),
+                    _evt(F.col("b_id"), b_s, 1, 1),
+                    _evt(F.col("b_id"), b_e, -1, 0),
+                )
+            ).alias("v")
         )
-        .unionByName(
-            iv.select(
-                "doc_id",
-                F.col("e").alias("pos"),
-                F.lit(-1).alias("dlt"),
-                F.lit(0).alias("st"),
-            )
-        )
+        .select("v.*")
         .groupBy("doc_id", "pos")
         .agg(F.sum("dlt").alias("dlt"), F.sum("st").alias("st"))
     )

@@ -1378,8 +1378,10 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism (the q_graph_cc discipline, majority-vote form): the
     update rule is a deterministic FUNCTION of the label table — exact
-    integer counts ranked by (count DESC, label) with row_number = 1 —
-    so round k's labels are identical in both engines; the oracle
+    integer counts argmaxed by (count DESC, label ASC), computed as
+    max_by(lab, struct(c, -lab)), the identical total order the
+    oracle's row_number ranking unrolls — so round k's labels are
+    identical in both engines; the oracle
     unrolls exactly {_LPA_ROUNDS} rounds and Spark iterates the same
     recurrence, early-stopping only at a TRUE fixed point (no label
     changed), where the remaining rounds are provably no-ops. The
@@ -1393,8 +1395,10 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth — the q_graph_kcore argument).
 
     Shape at 100 TB: per round, one edges⋈labels shuffle + map-side
-    combined (node, lab) count + one row_number window partitioned by
-    node — all keyed on the node key, so AQE reuses one partitioning;
+    combined (node, lab) count + a map-side-combinable max_by argmax
+    per node (r17: replaced the row_number window — one exchange +
+    per-partition SORT per round — with the second aggregation; both
+    aggs key on the node, so AQE reuses one partitioning);
     labels materialized every 2 rounds to cut lineage (the q_graph_cc
     4-per-block lesson, halved because each LPA round is two stages
     deeper). The modularity tail is the extracted modularity_readout —
@@ -1416,8 +1420,8 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely repeats) is handled by the combine bound above and
     pinned by the planted-star skew test
     (tests/test_property_r16.py::test_graph_lpa_planted_star_hub);
-    the window's row_number heap never materializes a per-node sort
-    beyond its vote group.
+    the max_by argmax holds one running (c, -lab) maximum per node —
+    no per-node sort is ever materialized.
 
     Reference parity anchor: no graph surface in the reference
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
@@ -1441,17 +1445,17 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lab_df.select(F.col("node").alias("vnode"), "lab")
             )
         )
+        # r17: the per-node argmax is a max_by over the counted votes —
+        # max (c, -lab) == (count DESC, label ASC), the identical total
+        # order the previous row_number window ranked by — so the
+        # second aggregation replaces the window's exchange + SORT with
+        # a map-side-combinable agg (interleaved A/B at sf0.1: 2.7-2.9 s
+        # vs 3.0-3.9 s warm full-query)
         best = (
             votes.groupBy("vnode", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("vnode").orderBy(F.desc("c"), "lab")
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("vnode", F.col("lab").alias("nlab"))
+            .groupBy("vnode")
+            .agg(F.expr("max_by(lab, struct(c, -lab))").alias("nlab"))
         )
         return lab_df.join(best, lab_df.node == best.vnode, "left").select(
             "node",
