@@ -205,21 +205,33 @@ def ngram_jaccard_pairs(
     # sh feeds four consumers (join sides + sizes + the df filter):
     # materialize once so the corpus scan + shingle expansion doesn't rerun
     # per consumer — ~20% wall-clock at sf0.1.
-    sh = materialize(shingles(spread(corpus), n))
+    # r17 change 9 (guide §2.3 "narrower types"): shingle strings hash to
+    # 64-bit s64 BEFORE the materialize — the _doc_features discipline
+    # applied to the exact tool — so the persisted table, the df groupBy,
+    # and the pair self-join all move 16-byte long rows instead of text.
+    # Per-doc counts, doc-frequencies and pair intersections are
+    # identical modulo xxhash64 collisions (P ≈ (#distinct shingles)²/2⁶⁵
+    # ≈ 1e-10 at sf0.1); the string formulation stays the oracle's
+    # ground truth, and every SF + degenerate sweep hash-verifies it.
+    sh = materialize(
+        shingles(spread(corpus), n).select(
+            "doc_id", F.xxhash64("shingle").alias("s64")
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy("s64")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > df_cap)
-        .select("shingle")
+        .select("s64")
     )
-    shj = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    shj = sh.join(F.broadcast(hot), "s64", "left_anti")
     a = shj.alias("a")
     b = shj.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.s64") == F.col("b.s64"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -765,42 +777,82 @@ def connected_components(
     # race its own cache fill and compute the (expensive, themselves
     # unmaterialized) upstream pair pipelines twice. One explode pass
     # symmetrizes without planning the edge subtree per union side.
+    #
+    # r17 change 8 (self-loop message form — see q_graph_cc for the
+    # full argument): the checkpointed edge table carries one w = 0
+    # SELF-LOOP per node next to the w = 1 real edges, so each round's
+    # min() over the join messages alone reproduces
+    # least(own, coalesce(neighbor_min, own)) bit for bit — one join +
+    # one map-side-combinable agg per round, no join-back, and the
+    # label frame enters each round's plan exactly once. The flag round
+    # recovers the pre-round label from the w = 0 message, so the
+    # change flag costs no join either. A union of the label rows into
+    # the aggregate computes the same value but puts a Union inside the
+    # iterated plan, which trips Spark 4.1.2's
+    # UnionBase.rewriteConstraints on some input shapes (reproduced in
+    # tests/test_dedup.py's path-graph fixture); the one Union here is
+    # inside the materialize and executes exactly once. The join is
+    # null-safe so a NULL node's self-loop still returns it: all NULL
+    # nodes collapse to ONE (NULL, NULL) label row — exactly the
+    # oracle's GROUP BY node over the reach seeds (doc_id is an
+    # identity key, unique and non-null on every fixture and sweep, so
+    # this branch is unobservable there; it exists so degenerate inputs
+    # match the oracle rather than silently dropping rows).
     sym = materialize(
         edges.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                    F.struct(
+                        F.col("a").alias("src"),
+                        F.col("b").alias("dst"),
+                        F.lit(1).cast("long").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"),
+                        F.col("a").alias("dst"),
+                        F.lit(1).cast("long").alias("w"),
+                    ),
                 )
             ).alias("e")
-        ).select("e.src", "e.dst")
+        )
+        .select("e.src", "e.dst", "e.w")
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).cast("long").alias("w"),
+            )
+        )
     )
-    labels = nodes.select(F.col("node"), F.col("node").alias("component"))
-    labels = materialize(labels)
+    # r0 falls out of the checkpointed edge table for free (w = 0 rows
+    # are exactly the node set) — the separate labels materialize job
+    # the old form paid is gone
+    labels = sym.filter(F.col("w") == 0).select(
+        F.col("src").alias("node"), F.col("src").alias("component")
+    )
     prev = labels
     converged = False
 
     def propagate(lab_df: DataFrame, with_flag: bool) -> DataFrame:
-        neighbor_min = (
-            sym.join(lab_df, sym.src == lab_df.node)
-            .groupBy("dst")
-            .agg(F.min("component").alias("n_min"))
-        )
-        cols = [
-            F.col("node"),
-            F.least(
-                F.col("component"), F.coalesce("n_min", F.col("component"))
-            ).alias("component"),
-        ]
-        if with_flag:
-            cols.append(
-                (
-                    F.coalesce("n_min", F.col("component")) < F.col("component")
-                ).alias("__changed")
+        j = sym.join(lab_df, sym.src.eqNullSafe(lab_df.node))
+        if not with_flag:
+            return j.groupBy(F.col("dst").alias("node")).agg(
+                F.min("component").alias("component")
             )
-        return lab_df.join(
-            neighbor_min, lab_df.node == neighbor_min.dst, "left"
-        ).select(*cols)
+        return (
+            j.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max(F.when(F.col("w") == 0, F.col("component"))).alias(
+                    "_own"
+                ),
+            )
+            .select(
+                "node",
+                "component",
+                (F.col("component") < F.col("_own")).alias("__changed"),
+            )
+        )
 
     # TWO propagation rounds per materialize + convergence check (the
     # q_graph_cc block discipline, r17): the lazy 2-round unroll is 4
@@ -1038,21 +1090,27 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (minhash agreement estimates Jaccard, and C ≥ J always, so LSH
     candidates at a lower band threshold cover the containment search)."""
     corpus = planted_corpus(spark, sf_dir)
-    sh = materialize(shingles(spread(corpus), 3))
+    # r17 change 9: s64-hashed shingles before the materialize (see
+    # ngram_jaccard_pairs — identical argument, ordered-pair variant)
+    sh = materialize(
+        shingles(spread(corpus), 3).select(
+            "doc_id", F.xxhash64("shingle").alias("s64")
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy("s64")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > _SHINGLE_DF_CAP)
-        .select("shingle")
+        .select("s64")
     )
-    shj = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    shj = sh.join(F.broadcast(hot), "s64", "left_anti")
     a = shj.alias("a")
     b = shj.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.s64") == F.col("b.s64"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -1283,21 +1341,27 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
     )
     corpus = base.unionByName(perturbed)
-    sh = materialize(shingles(spread(corpus), 3))
+    # r17 change 9: s64-hashed shingles before the materialize (see
+    # ngram_jaccard_pairs — identical argument, sampled-corpus variant)
+    sh = materialize(
+        shingles(spread(corpus), 3).select(
+            "doc_id", F.xxhash64("shingle").alias("s64")
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy("s64")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > _SHINGLE_DF_CAP)
-        .select("shingle")
+        .select("s64")
     )
-    shj = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    shj = sh.join(F.broadcast(hot), "s64", "left_anti")
     a = shj.alias("a")
     b = shj.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.s64") == F.col("b.s64"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

@@ -122,6 +122,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select(
         "node", F.lit(_PR_SCALE).cast("long").alias("pr")
     )
+    # NOTE (r17 change 8 A/B): the message-union form that won on the
+    # min/argmax iteratives (CC/BFS/k-core/LPA) — replace this LEFT
+    # JOIN with a union of 0-contribution node rows into the sum —
+    # was measured consistently ~80% SLOWER here (interleaved same-JVM,
+    # sf0.1 warm: old 3.15-3.79 s vs union 4.50-6.77 s over two 3-pair
+    # sessions). Difference vs the winners: their per-round tables are
+    # label-sized and every round ends in ONE aggregate, so the union
+    # removes a whole join stage; pagerank's 5 FIXED rounds unroll lazily
+    # into one job where the dangling-node join is a cheap broadcast —
+    # routing every node row through the exchange per round costs more
+    # than the join it removes. The left-join form stays.
     for _ in range(_PR_ITERS):
         inflow = (
             fan.join(ranks, fan.src == ranks.node)
@@ -341,23 +352,65 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     all (src/main/java/jc/DemoApplication.java is a Kafka pipe);
     this extends the engine's beyond-the-reference analytics family.
     """
-    edges = materialize(_sym_edges(_co_order_und(spark, sf_dir)))
-    labels = materialize(
-        edges.select(F.col("src").alias("node")).distinct().select(
-            "node", F.col("node").alias("lab")
+    # r17 change 8 (guide §2.4, self-loop message form): each round used
+    # to LEFT-JOIN the aggregated neighbor-min back onto the label table
+    # — least(own, coalesce(min, own)). The same value is min() over the
+    # messages alone once the edge table carries one SELF-LOOP per node
+    # (built ONCE, outside the loop): the self-loop delivers the node's
+    # own label as a message, so a round is one join + one map-side-
+    # combinable aggregate — no join-back, and the label frame enters
+    # each round's plan exactly once (the old form referenced it twice,
+    # doubling the lazy subtree per unrolled round). Per-round labels
+    # are bit-identical (exact BIGINT min is order-free; a node with no
+    # neighbor message keeps its self-delivered label — exactly the
+    # oracle's coalesce), so the unroll ≡ the oracle's 16 chained CTEs.
+    # A plain union of label rows into the aggregate computes the same
+    # value but plants a Union inside the iterated plan, which trips
+    # Spark 4.1.2's UnionBase.rewriteConstraints on some input shapes
+    # (java.util.NoSuchElementException: key not found — reproduced in
+    # tests/test_dedup.py's path-graph fixture); the self-loop rows
+    # keep every iterated plan Union-free. The one Union here is inside
+    # the materialize and executes exactly once.
+    und = materialize(_co_order_und(spark, sf_dir))
+    sym = _sym_edges(und)
+    edges = materialize(
+        sym.select("src", "dst", F.lit(1).cast("long").alias("w"))
+        .unionByName(
+            sym.select("src")
+            .distinct()
+            .select(
+                "src", F.col("src").alias("dst"), F.lit(0).cast("long").alias("w")
+            )
         )
     )
-    def propagate(lab_df: DataFrame) -> DataFrame:
-        msgs = (
-            edges.join(lab_df, edges.src == lab_df.node)
-            .groupBy(F.col("dst").alias("mnode"))
-            .agg(F.min("lab").alias("ml"))
-        )
-        return lab_df.join(msgs, lab_df.node == msgs.mnode, "left").select(
-            "node",
-            F.least(
-                F.col("lab"), F.coalesce(F.col("ml"), F.col("lab"))
-            ).alias("lab"),
+    # r0 falls out of the checkpointed edge table for free: the w = 0
+    # rows are exactly one row per node
+    labels = edges.filter(F.col("w") == 0).select(
+        F.col("src").alias("node"), F.col("src").alias("lab")
+    )
+
+    def propagate(lab_df: DataFrame, with_flag: bool = False) -> DataFrame:
+        j = edges.join(lab_df, edges.src == lab_df.node)
+        if not with_flag:
+            return j.groupBy(F.col("dst").alias("node")).agg(
+                F.min("lab").alias("lab")
+            )
+        # final round of a block: the self-loop message (w = 0) IS the
+        # pre-round label, so the change flag needs no join against the
+        # block input — and, because labels are monotone non-increasing,
+        # "the LAST round changed nothing" already proves its input was
+        # a fixed point, stopping one whole block earlier than the old
+        # block-input comparison whenever the fixed point lands inside
+        # a block (sf0.1 converges at round 7: 2 blocks, was 3).
+        return (
+            j.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.min("lab").alias("lab"),
+                F.max(F.when(F.col("w") == 0, F.col("lab"))).alias("_own"),
+            )
+            .select(
+                "node", "lab", (F.col("lab") < F.col("_own")).alias("_ch")
+            )
         )
 
     # FOUR propagation rounds per materialize + convergence check (the
@@ -365,26 +418,20 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label table; 4 x 4 = the oracle's 16-round cap exactly — r12 ran
     # 2-per-materialize at 8 jobs, and halving the job count to 4 cut
     # wall time because each round's label table is a few thousand
-    # rows: the lazy 4-round unroll is 8 shallow join/agg stages, well
+    # rows: the lazy 4-round unroll is shallow join/agg stages, well
     # under the lineage-blowup depth that forces per-round cuts), and
-    # the convergence flag rides INSIDE the materialized frame —
-    # comparing against the pre-step labels as a column, so the check
-    # is a scan of already-checkpointed rows, not a second join+shuffle
-    # job. Over-stepping past the fixed point is free: converged labels
-    # are a fixed point, so extra propagations inside the block are
-    # no-ops (same argument that makes early-stop ≡ the oracle unroll).
+    # the convergence flag rides INSIDE the materialized frame (see
+    # propagate). Over-stepping past the fixed point is free: converged
+    # labels are a fixed point, so extra propagations inside the block
+    # are no-ops (same argument that makes early-stop ≡ the oracle
+    # unroll).
     for _ in range(_CC_ROUNDS // 4):
-        old = labels
         stepped = labels.select("node", "lab")
-        for _k in range(4):
+        for _k in range(3):
             stepped = propagate(stepped)
-        new = materialize(
-            stepped.alias("n")
-            .join(old.select("node", F.col("lab").alias("_prev")), "node")
-            .select("node", "lab", (F.col("lab") != F.col("_prev")).alias("_ch"))
-        )
+        new = materialize(propagate(stepped, with_flag=True))
         changed = new.filter(F.col("_ch")).limit(1).count()
-        labels = new
+        labels = new.drop("_ch")
         if changed == 0:
             break
     return labels.groupBy(F.col("lab").alias("component")).agg(
@@ -464,34 +511,68 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/main/java/jc/DemoApplication.java is a Kafka pipe); this
     extends the beyond-the-reference analytics family.
     """
-    edges = materialize(_sym_edges(_co_order_und(spark, sf_dir)))
-    alive = materialize(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.lit(0).cast("long").alias("deg"))
+    # r17 change 8 (self-loop message form — see q_graph_cc for the
+    # Union-avoidance argument): the old peel joined the edge table
+    # against the alive set TWICE (once per endpoint). With one w = 0
+    # self-loop per node in the edge table, the same degree falls out of
+    # ONE semi-shaped join: every edge whose src is alive sends its
+    # weight to its dst, sum(w) counts exactly the alive real neighbors
+    # (the self-loop adds 0), and min(w) = 0 marks the nodes whose OWN
+    # self-loop fired — i.e. alive membership — so dead dst rows drop on
+    # that filter without a second join. On the symmetric edge table,
+    # # in-neighbors alive == # out-neighbors alive, so deg is
+    # bit-identical to the oracle's two-join count; an alive node with
+    # zero alive neighbors keeps its self-loop row and peels on
+    # deg = 0 < K, exactly as it vanished from the old groupBy. The
+    # flag round reports would-be deaths instead of filtering them, so
+    # convergence is read per ROUND, not per block — "nobody died in
+    # the block's last round" proves the alive set was already a fixed
+    # point (monotone decreasing), one block earlier than the old
+    # whole-block count comparison when the fixed point lands mid-block
+    # (sf0.1 peels dry at round 6: 2 blocks, was 3) — and the per-block
+    # full count() job disappears with it.
+    und = materialize(_co_order_und(spark, sf_dir))
+    sym = _sym_edges(und)
+    edges = materialize(
+        sym.select("src", "dst", F.lit(1).cast("long").alias("w"))
+        .unionByName(
+            sym.select("src")
+            .distinct()
+            .select(
+                "src", F.col("src").alias("dst"), F.lit(0).cast("long").alias("w")
+            )
+        )
+    )
+    alive = edges.filter(F.col("w") == 0).select(
+        F.col("src").alias("node"), F.lit(0).cast("long").alias("deg")
     )
 
-    def peel(alive_df: DataFrame) -> DataFrame:
-        x = alive_df.select(F.col("node").alias("xn"))
-        y = alive_df.select(F.col("node").alias("yn"))
-        return (
-            edges.join(x, edges.src == F.col("xn"))
-            .join(y, edges.dst == F.col("yn"))
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
+    def peel(alive_df: DataFrame, with_flag: bool = False) -> DataFrame:
+        g = (
+            edges.join(alive_df, edges.src == alive_df.node)
+            .groupBy(F.col("dst").alias("gnode"))
+            .agg(F.sum("w").alias("deg"), F.min("w").alias("_mw"))
+            .filter(F.col("_mw") == 0)
+        )
+        if with_flag:
+            return g.select(
+                F.col("gnode").alias("node"),
+                F.col("deg").cast("long").alias("deg"),
+                (F.col("deg") < _KCORE_K).alias("_die"),
+            )
+        return g.filter(F.col("deg") >= _KCORE_K).select(
+            F.col("gnode").alias("node"), F.col("deg").cast("long").alias("deg")
         )
 
-    n_prev = alive.count()
     for _ in range(_KCORE_ROUNDS // 4):
         stepped = alive
-        for _k in range(4):
+        for _k in range(3):
             stepped = peel(stepped)
-        alive = materialize(stepped)
-        n_new = alive.count()
-        if n_new == n_prev:
+        new = materialize(peel(stepped, with_flag=True))
+        changed = new.filter(F.col("_die")).limit(1).count()
+        alive = new.filter(~F.col("_die")).drop("_die")
+        if changed == 0:
             break
-        n_prev = n_new
     return alive.select("node", F.col("deg").cast("long").alias("core_deg"))
 
 
@@ -702,44 +783,61 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks at the cap; lineage cut per block; the driver holds only a
     changed count). Synchronized relaxation needs eccentricity rounds —
     the documented trade vs pointer-doubling's denser intermediates."""
-    edges = materialize(_sym_edges(_co_order_und(spark, sf_dir)))
-    dist = materialize(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select(
-            "node",
-            F.when(F.col("node") < _BFS_ANCHOR, F.lit(0))
-            .cast("long")
-            .alias("dist"),
+    # r17 change 8 (self-loop message form — see q_graph_cc for the full
+    # argument, including why a Union inside the iterated plan is
+    # avoided): the edge table carries one w = 0 self-loop per node and
+    # w = 1 real edges, so a relaxation round is min(dist + w) over the
+    # join messages alone — the self-loop delivers the node's own
+    # distance unchanged, reproducing least(dist, md) bit for bit. NULL
+    # is still a faithful ∞: NULL + w = NULL, min() skips NULLs in both
+    # engines, and an all-NULL group stays NULL. The flag round recovers
+    # the pre-round distance from the w = 0 message (null-safe
+    # inequality), stopping one block earlier when the fixed point
+    # lands mid-block.
+    und = materialize(_co_order_und(spark, sf_dir))
+    sym = _sym_edges(und)
+    edges = materialize(
+        sym.select("src", "dst", F.lit(1).cast("long").alias("w"))
+        .unionByName(
+            sym.select("src")
+            .distinct()
+            .select(
+                "src", F.col("src").alias("dst"), F.lit(0).cast("long").alias("w")
+            )
         )
     )
+    dist = edges.filter(F.col("w") == 0).select(
+        F.col("src").alias("node"),
+        F.when(F.col("src") < _BFS_ANCHOR, F.lit(0)).cast("long").alias("dist"),
+    )
 
-    def relax(dist_df: DataFrame) -> DataFrame:
-        msgs = (
-            edges.join(dist_df, edges.src == dist_df.node)
-            .groupBy(F.col("dst").alias("mnode"))
-            .agg(F.min(F.col("dist") + 1).alias("md"))
-        )
-        return dist_df.join(msgs, dist_df.node == msgs.mnode, "left").select(
-            "node", F.least(F.col("dist"), F.col("md")).cast("long").alias("dist")
-        )
-
-    for _ in range(_BFS_ROUNDS // 4):
-        old = dist
-        stepped = dist.select("node", "dist")
-        for _k in range(4):
-            stepped = relax(stepped)
-        new = materialize(
-            stepped.alias("n")
-            .join(old.select("node", F.col("dist").alias("_prev")), "node")
+    def relax(dist_df: DataFrame, with_flag: bool = False) -> DataFrame:
+        j = edges.join(dist_df, edges.src == dist_df.node)
+        nd = (F.col("dist") + F.col("w")).cast("long")
+        if not with_flag:
+            return j.groupBy(F.col("dst").alias("node")).agg(
+                F.min(nd).cast("long").alias("dist")
+            )
+        return (
+            j.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.min(nd).cast("long").alias("dist"),
+                F.max(F.when(F.col("w") == 0, F.col("dist"))).alias("_own"),
+            )
             .select(
                 "node",
                 "dist",
-                (~F.col("dist").eqNullSafe(F.col("_prev"))).alias("_ch"),
+                (~F.col("dist").eqNullSafe(F.col("_own"))).alias("_ch"),
             )
         )
+
+    for _ in range(_BFS_ROUNDS // 4):
+        stepped = dist.select("node", "dist")
+        for _k in range(3):
+            stepped = relax(stepped)
+        new = materialize(relax(stepped, with_flag=True))
         changed = new.filter(F.col("_ch")).limit(1).count()
-        dist = new
+        dist = new.drop("_ch")
         if changed == 0:
             break
     return dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -1427,39 +1525,52 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/main/java/jc/DemoApplication.java is a Kafka pipe) — part of
     the beyond-the-reference analytics family."""
     und = materialize(_co_order_und(spark, sf_dir))
-    # one exploding pass over the checkpointed und; lazy is fine here —
-    # each round's join re-reads the checkpoint, the explode is a
-    # narrow op on top of it (r17: drops one materialize job)
-    edges = _sym_edges(und)
-    labels = materialize(
-        edges.select(F.col("src").alias("node")).distinct().select(
-            "node", F.col("node").alias("lab")
+    # r17 change 8 (self-loop message form — see q_graph_cc for the
+    # Union-avoidance argument): the checkpointed edge table carries one
+    # w = 0 self-loop per node next to the real edges, so the SELF-VOTE
+    # arrives through the same join as the neighbor votes and the
+    # per-round unionByName of the label table into the vote stream is
+    # gone — a round is one join + the two vote aggregations, with the
+    # label frame entering the plan exactly once.
+    sym = _sym_edges(und)
+    edges = materialize(
+        sym.select("src", "dst", F.lit(1).cast("long").alias("w"))
+        .unionByName(
+            sym.select("src")
+            .distinct()
+            .select(
+                "src", F.col("src").alias("dst"), F.lit(0).cast("long").alias("w")
+            )
         )
+    )
+    # r0 falls out of the checkpointed edge table for free (w = 0 rows)
+    labels = edges.filter(F.col("w") == 0).select(
+        F.col("src").alias("node"), F.col("src").alias("lab")
     )
 
     def propagate(lab_df: DataFrame) -> DataFrame:
-        votes = (
-            edges.join(lab_df, edges.src == lab_df.node)
-            .select(F.col("dst").alias("vnode"), "lab")
-            .unionByName(
-                lab_df.select(F.col("node").alias("vnode"), "lab")
-            )
+        votes = edges.join(lab_df, edges.src == lab_df.node).select(
+            F.col("dst").alias("vnode"), "lab"
         )
         # r17: the per-node argmax is a max_by over the counted votes —
         # max (c, -lab) == (count DESC, label ASC), the identical total
         # order the previous row_number window ranked by — so the
         # second aggregation replaces the window's exchange + SORT with
         # a map-side-combinable agg (interleaved A/B at sf0.1: 2.7-2.9 s
-        # vs 3.0-3.9 s warm full-query)
-        best = (
+        # vs 3.0-3.9 s warm full-query). r17 change 8: the join-back of
+        # the argmax onto the label table is gone — the self-vote puts
+        # every lab_df node into votes (each node's self-loop delivers
+        # exactly one own-label vote), so the argmax's group set IS the
+        # node set and its result is total (the oracle's
+        # coalesce(m.nlab, r.lab) provably never fires: m covers every
+        # node); returning the argmax directly removes one join per
+        # round with bit-identical labels.
+        return (
             votes.groupBy("vnode", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("vnode")
-            .agg(F.expr("max_by(lab, struct(c, -lab))").alias("nlab"))
-        )
-        return lab_df.join(best, lab_df.node == best.vnode, "left").select(
-            "node",
-            F.coalesce(F.col("nlab"), F.col("lab")).alias("lab"),
+            .agg(F.expr("max_by(lab, struct(c, -lab))").alias("lab"))
+            .select(F.col("vnode").alias("node"), "lab")
         )
 
     # TWO propagation rounds per materialize + convergence check (the
