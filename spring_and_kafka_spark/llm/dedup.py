@@ -743,28 +743,32 @@ def connected_components(
     nodes: (node BIGINT); edges: (a, b) undirected pairs. Returns
     (node, component) where component = min node id reachable.
 
-    Iterative DataFrame loop: each round joins labels across the SPARSE
-    edge list, takes the per-node neighbor min, and left-joins that back
-    onto the full label frame (least(own, neighbor_min)); stops when no
-    label changed (driver-side convergence check). Rounds = graph
-    diameter — tiny for dedup clusters (near-cliques, diameter ≤ 2).
-    Deterministic.
+    Iterative DataFrame loop (r17 self-loop message form, shared with
+    q_graph_cc): the materialized edge table carries one w = 0
+    self-loop per node next to the symmetrized pairs, so each round is
+    ONE join of labels across the sparse edge list plus ONE per-node
+    min — the self-loop delivers "keep own label" through the same
+    join, no join-back onto the label frame. Stops when the last round
+    of a block changed nothing (driver-side flag, exact because labels
+    are monotone non-increasing). Rounds = graph diameter — tiny for
+    dedup clusters (near-cliques, diameter ≤ 2). Deterministic.
 
-    Why NOT the pagerank-style lazy unroll: round 5's rework unrolled
-    3 rounds + a verify round into one job by folding "keep own label"
-    into self-loop edges. That pushes every node (self-loops = |V| rows,
-    dwarfing the sparse dedup edge set) through the join+groupBy's TWO
-    shuffles every round, where this loop shuffles only O(|E|) join rows
-    plus one O(|V|) left join — and always pays unroll+1 rounds even
-    when the graph converges in one. Round-6 interleaved A/B at sf0.1
-    (q_dedup_clusters_lsh, 5-run medians, alternating JVMs): loop
-    5.85/6.00 s vs two-phase 5.93/5.63 s — parity within this host's
-    noise band, so the unroll bought nothing here and the loop wins on
-    shuffle volume (sparse graphs), adaptive early stop, and simplicity;
-    reverted in round 6 (BASELINE.md §2 carries the full numbers).
-    Pagerank keeps its unroll: its fan table is dense (every node has
-    edges), so there the self-join IS the data and job-count dominates —
-    its 2.5× isolated win was real and re-measured.
+    History of this shape: round 5 tried self-loop folding WITHOUT the
+    per-round change flag (a fixed unroll that always paid unroll+1
+    rounds, re-verified each block against the block input) and it
+    A/B'd at parity with the join-back loop, so round 6 reverted to the
+    simpler form. The r17 rework differs in the two places that made
+    the earlier attempt a wash: the flag rides in the block's last
+    round (adaptive early stop at exactly diameter+1 rounds, one
+    materialize+count for a diameter-2 graph), and the label frame
+    enters each round's plan once, keeping the lazy block's plan depth
+    linear (the join-back form doubled its subtree per round). A/B
+    through q_dedup_clusters_lsh at sf0.1: med 4.02 s vs 4.20 s, with
+    the same LSH front end. Pagerank keeps its nodes-join unroll: its
+    fan table is dense and its round count fixed, so there the
+    dangling-node join is a cheap broadcast and routing |V| zero-rows
+    through the per-round exchange measured ~80% slower
+    (operators/graph.py q_graph_pagerank note).
 
     Iteration discipline: edges are persisted once and labels are
     materialized each round (exec_utils.materialize — localCheckpoint on
@@ -854,18 +858,23 @@ def connected_components(
             )
         )
 
-    # TWO propagation rounds per materialize + convergence check (the
-    # q_graph_cc block discipline, r17): the lazy 2-round unroll is 4
-    # shallow join/agg stages — well under lineage-blowup depth — and
-    # halves the job count per effective round. Convergence is decided
-    # by the SECOND round's own change flag: labels are monotone
-    # non-increasing, so "round 2 changed nothing" means its input was
-    # already a fixed point, and the returned labels equal it. (If only
-    # round 1 converged, the block's flag is still false — detected
-    # with zero extra joins.)
+    # THREE propagation rounds per materialize + convergence check (the
+    # q_graph_cc block discipline, r17; the self-loop form keeps the
+    # lazy unroll's plan depth linear in the block): dedup cluster
+    # graphs have diameter ≤ 2, so rounds 1-2 reach the fixed point and
+    # the third (flag) round detects it — ONE materialize + count for
+    # the whole clustering instead of the 2-round block's two
+    # (interleaved A/B through q_dedup_clusters_lsh at sf0.1: med
+    # 4.02 s vs 4.20 s). Convergence is decided by the block's LAST
+    # round's own change flag: labels are monotone non-increasing, so
+    # "the last round changed nothing" means its input was already a
+    # fixed point, and the returned labels equal it. (If an earlier
+    # round converged, later in-block rounds are no-ops and the flag is
+    # still false — detected with zero extra joins.)
     try:
-        for _ in range(max(1, (max_iter + 1) // 2)):
+        for _ in range(max(1, (max_iter + 2) // 3)):
             stepped = propagate(labels, with_flag=False)
+            stepped = propagate(stepped, with_flag=False)
             chk = materialize(propagate(stepped, with_flag=True))
             changed = chk.filter(F.col("__changed")).limit(1).count()
             # previous block's blocks are dead once chk is computed; on

@@ -413,21 +413,23 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # FOUR propagation rounds per materialize + convergence check (the
-    # fixed per-job overhead dominates the tiny aggregate-cardinality
-    # label table; 4 x 4 = the oracle's 16-round cap exactly — r12 ran
-    # 2-per-materialize at 8 jobs, and halving the job count to 4 cut
-    # wall time because each round's label table is a few thousand
-    # rows: the lazy 4-round unroll is shallow join/agg stages, well
-    # under the lineage-blowup depth that forces per-round cuts), and
-    # the convergence flag rides INSIDE the materialized frame (see
-    # propagate). Over-stepping past the fixed point is free: converged
+    # EIGHT propagation rounds per materialize + convergence check
+    # (2 x 8 = the oracle's 16-round cap exactly). The r12/r17 block
+    # tuning history: the OLD two-reference propagate doubled its lazy
+    # subtree per round, so 8-round blocks exploded optimizer time
+    # (10-14 s) and 4 was the sweet spot; the self-loop form references
+    # the label frame once per round — plan depth is LINEAR in the
+    # block — and the re-run A/B (sf0.1, warm, 3 reps) moved the
+    # optimum: block-8 med 3.54 s vs block-4 med 4.03 s vs block-16
+    # med 4.94 s (one 16-round block overshoots the ~round-7 fixed
+    # point by 8 wasted lazy rounds before the flag can stop it).
+    # Over-stepping a mid-block fixed point stays free: converged
     # labels are a fixed point, so extra propagations inside the block
     # are no-ops (same argument that makes early-stop ≡ the oracle
-    # unroll).
-    for _ in range(_CC_ROUNDS // 4):
+    # unroll); the flag in the block's LAST round detects it.
+    for _ in range(_CC_ROUNDS // 8):
         stepped = labels.select("node", "lab")
-        for _k in range(3):
+        for _k in range(7):
             stepped = propagate(stepped)
         new = materialize(propagate(stepped, with_flag=True))
         changed = new.filter(F.col("_ch")).limit(1).count()
@@ -501,11 +503,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the edge table against the (small, shrinking) alive set plus one
     map-side-combined count — edges are materialized ONCE and never
     rebuilt; the iterative discipline (lineage cut per block, driver
-    holds only a count) is the same as q_graph_cc. FOUR peel rounds
-    run per materialize block (3 blocks at the {_KCORE_ROUNDS}-round
-    cap; the lazy unroll is 8 shallow join/agg stages) — the alive
-    table is small enough that job overhead, not data, dominates a
-    round, the same measurement that set q_graph_cc's cadence.
+    holds only a count) is the same as q_graph_cc. SIX peel rounds
+    run per materialize block (2 blocks at the {_KCORE_ROUNDS}-round
+    cap; the self-loop form keeps the lazy unroll's plan depth linear
+    in the block) — the alive table is small enough that job overhead,
+    not data, dominates a round, the same measurement that set
+    q_graph_cc's cadence.
 
     Reference parity anchor: the reference app has no graph surface
     (src/main/java/jc/DemoApplication.java is a Kafka pipe); this
@@ -564,9 +567,13 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gnode").alias("node"), F.col("deg").cast("long").alias("deg")
         )
 
-    for _ in range(_KCORE_ROUNDS // 4):
+    # SIX peel rounds per materialize block (2 x 6 = the 12-round cap;
+    # the q_graph_cc block-retuning argument — linear plan depth under
+    # the self-loop form — re-measured here: block-6 med 3.10 s vs
+    # block-4 med 3.46 s vs one 12-round block med 3.62 s at sf0.1)
+    for _ in range(_KCORE_ROUNDS // 6):
         stepped = alive
-        for _k in range(3):
+        for _k in range(5):
             stepped = peel(stepped)
         new = materialize(peel(stepped, with_flag=True))
         changed = new.filter(F.col("_die")).limit(1).count()
@@ -779,7 +786,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: per-round cost is one edges⋈frontier shuffle plus
     a map-side-combined min-groupBy — the sparse iterative discipline
-    shared with CC (FOUR relaxation rounds per materialize block, 3
+    shared with CC (SIX relaxation rounds per materialize block, 2
     blocks at the cap; lineage cut per block; the driver holds only a
     changed count). Synchronized relaxation needs eccentricity rounds —
     the documented trade vs pointer-doubling's denser intermediates."""
@@ -831,9 +838,13 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    for _ in range(_BFS_ROUNDS // 4):
+    # SIX relaxation rounds per materialize block (2 x 6 = the 12-round
+    # cap; the q_graph_cc block-retuning argument — linear plan depth
+    # under the self-loop form — re-measured here: block-6 med 3.00 s
+    # vs block-4 med 3.64 s vs one 12-round block med 3.87 s at sf0.1)
+    for _ in range(_BFS_ROUNDS // 6):
         stepped = dist.select("node", "dist")
-        for _k in range(3):
+        for _k in range(5):
             stepped = relax(stepped)
         new = materialize(relax(stepped, with_flag=True))
         changed = new.filter(F.col("_ch")).limit(1).count()
