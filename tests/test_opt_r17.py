@@ -243,3 +243,160 @@ def test_doc_features_window_df_cap_fires_identically(spark):
         )
     )
     assert _rows(new.select("doc_id", "n", "hs")) == _rows(old)
+
+
+# ---------------------------------------------------------------------------
+# Change 8: self-loop message propagation ≡ the join-back round forms.
+# One round of each iterative kernel, new form vs a locally rebuilt
+# reference of the old aggregate+LEFT-JOIN round, on a micro graph that
+# exercises every per-round case: a path (labels still moving), a hub
+# star, an isolated node (no neighbor messages — the self-loop/coalesce
+# path), and for BFS a NULL (∞) frontier.
+
+
+def _edges_with_self_loops(spark, pairs, nodes):
+    """(src, dst, w) table: both directions of each pair at w=1 plus one
+    w=0 self-loop per node — the change-8 build."""
+    e = spark.createDataFrame(pairs, "a long, b long")
+    n = spark.createDataFrame([(x,) for x in nodes], "node long")
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.lit(1).cast("long").alias("w"),
+                ),
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.lit(1).cast("long").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+    return materialize(
+        sym.unionByName(
+            n.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).cast("long").alias("w"),
+            )
+        )
+    )
+
+
+_PAIRS = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+_NODES = [0, 1, 2, 3, 10, 11, 12, 13, 99]  # 99 isolated
+
+
+def test_self_loop_cc_round_matches_join_back_reference(spark):
+    edges = _edges_with_self_loops(spark, _PAIRS, _NODES)
+    lab = spark.createDataFrame(
+        [(n, l) for n, l in [(0, 0), (1, 0), (2, 2), (3, 3), (10, 10),
+                             (11, 11), (12, 10), (13, 13), (99, 99)]],
+        "node long, lab long",
+    )
+    new = (
+        edges.join(lab, edges.src == lab.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("lab").alias("lab"))
+    )
+    real = edges.filter(F.col("w") == 1)
+    msgs = (
+        real.join(lab, real.src == lab.node)
+        .groupBy(F.col("dst").alias("mnode"))
+        .agg(F.min("lab").alias("ml"))
+    )
+    old = lab.join(msgs, lab.node == msgs.mnode, "left").select(
+        "node",
+        F.least(F.col("lab"), F.coalesce(F.col("ml"), F.col("lab"))).alias("lab"),
+    )
+    assert set(map(tuple, new.collect())) == set(map(tuple, old.collect()))
+
+
+def test_self_loop_bfs_round_matches_join_back_reference(spark):
+    edges = _edges_with_self_loops(spark, _PAIRS, _NODES)
+    dist = spark.createDataFrame(
+        [(0, 0), (1, None), (2, None), (3, None), (10, 0), (11, 1),
+         (12, None), (13, None), (99, None)],
+        "node long, dist long",
+    )
+    nd = (F.col("dist") + F.col("w")).cast("long")
+    new = (
+        edges.join(dist, edges.src == dist.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min(nd).cast("long").alias("dist"))
+    )
+    real = edges.filter(F.col("w") == 1)
+    msgs = (
+        real.join(dist, real.src == dist.node)
+        .groupBy(F.col("dst").alias("mnode"))
+        .agg(F.min(F.col("dist") + 1).alias("md"))
+    )
+    old = dist.join(msgs, dist.node == msgs.mnode, "left").select(
+        "node", F.least(F.col("dist"), F.col("md")).cast("long").alias("dist")
+    )
+    assert set(map(tuple, new.collect())) == set(map(tuple, old.collect()))
+
+
+def test_self_loop_kcore_peel_matches_two_join_reference(spark):
+    edges = _edges_with_self_loops(spark, _PAIRS, _NODES)
+    # alive set mid-peel: node 3 and 13 already dead, 99 isolated-alive
+    alive = spark.createDataFrame(
+        [(x,) for x in [0, 1, 2, 10, 11, 12, 99]], "node long"
+    )
+    g = (
+        edges.join(alive, edges.src == alive.node)
+        .groupBy(F.col("dst").alias("gnode"))
+        .agg(F.sum("w").alias("deg"), F.min("w").alias("_mw"))
+        .filter(F.col("_mw") == 0)
+    )
+    new = g.filter(F.col("deg") >= 2).select(
+        F.col("gnode").alias("node"), F.col("deg").cast("long").alias("deg")
+    )
+    real = edges.filter(F.col("w") == 1).select("src", "dst")
+    x = alive.select(F.col("node").alias("xn"))
+    y = alive.select(F.col("node").alias("yn"))
+    old = (
+        real.join(x, real.src == F.col("xn"))
+        .join(y, real.dst == F.col("yn"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 2)
+    )
+    assert set(map(tuple, new.collect())) == set(map(tuple, old.collect()))
+
+
+def test_self_loop_lpa_votes_match_union_reference(spark):
+    edges = _edges_with_self_loops(spark, _PAIRS, _NODES)
+    lab = spark.createDataFrame(
+        [(n, l) for n, l in [(0, 0), (1, 0), (2, 0), (3, 3), (10, 10),
+                             (11, 10), (12, 10), (13, 13), (99, 99)]],
+        "node long, lab long",
+    )
+    new = (
+        edges.join(lab, edges.src == lab.node)
+        .select(F.col("dst").alias("vnode"), "lab")
+        .groupBy("vnode", "lab")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("vnode")
+        .agg(F.expr("max_by(lab, struct(c, -lab))").alias("lab"))
+        .select(F.col("vnode").alias("node"), "lab")
+    )
+    real = edges.filter(F.col("w") == 1)
+    votes = (
+        real.join(lab, real.src == lab.node)
+        .select(F.col("dst").alias("vnode"), "lab")
+        .unionByName(lab.select(F.col("node").alias("vnode"), "lab"))
+    )
+    best = (
+        votes.groupBy("vnode", "lab")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("vnode")
+        .agg(F.expr("max_by(lab, struct(c, -lab))").alias("nlab"))
+    )
+    old = lab.join(best, lab.node == best.vnode, "left").select(
+        "node", F.coalesce(F.col("nlab"), F.col("lab")).alias("lab")
+    )
+    assert set(map(tuple, new.collect())) == set(map(tuple, old.collect()))
