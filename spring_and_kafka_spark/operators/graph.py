@@ -1560,8 +1560,19 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def propagate(lab_df: DataFrame) -> DataFrame:
+        # lab_df: (node, lab, lab0) — lab0 is the BLOCK-input label,
+        # threaded through the rounds for the convergence flag; it
+        # rides only on the self-loop (w = 0) vote row and max() pulls
+        # it back out of both aggregations (every other vote row
+        # contributes NULL), so the across-block comparison costs one
+        # nullable column on the vote exchange instead of a per-block
+        # join of the label table against the block input — locally a
+        # wash-to-slight-win (pooled 7-pair A/B med 5.17 vs 5.27 s),
+        # structurally the removal of an O(|V|)⋈O(|V|) join per block.
         votes = edges.join(lab_df, edges.src == lab_df.node).select(
-            F.col("dst").alias("vnode"), "lab"
+            F.col("dst").alias("vnode"),
+            "lab",
+            F.when(F.col("w") == 0, F.col("lab0")).alias("_l0"),
         )
         # r17: the per-node argmax is a max_by over the counted votes —
         # max (c, -lab) == (count DESC, label ASC), the identical total
@@ -1578,29 +1589,34 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round with bit-identical labels.
         return (
             votes.groupBy("vnode", "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count(F.lit(1)).alias("c"), F.max("_l0").alias("_l0"))
             .groupBy("vnode")
-            .agg(F.expr("max_by(lab, struct(c, -lab))").alias("lab"))
-            .select(F.col("vnode").alias("node"), "lab")
+            .agg(
+                F.expr("max_by(lab, struct(c, -lab))").alias("lab"),
+                F.max("_l0").alias("lab0"),
+            )
+            .select(F.col("vnode").alias("node"), "lab", "lab0")
         )
 
     # TWO propagation rounds per materialize + convergence check (the
     # q_graph_cc block pattern at half stride: an LPA round adds a
-    # window stage on top of CC's join+agg, so the lazy unroll is
-    # deeper per round); the convergence flag rides inside the
-    # materialized frame exactly as in q_graph_cc.
+    # second aggregation on top of CC's join+agg, so the lazy unroll is
+    # deeper per round — and unlike the monotone families the flag MUST
+    # compare across the whole block: round k vs k-2 at even spans is
+    # what makes early stop agree with the even-round oracle unroll
+    # under period-2 oscillation). The block-input label arrives
+    # through the threaded lab0 column (see propagate).
     for _ in range(_LPA_ROUNDS // 2):
-        old = labels
-        stepped = labels.select("node", "lab")
+        stepped = labels.select("node", "lab", F.col("lab").alias("lab0"))
         for _k in range(2):
             stepped = propagate(stepped)
         new = materialize(
-            stepped.alias("n")
-            .join(old.select("node", F.col("lab").alias("_prev")), "node")
-            .select("node", "lab", (F.col("lab") != F.col("_prev")).alias("_ch"))
+            stepped.select(
+                "node", "lab", (F.col("lab") != F.col("lab0")).alias("_ch")
+            )
         )
         changed = new.filter(F.col("_ch")).limit(1).count()
-        labels = new
+        labels = new.drop("_ch")
         if changed == 0:
             break
     deg = co_order_degrees(und)
