@@ -460,16 +460,21 @@ NOTES = {
         "cross the ≥2 threshold, components MERGE, and min-label "
         "propagation runs extra rounds on a denser graph — the ratio "
         "measures densification-induced rounds, not a plan defect; the "
-        "per-round shape (edges⋈labels shuffle + map-side min) is "
-        "row-linear within a round."
+        "per-round shape (one self-loop-edges⋈labels shuffle + map-side "
+        "min, the r17 form) is row-linear within a round. Note the r17 "
+        "rewrite also CUT the 1× run's fixed job overhead (fewer "
+        "stages, fewer blocks), so the printed ratio reads higher than "
+        "the r16 rows while BOTH absolute times dropped."
     ),
     "q_graph_lpa": (
         "same densification caveat as q_graph_cc (copies replay the "
         "same PART sets, edges cross the ≥2 threshold and communities "
-        "merge); each LPA round adds a (node, lab) vote groupBy + one "
-        "row_number window over the vote table on top of CC's round — "
-        "row-linear within a round, and the self-vote keeps the round "
-        "count bounded (measured fixpoint ≤7 on every fixture)."
+        "merge); each LPA round adds a (node, lab) vote count + a "
+        "max_by argmax aggregation on top of CC's round (the r17 form; "
+        "the self-vote arrives via the self-loop edge) — row-linear "
+        "within a round, and the self-vote keeps the round count "
+        "bounded (measured fixpoint ≤7 on every fixture). The r17 "
+        "denominator note on q_graph_cc applies here too."
     ),
     "q_dedup_substring": (
         "the q_text_boilerplate segment machinery plus a doc_id-keyed "
