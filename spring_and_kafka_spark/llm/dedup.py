@@ -276,19 +276,16 @@ def minhash_signatures(sh: DataFrame, num_perms: int = _MINHASH_PERMS) -> DataFr
     )
 
 
-def _band_bucket_rows(
-    sig: DataFrame,
-    bands: int,
-    rows_per_band: int,
-    bucket_cap: int = 500,
-    stats: dict | None = None,
-) -> DataFrame:
-    """Materialized cap-filtered LSH bucket memberships (doc_id, band,
-    bucket) from a (doc_id, mh) signature frame — the shared half of
-    symmetric (lsh_candidate_pairs) and asymmetric
-    (incremental_near_matches) candidate generation. See
-    lsh_candidate_pairs for the banding and bucket_cap semantics."""
-    band_structs = F.array(
+def _band_structs(bands: int, rows_per_band: int):
+    """ARRAY<STRUCT<band INT, bucket BIGINT>> banding expression over the
+    ``mh`` signature column — the ONE definition of how a band's bucket
+    id derives from the signature slice (xxhash64 over the comma-joined
+    minhashes). Shared by the symmetric (lsh_candidate_pairs) and
+    asymmetric/incremental (_band_bucket_rows) candidate generators so
+    the two paths' bucketing cannot drift apart (the exec_utils.cents
+    anti-drift rule; pinned by
+    tests/test_opt_r18.py::test_band_structs_symmetric_incremental_agree)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
@@ -305,6 +302,21 @@ def _band_bucket_rows(
             for i in range(bands)
         ]
     )
+
+
+def _band_bucket_rows(
+    sig: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    bucket_cap: int = 500,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Materialized cap-filtered LSH bucket memberships (doc_id, band,
+    bucket) from a (doc_id, mh) signature frame — the shared half of
+    symmetric (lsh_candidate_pairs) and asymmetric
+    (incremental_near_matches) candidate generation. See
+    lsh_candidate_pairs for the banding and bucket_cap semantics."""
+    band_structs = _band_structs(bands, rows_per_band)
     # materialize bucket memberships: candidate generation joins this
     # table against itself (or its old/new halves), and without the cut
     # the whole signature subtree (corpus scan → shingles → wide
@@ -369,26 +381,22 @@ def lsh_candidate_pairs(
     1.16-1.38 s, identical 13,783 pairs, and one fewer eager job). The
     cap bound carries over: pair expansion only runs on buckets with
     2 ≤ size ≤ bucket_cap, so no task ever expands more than cap²/2
-    pairs; an over-cap bucket's list is collected then dropped — its
-    memory is O(bucket size) longs, the same rows the old form shuffled
-    into the join exchange anyway."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("mh")[i * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for i in range(bands)
-        ]
-    )
+    pairs; an over-cap bucket's list is collected then dropped. Memory
+    bound of that collect (ADVICE r17): a collect_list buffer is
+    RESIDENT in the aggregating task — it does not stream like join
+    shuffle rows — so in the saturated regime the cap guards against,
+    one task holds an O(bucket-size) long array per hot bucket it
+    aggregates before the size filter drops it. That is 8 bytes × the
+    hot bucket's membership — e.g. the adversarial 4× smoke corpus's
+    ~3,900-doc buckets cost ~31 KB each, and even a pathological
+    million-doc bucket is 8 MB against a task's execution-memory share —
+    bounded by the corpus's worst single-band collision count, never by
+    pair fan-out (which the filter prevents). A pre-filtering count
+    groupBy + anti-join would cap the buffer at bucket_cap longs but
+    re-introduces the second aggregation pass over the full membership
+    stream the r17 rewrite removed; at these bounds the resident buffer
+    is the cheaper side of the trade."""
+    band_structs = _band_structs(bands, rows_per_band)
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id",
         F.col("bb.band").alias("band"),
@@ -742,6 +750,16 @@ def connected_components(
 
     nodes: (node BIGINT); edges: (a, b) undirected pairs. Returns
     (node, component) where component = min node id reachable.
+
+    PRECONDITION (ADVICE r17): ``nodes`` must cover every edge endpoint
+    (nodes ⊇ {a} ∪ {b}). The r17 groupBy-dst propagation emits a label
+    row for every node that RECEIVES a message, so an endpoint missing
+    from ``nodes`` would still appear in the output (the pre-r17
+    left-join-onto-labels form silently confined output to ``nodes``).
+    Every current caller passes the full corpus/node universe, which by
+    construction contains all pair endpoints; a future caller with stray
+    edges must semi-join them against ``nodes`` first if it wants the
+    confinement behavior.
 
     Iterative DataFrame loop (r17 self-loop message form, shared with
     q_graph_cc): the materialized edge table carries one w = 0

