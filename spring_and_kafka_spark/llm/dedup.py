@@ -446,18 +446,36 @@ def _doc_features(corpus: DataFrame, n: int, df_cap: int) -> DataFrame:
     symmetric (lsh_verified_pairs) and asymmetric
     (incremental_near_matches) detectors so their documented-identical
     semantics cannot drift apart."""
-    # r17 (guide §2.4): the shingle doc-frequency rides as ONE window
-    # count over s64 instead of the previous materialize(sh) + df
-    # groupBy + broadcast hot anti-join — the shingle stream is read
-    # once and never checkpointed (on a cluster the old materialize was
-    # a full disk checkpoint of the corpus-sized shingle table; the
-    # window is one 16-byte-row exchange on s64 with a per-partition
-    # sort). A/B at sf0.1, interleaved: new 1.7-1.9 s vs old 1.9-3.0 s
-    # warm per full docfeat build, identical outputs.
+    # r18 (ADVICE r17 medium; guide §2.3/§2.5): the over-cap shingle set
+    # is computed by a map-side-combined groupBy(s64) and LEFT-joined
+    # back as a broadcast hot-flag — replacing r17's
+    # count() OVER (PARTITION BY s64) window. The window exchanged the
+    # RAW shingle stream on s64 with no partial aggregation, so every
+    # row of a corpus-hot shingle (exactly the df > df_cap keys the cap
+    # guards against) landed in ONE window task — a single-task
+    # straggler at 100 TB — and left the stream non-doc-partitioned, so
+    # the wide per-doc agg re-exchanged it semi-combined. This form
+    # shuffles only the partially-combined (s64, count) pairs (hot keys
+    # pre-aggregated inside each map task), broadcasts the tiny over-cap
+    # list, and lets the wide agg's partial aggregation collapse each
+    # doc map-side (the explode keeps a doc's shingles in one
+    # partition), so the doc-keyed exchange carries ~|docs| rows, not
+    # the stream. Price: the shingle explode is computed twice
+    # (map-side CPU, no checkpoint — the r17-before form's corpus-sized
+    # materialize stays gone). Interleaved A/B through q_dedup_near at
+    # sf0.1: statistical tie (med 3.96 vs 3.94 s, min 3.82 vs 3.79),
+    # adopted for the scale shape; outputs verified identical and
+    # pinned against the window reference in tests/test_opt_r17.py.
     sh = shingles(spread(corpus), n).select(
         "doc_id", F.xxhash64("shingle").alias("s64")
     )
-    shx = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s64")))
+    hot = (
+        sh.groupBy("s64")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s64", F.lit(True).alias("_hot"))
+    )
+    shx = sh.join(F.broadcast(hot), "s64", "left")
     docfeat = shx.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("s64"))).alias(f"mh{i}")
@@ -465,7 +483,7 @@ def _doc_features(corpus: DataFrame, n: int, df_cap: int) -> DataFrame:
         ],
         F.count("*").alias("n"),
         F.sort_array(
-            F.collect_set(F.when(F.col("df") <= df_cap, F.col("s64")))
+            F.collect_set(F.when(F.col("_hot").isNull(), F.col("s64")))
         ).alias("hs"),
     )
     return materialize(

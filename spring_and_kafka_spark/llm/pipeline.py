@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spring_and_kafka_spark.exec_utils import materialize
 from spring_and_kafka_spark.llm.dedup import (
     _PLANTED_CORPUS_SQL,
     lsh_verified_pairs,
@@ -130,7 +131,22 @@ def q_pipeline_curate(
         bucket_cap=bucket_cap,
         stats=lsh_stats,
     )
-    dup_victims = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    # r18 (guide §7.2/§2.4, the q_pipeline_curate plan audit): the
+    # victims list is MATERIALIZED before the anti-join. `kept` is a
+    # projection of the planted-corpus UNION, and Spark pushes the
+    # LeftAnti join into the union — so an unmaterialized dup_victims
+    # had its entire subtree (LSH candidates + verify + distinct)
+    # planned once per union side, and the anti-join ran as a
+    # SortMergeJoin that exchanged+sorted the corpus on BOTH sides
+    # (plans/r18/q_pipeline_curate_before.txt). The cut computes the
+    # duplication-sized victim list exactly once, and its exact
+    # (tiny) size lets AQE pick the broadcast anti-join, removing the
+    # corpus exchange outright at any scale where the duplicate list
+    # fits a broadcast; past that it degrades to the same SMJ, now fed
+    # by a checkpoint-sized scan instead of the recomputed pipeline.
+    dup_victims = materialize(
+        pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    )
     survivors = kept.join(dup_victims, "doc_id", "left_anti")
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")

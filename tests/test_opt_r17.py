@@ -178,7 +178,11 @@ def test_lsh_candidate_pairs_bucket_cap_drops_hot_buckets(spark):
 
 
 def test_doc_features_window_df_matches_hot_join_reference(spark):
-    # window doc-frequency == materialize + over-cap broadcast anti-join
+    # shipped doc-frequency == an independent window-count reference.
+    # (r17 shipped the window and pinned it against a hot-join
+    # reference; r18 shipped the map-side-combined hot-join — ADVICE
+    # r17's skew item — so the reference flipped to the window form to
+    # keep the two computations independent.)
     corpus = planted_corpus(spark, SF)
     new = _doc_features(corpus, 3, _SHINGLE_DF_CAP).select(
         "doc_id", "mh", "n", "hs"
@@ -189,13 +193,11 @@ def test_doc_features_window_df_matches_hot_join_reference(spark):
             "doc_id", F.xxhash64("shingle").alias("s64")
         )
     )
-    hot = (
-        sh.groupBy("s64")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > _SHINGLE_DF_CAP)
-        .select("s64", F.lit(True).alias("__hot"))
+    from pyspark.sql import Window as W
+
+    shx = sh.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("s64"))
     )
-    shx = sh.join(F.broadcast(hot), "s64", "left")
     old = shx.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("s64"))).alias(f"mh{i}")
@@ -203,7 +205,9 @@ def test_doc_features_window_df_matches_hot_join_reference(spark):
         ],
         F.count("*").alias("n"),
         F.sort_array(
-            F.collect_set(F.when(F.col("__hot").isNull(), F.col("s64")))
+            F.collect_set(
+                F.when(F.col("df") <= _SHINGLE_DF_CAP, F.col("s64"))
+            )
         ).alias("hs"),
     ).select(
         "doc_id",
@@ -215,9 +219,11 @@ def test_doc_features_window_df_matches_hot_join_reference(spark):
 
 
 def test_doc_features_window_df_cap_fires_identically(spark):
-    # tiny cap forces the df guard to FIRE: the window form must drop
-    # exactly the shingles the hot-join form dropped (fixture caps are
-    # inert, so this path needs its own exercise)
+    # tiny cap forces the df guard to FIRE: the shipped hot-join form
+    # must drop exactly the shingles an independent window-count
+    # reference drops (fixture caps are inert, so this path needs its
+    # own exercise; reference flipped window<->hot-join with the r18
+    # swap, see the test above)
     corpus = planted_corpus(spark, SF)
     cap = 2
     new = _doc_features(corpus, 3, cap)
@@ -226,19 +232,15 @@ def test_doc_features_window_df_cap_fires_identically(spark):
             "doc_id", F.xxhash64("shingle").alias("s64")
         )
     )
-    hot = (
-        sh.groupBy("s64")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > cap)
-        .select("s64", F.lit(True).alias("__hot"))
-    )
+    from pyspark.sql import Window as W
+
     old = (
-        sh.join(F.broadcast(hot), "s64", "left")
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s64")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n"),
             F.sort_array(
-                F.collect_set(F.when(F.col("__hot").isNull(), F.col("s64")))
+                F.collect_set(F.when(F.col("df") <= cap, F.col("s64")))
             ).alias("hs"),
         )
     )
