@@ -670,29 +670,47 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eh feeds three sides (both undirected halves + the is_edge probe)
     # — cut here so the co-order build runs once
     eh = materialize(_co_order_und(spark, sf_dir))
-    edges = _sym_edges(eh)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    # r18 (guide §2.4/§7.2; the lsh_candidate_pairs pattern): ONE
+    # materialized groupBy(src) adjacency build replaces the old
+    # deg-groupBy + cap semi-join + wedge self-join. The r17 plan audit
+    # (plans/r17/q_graph_jaccard_after.txt) showed the degree aggregate
+    # planned FOUR times (the semi-join build side once per self-join
+    # alias, plus du and dv) and the capped edge stream planned twice —
+    # none of it deduplicated by ReuseExchange because each reference
+    # sits under a different join side. Now: degree = size of the
+    # collected neighbor set (a projection of the checkpoint), the hub
+    # cap = the same size filter, and the wedge pairs expand IN-ARRAY
+    # (long-keyed, cap-bounded groups — the regime where the grouped
+    # form wins; contrast the string-keyed shingle revert, r17).
+    # Resident-memory bound, as documented on lsh_candidate_pairs: an
+    # over-cap hub's neighbor list is collected then dropped — 8 bytes
+    # × degree in ONE aggregation buffer, never a pair fan-out.
+    # Interleaved A/B at sf0.1 (5 reps): grouped med 2.13/min 1.98 s vs
+    # shipped 2.40/2.34 (won all 5); the materialize-deg+ecap
+    # alternative measured 2.34/2.08. Outputs row-identical; oracle
+    # hash parity at all three SFs.
+    grp = materialize(
+        _sym_edges(eh)
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_set("dst")).alias("ds"))
     )
-    # hub guard: wedge expansion only through centers with degree ≤ cap
-    # (semi join against the capped node set — deg is per-node unique,
-    # so semi ≡ inner here but states the filter-intent to the planner)
-    ecap = edges.join(
-        deg.filter(F.col("d") <= _JACCARD_CENTER_CAP).select(
-            F.col("node").alias("cn")
-        ),
-        edges.src == F.col("cn"),
-        "semi",
+    deg = grp.select(
+        F.col("src").alias("node"), F.size("ds").cast("long").alias("d")
     )
-    e1 = ecap.alias("e1")
-    e2 = ecap.alias("e2")
-    cand = (
-        e1.join(
-            e2,
-            (F.col("e1.src") == F.col("e2.src"))
-            & (F.col("e1.dst") < F.col("e2.dst")),
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
-        .groupBy(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
+    )
+    cand = (
+        grp.filter(F.size(ds) <= _JACCARD_CENTER_CAP)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))

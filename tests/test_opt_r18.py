@@ -41,3 +41,57 @@ def test_band_structs_symmetric_incremental_agree(spark):
         "doc_id", "band", "bucket"
     )
     assert _rows(sym_buckets) == _rows(inc_buckets)
+
+
+def test_graph_jaccard_grouped_wedges_match_self_join_reference(spark):
+    # r18: q_graph_jaccard's candidate generation moved to ONE grouped
+    # adjacency build (degree = size(ds), cap = size filter, wedges =
+    # in-array u<v pairs). Pin the full query against the pre-r18
+    # reference: deg groupBy + cap semi-join + wedge self-join.
+    from spring_and_kafka_spark.exec_utils import materialize
+    from spring_and_kafka_spark.operators.graph import (
+        _JACCARD_CENTER_CAP,
+        _co_order_und,
+        _sym_edges,
+        q_graph_jaccard,
+    )
+
+    eh = materialize(_co_order_und(spark, SF))
+    edges = _sym_edges(eh)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ecap = edges.join(
+        deg.filter(F.col("d") <= _JACCARD_CENTER_CAP).select(
+            F.col("node").alias("cn")
+        ),
+        edges.src == F.col("cn"),
+        "semi",
+    )
+    e1, e2 = ecap.alias("e1"), ecap.alias("e2")
+    cand = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .groupBy(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    probe = eh.select("u", "v", F.lit(1).alias("_e"))
+    j = cand.join(du, "u").join(dv, "v").join(probe, ["u", "v"], "left")
+    union_sz = F.col("deg_u") + F.col("deg_v") - F.col("common")
+    old = j.select(
+        "u",
+        "v",
+        "common",
+        "deg_u",
+        "deg_v",
+        (
+            F.floor(F.col("common") * 1e6 / union_sz + F.lit(0.5)) / 1e6
+        ).alias("jaccard"),
+        F.col("_e").isNotNull().alias("is_edge"),
+    )
+    assert _rows(q_graph_jaccard(spark, SF)) == _rows(old)

@@ -637,18 +637,19 @@ def test_udf_udtf_filter_pushed_python_node_bounded(spark):
 
 
 def test_graph_jaccard_wedge_join_no_cartesian_pruned(spark):
-    # candidate pairs come from the wedge equi-join on the shared
-    # center — never an all-pairs product; lineitem scans prune to the
-    # two co-order columns; the hub guard (r14) plans as a LeftSemi
-    # against the degree-capped center set, so wedge fan-out is
-    # structurally bounded before the self-join
+    # candidate pairs expand in-array from the grouped per-center
+    # adjacency (r18: ONE materialized groupBy(src).collect_set —
+    # degree is the array size, the r14 hub cap is the size filter, so
+    # wedge fan-out is structurally bounded with no self-join and no
+    # LeftSemi; the r17 audit had the degree agg planned 4x under the
+    # old shape) — never an all-pairs product; no lineitem scan should
+    # survive into the returned plan at all (everything hangs off the
+    # two checkpoints)
     p = plan(spark, "q_graph_jaccard")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "LeftSemi" in p
-    for seg in p.split("ReadSchema")[1:]:
-        head = seg.split("\n")[0]
-        assert "l_extendedprice" not in head and "l_comment" not in head
+    assert "size(ds" in p  # the in-array cap filter + degree projection
+    assert "Scan parquet" not in p  # tail reads only the checkpoints
 
 
 def test_tcloseness_single_fact_join_window_reaggs(spark):
